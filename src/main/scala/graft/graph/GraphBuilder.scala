@@ -1,0 +1,95 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds the [[PropertyGraph]] from the driver's TPC-H-shaped testdata by
+  * modeling its FK structure as the reference's containment graph — the same
+  * "x —in→ y" shape as user —in→ group —in→ role —in→ project
+  * (reference README.md:20-33):
+  *
+  *   customer —in→ nation —in→ region
+  *   supplier —in→ nation
+  *   orders   —in→ customer
+  *   lineitem —in→ orders | part | supplier
+  *
+  * Vertex ids are deterministic: `labelCode * 2^40 + businessKey`, so the
+  * same row always maps to the same id on any executor with no id service —
+  * and so a SQL oracle can recompute them. Lineitem's composite key packs as
+  * `l_orderkey * 10 + l_linenumber` (linenumber ≤ 7).
+  */
+object GraphBuilder {
+
+  /** Id-space stride per label: 2^40. */
+  val B: Long = 1L << 40
+
+  val LabelCodes: Map[String, Long] = Map(
+    "region" -> 1L, "nation" -> 2L, "customer" -> 3L, "supplier" -> 4L,
+    "part" -> 5L, "orders" -> 6L, "lineitem" -> 7L)
+
+  /** Deterministic vertex id from (label, numeric key). */
+  def vid(label: String, key: Column): Column =
+    lit(LabelCodes(label) * B) + key.cast("long")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Packed composite key for lineitem rows. */
+  def lineitemKey(orderkey: Column, linenumber: Column): Column =
+    orderkey.cast("long") * 10 + linenumber.cast("long")
+
+  private def vtx(label: String, key: Column, props: (String, Column)*): Column = {
+    val m = map(props.flatMap { case (k, v) => Seq(lit(k), v.cast("string")) }: _*)
+    struct(
+      vid(label, key).as("id"), lit(label).as("label"),
+      key.cast("long").cast("string").as("key"), m.as("props"))
+  }
+
+  /** All vertices from an sf directory. */
+  def vertices(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = table(spark, dir, n)
+    val r = t("region").select(vtx("region", col("r_regionkey"),
+      "name" -> col("r_name")).as("v"))
+    val n = t("nation").select(vtx("nation", col("n_nationkey"),
+      "name" -> col("n_name")).as("v"))
+    val c = t("customer").select(vtx("customer", col("c_custkey"),
+      "name" -> col("c_name"), "mktsegment" -> col("c_mktsegment")).as("v"))
+    val s = t("supplier").select(vtx("supplier", col("s_suppkey"),
+      "name" -> col("s_name")).as("v"))
+    val p = t("part").select(vtx("part", col("p_partkey"),
+      "name" -> col("p_name"), "brand" -> col("p_brand"), "type" -> col("p_type")).as("v"))
+    val o = t("orders").select(vtx("orders", col("o_orderkey"),
+      "orderstatus" -> col("o_orderstatus"), "orderpriority" -> col("o_orderpriority")).as("v"))
+    val l = t("lineitem").select(vtx("lineitem",
+      lineitemKey(col("l_orderkey"), col("l_linenumber")),
+      "returnflag" -> col("l_returnflag"), "linestatus" -> col("l_linestatus")).as("v"))
+    Seq(r, n, c, s, p, o, l).reduce(_ unionByName _).select(col("v.*"))
+  }
+
+  private def edge(src: Column, dst: Column): Column =
+    struct(src.as("src"), dst.as("dst"), lit("in").as("label"), lit(1).as("weight"))
+
+  /** All containment edges from an sf directory (label `in`, weight 1 —
+    * mirroring main.go:321 `property('weight', 1)`). */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = table(spark, dir, n)
+    val cn = t("customer").select(edge(
+      vid("customer", col("c_custkey")), vid("nation", col("c_nationkey"))).as("e"))
+    val sn = t("supplier").select(edge(
+      vid("supplier", col("s_suppkey")), vid("nation", col("s_nationkey"))).as("e"))
+    val nr = t("nation").select(edge(
+      vid("nation", col("n_nationkey")), vid("region", col("n_regionkey"))).as("e"))
+    val oc = t("orders").select(edge(
+      vid("orders", col("o_orderkey")), vid("customer", col("o_custkey"))).as("e"))
+    val li = t("lineitem")
+    val lk = lineitemKey(col("l_orderkey"), col("l_linenumber"))
+    val lo = li.select(edge(vid("lineitem", lk), vid("orders", col("l_orderkey"))).as("e"))
+    val lp = li.select(edge(vid("lineitem", lk), vid("part", col("l_partkey"))).as("e"))
+    val ls = li.select(edge(vid("lineitem", lk), vid("supplier", col("l_suppkey"))).as("e"))
+    Seq(cn, sn, nr, oc, lo, lp, ls).reduce(_ unionByName _).select(col("e.*"))
+  }
+
+  /** Full graph for an sf directory. */
+  def build(spark: SparkSession, dir: String): PropertyGraph =
+    PropertyGraph(vertices(spark, dir), edges(spark, dir))
+}
