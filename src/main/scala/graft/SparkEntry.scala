@@ -15,7 +15,7 @@ import graft.graph.{GraphBuilder, PropertyGraph}
   */
 object SparkEntry {
 
-  private val B = GraphBuilder.B // 1099511627776 = 2^40, id stride per label
+  private val B = GraphBuilder.B // 72057594037927936 = 2^56, id stride per label
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraphBuilder.table(s, dir, name)
 
@@ -184,12 +184,12 @@ object SparkEntry {
       "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
 
     "a20_point_lookup" ->
-      """SELECT 3*1099511627776 + c_custkey AS id, 'customer' AS label,
+      """SELECT 3*72057594037927936 + c_custkey AS id, 'customer' AS label,
         |CAST(c_custkey AS VARCHAR) AS key FROM customer WHERE c_custkey = 42""".stripMargin,
 
     "a07_out_edges" ->
-      """SELECT 2*1099511627776 + n_nationkey AS src,
-        |1*1099511627776 + n_regionkey AS dst, 'in' AS label, 1 AS weight FROM nation""".stripMargin,
+      """SELECT 2*72057594037927936 + n_nationkey AS src,
+        |1*72057594037927936 + n_regionkey AS dst, 'in' AS label, 1 AS weight FROM nation""".stripMargin,
 
     "a08_edge_semi_join" ->
       """SELECT o_orderkey AS orderkey FROM orders
@@ -210,13 +210,13 @@ object SparkEntry {
 
     "a14_reach_fixpoint" ->
       """WITH RECURSIVE e AS (
-        |  SELECT 3*1099511627776 + c_custkey AS src, 2*1099511627776 + c_nationkey AS dst FROM customer
-        |  UNION ALL SELECT 4*1099511627776 + s_suppkey, 2*1099511627776 + s_nationkey FROM supplier
-        |  UNION ALL SELECT 2*1099511627776 + n_nationkey, 1*1099511627776 + n_regionkey FROM nation
-        |  UNION ALL SELECT 6*1099511627776 + o_orderkey, 3*1099511627776 + o_custkey FROM orders
-        |  UNION ALL SELECT 7*1099511627776 + l_orderkey*10 + l_linenumber, 6*1099511627776 + l_orderkey FROM lineitem
-        |  UNION ALL SELECT 7*1099511627776 + l_orderkey*10 + l_linenumber, 5*1099511627776 + l_partkey FROM lineitem
-        |  UNION ALL SELECT 7*1099511627776 + l_orderkey*10 + l_linenumber, 4*1099511627776 + l_suppkey FROM lineitem
+        |  SELECT 3*72057594037927936 + c_custkey AS src, 2*72057594037927936 + c_nationkey AS dst FROM customer
+        |  UNION ALL SELECT 4*72057594037927936 + s_suppkey, 2*72057594037927936 + s_nationkey FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation
+        |  UNION ALL SELECT 6*72057594037927936 + o_orderkey, 3*72057594037927936 + o_custkey FROM orders
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 6*72057594037927936 + l_orderkey FROM lineitem
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 5*72057594037927936 + l_partkey FROM lineitem
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 4*72057594037927936 + l_suppkey FROM lineitem
         |), reach(origin, node) AS (
         |  SELECT src, dst FROM e
         |  UNION

@@ -13,15 +13,17 @@ import org.apache.spark.sql.functions._
   *   orders   —in→ customer
   *   lineitem —in→ orders | part | supplier
   *
-  * Vertex ids are deterministic: `labelCode * 2^40 + businessKey`, so the
+  * Vertex ids are deterministic: `labelCode * 2^56 + businessKey`, so the
   * same row always maps to the same id on any executor with no id service —
-  * and so a SQL oracle can recompute them. Lineitem's composite key packs as
-  * `l_orderkey * 10 + l_linenumber` (linenumber ≤ 7).
+  * and so a SQL oracle can recompute them. The label code lives in the top
+  * byte of the 64-bit id, leaving 2^56 ≈ 7.2e16 of key space per label —
+  * ample at 100 TB scale (TPC-H sf100k has ~6e14 lineitems). Lineitem's
+  * composite key packs as `l_orderkey * 10 + l_linenumber` (linenumber ≤ 7).
   */
 object GraphBuilder {
 
-  /** Id-space stride per label: 2^40. */
-  val B: Long = 1L << 40
+  /** Id-space stride per label: 2^56 (label code in the top byte). */
+  val B: Long = 1L << 56
 
   val LabelCodes: Map[String, Long] = Map(
     "region" -> 1L, "nation" -> 2L, "customer" -> 3L, "supplier" -> 4L,

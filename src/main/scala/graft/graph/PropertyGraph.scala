@@ -150,9 +150,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * wipes everything with `g.V().drop()`, README.md:321) cascade-delete
     * incident edges so no dangling edge survives. */
   def dropVertices(pred: Column): PropertyGraph = {
-    val dropped = vertices.filter(pred).select(col("id"))
+    // NULL-safe: a predicate like props['k'] === v is NULL for vertices
+    // missing the key; such rows must land in exactly one of kept/dropped
+    // (a NULL would exclude them from both, leaving dangling edges).
+    val p = coalesce(pred, lit(false))
+    val dropped = vertices.filter(p).select(col("id"))
     PropertyGraph(
-      vertices.filter(!pred),
+      vertices.filter(!p),
       edges
         .join(dropped.withColumnRenamed("id", "__d1"), col("src") === col("__d1"), "left_anti")
         .join(dropped.withColumnRenamed("id", "__d2"), col("dst") === col("__d2"), "left_anti"))

@@ -12,94 +12,107 @@ import org.apache.spark.storage.StorageLevel
   *     forever on membership cycles (main.go:347).
   *
   * Both lower to iterated joins on the edges DataFrame. The fixpoint keeps a
-  * `seen` set and anti-joins every new frontier against it, which makes it
-  * cycle-safe — the property the reference lacks.
+  * `seen` set of emitted (origin, node) pairs and anti-joins every new
+  * frontier against it, which makes it cycle-safe — the property the
+  * reference lacks. `seen` is NOT pre-seeded with the trivial 0-hop
+  * (origin, origin) pairs: a pair (a, a) rediscovered at hop ≥ 1 means a
+  * directed cycle through `a` and is a legitimate member of the closure
+  * (ANSI `WITH RECURSIVE ... UNION` emits it), so it flows into the result
+  * like any other pair. Termination is unaffected — the pair space is
+  * finite and each pair is emitted at most once.
   *
   * Scale notes (100 TB):
-  *   - each hop is one shuffle join frontier⋈edges; pre-partitioning `edges`
-  *     by `src` (storage bucketing) keeps the big side stationary and only
-  *     the frontier moves;
-  *   - lineage grows per iteration, so we `localCheckpoint` the accumulators
-  *     every [[checkpointEvery]] rounds — without this, 30+ iterations build
-  *     a plan Catalyst re-optimizes from scratch each round (exponential
-  *     analysis cost) and task-retry re-executes the whole chain;
-  *   - frontiers are persisted (MEMORY_AND_DISK) because each one is read
-  *     twice: once to build the next frontier, once for the emptiness check.
+  *   - each hop is one join frontier⋈edges; the edge set is repartitioned by
+  *     `src` once and persisted, so the (big, stationary) edge side is never
+  *     reshuffled — only the frontier moves each hop;
+  *   - the anti-join runs BEFORE the frontier dedup so the following
+  *     `distinct` reuses the anti-join's (origin, node) exchange — one
+  *     shuffle of the stepped pairs per hop, not two;
+  *   - each frontier is persisted (the accumulated result is exactly the
+  *     disjoint union of the frontiers, so total cached volume = closure
+  *     size, nothing duplicated); every [[checkpointEvery]] rounds the
+  *     accumulators are `localCheckpoint`ed (cutting lineage that would
+  *     otherwise re-analyze a growing union plan every round) and the
+  *     superseded frontier blocks are released;
+  *   - before returning, the result is checkpointed and ALL loop-scoped
+  *     blocks (edge cache, remaining frontiers) are unpersisted, so repeated
+  *     traversals do not accumulate executor storage.
   */
 object Traversal {
 
   private val checkpointEvery = 4
 
-  /** Bounded k-hop: vertices reachable from `start` in exactly 1..k hops.
+  /** Bounded k-hop: vertices reachable from `start` in 1..k hops.
     * `start` needs an `id` column; `edges` needs `src`/`dst`.
-    * Returns (origin, node, hop) — `node` reachable from `origin` in `hop`
-    * hops (first hop at which it was discovered; shortest-path semantics). */
-  def khop(edges: DataFrame, start: DataFrame, k: Int): DataFrame = {
+    * Returns (origin, node, hop) — `hop` is the first hop at which `node`
+    * was discovered from `origin` (shortest-path semantics). A row
+    * (a, a, h) means a directed cycle of length h through `a`. */
+  def khop(edges: DataFrame, start: DataFrame, k: Int): DataFrame =
+    bfs(edges, start, k, warnOnTruncate = false)
+
+  /** Cycle-safe transitive closure: all (origin, node) pairs with a directed
+    * path of length ≥ 1 from origin to node — equivalent to DuckDB/ANSI
+    * `WITH RECURSIVE ... UNION` (set semantics ⇒ termination on cycles).
+    * Throws if `maxIter` is hit before convergence: a silently truncated
+    * closure is a wrong answer, not a partial one. */
+  def reachFix(edges: DataFrame, start: DataFrame, maxIter: Int = 64): DataFrame =
+    bfs(edges, start, maxIter, warnOnTruncate = true).drop("hop")
+
+  private def bfs(edges: DataFrame, start: DataFrame, maxHops: Int,
+                  warnOnTruncate: Boolean): DataFrame = {
+    val spark = start.sparkSession
     val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = start.select(col("id").as("origin"), col("id").as("node")).distinct()
-    var seen = frontier
-    var out: Option[DataFrame] = None
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val zeroHop = frontier
+    // Frontiers whose blocks are still held; unpersisted once a checkpoint
+    // has made them redundant.
+    var live = List.empty[DataFrame]
+    var result: Option[DataFrame] = None // (origin, node, hop), hop ≥ 1
     var hop = 1
     var done = false
-    while (hop <= k && !done) {
-      val next = frontier.join(e, frontier("node") === e("src"))
+    while (hop <= maxHops && !done) {
+      val stepped = frontier.join(e, frontier("node") === e("src"))
         .select(col("origin"), col("dst").as("node"))
+      // Anti-join against emitted pairs FIRST, then dedup: distinct reuses
+      // the anti-join's hash exchange on (origin, node).
+      val next = result.fold(stepped)(r =>
+          stepped.join(r.select(col("origin"), col("node")), Seq("origin", "node"), "left_anti"))
         .distinct()
-        .join(seen, Seq("origin", "node"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (next.isEmpty) { done = true }
-      else {
+      if (next.isEmpty) {
+        next.unpersist(false)
+        done = true
+      } else {
         val stamped = next.withColumn("hop", lit(hop))
-        out = Some(out.map(_.unionByName(stamped)).getOrElse(stamped))
-        seen = seen.unionByName(next)
+        result = Some(result.map(_.unionByName(stamped)).getOrElse(stamped))
+        if (hop > 1) live = frontier :: live // hop-1 frontier now superseded
         frontier = next
         if (hop % checkpointEvery == 0) {
-          seen = seen.localCheckpoint()
-          out = out.map(_.localCheckpoint())
+          // Eager checkpoint materializes `result` into its own blocks, so
+          // every frontier folded into it so far can be released.
+          result = result.map(_.localCheckpoint())
+          live.foreach(_.unpersist(false))
+          live = Nil
         }
         hop += 1
       }
     }
-    out.getOrElse(
-      start.sparkSession.emptyDataFrame
+    if (!done && warnOnTruncate)
+      throw new IllegalStateException(
+        s"reachFix did not converge within $maxHops iterations — " +
+          "the transitive closure would be silently truncated; raise maxIter")
+    // Detach the result from all loop-scoped storage before returning.
+    val out = result
+      .map(_.localCheckpoint())
+      .getOrElse(spark.emptyDataFrame
         .select(lit(0L).as("origin"), lit(0L).as("node"), lit(0).as("hop")).limit(0))
-  }
-
-  /** Cycle-safe transitive closure: all (origin, node) pairs with a directed
-    * path of length ≥ 1 from origin to node. Equivalent to DuckDB/ANSI
-    * `WITH RECURSIVE ... UNION` (set semantics ⇒ termination on cycles). */
-  def reachFix(edges: DataFrame, start: DataFrame, maxIter: Int = 64): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = start.select(col("id").as("origin"), col("id").as("node")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // seen tracks (origin, node) already visited INCLUDING the trivial
-    // 0-hop pairs, so cycles back to the origin terminate; result excludes
-    // the 0-hop pairs to match path-length ≥ 1 semantics.
-    var seen = frontier
-    var result: Option[DataFrame] = None
-    var iter = 0
-    var done = false
-    while (iter < maxIter && !done) {
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .select(col("origin"), col("dst").as("node"))
-        .distinct()
-        .join(seen, Seq("origin", "node"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      if (next.isEmpty) { done = true }
-      else {
-        result = Some(result.map(_.unionByName(next)).getOrElse(next))
-        seen = seen.unionByName(next)
-        frontier.unpersist(false)
-        frontier = next
-        iter += 1
-        if (iter % checkpointEvery == 0) {
-          seen = seen.localCheckpoint()
-          result = result.map(_.localCheckpoint())
-        }
-      }
-    }
-    result.getOrElse(
-      start.sparkSession.emptyDataFrame
-        .select(lit(0L).as("origin"), lit(0L).as("node")).limit(0))
+    e.unpersist(false)
+    zeroHop.unpersist(false)
+    live.foreach(_.unpersist(false))
+    frontier.unpersist(false)
+    out
   }
 }
