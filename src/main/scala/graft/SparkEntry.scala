@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{GraphBuilder, PropertyGraph}
+import graft.graph.{GraphBuilder, GraphStore, PropertyGraph}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with equivalent DuckDB SQL in `oracleSql`.
@@ -26,8 +26,8 @@ object SparkEntry {
     khop2Regions(spark, "/root/testdata/sf0.001")
 
   private def khop2Regions(s: SparkSession, dir: String): DataFrame = {
-    val g = GraphBuilder.build(s, dir)
-    val reached = g.reach(g.hasLabel("customer"), 2)
+    val g = GraphStore.get(s, dir)
+    val reached = g.reach(g.hasLabel("customer"), 2, dedupStart = false)
     val regions = g.hasLabel("region")
       .select(col("id").as("rid"), col("props").getItem("name").as("region_name"))
     reached.join(regions, reached("node") === regions("rid"))
@@ -45,7 +45,7 @@ object SparkEntry {
 
     // A2 — label filter: g.V().hasLabel('customer').
     "a02_label_filter" -> ((s, dir) => {
-      val g = GraphBuilder.build(s, dir)
+      val g = GraphStore.get(s, dir)
       g.hasLabel("customer").select(
         col("key").cast("long").as("custkey"),
         col("props").getItem("name").as("name"))
@@ -53,26 +53,26 @@ object SparkEntry {
 
     // A3 — property predicate: .has('mktsegment','BUILDING').
     "a03_property_predicate" -> ((s, dir) => {
-      val g = GraphBuilder.build(s, dir)
+      val g = GraphStore.get(s, dir)
       g.has("customer", "mktsegment", "BUILDING")
         .select(col("key").cast("long").as("custkey"))
     }),
 
     // A20 — point lookup by (label, key).
     "a20_point_lookup" -> ((s, dir) => {
-      val g = GraphBuilder.build(s, dir)
+      val g = GraphStore.get(s, dir)
       g.lookup("customer", "42").select(col("id"), col("label"), col("key"))
     }),
 
     // A7 — out-edge expansion: all out-edges of nation vertices.
     "a07_out_edges" -> ((s, dir) => {
-      val g = GraphBuilder.build(s, dir)
+      val g = GraphStore.get(s, dir)
       g.outE(g.hasLabel("nation")).select(col("src"), col("dst"), col("label"), col("weight"))
     }),
 
     // A8 — edge-target semi-join: orders having ≥1 incoming lineitem edge.
     "a08_edge_semi_join" -> ((s, dir) => {
-      val g = GraphBuilder.build(s, dir)
+      val g = GraphStore.get(s, dir)
       val orders = g.hasLabel("orders")
       orders.join(g.E, orders("id") === g.E("dst"), "left_semi")
         .select(col("key").cast("long").as("orderkey"))
@@ -80,7 +80,7 @@ object SparkEntry {
 
     // A4 — not-exists guard (anti form): orders with NO incoming edge.
     "a04_not_exists_guard" -> ((s, dir) => {
-      val g = GraphBuilder.build(s, dir)
+      val g = GraphStore.get(s, dir)
       val orders = g.hasLabel("orders")
       orders.join(g.E, orders("id") === g.E("dst"), "left_anti")
         .select(col("key").cast("long").as("orderkey"))
@@ -88,7 +88,7 @@ object SparkEntry {
 
     // A10 — adjacency (1-hop out): customers' neighbors.
     "a10_adjacency" -> ((s, dir) => {
-      val g = GraphBuilder.build(s, dir)
+      val g = GraphStore.get(s, dir)
       g.out(g.hasLabel("customer"))
         .select((col("from_id") - lit(3L * B)).as("custkey"),
           col("label").as("neighbor_label"),
@@ -100,14 +100,14 @@ object SparkEntry {
 
     // A14 — cycle-safe transitive closure over the full graph.
     "a14_reach_fixpoint" -> ((s, dir) => {
-      val g = GraphBuilder.build(s, dir)
-      g.reachFix(g.V)
+      val g = GraphStore.get(s, dir)
+      g.reachFix(g.V, dedupStart = false)
     }),
 
     // A6 — vertex upsert idempotence: re-upserting existing customers is a
     // no-op; upserting shifted-key orders inserts. Census proves both.
     "a06_upsert_vertices" -> ((s, dir) => {
-      val g = GraphBuilder.build(s, dir)
+      val g = GraphStore.get(s, dir)
       val existing = t(s, dir, "orders").select(
         (lit(3L * B) + col("o_custkey")).as("id"), lit("customer").as("label"),
         col("o_custkey").cast("string").as("key"),

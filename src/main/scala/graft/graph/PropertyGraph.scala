@@ -179,11 +179,22 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 
   // ---------------------------------------------------------------- A13 / A14
 
-  /** A13 — bounded k-hop traversal (see [[Traversal.khop]]). */
-  def reach(start: DataFrame, k: Int, edgeLabel: String = "in"): DataFrame =
-    Traversal.khop(edges.filter(col("label") === edgeLabel), start, k)
+  /** True when the stored edges are already cached (e.g. via
+    * [[GraphStore]]) — traversals then skip their own edge prep. */
+  private def edgesCached: Boolean =
+    edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+
+  /** A13 — bounded k-hop traversal (see [[Traversal.khop]]).
+    * `dedupStart = false` skips a shuffle when `start` rows are known to
+    * carry unique ids (true for any filter of this graph's vertices). */
+  def reach(start: DataFrame, k: Int, edgeLabel: String = "in",
+            dedupStart: Boolean = true): DataFrame =
+    Traversal.khop(edges.filter(col("label") === edgeLabel), start, k,
+      prepEdges = !edgesCached, dedupStart = dedupStart)
 
   /** A14 — cycle-safe transitive reachability (see [[Traversal.reachFix]]). */
-  def reachFix(start: DataFrame, edgeLabel: String = "in", maxIter: Int = 64): DataFrame =
-    Traversal.reachFix(edges.filter(col("label") === edgeLabel), start, maxIter)
+  def reachFix(start: DataFrame, edgeLabel: String = "in", maxIter: Int = 64,
+               dedupStart: Boolean = true): DataFrame =
+    Traversal.reachFix(edges.filter(col("label") === edgeLabel), start, maxIter,
+      prepEdges = !edgesCached, dedupStart = dedupStart)
 }

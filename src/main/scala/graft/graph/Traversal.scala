@@ -11,105 +11,143 @@ import org.apache.spark.storage.StorageLevel
   *     (main.go:328-356), which recurses with NO visited-set and loops
   *     forever on membership cycles (main.go:347).
   *
-  * Both lower to iterated joins on the edges DataFrame. The fixpoint keeps a
-  * `seen` set of emitted (origin, node) pairs and anti-joins every new
-  * frontier against it, which makes it cycle-safe — the property the
-  * reference lacks. `seen` is NOT pre-seeded with the trivial 0-hop
-  * (origin, origin) pairs: a pair (a, a) rediscovered at hop ≥ 1 means a
-  * directed cycle through `a` and is a legitimate member of the closure
-  * (ANSI `WITH RECURSIVE ... UNION` emits it), so it flows into the result
-  * like any other pair. Termination is unaffected — the pair space is
-  * finite and each pair is emitted at most once.
+  * Both lower to iterated joins on the edges DataFrame. The accumulated
+  * result doubles as the visited set: every new frontier is anti-joined
+  * against it, which makes the traversal cycle-safe — the property the
+  * reference lacks. The visited set is NOT pre-seeded with the trivial
+  * 0-hop (origin, origin) pairs: a pair (a, a) rediscovered at hop ≥ 1
+  * means a directed cycle through `a` and is a legitimate member of the
+  * closure (ANSI `WITH RECURSIVE ... UNION` emits it), so it flows into
+  * the result like any other pair. Termination is unaffected — the pair
+  * space is finite and each pair is emitted at most once.
   *
   * Scale notes (100 TB):
-  *   - each hop is one join frontier⋈edges; the edge set is repartitioned by
-  *     `src` once and persisted, so the (big, stationary) edge side is never
-  *     reshuffled — only the frontier moves each hop;
+  *   - each hop is one join frontier⋈edges; the edge set is expected
+  *     hash-partitioned AND sorted by `src` ([[GraphStore]] layout), so
+  *     hop-joins find the big side exchange-free and sort-free and only
+  *     the frontier moves. For ad-hoc edge inputs, `prepEdges = true`
+  *     builds that layout on the fly;
   *   - the anti-join runs BEFORE the frontier dedup so the following
   *     `distinct` reuses the anti-join's (origin, node) exchange — one
   *     shuffle of the stepped pairs per hop, not two;
-  *   - each frontier is persisted (the accumulated result is exactly the
-  *     disjoint union of the frontiers, so total cached volume = closure
-  *     size, nothing duplicated); every [[checkpointEvery]] rounds the
-  *     accumulators are `localCheckpoint`ed (cutting lineage that would
-  *     otherwise re-analyze a growing union plan every round) and the
-  *     superseded frontier blocks are released;
+  *   - bounded k-hop builds the whole k-hop plan LAZILY — no per-hop
+  *     action, so a small k compiles into a single Spark job; only the
+  *     unbounded fixpoint pays a per-hop emptiness check (it must detect
+  *     convergence);
+  *   - each frontier is persisted (the result is exactly the disjoint
+  *     union of the frontiers, so total cached volume = closure size);
+  *     every [[checkpointEvery]] rounds the accumulator is
+  *     `localCheckpoint`ed (cutting lineage that would otherwise grow
+  *     per-round) and superseded frontier blocks are released;
   *   - before returning, the result is checkpointed and ALL loop-scoped
-  *     blocks (edge cache, remaining frontiers) are unpersisted, so repeated
-  *     traversals do not accumulate executor storage.
+  *     blocks are unpersisted, so repeated traversals do not accumulate
+  *     executor storage.
   */
 object Traversal {
 
-  private val checkpointEvery = 4
+  private val checkpointEvery = 8
+
+  @inline private def timed[A](label: String)(f: => A): A =
+    if (!sys.props.contains("graft.verbose")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[bfs] $label%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+    }
+
+  private def prep(edges: DataFrame, prepEdges: Boolean): DataFrame =
+    if (prepEdges)
+      edges.select(col("src"), col("dst"))
+        .repartition(col("src")).sortWithinPartitions(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    else edges.select(col("src"), col("dst"))
+
+  private def pairs(start: DataFrame, dedupStart: Boolean): DataFrame = {
+    val p = start.select(col("id").as("origin"), col("id").as("node"))
+    if (dedupStart) p.distinct() else p
+  }
 
   /** Bounded k-hop: vertices reachable from `start` in 1..k hops.
     * `start` needs an `id` column; `edges` needs `src`/`dst`.
     * Returns (origin, node, hop) — `hop` is the first hop at which `node`
     * was discovered from `origin` (shortest-path semantics). A row
-    * (a, a, h) means a directed cycle of length h through `a`. */
-  def khop(edges: DataFrame, start: DataFrame, k: Int): DataFrame =
-    bfs(edges, start, k, warnOnTruncate = false)
+    * (a, a, h) means a directed cycle of length h through `a`.
+    *
+    * Fully lazy: the k hops compile into one plan and no job runs until
+    * the caller acts. Set `dedupStart = false` when start ids are known
+    * unique (e.g. a filter of a vertex store) to skip a shuffle. */
+  def khop(edges: DataFrame, start: DataFrame, k: Int,
+           prepEdges: Boolean = true, dedupStart: Boolean = true): DataFrame = {
+    require(k >= 1, s"khop needs k >= 1, got $k")
+    val e = prep(edges, prepEdges)
+    var frontier = pairs(start, dedupStart)
+    var result: Option[DataFrame] = None
+    var hop = 1
+    while (hop <= k) {
+      val stepped = frontier.join(e, frontier("node") === e("src"))
+        .select(col("origin"), col("dst").as("node"))
+      val next = result.fold(stepped)(r =>
+          stepped.join(r.select(col("origin"), col("node")), Seq("origin", "node"), "left_anti"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val stamped = next.withColumn("hop", lit(hop))
+      result = Some(result.map(_.unionByName(stamped)).getOrElse(stamped))
+      // Bound the lazy plan depth for large k: an eager checkpoint here
+      // materializes the prefix (one job) and truncates lineage.
+      if (hop % checkpointEvery == 0) result = result.map(_.localCheckpoint())
+      frontier = next
+      hop += 1
+    }
+    result.get
+  }
 
   /** Cycle-safe transitive closure: all (origin, node) pairs with a directed
     * path of length ≥ 1 from origin to node — equivalent to DuckDB/ANSI
     * `WITH RECURSIVE ... UNION` (set semantics ⇒ termination on cycles).
     * Throws if `maxIter` is hit before convergence: a silently truncated
     * closure is a wrong answer, not a partial one. */
-  def reachFix(edges: DataFrame, start: DataFrame, maxIter: Int = 64): DataFrame =
-    bfs(edges, start, maxIter, warnOnTruncate = true).drop("hop")
-
-  private def bfs(edges: DataFrame, start: DataFrame, maxHops: Int,
-                  warnOnTruncate: Boolean): DataFrame = {
+  def reachFix(edges: DataFrame, start: DataFrame, maxIter: Int = 64,
+               prepEdges: Boolean = true, dedupStart: Boolean = true): DataFrame = {
     val spark = start.sparkSession
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = start.select(col("id").as("origin"), col("id").as("node")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = prep(edges, prepEdges)
+    var frontier = pairs(start, dedupStart)
     val zeroHop = frontier
-    // Frontiers whose blocks are still held; unpersisted once a checkpoint
-    // has made them redundant.
-    var live = List.empty[DataFrame]
-    var result: Option[DataFrame] = None // (origin, node, hop), hop ≥ 1
-    var hop = 1
+    var live = List.empty[DataFrame] // frontiers superseded since last checkpoint
+    var result: Option[DataFrame] = None
+    var iter = 1
     var done = false
-    while (hop <= maxHops && !done) {
+    while (iter <= maxIter && !done) {
       val stepped = frontier.join(e, frontier("node") === e("src"))
         .select(col("origin"), col("dst").as("node"))
-      // Anti-join against emitted pairs FIRST, then dedup: distinct reuses
-      // the anti-join's hash exchange on (origin, node).
       val next = result.fold(stepped)(r =>
           stepped.join(r.select(col("origin"), col("node")), Seq("origin", "node"), "left_anti"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (next.isEmpty) {
+      if (timed(s"iter $iter isEmpty")(next.isEmpty)) {
         next.unpersist(false)
         done = true
       } else {
-        val stamped = next.withColumn("hop", lit(hop))
-        result = Some(result.map(_.unionByName(stamped)).getOrElse(stamped))
-        if (hop > 1) live = frontier :: live // hop-1 frontier now superseded
+        result = Some(result.map(_.unionByName(next)).getOrElse(next))
+        if (iter > 1) live = frontier :: live
         frontier = next
-        if (hop % checkpointEvery == 0) {
-          // Eager checkpoint materializes `result` into its own blocks, so
-          // every frontier folded into it so far can be released.
-          result = result.map(_.localCheckpoint())
+        if (iter % checkpointEvery == 0) {
+          val prev = result
+          result = timed(s"iter $iter checkpoint")(result.map(_.localCheckpoint()))
+          prev.foreach(p => if (p ne result.orNull) p.unpersist(false))
           live.foreach(_.unpersist(false))
           live = Nil
         }
-        hop += 1
+        iter += 1
       }
     }
-    if (!done && warnOnTruncate)
+    if (!done)
       throw new IllegalStateException(
-        s"reachFix did not converge within $maxHops iterations — " +
+        s"reachFix did not converge within $maxIter iterations — " +
           "the transitive closure would be silently truncated; raise maxIter")
     // Detach the result from all loop-scoped storage before returning.
-    val out = result
-      .map(_.localCheckpoint())
+    val out = timed("final checkpoint")(result.map(_.localCheckpoint()))
       .getOrElse(spark.emptyDataFrame
-        .select(lit(0L).as("origin"), lit(0L).as("node"), lit(0).as("hop")).limit(0))
-    e.unpersist(false)
+        .select(lit(0L).as("origin"), lit(0L).as("node")).limit(0))
+    if (prepEdges) e.unpersist(false)
     zeroHop.unpersist(false)
     live.foreach(_.unpersist(false))
     frontier.unpersist(false)
