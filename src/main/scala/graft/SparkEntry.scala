@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.graph.{GraphBuilder, GraphStore, PropertyGraph}
 
@@ -18,6 +18,14 @@ object SparkEntry {
   private val B = GraphBuilder.B // 72057594037927936 = 2^56, id stride per label
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraphBuilder.table(s, dir, name)
+
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read nanos as long and rebuild a (microsecond) timestamp —
+    * matching DuckDB's own ns→us truncation. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Flagship query on /root/testdata/sf0.001: which customers reach which
     * region in ≤2 hops — the README.md:20-33 indirect-access chain
@@ -159,6 +167,126 @@ object SparkEntry {
       val d = t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("h"))
       val groups = d.groupBy(col("h")).agg(count(lit(1)).as("dup_count"))
       d.join(groups, "h").select(col("doc_id"), col("h"), col("dup_count"))
+    }),
+
+    // A5 — deterministic first-match fetch (.next(); min id).
+    "a05_first_match" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      g.firstMatch("customer", "mktsegment", "BUILDING").select(col("id"), col("key"))
+    }),
+
+    // A9 — edge upsert: re-upserting nation→region edges is a no-op;
+    // fresh orders→nation edges insert. Census by src label code proves it.
+    "a09_upsert_edges" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      val dup = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"),
+        (lit(1L * B) + col("n_regionkey")).as("dst"),
+        lit("in").as("label"), lit(1).as("weight"))
+      val fresh = t(s, dir, "orders").select(
+        (lit(6L * B) + col("o_orderkey")).as("src"),
+        (lit(2L * B) + col("o_orderkey") % 25).as("dst"),
+        lit("in").as("label"), lit(1).as("weight"))
+      g.upsertEdges(dup.unionByName(fresh)).E
+        .groupBy(expr(s"src div ${B}").as("src_label_code"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // A11 — valueMap projection: property map exploded to rows.
+    "a11_valuemap_explode" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      g.hasLabel("part").select(col("id"), explode(col("props")))
+        .select(col("id"), col("key").as("pkey"), col("value").as("pval"))
+    }),
+
+    // A12 — id projection.
+    "a12_ids" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      g.ids(g.hasLabel("supplier"))
+    }),
+
+    // A15 — drop with cascade: remove lineitem vertices and their edges.
+    "a15_drop_cascade" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir).dropVertices(col("label") === "lineitem")
+      g.V.agg(count(lit(1)).as("n_vertices"))
+        .crossJoin(g.E.agg(count(lit(1)).as("n_edges")))
+    }),
+
+    // A16 — edge-induced subgraph: edges into nations, incident vertices.
+    "a16_subgraph" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      g.subgraph(expr(s"dst div ${B}") === 2)
+        .vertices.groupBy("label").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // A17 — GraphSON export: one stable JSON document per vertex.
+    "a17_export_graphson" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      graph.GraphExport.graphsonVertices(PropertyGraph(g.hasLabel("region"), g.E))
+    }),
+
+    // B5 — nested policy explode: nation→bindings[role→members[]] built and
+    // double-exploded back (getGCS/getIamPolicy shape, main.go:436-516).
+    "b05_policy_explode" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(collect_list(col("c_name")).as("members"))
+        .groupBy(col("c_nationkey"))
+        .agg(collect_list(struct(col("c_mktsegment").as("role"), col("members"))).as("bindings"))
+        .select(col("c_nationkey").as("nationkey"), explode(col("bindings")).as("b"))
+        .select(col("nationkey"), col("b.role").as("role"), explode(col("b.members")).as("member"))
+    }),
+
+    // B6/B7 — member string parse + type dispatch with allUsers special
+    // case (main.go:463-492, 563-566).
+    "b06_member_dispatch" -> ((s, dir) => {
+      val m = t(s, dir, "customer").select(col("c_custkey").as("custkey"),
+        when(col("c_custkey") % 97 === 0, lit("allUsers"))
+          .otherwise(concat(lower(col("c_mktsegment")), lit(":"), col("c_name"))).as("member"))
+      val parts = split(col("member"), ":")
+      m.select(col("custkey"),
+        when(size(parts) === 2, parts.getItem(0)).otherwise(lit("group")).as("member_type"),
+        when(size(parts) === 2, parts.getItem(1)).otherwise(col("member")).as("email"))
+    }),
+
+    // B7 — JSON property parse from the events stream table.
+    "b07_json_props" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
+    }),
+
+    // B8 — three-scope catalog union (org/project/global role scans,
+    // main.go:630-646) with an array-typed permissions column.
+    "b08_scope_union" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      def scan(scope: String, pred: Column) = p.filter(pred).select(
+        lit(scope).as("scope"), col("p_partkey").as("partkey"),
+        size(split(col("p_type"), " ")).cast("long").as("n_perms"))
+      scan("global", col("p_size") <= 10)
+        .unionByName(scan("org", col("p_size") > 10 && col("p_size") <= 30))
+        .unionByName(scan("project", col("p_size") > 30))
+    }),
+
+    // B10 — deterministic dedup: first order per (custkey, status) by rank.
+    "b10_dedup_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey").as("custkey"), col("o_orderstatus").as("status"),
+          col("o_orderkey").as("orderkey"))
+    }),
+
+    // B12 — template render: the reference's row→groovy emitter
+    // (main.go:205-211) as a codegen'd format_string.
+    "b12_template_render" -> ((s, dir) => {
+      t(s, dir, "region").select(format_string(
+        "g.addV('region').property(label,'region').property('name','%s').property('rkey','%d')",
+        col("r_name"), col("r_regionkey")).as("stmt"))
     })
   )
 
@@ -253,6 +381,70 @@ object SparkEntry {
 
     "d_exact_dup_fingerprint" ->
       """SELECT doc_id, md5(text) AS h,
-        |count(*) OVER (PARTITION BY md5(text)) AS dup_count FROM documents""".stripMargin
+        |count(*) OVER (PARTITION BY md5(text)) AS dup_count FROM documents""".stripMargin,
+
+    "a05_first_match" ->
+      """SELECT 3*72057594037927936 + c_custkey AS id, CAST(c_custkey AS VARCHAR) AS key
+        |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey LIMIT 1""".stripMargin,
+
+    "a09_upsert_edges" ->
+      """SELECT CAST(2 AS BIGINT) AS src_label_code, count(*) AS cnt FROM nation
+        |UNION ALL SELECT 3, count(*) FROM customer
+        |UNION ALL SELECT 4, count(*) FROM supplier
+        |UNION ALL SELECT 6, 2*count(*) FROM orders
+        |UNION ALL SELECT 7, 3*count(*) FROM lineitem""".stripMargin,
+
+    "a11_valuemap_explode" ->
+      """SELECT 5*72057594037927936 + p_partkey AS id, 'name' AS pkey, p_name AS pval FROM part
+        |UNION ALL SELECT 5*72057594037927936 + p_partkey, 'brand', p_brand FROM part
+        |UNION ALL SELECT 5*72057594037927936 + p_partkey, 'type', p_type FROM part""".stripMargin,
+
+    "a12_ids" ->
+      "SELECT 4*72057594037927936 + s_suppkey AS id FROM supplier",
+
+    "a15_drop_cascade" ->
+      """SELECT (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+        |     + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+        |     + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders) AS n_vertices,
+        |       (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+        |     + (SELECT count(*) FROM nation) + (SELECT count(*) FROM orders) AS n_edges""".stripMargin,
+
+    "a16_subgraph" ->
+      """SELECT 'customer' AS label, count(*) AS cnt FROM customer
+        |UNION ALL SELECT 'supplier', count(*) FROM supplier
+        |UNION ALL SELECT 'nation', count(*) FROM
+        |  (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)""".stripMargin,
+
+    "a17_export_graphson" ->
+      """SELECT printf('{"id":%d,"label":"region","key":"%s","props":{"name":"%s"}}',
+        |  1*72057594037927936 + r_regionkey, CAST(r_regionkey AS VARCHAR), r_name) AS json
+        |FROM region""".stripMargin,
+
+    "b05_policy_explode" ->
+      "SELECT c_nationkey AS nationkey, c_mktsegment AS role, c_name AS member FROM customer",
+
+    "b06_member_dispatch" ->
+      """SELECT c_custkey AS custkey,
+        |CASE WHEN c_custkey % 97 = 0 THEN 'group' ELSE lower(c_mktsegment) END AS member_type,
+        |CASE WHEN c_custkey % 97 = 0 THEN 'allUsers' ELSE c_name END AS email
+        |FROM customer""".stripMargin,
+
+    "b07_json_props" ->
+      """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |count(*) AS cnt FROM events GROUP BY event_type""".stripMargin,
+
+    "b08_scope_union" ->
+      """SELECT CASE WHEN p_size <= 10 THEN 'global'
+        |            WHEN p_size <= 30 THEN 'org' ELSE 'project' END AS scope,
+        |p_partkey AS partkey, CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_perms
+        |FROM part""".stripMargin,
+
+    "b10_dedup_rank" ->
+      """SELECT o_custkey AS custkey, o_orderstatus AS status, min(o_orderkey) AS orderkey
+        |FROM orders GROUP BY o_custkey, o_orderstatus""".stripMargin,
+
+    "b12_template_render" ->
+      """SELECT printf('g.addV(''region'').property(label,''region'').property(''name'',''%s'').property(''rkey'',''%d'')',
+        |r_name, r_regionkey) AS stmt FROM region""".stripMargin
   )
 }

@@ -61,6 +61,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def missing(candidates: DataFrame): DataFrame =
     candidates.join(vertices.select("label", "key"), Seq("label", "key"), "left_anti")
 
+  /** A5 — first-match fetch: `.next()` (main.go:317-318, 336-337, ...).
+    * Gremlin's next() returns an arbitrary first element; a distributed
+    * engine has no stable "first", so we define it as minimum id —
+    * deterministic and testable. */
+  def firstMatch(l: String, prop: String, value: String): DataFrame =
+    has(l, prop, value).orderBy(col("id")).limit(1)
+
   /** A20 — point lookup by (label, key): `g.V().hasLabel(l).has(k,v).next()`
     * (≥40 sites in main.go). The reference's composite index is a no-op
     * (init.groovy:2-16 indexes an unset `noop` key) so it full-scans; here
