@@ -287,6 +287,146 @@ object SparkEntry {
       t(s, dir, "region").select(format_string(
         "g.addV('region').property(label,'region').property('name','%s').property('rkey','%d')",
         col("r_name"), col("r_regionkey")).as("stmt"))
+    }),
+
+    // ------------------------------------------------- M5 relational repertoire
+
+    // Q3-style: top-10 unshipped-revenue orders for one segment. Join order
+    // lets Catalyst broadcast the filtered customer dim into orders.
+    "q3_top_revenue" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1997-06-01"))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1997-06-01"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey").as("orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("orderkey"))
+        .limit(10)
+    }),
+
+    // Q5-style: revenue by nation for one region (6-table join).
+    "q5_region_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name").as("nation"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // Window: top-3 customers by balance per segment.
+    "w1_window_top3" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer").withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("c_mktsegment").as("segment"), col("rank"),
+          col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal"))
+    }),
+
+    // Window: running total of order value per customer.
+    "w2_running_sum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+    }),
+
+    // Window: delta vs previous order of the same customer (lag).
+    "w3_lag_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("delta"))
+    }),
+
+    // Global top-k with deterministic tiebreak.
+    "k1_global_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey").as("orderkey"), col("o_totalprice").as("totalprice"))
+        .limit(15)
+    }),
+
+    // Set op: customers that have orders AND are in BUILDING.
+    "s1_intersect" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+        .intersect(t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey")))
+    }),
+
+    // Set op: BUILDING customers with no orders.
+    "s2_except" -> ((s, dir) => {
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
+    }),
+
+    // Rollup over (returnflag, linestatus).
+    "r1_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Cube over (orderstatus, orderpriority).
+    "r2_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Grouping sets via the SQL surface.
+    "r3_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM li_gs
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+    }),
+
+    // Scalar string/math functions over a dimension.
+    "f1_scalar_string_math" -> ((s, dir) => {
+      t(s, dir, "nation").select(
+        col("n_nationkey").as("nationkey"),
+        upper(substring(col("n_name"), 1, 3)).as("prefix"),
+        length(col("n_name")).cast("long").as("name_len"),
+        concat_ws("-", col("n_name"), col("n_regionkey")).as("tagged"),
+        abs(col("n_nationkey") - 12).as("dist12"),
+        (col("n_nationkey") % 5).as("mod5"),
+        round(pow(lit(2.0), col("n_regionkey")), 1).as("pow2r"),
+        round(sqrt(col("n_nationkey")), 4).as("sqrtk"))
+    }),
+
+    // Scalar date functions over orders.
+    "f2_scalar_dates" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey").as("orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"),
+        date_add(col("o_orderdate"), 30).as("due_date"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
+    }),
+
+    // Exact distinct count per group.
+    "cd1_count_distinct" -> ((s, dir) => {
+      t(s, dir, "customer").groupBy(col("c_mktsegment").as("segment"))
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"))
+    }),
+
+    // Approximate distinct (HLL++): no SQL oracle — driver rows-only check.
+    "cd2_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy(col("o_orderpriority").as("priority"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"))
     })
   )
 
@@ -445,6 +585,93 @@ object SparkEntry {
 
     "b12_template_render" ->
       """SELECT printf('g.addV(''region'').property(label,''region'').property(''name'',''%s'').property(''rkey'',''%d'')',
-        |r_name, r_regionkey) AS stmt FROM region""".stripMargin
+        |r_name, r_regionkey) AS stmt FROM region""".stripMargin,
+
+    "q3_top_revenue" ->
+      """SELECT l_orderkey AS orderkey,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name AS nation,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+
+    "w1_window_top3" ->
+      """SELECT c_mktsegment AS segment,
+        |CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rank,
+        |c_custkey AS custkey, c_acctbal AS acctbal FROM customer
+        |QUALIFY rank <= 3""".stripMargin,
+
+    "w2_running_sum" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders""".stripMargin,
+
+    "w3_lag_delta" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |round(o_totalprice - lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS delta
+        |FROM orders""".stripMargin,
+
+    "k1_global_topk" ->
+      """SELECT o_orderkey AS orderkey, o_totalprice AS totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+
+    "s1_intersect" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "s2_except" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT SELECT o_custkey FROM orders""".stripMargin,
+
+    "r1_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "r2_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "r3_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+
+    "f1_scalar_string_math" ->
+      """SELECT n_nationkey AS nationkey,
+        |upper(substr(n_name, 1, 3)) AS prefix,
+        |CAST(length(n_name) AS BIGINT) AS name_len,
+        |n_name || '-' || CAST(n_regionkey AS VARCHAR) AS tagged,
+        |abs(n_nationkey - 12) AS dist12,
+        |n_nationkey % 5 AS mod5,
+        |round(pow(2.0, n_regionkey), 1) AS pow2r,
+        |round(sqrt(n_nationkey), 4) AS sqrtk
+        |FROM nation""".stripMargin,
+
+    "f2_scalar_dates" ->
+      """SELECT o_orderkey AS orderkey,
+        |CAST(year(o_orderdate) AS BIGINT) AS y,
+        |CAST(month(o_orderdate) AS BIGINT) AS m,
+        |CAST(day(o_orderdate) AS BIGINT) AS d,
+        |CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+        |CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month
+        |FROM orders""".stripMargin,
+
+    "cd1_count_distinct" ->
+      """SELECT c_mktsegment AS segment, count(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY c_mktsegment""".stripMargin
   )
 }
