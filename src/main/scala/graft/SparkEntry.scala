@@ -427,6 +427,112 @@ object SparkEntry {
     "cd2_approx_distinct" -> ((s, dir) => {
       t(s, dir, "orders").groupBy(col("o_orderpriority").as("priority"))
         .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"))
+    }),
+
+    // ------------------------------------------- M6 training-data pipeline ops
+
+    // MinHash signatures (4 hashes over word 3-gram shingles).
+    "d_minhash_sig" -> ((s, dir) => {
+      operators.Dedup.minhashSignature(t(s, dir, "documents"), "text", k = 4)
+        .select(col("doc_id"), col("h1"), col("h2"), col("h3"), col("h4"))
+    }),
+
+    // MinHash + LSH banding: candidate near-dup pairs (4 bands x 2 rows).
+    "d_minhash_lsh" -> ((s, dir) => {
+      operators.Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // 16-bit SimHash fingerprint per document.
+    "d_simhash" -> ((s, dir) => {
+      operators.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Exact 3-gram Jaccard on 1-hash-prefiltered candidate pairs.
+    "d_ngram_jaccard" -> ((s, dir) => {
+      operators.Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Brute-force exact cosine top-5 for a small query set (ANN baseline).
+    "e1_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }),
+
+    // Random-hyperplane LSH ANN: bucketed candidates, top-3 per query.
+    "e2_lsh_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.lshTopK(
+        emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 3, bits = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }),
+
+    // Embedding-cosine near-dup pairs within coarse clusters (IVF blocking).
+    "e3_cosine_neardup" -> ((s, dir) => {
+      operators.Similarity.cosineNearDup(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.3)
+    }),
+
+    // Language-ID heuristic (marker-word scoring).
+    "t_langid" -> ((s, dir) => {
+      operators.TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Quality signals + blended score.
+    "t_quality_score" -> ((s, dir) => {
+      operators.TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Order-sensitive rolling fingerprint.
+    "t_rolling_fingerprint" -> ((s, dir) => {
+      operators.TextAnalysis.rollingFingerprint(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Multimodal: opaque blob + metadata pass (size + digest).
+    "m1_media_meta" -> ((s, dir) => {
+      operators.Multimodal.mediaMeta(
+        operators.Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+    }),
+
+    // Multimodal: frame-sampling explode (every 64th char code).
+    "m2_frame_sample" -> ((s, dir) => {
+      operators.Multimodal.frameSample(t(s, dir, "documents"), "doc_id", "text", 64)
+    }),
+
+    // GraphX bridge: connected components on the supplier-nation-region
+    // subgraph (undirected reachability, component = min vertex id).
+    "x1_connected_components" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      val sub = PropertyGraph(
+        g.V.filter(col("label").isin("supplier", "nation", "region")),
+        g.E.filter(expr(s"src div ${B}").isin(4, 2)))
+      graph.GraphXBridge.connectedComponents(s, sub)
+    }),
+
+    // GraphX static PageRank (no SQL oracle — rows-only check).
+    "x2_pagerank" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      val sub = PropertyGraph(
+        g.V.filter(col("label").isin("supplier", "nation", "region")),
+        g.E.filter(expr(s"src div ${B}").isin(4, 2)))
+      graph.GraphXBridge.pageRank(s, sub)
+    }),
+
+    // Streaming-shaped batch: tumbling 1h windows over the events table.
+    "sw1_tumbling_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("sum_value"))
+    }),
+
+    // Sliding 2h windows every 1h.
+    "sw2_sliding_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
     })
   )
 
@@ -672,6 +778,185 @@ object SparkEntry {
 
     "cd1_count_distinct" ->
       """SELECT c_mktsegment AS segment, count(DISTINCT c_nationkey) AS n_nations
-        |FROM customer GROUP BY c_mktsegment""".stripMargin
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "d_minhash_sig" -> {
+      val hs = (1 to 4).map(i =>
+        s"list_min(list_transform(sh, x -> ${md5i(s"x || '|$i'")})) AS h$i").mkString(",\n ")
+      s"""$SHINGLE_CTES
+         |SELECT doc_id,
+         | $hs
+         |FROM s""".stripMargin
+    },
+
+    "d_minhash_lsh" -> {
+      val hs = (1 to 8).map(i =>
+        s"list_min(list_transform(sh, x -> ${md5i(s"x || '|$i'")})) AS h$i").mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val (l, r) = (s"h${2 * b + 1}", s"h${2 * b + 2}")
+        s"SELECT doc_id, $b AS band, ${md5i(s"CAST($l AS VARCHAR) || '_' || CAST($r AS VARCHAR)")} AS bucket FROM sig"
+      }.mkString("\nUNION ALL ")
+      s"""$SHINGLE_CTES,
+         |sig AS (SELECT doc_id, $hs FROM s),
+         |b AS ($bands)
+         |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id""".stripMargin
+    },
+
+    "d_simhash" -> {
+      val votes = (0 until 16).map(b =>
+        s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n ")
+      val fp = (0 until 16).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""$WORDS_CTE,
+         |u AS (SELECT doc_id, unnest(w) AS word FROM t),
+         |hh AS (SELECT doc_id, ${md5i(s"word")} AS hv FROM u),
+         |v AS (SELECT doc_id,
+         | $votes
+         | FROM hh GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v""".stripMargin
+    },
+
+    "d_ngram_jaccard" ->
+      s"""$SHINGLE_CTES,
+         |base AS (SELECT doc_id, list_distinct(sh) AS shd,
+         |  list_min(list_transform(sh, x -> ${md5i(s"x || '|1'")})) AS h1 FROM s)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         | floor(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
+         |   / len(list_distinct(a.shd || b.shd)) * 10000) / 10000 AS jaccard
+         |FROM base a JOIN base b ON a.h1 = b.h1 AND a.doc_id < b.doc_id""".stripMargin,
+
+    "e1_cosine_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |q AS (SELECT vec_id, e FROM v WHERE vec_id < 10),
+         |sc AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         | round(${cosSql("q.e", "v.e")}, 6) AS cos
+         | FROM q JOIN v ON v.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, cos,
+         | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |FROM sc QUALIFY rank <= 5""".stripMargin,
+
+    "e2_lsh_ann" -> {
+      val sig = (0 until 4).map { j =>
+        val proj = s"list_reduce(list_transform(generate_series(1, len(e)), i -> CAST(e[i] AS DOUBLE) * " +
+          s"(CASE WHEN ${md5i(s"'${j}_' || CAST(i AS VARCHAR)")} % 2 = 0 THEN 1.0 ELSE -1.0 END)), (a,b) -> a + b)"
+        s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, embedding AS e, CAST($sig AS BIGINT) AS sig FROM embeddings),
+         |q AS (SELECT vec_id, e, sig FROM v WHERE vec_id < 50),
+         |sc AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         | round(${cosSql("q.e", "v.e")}, 6) AS cos
+         | FROM q JOIN v ON q.sig = v.sig AND v.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, cos,
+         | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |FROM sc QUALIFY rank <= 3""".stripMargin
+    },
+
+    "e3_cosine_neardup" ->
+      s"""WITH v AS (SELECT vec_id, label, embedding AS e FROM embeddings),
+         |sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | round(${cosSql("a.e", "b.e")}, 6) AS cos
+         | FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.3""".stripMargin,
+
+    "t_langid" -> {
+      val scores = Seq(
+        "en" -> Seq("the", "and", "of", "a", "is"),
+        "de" -> Seq("der", "die", "und", "das", "ist"),
+        "es" -> Seq("el", "la", "de", "y", "es"),
+        "fr" -> Seq("le", "la", "et", "les", "est")).map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"CAST(len(list_filter(w, x -> x IN ($inList))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n ")
+      s"""$WORDS_CTE,
+         |sc AS (SELECT doc_id,
+         | $scores
+         | FROM t)
+         |SELECT doc_id,
+         | CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |      WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |      WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+         |      WHEN s_fr > 0 THEN 'fr'
+         |      ELSE 'und' END AS pred_lang
+         |FROM sc""".stripMargin
+    },
+
+    "t_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         |    / CAST(length(text) AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to'))) AS DOUBLE)
+         |    / greatest(len(w), 1) AS stop,
+         |  CAST(list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)), (a,b) -> a + b) AS DOUBLE)
+         |    / greatest(len(w), 1) AS meanlen
+         | FROM t)
+         |SELECT doc_id, n_tokens,
+         | floor(punct * 10000) / 10000 AS punct_ratio,
+         | floor(stop * 10000) / 10000 AS stopword_ratio,
+         | floor(meanlen * 10000) / 10000 AS mean_word_len,
+         | floor(least(greatest(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct)
+         |   + 0.3 * least(meanlen / 8.0, 1.0), 0.0), 1.0) * 10000) / 10000 AS quality
+         |FROM m""".stripMargin,
+
+    "t_rolling_fingerprint" ->
+      s"""$WORDS_CTE
+         |SELECT doc_id, CAST(list_reduce(list_transform(generate_series(1, len(w)),
+         |  i -> (${md5i(s"w[i]")} % 1000003) * i), (a,b) -> a + b) AS BIGINT) AS fingerprint
+         |FROM t""".stripMargin,
+
+    "m1_media_meta" ->
+      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |sha256(text) AS sha256 FROM documents""".stripMargin,
+
+    "m2_frame_sample" ->
+      """SELECT doc_id AS id, CAST(u.i AS BIGINT) AS frame_no,
+        |CAST(ascii(substr(text, CAST(u.i * 64 + 1 AS INTEGER), 1)) AS BIGINT) AS frame_code
+        |FROM documents, UNNEST(generate_series(0, (length(text) - 1) // 64)) AS u(i)""".stripMargin,
+
+    "x1_connected_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS v FROM und),
+        |reach(v, u) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT r.v, und.dst FROM reach r JOIN und ON r.u = und.src)
+        |SELECT v AS id, min(u) AS component FROM reach GROUP BY v""".stripMargin,
+
+    "sw1_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+        |count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "sw2_sliding_window" ->
+      """SELECT ws, event_type, count(*) AS cnt FROM (
+        |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR, event_type FROM events)
+        |GROUP BY ws, event_type""".stripMargin
   )
+
+  // --------------------------------------------- oracle SQL shared fragments
+
+  /** DuckDB replica of [[graft.functions.Hashing.md5Long]]. */
+  private def md5i(arg: String): String =
+    s"('0x' || substr(md5($arg), 1, 15))::BIGINT"
+
+  private val WORDS_CTE =
+    """WITH t AS (SELECT doc_id,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents)""".stripMargin
+
+  private val SHINGLE_CTES =
+    s"""$WORDS_CTE,
+       |s AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+       |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh FROM t)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x + y)
+       | / (sqrt(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x + y))
+       |   * sqrt(list_reduce(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x + y)))""".stripMargin
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing.md5Long
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * Everything is expressed with codegen'd built-ins (split / transform /
+  * aggregate / array_* higher-order functions) — no UDFs, no explode where
+  * an array fold suffices, so per-document work stays inside one
+  * whole-stage-codegen span and the only shuffles are the ones the
+  * algorithm inherently needs (the LSH bucket join, the final dedup).
+  *
+  * Scale notes (100 TB):
+  *   - minhash signatures are computed in a single map pass (k array-min
+  *     folds per doc), no shuffle;
+  *   - LSH banding shuffles only (band, bucket-hash, doc_id) triples —
+  *     ~k/r rows of 3 longs per document, independent of document size;
+  *   - the candidate self-join is per-bucket; pathological buckets (all
+  *     boilerplate docs identical) would skew — cap or salt in ingestion if
+  *     a bucket exceeds a bound;
+  *   - exact dedup is a hash groupBy on a 128-bit fingerprint, the cheapest
+  *     possible shuffle key.
+  */
+object Dedup {
+
+  /** Whitespace tokens with empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= lit(""))
+
+  /** Word n-gram shingles as an array column (empty if doc has < n words). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+      i => concat_ws(" ", slice(w, i, lit(n))))
+  }
+
+  /** MinHash signature: k independent 60-bit min-hashes over shingles.
+    * Returns the input plus columns h1..hk (NULL when no shingles). */
+  def minhashSignature(docs: DataFrame, textCol: String, k: Int = 8, n: Int = 3): DataFrame = {
+    val sh = shingles(col(textCol), n)
+    val withSh = docs.withColumn("__sh", sh)
+    (1 to k).foldLeft(withSh) { (df, i) =>
+      df.withColumn(s"h$i", array_min(transform(col("__sh"), s => md5Long(s, i))))
+    }.drop("__sh")
+  }
+
+  /** LSH banding: (id, band, bucket) rows from a minhash signature with
+    * `bands` bands of `rowsPerBand` hashes each. */
+  def lshBuckets(sig: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val hs = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
+      // concat (not concat_ws): a NULL hash must NULL the bucket, exactly
+      // like SQL || — concat_ws would silently skip it.
+      val joined = hs.init.flatMap(h => Seq(h, lit("_"))) :+ hs.last
+      struct(lit(b).as("band"), md5Long(concat(joined: _*)).as("bucket"))
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate near-duplicate pairs: docs sharing at least one LSH bucket.
+    * Returns distinct (id_a, id_b) with id_a < id_b. */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                    bands: Int = 4, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+    val sig = minhashSignature(docs, textCol, bands * rowsPerBand, n)
+    val b = lshBuckets(sig, idCol, bands, rowsPerBand)
+    val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** 16-bit SimHash over word unigrams (bit-vote fingerprint).
+    * Single map pass: 16 array folds per doc, no shuffle. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    val words = tokens(col(textCol))
+    val hs = transform(words, w => md5Long(w))
+    val votes = (0 until bits).map { b =>
+      aggregate(hs, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L))
+    }
+    val fp = votes.zipWithIndex.map { case (v, b) =>
+      when(v > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs that share the
+    * first minhash (a 1-hash LSH prefilter), rounded to 4 decimals. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val base = docs.select(col(idCol), array_distinct(shingles(col(textCol), n)).as("sh"),
+      array_min(transform(shingles(col(textCol), n), s => md5Long(s, 1))).as("h1"))
+    val l = base.select(col("h1"), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val r = base.select(col("h1"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("h1")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        // floor-truncate, not round: ratios of small ints (7/32) land on
+        // exact .xxxx5 ties where Spark and other engines round apart.
+        (floor(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))) * 10000) / 10000).as("jaccard"))
+      .distinct()
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing.md5Long
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact, O(|Q|·|N|) dot products —
+  * fine when the query set is small or as ground truth). Scale path:
+  * random-hyperplane LSH bucketing, which cuts the candidate set to
+  * same-signature vectors before scoring.
+  *
+  * All math is done in double (embeddings cast up first) with sequential
+  * array folds, so any engine that folds left-to-right reproduces the
+  * exact same floating-point results.
+  *
+  * Scale notes (100 TB): the brute-force form broadcasts the query set and
+  * streams the corpus (one pass, no shuffle beyond the final top-k); the
+  * LSH form shuffles only (signature, id) pairs and joins per bucket. For
+  * a real IVF, replace the signature with a coarse-quantizer cluster id —
+  * the plumbing (bucket join + per-bucket rescore + windowed top-k) is
+  * identical.
+  */
+object Similarity {
+
+  /** Cast an array<float> column to array<double> for stable math. */
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity between two array<float>/array<double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a); val bd = asDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Brute-force exact top-k neighbors for each query vector.
+    * Returns (query_id, neighbor_id, cos, rank). Query set should be small
+    * (it is broadcast against the corpus). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits, hyperplane
+    * component (j, d) = ±1 derived from md5 — deterministic and
+    * reproducible in any engine with md5. */
+  def hyperplaneSignature(vec: Column, bits: Int): Column = {
+    val v = asDouble(vec)
+    val bitCols = (0 until bits).map { j =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(1), size(v)), (x, d) =>
+          x * when(md5Long(concat(lit(j.toString), lit("_"), d)) % 2 === 0, lit(1.0))
+            .otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the hyperplane
+    * signature, then exact cosine + windowed top-k within the bucket. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = (df: DataFrame) => df.withColumn("sig", hyperplaneSignature(col(vecCol), bits))
+    val q = sig(queries).select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("sig"))
+    val c = sig(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("sig"))
+    val scored = c.join(q, Seq("sig")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within coarse clusters: compares
+    * only vectors sharing `clusterCol` (IVF-style blocking), keeps pairs
+    * with cosine ≥ threshold. */
+  def cosineNearDup(vecs: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, threshold: Double): DataFrame = {
+    val l = vecs.select(col(clusterCol).as("cl"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = vecs.select(col(clusterCol).as("cl"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    l.join(r, Seq("cl")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing.md5Long
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, order-sensitive fingerprinting.
+  * All single-pass, codegen'd column expressions — no shuffle, no UDF.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped. */
+  def tokens(text: Column): Column = Dedup.tokens(text)
+
+  /** Marker-word dictionaries for the n-gram/stopword language heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"))
+
+  private def markerScore(words: Column, markers: Seq[String]): Column =
+    size(filter(words, w => markers.map(m => w === lit(m)).reduce(_ || _))).cast("long")
+
+  /** Language-ID heuristic: count marker-word hits per language, pick the
+    * max (deterministic tiebreak: earlier entry in [[LangMarkers]] wins). */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = tokens(col(textCol))
+    val scored = LangMarkers.foldLeft(docs.withColumn("__w", words)) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang", markerScore(col("__w"), markers))
+    }
+    // CASE chain in declaration order = deterministic argmax with priority.
+    val pred = LangMarkers.map(_._1) match {
+      case langs =>
+        langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), els) =>
+          val ge = langs.drop(i + 1)
+            .map(o => col(s"score_$lang") >= col(s"score_$o"))
+            .foldLeft(col(s"score_$lang") > 0)(_ && _)
+          when(ge, lit(lang)).otherwise(els)
+        }
+    }
+    scored.select(col(idCol), pred.as("pred_lang"))
+  }
+
+  /** floor(x·10⁴)/10⁴ — engine-portable 4-decimal truncation. Plain
+    * `round` differs across engines on exact .xxxx5 ties (Spark rounds the
+    * decimal rendering half-up; DuckDB rounds the binary double), and
+    * ratios of small integers (7/32 = 0.21875) hit those ties routinely. */
+  private def floor4(c: Column): Column = floor(c * 10000) / 10000
+
+  /** Quality signals: token count, punctuation ratio, stopword ratio, mean
+    * word length, and a blended 0..1 quality score (truncated to 4dp). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val words = tokens(text)
+    val nTok = size(words).cast("long")
+    val nChar = length(text).cast("double")
+    val punct = (nChar - length(regexp_replace(text, "[.,!?;:]", ""))) / nChar
+    val stop = size(filter(words,
+      w => Seq("the", "a", "and", "of", "to").map(m => w === lit(m)).reduce(_ || _)))
+      .cast("double") / greatest(size(words), lit(1))
+    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      greatest(size(words), lit(1))
+    val quality = least(greatest(
+      lit(0.4) * least(nTok / lit(100.0), lit(1.0)) +
+        lit(0.3) * (lit(1.0) - punct) +
+        lit(0.3) * least(meanLen / lit(8.0), lit(1.0)), lit(0.0)), lit(1.0))
+    docs.select(col(idCol), nTok.as("n_tokens"),
+      floor4(punct).as("punct_ratio"), floor4(stop).as("stopword_ratio"),
+      floor4(meanLen).as("mean_word_len"), floor4(quality).as("quality"))
+  }
+
+  /** Order-sensitive document fingerprint: position-weighted word-hash sum
+    * (a polynomial rolling hash re-expressed as a commutative sum so it
+    * distributes: sum_i (md5(w_i) mod P) * i). Reordering words changes the
+    * fingerprint; a bag-of-words hash would not. */
+  def rollingFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    val weighted = transform(sequence(lit(1), size(w)),
+      i => (md5Long(element_at(w, i)) % 1000003L) * i.cast("long"))
+    docs.select(col(idCol),
+      aggregate(weighted, lit(0L), (acc, x) => acc + x).as("fingerprint"))
+  }
+}
