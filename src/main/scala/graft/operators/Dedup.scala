@@ -29,12 +29,16 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), w => w =!= lit(""))
 
-  /** Word n-gram shingles as an array column (empty if doc has < n words). */
+  /** Word n-gram shingles as an array column (empty if doc has < n words).
+    * NOTE: Spark's `sequence(1, 0)` yields a DESCENDING [1,0] — not the
+    * empty list SQL engines produce — so short docs need an explicit guard. */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(w, i, lit(n))))
+    when(size(w) >= n,
+      transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** MinHash signature: k independent 60-bit min-hashes over shingles.

@@ -80,7 +80,9 @@ object TextAnalysis {
     val w = tokens(col(textCol))
     val weighted = transform(sequence(lit(1), size(w)),
       i => (md5Long(element_at(w, i)) % 1000003L) * i.cast("long"))
+    // Guard empty docs: Spark sequence(1,0) is DESCENDING [1,0], not empty.
     docs.select(col(idCol),
-      aggregate(weighted, lit(0L), (acc, x) => acc + x).as("fingerprint"))
+      when(size(w) > 0, aggregate(weighted, lit(0L), (acc, x) => acc + x))
+        .otherwise(lit(0L)).as("fingerprint"))
   }
 }

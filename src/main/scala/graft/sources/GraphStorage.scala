@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+
+/** Persistent graph storage — the Spark-native replacement for the
+  * reference's seven per-component groovy files + gremlin bulk load
+  * (main.go:70-96 `applyGroovy` multi-sink; README.md:286-298 `:load`).
+  *
+  * Layout (the on-disk twin of [[graft.graph.GraphStore]]'s cache layout):
+  *   {path}/vertices/label=X/part-....parquet — partition pruning turns
+  *     every hasLabel() into a directory prune (B13's 7-way sink,
+  *     generalized);
+  *   {path}/edges/part-....parquet, pre-repartitioned by src so a fresh
+  *     read clusters hop-join keys within files (row-group locality).
+  *
+  * `merge` replays a batch idempotently — the anti-join equivalent of the
+  * reference's guarded upserts, minus its one-statement-at-a-time
+  * websocket bottleneck (README.md:300: 1h+ to load 473 statements).
+  */
+object GraphStorage {
+
+  /** B13 — partitioned multi-sink write of a whole graph. */
+  def write(g: PropertyGraph, path: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    g.vertices.write.mode(mode).partitionBy("label").parquet(s"$path/vertices")
+    g.edges.repartition(col("src")).sortWithinPartitions(col("src"))
+      .write.mode(mode).parquet(s"$path/edges")
+  }
+
+  /** A18 — bulk load: reconstruct the graph from storage. */
+  def load(spark: SparkSession, path: String): PropertyGraph = {
+    // Partition column `label` comes back at the end; restore column order.
+    val v = spark.read.parquet(s"$path/vertices")
+      .select(col("id"), col("label").cast("string"), col("key"), col("props"))
+    PropertyGraph(v, spark.read.parquet(s"$path/edges"))
+  }
+
+  /** Idempotent incremental merge into an existing store: anti-join the
+    * batch against what is already there, append only the new rows.
+    * Replaying the same batch twice is a no-op — the invariant the
+    * reference's guarded-upsert templates intend (and, for serviceAccount
+    * and permission vertices, fail to deliver: main.go:587-588, 678-679
+    * guard on the wrong property key). */
+  def merge(spark: SparkSession, path: String, newV: DataFrame, newE: DataFrame): Unit = {
+    val existing = load(spark, path)
+    val freshV = newV.dropDuplicates("label", "key")
+      .join(existing.vertices.select("label", "key"), Seq("label", "key"), "left_anti")
+      .select(col("id"), col("label"), col("key"), col("props"))
+      .localCheckpoint() // sever from the store files about to be appended
+    val freshE = newE.dropDuplicates("src", "dst", "label")
+      .join(existing.edges.select("src", "dst", "label"), Seq("src", "dst", "label"), "left_anti")
+      .select(col("src"), col("dst"), col("label"), col("weight"))
+      .localCheckpoint()
+    freshV.write.mode(SaveMode.Append).partitionBy("label").parquet(s"$path/vertices")
+    freshE.write.mode(SaveMode.Append).parquet(s"$path/edges")
+  }
+}

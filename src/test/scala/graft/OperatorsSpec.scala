@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Unit specs for the M6 pipeline operators (dedup, similarity, text,
+  * multimodal) over tiny inline corpora. */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("shingles: word 3-grams in order; short docs yield empty") {
+    val out = docs((1L, "a b c d"), (2L, "a b"))
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L).isEmpty)
+  }
+
+  test("minhash: identical docs get identical signatures; different docs differ") {
+    val sig = Dedup.minhashSignature(
+      docs((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog"),
+        (3L, "completely different words entirely here now today ok")), "text", k = 4)
+      .select("doc_id", "h1", "h2", "h3", "h4")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("lshCandidates surfaces exact dups as candidate pairs") {
+    val pairs = Dedup.lshCandidates(
+      docs((1L, "one two three four five six seven eight"),
+        (2L, "one two three four five six seven eight"),
+        (3L, "alpha beta gamma delta epsilon zeta eta theta")), "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: equal docs equal, near docs close in hamming distance") {
+    val fp = Dedup.simhash(
+      docs((1L, "spark scala data pipeline engine"),
+        (2L, "spark scala data pipeline engine"),
+        (3L, "wholly unrelated corpus tokens here")), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("ngramJaccard: identical docs score 1.0") {
+    val j = Dedup.ngramJaccard(
+      docs((1L, "a b c d e f"), (2L, "a b c d e f")), "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(j.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 1.0))
+  }
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0") {
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 1), "vec_id", "embedding", 2)
+      .select("neighbor_id", "cos").as[(Long, Double)].collect().toMap
+    assert(math.abs(top(2L) - 1.0) < 1e-9)
+    assert(math.abs(top(3L)) < 1e-9)
+  }
+
+  test("lshTopK: identical vectors share a bucket and rank first") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (3L, Seq(-1.0f, -2.0f, -3.0f, -4.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(df, df.filter(col("vec_id") === 1), "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(2L)) // 3 is in the opposite half-space bucket
+  }
+
+  test("languageId picks the marker-dominant language deterministically") {
+    val out = TextAnalysis.languageId(
+      docs((1L, "the cat and the dog is a pet"),
+        (2L, "der hund und die katze ist das tier"),
+        (3L, "xyzzy qwerty plugh")), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+
+  test("qualityScore stays in [0,1] and counts tokens") {
+    val out = TextAnalysis.qualityScore(
+      docs((1L, "the quick brown fox, and a lazy dog!")), "doc_id", "text").collect()(0)
+    assert(out.getAs[Long]("n_tokens") == 8L)
+    val q = out.getAs[Double]("quality")
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("rollingFingerprint is order-sensitive") {
+    val out = TextAnalysis.rollingFingerprint(
+      docs((1L, "alpha beta gamma"), (2L, "gamma beta alpha")), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) != out(2L))
+  }
+
+  test("multimodal: meta digest + typed decode stub keep schema and determinism") {
+    val media = Multimodal.asMedia(docs((7L, "hello world")), "doc_id", "text")
+    val meta = Multimodal.mediaMeta(media).collect()(0)
+    assert(meta.getAs[Long]("n_bytes") == 11L)
+    assert(meta.getAs[String]("sha256").length == 64)
+    val dec = Multimodal.decodeStub(spark, media).collect()
+    assert(dec.length == 1 && dec(0).id == 7L && dec(0).channels == 3)
+    val again = Multimodal.decodeStub(spark, media).collect()
+    assert(dec(0) == again(0)) // deterministic fake
+  }
+
+  test("frameSample explodes every stride-th char code") {
+    val out = Multimodal.frameSample(docs((1L, "abcdefghij")), "doc_id", "text", 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    // chars at positions 1, 5, 9 -> 'a','e','i'
+    assert(out.map(_._3).toSeq == Seq('a'.toLong, 'e'.toLong, 'i'.toLong))
+  }
+}

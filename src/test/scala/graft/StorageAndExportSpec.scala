@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.{GraphExport, GraphXBridge, PropertyGraph}
+import graft.sources.GraphStorage
+
+/** GraphML/GraphSON export (A17), partitioned storage + idempotent bulk
+  * merge (A18/B13), and the GraphX bridge. */
+class StorageAndExportSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def g0 = PropertyGraph(
+    Seq(
+      (1L, "user", "a", Map("email" -> "a@x")),
+      (2L, "group", "g", Map.empty[String, String]))
+      .toDF("id", "label", "key", "props"),
+    Seq((1L, 2L, "in", 1)).toDF("src", "dst", "label", "weight"))
+
+  test("graphml renders nodes, props, and edges; escapes XML") {
+    val g = PropertyGraph(
+      Seq((1L, "user", "a<b", Map("k" -> "v&w"))).toDF("id", "label", "key", "props"),
+      Seq.empty[(Long, Long, String, Int)].toDF("src", "dst", "label", "weight"))
+    val xml = GraphExport.graphml(g)
+    assert(xml.contains("""<node id="1">"""))
+    assert(xml.contains("a&lt;b"))
+    assert(xml.contains("k=v&amp;w"))
+    assert(xml.startsWith("""<?xml version="1.0""""))
+  }
+
+  test("graphml refuses graphs above the driver-side bound") {
+    assertThrows[IllegalArgumentException] {
+      GraphExport.graphml(g0, maxRows = 1)
+    }
+  }
+
+  test("graphson lines are one JSON doc per vertex/edge") {
+    assert(GraphExport.graphsonVertices(g0).count() == 2)
+    val line = GraphExport.graphsonEdges(g0).as[String].head()
+    assert(line == """{"src":1,"dst":2,"label":"in","weight":1}""")
+  }
+
+  test("storage round-trip: partitioned write + load preserves the graph") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    GraphStorage.write(g0, dir)
+    // label-partitioned layout on disk (B13's multi-sink, generalized)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/vertices/label=user")))
+    val back = GraphStorage.load(spark, dir)
+    assert(back.vertices.count() == 2 && back.edges.count() == 1)
+    assert(back.hasLabel("user").select("key").as[String].head() == "a")
+  }
+
+  test("bulk merge is idempotent across replays (A18)") {
+    val dir = Files.createTempDirectory("graft-merge").toString
+    GraphStorage.write(g0, dir)
+    val newV = Seq(
+      (1L, "user", "a", Map.empty[String, String]), // dup -> skipped
+      (3L, "role", "r", Map.empty[String, String]))
+      .toDF("id", "label", "key", "props")
+    val newE = Seq((1L, 2L, "in", 1), (2L, 3L, "in", 1)).toDF("src", "dst", "label", "weight")
+    GraphStorage.merge(spark, dir, newV, newE)
+    GraphStorage.merge(spark, dir, newV, newE) // replay: no-op
+    val back = GraphStorage.load(spark, dir)
+    assert(back.vertices.count() == 3)
+    assert(back.edges.count() == 2)
+  }
+
+  test("GraphX connected components finds separate components") {
+    val g = PropertyGraph(
+      Seq(
+        (1L, "a", "1", Map.empty[String, String]), (2L, "a", "2", Map.empty[String, String]),
+        (10L, "a", "10", Map.empty[String, String]), (11L, "a", "11", Map.empty[String, String]))
+        .toDF("id", "label", "key", "props"),
+      Seq((1L, 2L, "in", 1), (10L, 11L, "in", 1)).toDF("src", "dst", "label", "weight"))
+    val cc = GraphXBridge.connectedComponents(spark, g)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(10L) == 10L && cc(11L) == 10L)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.Traversal
+
+/** Golden + property tests for the traversal engine (SURVEY.md §5.2-5.3):
+  * fixpoint ≡ naive in-memory closure on random graphs, cycle safety, and
+  * the README.md:20-33 chain shape. Property inputs are generated with a
+  * fixed seed (scalatestplus is not in the offline cache, so plain seeded
+  * sampling stands in for ScalaCheck's forAll). */
+class TraversalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def edgesDF(es: Seq[(Long, Long)]) = es.toDF("src", "dst")
+
+  private def naiveClosure(es: Seq[(Long, Long)], starts: Set[Long]): Set[(Long, Long)] = {
+    val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    starts.flatMap { s =>
+      var seen = Set.empty[Long]
+      var frontier = Set(s)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- seen
+        seen ++= next
+        frontier = next
+      }
+      seen.map(s -> _)
+    }
+  }
+
+  test("flagship chain: user->group->group->role->project shape reaches the project") {
+    // README.md:20-33 transposed: 1->2->3->4->5 linear chain.
+    val e = edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val out = Traversal.reachFix(e, Seq(1L).toDF("id"))
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+  }
+
+  test("cycle safety: A in B, B in A terminates and emits (a,a) per WITH RECURSIVE UNION") {
+    val e = edgesDF(Seq((1L, 2L), (2L, 1L)))
+    val out = Traversal.reachFix(e, Seq(1L, 2L).toDF("id"))
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L)))
+  }
+
+  test("khop stamps first-discovery hop (shortest path)") {
+    // 1->2->4, 1->3, 3->4: node 4 reachable at hop 2 two ways.
+    val e = edgesDF(Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L)))
+    val out = Traversal.khop(e, Seq(1L).toDF("id"), 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 2)))
+  }
+
+  test("khop emits cyclic (a,a) at cycle length") {
+    val e = edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    val out = Traversal.khop(e, Seq(1L).toDF("id"), 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out.contains((1L, 1L, 3)))
+  }
+
+  test("reachFix throws instead of silently truncating") {
+    val e = edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assertThrows[IllegalStateException] {
+      Traversal.reachFix(e, Seq(1L).toDF("id"), maxIter = 2).count()
+    }
+  }
+
+  test("property: fixpoint equals naive closure on 15 seeded random graphs (cycles included)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 15).foreach { _ =>
+      val n = 2 + rnd.nextInt(10)
+      val m = 1 + rnd.nextInt(28)
+      val es = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val got = Traversal.reachFix(edgesDF(es), nodes.toDF("id"), maxIter = 64)
+        .as[(Long, Long)].collect().toSet
+      assert(got == naiveClosure(es, nodes.toSet), s"edges=$es")
+    }
+  }
+}
