@@ -70,7 +70,11 @@ object Dedup {
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
                     bands: Int = 4, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
     val sig = minhashSignature(docs, textCol, bands * rowsPerBand, n)
+    // Persist the bucket table: both sides of the self-join read it, and
+    // recomputing means re-hashing every shingle of the corpus. One row per
+    // (doc, band) — negligible next to the corpus at any scale.
     val b = lshBuckets(sig, idCol, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "bucket"))
@@ -96,8 +100,11 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for candidate pairs that share the
     * first minhash (a 1-hash LSH prefilter), rounded to 4 decimals. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    // Persisted: both join sides scan it, and the shingle set + hash are
+    // the expensive part (one md5 per shingle). One row per doc.
     val base = docs.select(col(idCol), array_distinct(shingles(col(textCol), n)).as("sh"),
       array_min(transform(shingles(col(textCol), n), s => md5Long(s, 1))).as("h1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = base.select(col("h1"), col(idCol).as("id_a"), col("sh").as("sh_a"))
     val r = base.select(col("h1"), col(idCol).as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("h1")).filter(col("id_a") < col("id_b"))
