@@ -519,6 +519,27 @@ object SparkEntry {
       graph.GraphXBridge.pageRank(s, sub)
     }),
 
+    // A18 — bulk load + idempotent merge through the persistent store:
+    // write a subgraph, replay a duplicate batch plus fresh vertices,
+    // reload, census. Replaces the reference's 1h+ statement-at-a-time
+    // gremlin :load (README.md:286-300).
+    "a18_bulk_load_merge" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-a18").toString
+      val g = GraphStore.get(s, dir)
+      val sub = PropertyGraph(
+        g.V.filter(col("label").isin("region", "nation")),
+        g.E.filter(expr(s"src div ${B}") === 2))
+      sources.GraphStorage.write(sub, tmp)
+      val dupNations = g.hasLabel("nation")
+      val freshZones = t(s, dir, "region").select(
+        (lit(9L * B) + col("r_regionkey")).as("id"), lit("zone").as("label"),
+        col("r_regionkey").cast("string").as("key"),
+        map(lit("name"), col("r_name")).as("props"))
+      sources.GraphStorage.merge(s, tmp, dupNations.unionByName(freshZones), g.E.limit(0))
+      sources.GraphStorage.load(s, tmp).V
+        .groupBy("label").agg(count(lit(1)).as("cnt"))
+    }),
+
     // Streaming-shaped batch: tumbling 1h windows over the events table.
     "sw1_tumbling_window" -> ((s, dir) => {
       events(s, dir)
@@ -926,6 +947,11 @@ object SparkEntry {
         |  UNION
         |  SELECT r.v, und.dst FROM reach r JOIN und ON r.u = und.src)
         |SELECT v AS id, min(u) AS component FROM reach GROUP BY v""".stripMargin,
+
+    "a18_bulk_load_merge" ->
+      """SELECT 'region' AS label, count(*) AS cnt FROM region
+        |UNION ALL SELECT 'nation', count(*) FROM nation
+        |UNION ALL SELECT 'zone', count(*) FROM region""".stripMargin,
 
     "sw1_tumbling_window" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
