@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import graft.functions.CosineSimilarity
+
+/** Session extensions registering graft's native expressions.
+  *
+  * Install with either
+  *   `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  *   `--conf spark.sql.extensions=graft.GraftExtensions`,
+  * then call as SQL `cosine_sim(a, b)` or
+  * `call_function("cosine_sim", colA, colB)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"cosine_sim expects 2 arguments, got ${children.length}")
+        // Coerce array<float> (and friends) up to array<double> here — the
+        // expression itself demands exact types.
+        val coerced = children.map(c => Cast(c, ArrayType(DoubleType)))
+        CosineSimilarity(coerced.head, coerced(1))
+      }))
+  }
+}

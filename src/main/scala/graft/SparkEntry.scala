@@ -456,7 +456,7 @@ object SparkEntry {
     "e1_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       operators.Similarity.bruteForceTopK(
-        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, native = true)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
     }),
 
@@ -464,14 +464,15 @@ object SparkEntry {
     "e2_lsh_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       operators.Similarity.lshTopK(
-        emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 3, bits = 4)
+        emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 3, bits = 4, native = true)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
     }),
 
     // Embedding-cosine near-dup pairs within coarse clusters (IVF blocking).
     "e3_cosine_neardup" -> ((s, dir) => {
       operators.Similarity.cosineNearDup(
-        t(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.3)
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.3,
+        native = true)
     }),
 
     // Language-ID heuristic (marker-word scoring).

@@ -33,23 +33,34 @@ object Similarity {
   private def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity between two array<float>/array<double> columns. */
+  /** Cosine similarity between two array<float>/array<double> columns.
+    * Composable built-in form — portable to any session. */
   def cosine(a: Column, b: Column): Column = {
     val ad = asDouble(a); val bd = asDouble(b)
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  /** Fused native form ([[graft.functions.CosineSimilarity]]): one loop,
+    * no intermediate arrays, whole-stage codegen. Requires the session to
+    * carry [[graft.GraftExtensions]] (spark.sql.extensions). Bit-identical
+    * results to [[cosine]] — both accumulate left-to-right in double. */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
+  private def cosineBy(native: Boolean)(a: Column, b: Column): Column =
+    if (native) cosineNative(a, b) else cosine(a, b)
+
   /** Brute-force exact top-k neighbors for each query vector.
     * Returns (query_id, neighbor_id, cos, rank). Query set should be small
     * (it is broadcast against the corpus). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
+                     vecCol: String, k: Int, native: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("nv")), 6).as("cos"))
+        round(cosineBy(native)(col("qv"), col("nv")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -74,14 +85,14 @@ object Similarity {
   /** LSH-bucketed approximate top-k: candidates share the hyperplane
     * signature, then exact cosine + windowed top-k within the bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int = 4): DataFrame = {
+              vecCol: String, k: Int, bits: Int = 4, native: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sig = (df: DataFrame) => df.withColumn("sig", hyperplaneSignature(col(vecCol), bits))
     val q = sig(queries).select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("sig"))
     val c = sig(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("sig"))
     val scored = c.join(q, Seq("sig")).filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("nv")), 6).as("cos"))
+        round(cosineBy(native)(col("qv"), col("nv")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -91,11 +102,12 @@ object Similarity {
     * only vectors sharing `clusterCol` (IVF-style blocking), keeps pairs
     * with cosine ≥ threshold. */
   def cosineNearDup(vecs: DataFrame, idCol: String, vecCol: String,
-                    clusterCol: String, threshold: Double): DataFrame = {
+                    clusterCol: String, threshold: Double,
+                    native: Boolean = false): DataFrame = {
     val l = vecs.select(col(clusterCol).as("cl"), col(idCol).as("id_a"), col(vecCol).as("va"))
     val r = vecs.select(col(clusterCol).as("cl"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     l.join(r, Seq("cl")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .select(col("id_a"), col("id_b"), round(cosineBy(native)(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
