@@ -54,6 +54,55 @@ object EventPipeline {
       }
   }
 
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class UserSession(user_id: Long, start: java.sql.Timestamp,
+                         end: java.sql.Timestamp, n_events: Long)
+
+  /** Event-time sessionization: split each user's stream into sessions
+    * separated by ≥ `gapMs` of silence. Closed sessions are emitted as the
+    * group function observes the gap; the last open session is emitted when
+    * the event-time watermark passes it (state timeout) — the standard
+    * flatMapGroupsWithState + EventTimeTimeout pattern, so state is bounded
+    * by the watermark, not by stream length. */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+                 watermark: String = "1 hour"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          def toSession(s: SessionState) = UserSession(uid,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toSession).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val times = batch.map(_.ts.getTime).toSeq.sorted
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= toSession(s)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Mutable holder for a graph maintained across micro-batches. Thread-safe
     * enough for a single streaming query (foreachBatch runs serially). */
   final class GraphState(initial: PropertyGraph) {

@@ -114,6 +114,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dec(0) == again(0)) // deterministic fake
   }
 
+  test("property: B9 map inversion round-trips on seeded random role->permission maps") {
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val roles = (1 to 20).map(r => s"role$r" ->
+        (1 to (1 + rnd.nextInt(8))).map(_ => s"perm${rnd.nextInt(15)}").distinct)
+      val df = roles.toDF("role", "perms")
+      // invert: permission -> roles (main.go:873-895's aggregation)
+      val inverted = df.select(col("role"), explode(col("perms")).as("perm"))
+        .groupBy("perm").agg(collect_set(col("role")).as("roles"))
+      // invert back: role -> permissions
+      val back = inverted.select(col("perm"), explode(col("roles")).as("role"))
+        .groupBy("role").agg(collect_set(col("perm")).as("perms"))
+        .as[(String, Seq[String])].collect().map { case (r, ps) => r -> ps.toSet }.toMap
+      val expected = roles.toMap.map { case (r, ps) => r -> ps.toSet }
+      assert(back == expected)
+    }
+  }
+
   test("frameSample explodes every stride-th char code") {
     val out = Multimodal.frameSample(docs((1L, "abcdefghij")), "doc_id", "text", 4)
       .as[(Long, Long, Long)].collect().sortBy(_._2)

@@ -49,6 +49,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(2L) == EventPipeline.UserStat(2L, 1L, 1.0))
   }
 
+  test("sessionize splits on gaps and closes the tail session via watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventPipeline.SessionEvent]
+    val q = EventPipeline.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    // two events 5min apart (one session), then 30min silence, then one more
+    mem.addData(
+      EventPipeline.SessionEvent(1L, ts("10:00")),
+      EventPipeline.SessionEvent(1L, ts("10:05")),
+      EventPipeline.SessionEvent(1L, ts("10:35")))
+    q.processAllAvailable()
+    // watermark far past the open session -> timeout emits it
+    mem.addData(EventPipeline.SessionEvent(2L, ts("13:00")))
+    q.processAllAvailable()
+    mem.addData(EventPipeline.SessionEvent(2L, ts("16:00")))
+    q.processAllAvailable()
+    val sessions = spark.table("sess")
+      .select(col("user_id"), col("start").cast("string"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    q.stop()
+    assert(sessions.contains((1L, "2024-01-01 10:00:00", 2L))) // closed by gap
+    assert(sessions.contains((1L, "2024-01-01 10:35:00", 1L))) // closed by timeout
+  }
+
   test("foreachBatch graph merge is incremental and replay-idempotent") {
     val empty = PropertyGraph(
       Seq.empty[(Long, String, String, Map[String, String])].toDF("id", "label", "key", "props"),
