@@ -429,6 +429,64 @@ object SparkEntry {
         .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"))
     }),
 
+    // Q4-style EXISTS: orders with a returned lineitem, by priority.
+    "q4_exists_agg" -> ((s, dir) => {
+      val returned = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Q17-style correlated scalar: revenue of small-quantity outlier lines
+    // vs each part's own average.
+    "q17_avg_quantity_outliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgQ = li.groupBy(col("l_partkey").as("pk"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(avgQ, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // HAVING: segments with more than 15% of customers.
+    "h1_having" -> ((s, dir) => {
+      val total = t(s, dir, "customer").count()
+      t(s, dir, "customer").groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > total * 0.15)
+    }),
+
+    // Pivot: customer counts, nation rows x fixed segment columns.
+    "p1_pivot" -> ((s, dir) => {
+      t(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // Fuzzy match: region-name pairs by edit distance.
+    "f3_fuzzy_levenshtein" -> ((s, dir) => {
+      val a = t(s, dir, "region").select(col("r_name").as("name_a"))
+      val b = t(s, dir, "region").select(col("r_name").as("name_b"))
+      a.crossJoin(b).filter(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 6)
+    }),
+
+    // NULL handling: nullif/coalesce/null-safe equality.
+    "f4_null_handling" -> ((s, dir) => {
+      val status = nullif(col("o_orderstatus"), lit("O"))
+      t(s, dir, "orders").select(
+        col("o_orderkey").as("orderkey"),
+        coalesce(status, lit("OPEN")).as("status_or_open"),
+        status.isNull.as("was_open"),
+        (status <=> lit("F")).as("is_f_nullsafe"))
+    }),
+
     // ------------------------------------------- M6 training-data pipeline ops
 
     // MinHash signatures (4 hashes over word 3-gram shingles).
@@ -801,6 +859,46 @@ object SparkEntry {
     "cd1_count_distinct" ->
       """SELECT c_mktsegment AS segment, count(DISTINCT c_nationkey) AS n_nations
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q4_exists_agg" ->
+      """SELECT o_orderpriority AS priority, count(*) AS cnt FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q17_avg_quantity_outliers" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN (
+        |  SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey) a ON l_partkey = pk
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+
+    "h1_having" ->
+      """SELECT c_mktsegment AS segment, count(*) AS cnt FROM customer
+        |GROUP BY c_mktsegment
+        |HAVING count(*) > (SELECT count(*) FROM customer) * 0.15""".stripMargin,
+
+    "p1_pivot" ->
+      """SELECT c_nationkey AS nationkey,
+        |sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS "AUTOMOBILE",
+        |sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS "BUILDING",
+        |sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS "FURNITURE",
+        |sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS "HOUSEHOLD",
+        |sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS "MACHINERY"
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "f3_fuzzy_levenshtein" ->
+      """SELECT a.r_name AS name_a, b.r_name AS name_b,
+        |CAST(levenshtein(a.r_name, b.r_name) AS BIGINT) AS dist
+        |FROM region a, region b
+        |WHERE a.r_name < b.r_name AND levenshtein(a.r_name, b.r_name) <= 6""".stripMargin,
+
+    "f4_null_handling" ->
+      """SELECT o_orderkey AS orderkey,
+        |coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+        |nullif(o_orderstatus, 'O') IS NULL AS was_open,
+        |nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS is_f_nullsafe
+        |FROM orders""".stripMargin,
 
     "d_minhash_sig" -> {
       val hs = (1 to 4).map(i =>
