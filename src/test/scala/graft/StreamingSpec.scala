@@ -73,6 +73,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.contains((1L, "2024-01-01 10:35:00", 1L))) // closed by timeout
   }
 
+  test("end-to-end: readStream over events parquet -> foreachBatch graph merge") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file stream source wants a directory; stage the table file into one
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir.toString)
+    val empty = PropertyGraph(
+      Seq.empty[(Long, String, String, Map[String, String])].toDF("id", "label", "key", "props"),
+      Seq.empty[(Long, Long, String, Int)].toDF("src", "dst", "label", "weight"))
+    val state = new EventPipeline.GraphState(empty)
+    val q = stream.writeStream
+      .foreachBatch(EventPipeline.graphMergeBatch(state, 1000000L, 2000000L) _)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // sf0.001 events: 1000 rows, 20 users, 5 event types
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val nUsers = batch.select("user_id").distinct().count()
+    val nTypes = batch.select("event_type").distinct().count()
+    val nPairs = batch.select("user_id", "event_type").distinct().count()
+    assert(state.graph.vertices.count() == nUsers + nTypes)
+    assert(state.graph.edges.count() == nPairs)
+  }
+
   test("foreachBatch graph merge is incremental and replay-idempotent") {
     val empty = PropertyGraph(
       Seq.empty[(Long, String, String, Map[String, String])].toDF("id", "label", "key", "props"),
