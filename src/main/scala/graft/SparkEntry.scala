@@ -526,6 +526,16 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
     }),
 
+    // IVF ANN: k-means-lite coarse quantizer + probe-and-rescore. No SQL
+    // oracle (iterative float centroids) — driver rows-only check.
+    "e4_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 2, native = true)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs within coarse clusters (IVF blocking).
     "e3_cosine_neardup" -> ((s, dir) => {
       operators.Similarity.cosineNearDup(
@@ -541,6 +551,14 @@ object SparkEntry {
     // Quality signals + blended score.
     "t_quality_score" -> ((s, dir) => {
       operators.TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // BPE-ish sub-word token count (letter runs / digit runs / punct marks).
+    "t_bpe_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        size(operators.TextAnalysis.bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(operators.TextAnalysis.bpeTokens(col("text"))))
+          .cast("long").as("n_unique"))
     }),
 
     // Order-sensitive rolling fingerprint.
@@ -1019,6 +1037,12 @@ object SparkEntry {
          | floor(least(greatest(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct)
          |   + 0.3 * least(meanlen / 8.0, 1.0), 0.0), 1.0) * 10000) / 10000 AS quality
          |FROM m""".stripMargin,
+
+    "t_bpe_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |CAST(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS n_unique
+        |FROM documents""".stripMargin,
 
     "t_rolling_fingerprint" ->
       s"""$WORDS_CTE

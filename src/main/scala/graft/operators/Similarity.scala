@@ -98,6 +98,33 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-style approximate top-k: k-means-lite coarse quantizer over the
+    * corpus (`nlist` cells), queries probe their `nprobe` nearest cells and
+    * rescore with exact cosine inside them. The 100 TB shape: the inverted
+    * lists shuffle once at build time; each query touches nprobe/nlist of
+    * the corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int = 8, nprobe: Int = 2, iters: Int = 2,
+              native: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (assigned, centroids) = Clustering.kmeansLite(corpus, idCol, vecCol, nlist, iters)
+    val lists = assigned.select(col("cid"), col("vid").as("neighbor_id"), col("vec").as("nv"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__d"), col("cid"))
+    val probes = qv.crossJoin(broadcast(centroids))
+      .withColumn("__d", aggregate(zip_with(col("qv"), col("cvec"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("__r", row_number().over(probeW)).filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val rescored = probes.join(lists, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineBy(native)(col("qv"), col("nv")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs within coarse clusters: compares
     * only vectors sharing `clusterCol` (IVF-style blocking), keeps pairs
     * with cosine ≥ threshold. */

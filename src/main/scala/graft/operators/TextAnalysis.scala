@@ -72,6 +72,12 @@ object TextAnalysis {
       floor4(meanLen).as("mean_word_len"), floor4(quality).as("quality"))
   }
 
+  /** BPE-ish sub-word tokenization: letter runs, digit runs, and single
+    * punctuation marks as separate tokens (the pre-tokenization pass a BPE
+    * tokenizer applies before merges). Codegen'd regexp, no UDF. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
   /** Order-sensitive document fingerprint: position-weighted word-hash sum
     * (a polynomial rolling hash re-expressed as a commutative sum so it
     * distributes: sum_i (md5(w_i) mod P) * i). Reordering words changes the

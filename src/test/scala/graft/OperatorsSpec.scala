@@ -77,6 +77,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Seq(2L)) // 3 is in the opposite half-space bucket
   }
 
+  test("kmeansLite partitions the corpus; ivfTopK recalls a usable fraction of true neighbors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (assigned, centroids) = graft.operators.Clustering.kmeansLite(emb, "vec_id", "embedding", k = 8)
+    assert(centroids.count() == 8)
+    assert(assigned.count() == emb.count())          // every vector lands in a cell
+    assert(assigned.select("cid").distinct().count() > 1) // and not all in one
+    val queries = emb.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = truth.count(approx.contains).toDouble / truth.size
+    assert(approx.nonEmpty && recall >= 0.2, s"recall=$recall")
+  }
+
   test("languageId picks the marker-dominant language deterministically") {
     val out = TextAnalysis.languageId(
       docs((1L, "the cat and the dog is a pet"),
