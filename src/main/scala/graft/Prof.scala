@@ -1,8 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import graft.graph.GraphStore
 
 /** Scratch profiling main (not part of the driver contract). */
 object Prof {
@@ -11,21 +10,18 @@ object Prof {
     println(f"[prof] $label%-46s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
   }
   def main(args: Array[String]): Unit = {
+    sys.props("graft.verbose") = "1"
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    // warm both paths once
-    Similarity.cosineNearDup(emb, "vec_id", "embedding", "label", 0.3).count()
-    Similarity.cosineNearDup(emb, "vec_id", "embedding", "label", 0.3, native = true).count()
+    val g = GraphStore.get(spark, dir)
     (1 to 3).foreach { i =>
-      time(s"neardup fold   run$i")(
-        Similarity.cosineNearDup(emb, "vec_id", "embedding", "label", 0.3).count())
-      time(s"neardup native run$i")(
-        Similarity.cosineNearDup(emb, "vec_id", "embedding", "label", 0.3, native = true).count())
+      time(s"reachFix run$i")(g.reachFix(g.V, dedupStart = false).count())
+      spark.catalog.clearCache()
+      GraphStore.invalidate(dir)
+      GraphStore.get(spark, dir)
     }
     spark.stop()
   }

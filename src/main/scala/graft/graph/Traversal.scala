@@ -118,8 +118,11 @@ object Traversal {
     while (iter <= maxIter && !done) {
       val stepped = frontier.join(e, frontier("node") === e("src"))
         .select(col("origin"), col("dst").as("node"))
+      // shuffle_hash hint: the visited set only needs hash membership, not
+      // order — SMJ would re-sort both multi-million-row sides every round.
       val next = result.fold(stepped)(r =>
-          stepped.join(r.select(col("origin"), col("node")), Seq("origin", "node"), "left_anti"))
+          stepped.join(r.select(col("origin"), col("node")).hint("shuffle_hash"),
+            Seq("origin", "node"), "left_anti"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       // count(), not isEmpty: the convergence probe doubles as a FULL cache
