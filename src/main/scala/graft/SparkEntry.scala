@@ -647,7 +647,7 @@ object SparkEntry {
         |UNION ALL SELECT 'supplier', count(*) FROM supplier
         |UNION ALL SELECT 'part', count(*) FROM part
         |UNION ALL SELECT 'orders', count(*) FROM orders
-        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem""".stripMargin,
+        |UNION ALL SELECT 'lineitem', count(DISTINCT l_orderkey*10 + l_linenumber) FROM lineitem""".stripMargin,
 
     "a02_label_filter" ->
       "SELECT c_custkey AS custkey, c_name AS name FROM customer",
@@ -703,7 +703,7 @@ object SparkEntry {
         |UNION ALL SELECT 'supplier', count(*) FROM supplier
         |UNION ALL SELECT 'part', count(*) FROM part
         |UNION ALL SELECT 'orders', (SELECT count(*) FROM orders) + (SELECT count(*) FROM orders)
-        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem""".stripMargin,
+        |UNION ALL SELECT 'lineitem', count(DISTINCT l_orderkey*10 + l_linenumber) FROM lineitem""".stripMargin,
 
     "b09_invert_map" ->
       """SELECT c_mktsegment AS segment,
@@ -736,7 +736,11 @@ object SparkEntry {
         |UNION ALL SELECT 3, count(*) FROM customer
         |UNION ALL SELECT 4, count(*) FROM supplier
         |UNION ALL SELECT 6, 2*count(*) FROM orders
-        |UNION ALL SELECT 7, 3*count(*) FROM lineitem""".stripMargin,
+        |UNION ALL SELECT 7,
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_orderkey*10 + l_linenumber, l_orderkey FROM lineitem))
+        |+ (SELECT count(*) FROM (SELECT DISTINCT l_orderkey*10 + l_linenumber, l_partkey FROM lineitem))
+        |+ (SELECT count(*) FROM (SELECT DISTINCT l_orderkey*10 + l_linenumber, l_suppkey FROM lineitem))
+        |FROM (SELECT 1)""".stripMargin,
 
     "a11_valuemap_explode" ->
       """SELECT 5*72057594037927936 + p_partkey AS id, 'name' AS pkey, p_name AS pval FROM part

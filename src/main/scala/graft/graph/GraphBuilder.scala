@@ -62,9 +62,16 @@ object GraphBuilder {
       "name" -> col("p_name"), "brand" -> col("p_brand"), "type" -> col("p_type")).as("v"))
     val o = t("orders").select(vtx("orders", col("o_orderkey"),
       "orderstatus" -> col("o_orderstatus"), "orderpriority" -> col("o_orderpriority")).as("v"))
-    val l = t("lineitem").select(vtx("lineitem",
-      lineitemKey(col("l_orderkey"), col("l_linenumber")),
-      "returnflag" -> col("l_returnflag"), "linestatus" -> col("l_linestatus")).as("v"))
+    // The synthetic lineitem table contains duplicate (orderkey, linenumber)
+    // pairs; the store keeps upsert semantics (same business key = same
+    // vertex — the reference's guarded-upsert model), collapsing
+    // deterministically to the lexicographically-least property row.
+    val l = t("lineitem")
+      .groupBy(lineitemKey(col("l_orderkey"), col("l_linenumber")).as("__k"))
+      .agg(min(struct(col("l_returnflag"), col("l_linestatus"))).as("__p"))
+      .select(vtx("lineitem", col("__k"),
+        "returnflag" -> col("__p.l_returnflag"),
+        "linestatus" -> col("__p.l_linestatus")).as("v"))
     Seq(r, n, c, s, p, o, l).reduce(_ unionByName _).select(col("v.*"))
   }
 
@@ -83,11 +90,13 @@ object GraphBuilder {
       vid("nation", col("n_nationkey")), vid("region", col("n_regionkey"))).as("e"))
     val oc = t("orders").select(edge(
       vid("orders", col("o_orderkey")), vid("customer", col("o_custkey"))).as("e"))
+    // distinct: duplicate (orderkey, linenumber) source rows must not
+    // produce duplicate edges (upsert set semantics, main.go:319-322).
     val li = t("lineitem")
     val lk = lineitemKey(col("l_orderkey"), col("l_linenumber"))
-    val lo = li.select(edge(vid("lineitem", lk), vid("orders", col("l_orderkey"))).as("e"))
-    val lp = li.select(edge(vid("lineitem", lk), vid("part", col("l_partkey"))).as("e"))
-    val ls = li.select(edge(vid("lineitem", lk), vid("supplier", col("l_suppkey"))).as("e"))
+    val lo = li.select(edge(vid("lineitem", lk), vid("orders", col("l_orderkey"))).as("e")).distinct()
+    val lp = li.select(edge(vid("lineitem", lk), vid("part", col("l_partkey"))).as("e")).distinct()
+    val ls = li.select(edge(vid("lineitem", lk), vid("supplier", col("l_suppkey"))).as("e")).distinct()
     Seq(cn, sn, nr, oc, lo, lp, ls).reduce(_ unionByName _).select(col("e.*"))
   }
 

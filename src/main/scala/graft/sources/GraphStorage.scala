@@ -36,6 +36,26 @@ object GraphStorage {
     PropertyGraph(v, spark.read.parquet(s"$path/edges"))
   }
 
+  /** Catalog-bucketed variant: `bucketBy(src)+sortBy(src)` edges and
+    * `bucketBy(id)` vertices as saved tables. Unlike the cache layout in
+    * [[graft.graph.GraphStore]] (which dies with the session) or the plain
+    * parquet layout above (whose clustering Spark can't prove after a
+    * re-read), catalog bucketing survives restarts AND lets the planner
+    * drop the Exchange+Sort from every hop-join on a fresh read — the
+    * 100 TB answer, since no cache holds 100 TB. */
+  def writeBucketedTables(spark: SparkSession, g: PropertyGraph,
+                          db: String = "graft", buckets: Int = 32): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    g.vertices.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"$db.vertices")
+    g.edges.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "src").sortBy("src").saveAsTable(s"$db.edges")
+  }
+
+  /** Load the bucketed store; joins on id/src plan without exchanges. */
+  def loadBucketedTables(spark: SparkSession, db: String = "graft"): PropertyGraph =
+    PropertyGraph(spark.table(s"$db.vertices"), spark.table(s"$db.edges"))
+
   /** Idempotent incremental merge into an existing store: anti-join the
     * batch against what is already there, append only the new rows.
     * Replaying the same batch twice is a no-op — the invariant the

@@ -67,6 +67,19 @@ class StorageAndExportSpec extends AnyFunSuite {
     assert(back.edges.count() == 2)
   }
 
+  test("bucketed tables: hop-join plans with no Exchange on either side") {
+    val g = graft.graph.GraphBuilder.build(spark, "/root/testdata/sf0.001")
+    GraphStorage.writeBucketedTables(spark, g, db = "graft_test", buckets = 4)
+    val b = GraphStorage.loadBucketedTables(spark, "graft_test")
+    // force SMJ (no broadcast) to prove the bucketing carries the layout
+    val join = b.vertices.hint("merge")
+      .join(b.edges.hint("merge"), b.vertices("id") === b.edges("src"))
+    val plan = join.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(500))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(join.count() == b.edges.count())
+  }
+
   test("GraphX connected components finds separate components") {
     val g = PropertyGraph(
       Seq(
