@@ -487,6 +487,19 @@ object SparkEntry {
         (status <=> lit("F")).as("is_f_nullsafe"))
     }),
 
+    // Q22-style: above-average-balance customers with no orders
+    // (scalar subquery in a filter + anti-join).
+    "q22_dormant_accounts" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal"))).first().getDouble(0)
+      val finished = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      cust.filter(col("c_acctbal") > avgBal)
+        .join(finished, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+    }),
+
     // ------------------------------------------- M6 training-data pipeline ops
 
     // MinHash signatures (4 hashes over word 3-gram shingles).
@@ -921,6 +934,15 @@ object SparkEntry {
         |nullif(o_orderstatus, 'O') IS NULL AS was_open,
         |nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS is_f_nullsafe
         |FROM orders""".stripMargin,
+
+    "q22_dormant_accounts" ->
+      """SELECT c_mktsegment AS segment, count(*) AS cnt,
+        |round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "d_minhash_sig" -> {
       val hs = (1 to 4).map(i =>
