@@ -791,7 +791,8 @@ object SparkEntry {
         |FROM customer""".stripMargin,
 
     "b07_json_props" ->
-      """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      """SELECT event_type,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |count(*) AS cnt FROM events GROUP BY event_type""".stripMargin,
 
     "b08_scope_union" ->
@@ -915,11 +916,11 @@ object SparkEntry {
 
     "p1_pivot" ->
       """SELECT c_nationkey AS nationkey,
-        |sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS "AUTOMOBILE",
-        |sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS "BUILDING",
-        |sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS "FURNITURE",
-        |sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS "HOUSEHOLD",
-        |sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS "MACHINERY"
+        |CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+        |CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+        |CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+        |CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+        |CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
         |FROM customer GROUP BY c_nationkey""".stripMargin,
 
     "f3_fuzzy_levenshtein" ->

@@ -30,8 +30,8 @@ import org.apache.spark.storage.StorageLevel
   *   - the anti-join runs BEFORE the frontier dedup so the following
   *     `distinct` reuses the anti-join's (origin, node) exchange — one
   *     shuffle of the stepped pairs per hop, not two;
-  *   - bounded k-hop builds the whole k-hop plan LAZILY — no per-hop
-  *     action, so a small k compiles into a single Spark job; only the
+  *   - bounded k-hop builds the whole k-hop plan with no per-hop action —
+  *     a single eager checkpoint job executes all k hops; only the
   *     unbounded fixpoint pays a per-hop emptiness check (it must detect
   *     convergence);
   *   - each frontier is persisted (the result is exactly the disjoint
@@ -72,14 +72,21 @@ object Traversal {
     * was discovered from `origin` (shortest-path semantics). A row
     * (a, a, h) means a directed cycle of length h through `a`.
     *
-    * Fully lazy: the k hops compile into one plan and no job runs until
-    * the caller acts. Set `dedupStart = false` when start ids are known
-    * unique (e.g. a filter of a vertex store) to skip a shuffle. */
+    * The k hops compile into one plan executed by a single eager
+    * `localCheckpoint` job at the end (per-hop frontier persists make each
+    * frontier compute once inside that job even though it feeds both the
+    * result union and the next hop's join). The returned frame reads from
+    * the checkpoint blocks, so every loop-scoped cached frame — per-hop
+    * frontiers and, for ad-hoc edge inputs, the repartitioned edge set —
+    * is released before returning: repeated ad-hoc khop calls leave no
+    * residue in executor storage. Set `dedupStart = false` when start ids
+    * are known unique (e.g. a filter of a vertex store) to skip a shuffle. */
   def khop(edges: DataFrame, start: DataFrame, k: Int,
            prepEdges: Boolean = true, dedupStart: Boolean = true): DataFrame = {
     require(k >= 1, s"khop needs k >= 1, got $k")
     val e = prep(edges, prepEdges)
     var frontier = pairs(start, dedupStart)
+    var live = List.empty[DataFrame] // persisted frames not yet released
     var result: Option[DataFrame] = None
     var hop = 1
     while (hop <= k) {
@@ -91,13 +98,24 @@ object Traversal {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val stamped = next.withColumn("hop", lit(hop))
       result = Some(result.map(_.unionByName(stamped)).getOrElse(stamped))
-      // Bound the lazy plan depth for large k: an eager checkpoint here
-      // materializes the prefix (one job) and truncates lineage.
-      if (hop % checkpointEvery == 0) result = result.map(_.localCheckpoint())
+      // Bound the plan depth for large k: an eager checkpoint materializes
+      // the prefix (one job), truncates lineage, and lets the superseded
+      // frontier blocks go. `next` itself joins the release list only on a
+      // LATER checkpoint (or the final cleanup): it is the active frontier
+      // and the eager checkpoint job has just filled its cache.
+      if (hop % checkpointEvery == 0) {
+        result = result.map(_.localCheckpoint())
+        live.foreach(_.unpersist(false))
+        live = Nil
+      }
+      live ::= next
       frontier = next
       hop += 1
     }
-    result.get
+    val out = result.get.localCheckpoint() // eager: the one traversal job
+    live.foreach(_.unpersist(false))
+    if (prepEdges) e.unpersist(false)
+    out
   }
 
   /** Cycle-safe transitive closure: all (origin, node) pairs with a directed

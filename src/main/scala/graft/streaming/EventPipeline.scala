@@ -86,7 +86,11 @@ object EventPipeline {
             times.foreach { t =>
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                  // A late-but-within-watermark event can predate the current
+                  // session start; lower the start too, or out-of-order input
+                  // yields sessions with start > event ts.
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1))
                 case Some(s) =>
                   closed ::= toSession(s)
                   cur = Some(SessionState(t, t, 1))
@@ -120,13 +124,19 @@ object EventPipeline {
       (lit(userBase) + col("user_id")).as("id"), lit("user").as("label"),
       col("user_id").cast("string").as("key"),
       map(lit("source"), lit("stream")).as("props"))
+    // Event-type id: the 60-bit md5 hash used everywhere else, folded into
+    // the 2^56 label stride. Spark's 32-bit `hash` would both collide far
+    // sooner (merging distinct event types into one vertex id) and leak a
+    // negative id out of the stride via abs(Int.MinValue).
+    val typeId = lit(typeBase) +
+      pmod(graft.functions.Hashing.md5Long(col("event_type")), lit(graft.graph.GraphBuilder.B))
     val types = batch.select(
-      (lit(typeBase) + abs(hash(col("event_type"))).cast("long")).as("id"),
+      typeId.as("id"),
       lit("eventType").as("label"), col("event_type").as("key"),
       map().cast("map<string,string>").as("props"))
     val edges = batch.select(
       (lit(userBase) + col("user_id")).as("src"),
-      (lit(typeBase) + abs(hash(col("event_type"))).cast("long")).as("dst"),
+      typeId.as("dst"),
       lit("in").as("label"), lit(1).as("weight"))
     val merged = state.graph
       .upsertVertices(users.unionByName(types))

@@ -73,6 +73,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.contains((1L, "2024-01-01 10:35:00", 1L))) // closed by timeout
   }
 
+  test("sessionize lowers session start on a late in-gap event (out-of-order input)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventPipeline.SessionEvent]
+    val q = EventPipeline.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess_ooo").outputMode(OutputMode.Append()).start()
+    // 10:05 arrives first; the 10:00 event lands late but within the
+    // watermark and inside the gap -> one session starting at 10:00.
+    mem.addData(EventPipeline.SessionEvent(1L, ts("10:05")))
+    q.processAllAvailable()
+    mem.addData(EventPipeline.SessionEvent(1L, ts("10:00")))
+    q.processAllAvailable()
+    // push the watermark far past the session so the timeout emits it
+    mem.addData(EventPipeline.SessionEvent(2L, ts("16:00")))
+    q.processAllAvailable()
+    mem.addData(EventPipeline.SessionEvent(2L, ts("19:00")))
+    q.processAllAvailable()
+    val sessions = spark.table("sess_ooo")
+      .select(col("user_id"), col("start").cast("string"), col("end").cast("string"),
+        col("n_events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    q.stop()
+    assert(sessions.contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L)))
+  }
+
   test("end-to-end: readStream over events parquet -> foreachBatch graph merge") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
