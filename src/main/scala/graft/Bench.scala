@@ -2,6 +2,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Representative subset for the final (machine-parsed) JSON line: the
+    * graph-store traversals, the heavy joins/aggs, and one of each
+    * training-data operator family. The FULL per-query map is printed on
+    * its own line just above (and the consumer's tail buffer is ~2000
+    * chars, which the full 70+-entry map overflows — hence the split). */
+  private val headline = Seq(
+    "a02_label_filter", "a06_upsert_vertices", "a08_edge_semi_join",
+    "a13_khop2_regions", "a14_reach_fixpoint", "a18_bulk_load_merge",
+    "b09_invert_map", "b10_dedup_rank", "q1_pricing_summary",
+    "q3_top_revenue", "q5_region_revenue", "k1_global_topk",
+    "d_minhash_lsh", "e2_lsh_ann", "e3_cosine_neardup",
+    "t_quality_score", "sw1_tumbling_window", "sw3_session_window",
+    "z1_asof_join", "x1_connected_components", "x3_triangle_count")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,10 +46,17 @@ object Bench {
       n -> math.min(t, run(n))
     }.toMap
     val results = firstPass ++ retimed
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + math.max(0, math.rint(v * 1000) / 1000) }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalR = math.rint(total * 1000) / 1000
+    // Full map first (for humans/logs)...
+    println(s"""{"metric":"total_full","value":$totalR,"unit":"sec","queries":${fmt(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}""")
+    // ...then the compact headline line LAST so a tail-window parser
+    // always sees one complete JSON object.
+    val head = headline.flatMap(n => results.get(n).map(n -> _))
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":${fmt(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -644,6 +644,101 @@ object SparkEntry {
         .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+    }),
+
+    // Batch session windows (gaps-and-islands): split each user's events
+    // into sessions separated by >30min silence — the batch twin of
+    // streaming.EventPipeline.sessionize, as one window pass + agg
+    // (no per-user state, scales as a single shuffle on user_id).
+    "sw3_session_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val brk = when(
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w) > lit(1800L * 1000000L),
+        lit(1L)).otherwise(lit(0L))
+      events(s, dir)
+        .withColumn("session_id",
+          sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // As-of join: for each click, the most recent purchase at-or-before it
+    // by the same user. Spark-first plan: union both sides and take the
+    // last non-null purchase in one event-time window pass — ONE shuffle
+    // on user_id, instead of the O(n·m) inequality join Spark would plan
+    // as a broadcast nested loop. Purchases sort before clicks at equal
+    // ts (is_l tiebreak) to get <= semantics.
+    "z1_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("event_id"), col("ts"), lit(1).as("is_l"),
+        lit(null).cast("timestamp").as("p_ts"), lit(null).cast("double").as("p_val"))
+      val buys = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), lit(null).cast("long").as("event_id"), col("ts"), lit(0).as("is_l"),
+        col("ts").as("p_ts"), col("value").as("p_val"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("is_l"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(buys)
+        .withColumn("purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+        .withColumn("purchase_value", last(col("p_val"), ignoreNulls = true).over(w))
+        .filter(col("is_l") === 1)
+        .select(col("user_id"), col("event_id"), col("ts").as("click_ts"),
+          col("purchase_ts"), col("purchase_value"))
+    }),
+
+    // Range join: events against a tiny value-band dimension. The bands
+    // table is broadcast, so the inequality join is a broadcast nested
+    // loop over 5 rows — the correct 100 TB plan (no shuffle of events).
+    "z2_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        (0L, 0.0, 100.0), (1L, 100.0, 200.0), (2L, 200.0, 300.0),
+        (3L, 300.0, 400.0), (4L, 400.0, 1.0e9)).toDF("band_id", "lo", "hi")
+      events(s, dir)
+        .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // Exact interpolated percentiles per group (sort-based, so no
+    // float-summation order issues — deterministic across engines).
+    "f5_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_quantity, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // GraphX triangle count over a customer–nation–region graph with
+    // 2-hop shortcut edges (each customer closes one triangle).
+    "x3_triangle_count" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(
+        (lit(3L * B) + col("c_custkey")).as("src"), (lit(2L * B) + col("c_nationkey")).as("dst"))
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"), (lit(1L * B) + col("n_regionkey")).as("dst"))
+      val cr = t(s, dir, "customer").join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select((lit(3L * B) + col("c_custkey")).as("src"),
+          (lit(1L * B) + col("n_regionkey")).as("dst"))
+      graph.GraphXBridge.triangleCount(s, cn.unionByName(nr).unionByName(cr), numParts = 8)
+        .filter(col("n_triangles") > 0)
+    }),
+
+    // Deterministic fixed-point PageRank (integer micro-rank units) on the
+    // supplier–nation–region graph — the cross-engine-verifiable twin of
+    // x2's GraphX float PageRank.
+    "x4_pagerank_fixed" -> ((s, dir) => {
+      val sn = t(s, dir, "supplier").select(
+        (lit(4L * B) + col("s_suppkey")).as("src"), (lit(2L * B) + col("s_nationkey")).as("dst"))
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"), (lit(1L * B) + col("n_regionkey")).as("dst"))
+      graph.GraphXBridge.pageRankFixed(sn.unionByName(nr), iters = 3)
     })
   )
 
@@ -1113,7 +1208,85 @@ object SparkEntry {
         |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type FROM events
         |  UNION ALL
         |  SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR, event_type FROM events)
-        |GROUP BY ws, event_type""".stripMargin
+        |GROUP BY ws, event_type""".stripMargin,
+
+    "sw3_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM o)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "z1_asof_join" ->
+      """SELECT l.user_id AS user_id, l.event_id AS event_id, l.ts AS click_ts,
+        |  r.ts AS purchase_ts, r.value AS purchase_value
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN
+        |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+
+    "z2_range_join" ->
+      """WITH b(band_id, lo, hi) AS (VALUES
+        |  (0, 0.0, 100.0), (1, 100.0, 200.0), (2, 200.0, 300.0),
+        |  (3, 300.0, 400.0), (4, 400.0, 1e9))
+        |SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS cnt,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events JOIN b ON value >= lo AND value < hi
+        |GROUP BY band_id""".stripMargin,
+
+    "f5_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |round(quantile_cont(l_quantity, 0.99), 4) AS p99,
+        |count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "x3_triangle_count" ->
+      """WITH raw AS (
+        |  SELECT 3*72057594037927936 + c_custkey AS src, 2*72057594037927936 + c_nationkey AS dst FROM customer
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation
+        |  UNION ALL SELECT 3*72057594037927936 + c_custkey, 1*72057594037927936 + n_regionkey
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw WHERE src <> dst),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT v AS id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |GROUP BY v""".stripMargin,
+
+    "x4_pagerank_fixed" -> {
+      // 3 unrolled iterations of the integer fixed-point recurrence —
+      // recursive CTEs cannot aggregate in the recursive term, and with
+      // pure BIGINT arithmetic the unrolled form is bit-exact anywhere.
+      val iters = (1 to 3).map { i =>
+        s"""p$i AS (
+           |  SELECT v.id, 150000 + (17 * coalesce(c.m, 0)) // 20 AS rank_micro
+           |  FROM v LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p${i - 1}.rank_micro // d.outdeg) AS m
+           |    FROM e JOIN p${i - 1} ON e.src = p${i - 1}.id JOIN d ON d.src = e.src
+           |    GROUP BY e.dst) c ON v.id = c.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier
+         |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation)),
+         |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_micro FROM v),
+         |$iters
+         |SELECT id, CAST(rank_micro AS BIGINT) AS rank_micro FROM p3""".stripMargin
+    }
   )
 
   // --------------------------------------------- oracle SQL shared fragments

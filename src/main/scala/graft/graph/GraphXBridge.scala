@@ -52,4 +52,49 @@ object GraphXBridge {
       .map { case (vid, r) => (vid, math.rint(r * 1e6) / 1e6) }
       .toDF("id", "rank")
   }
+
+  /** Per-vertex triangle count over an edge list (direction ignored;
+    * GraphX canonicalizes to src < dst and drops self/duplicate edges).
+    * Returns (id, n_triangles) for every vertex incident to ≥ 1 edge. */
+  def triangleCount(spark: SparkSession, edges: DataFrame,
+                    numParts: Int = 0): DataFrame = {
+    import spark.implicits._
+    val es = edges.select(col("src"), col("dst")).rdd
+      .map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val base = Graph.fromEdges(
+      if (numParts > 0) es.coalesce(numParts) else es, defaultValue = 0)
+    base.partitionBy(PartitionStrategy.EdgePartition2D).triangleCount().vertices
+      .map { case (vid, n) => (vid, n.toLong) }
+      .toDF("id", "n_triangles")
+  }
+
+  /** Deterministic fixed-point PageRank on an edge DataFrame: ranks are
+    * BIGINT micro-units (1.0 == 1_000_000) and every step is integer
+    * arithmetic — `contrib = rank div outdeg`, `next = 150000 +
+    * (17 * Σcontrib) div 20` (reset 0.15, damping 0.85 = 17/20) — so the
+    * result is bit-identical in ANY engine regardless of summation order,
+    * unlike float PageRank where Σ double is order-dependent in the last
+    * ulp. The cross-engine-verifiable twin of [[pageRank]]; sinks lose
+    * mass exactly like GraphX's non-normalized static formulation.
+    * Returns (id, rank_micro). Wholly DataFrame ops: the per-iteration
+    * shuffle (groupBy dst) is PageRank's inherent cost; edge/degree
+    * frames are reused across iterations from a single cached lineage. */
+  def pageRankFixed(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"pageRankFixed needs iters >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    var ranks = verts.withColumn("rank_micro", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("rank_micro div outdeg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("m"))
+      ranks = verts.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("17 * coalesce(m, 0L) div 20")).as("rank_micro"))
+    }
+    ranks
+  }
 }

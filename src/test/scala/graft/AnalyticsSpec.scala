@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.GraphXBridge
+
+/** Graph-analytic operators beyond reachability: triangle counting and the
+  * deterministic fixed-point PageRank twin. */
+class AnalyticsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("triangleCount: K4 gives every vertex C(3,2)=3 triangles; pendant edge none") {
+    // complete graph on {1,2,3,4} (as directed pairs; direction is ignored)
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = (k4 :+ ((4L, 5L))).toDF("src", "dst")
+    val out = GraphXBridge.triangleCount(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(out(_) == 3L))
+    assert(out(5L) == 0L)
+  }
+
+  test("triangleCount ignores duplicate, reversed, and self edges") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+      .toDF("src", "dst")
+    val out = GraphXBridge.triangleCount(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("pageRankFixed matches the hand-computed integer recurrence on a chain") {
+    // a -> b -> c, 3 iterations, rank in micro-units
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = GraphXBridge.pageRankFixed(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // i1: a=150000, b=150000+850000, c=150000+850000
+    // i2: b=150000+(17*150000)div20=277500, c=150000+850000
+    // i3: c=150000+(17*277500)div20=385875
+    assert(out == Map(1L -> 150000L, 2L -> 277500L, 3L -> 385875L))
+  }
+
+  test("pageRankFixed is deterministic across partitionings") {
+    val edges = (1L to 40L).map(i => (i, i % 7 + 100L)).toDF("src", "dst")
+    val a = GraphXBridge.pageRankFixed(edges.repartition(1), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = GraphXBridge.pageRankFixed(edges.repartition(13), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("pageRankFixed: higher in-degree earns higher rank") {
+    // many sources point at 10; one source points at 20
+    val edges = ((1L to 5L).map(i => (i, 10L)) :+ ((6L, 20L))).toDF("src", "dst")
+    val out = GraphXBridge.pageRankFixed(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10L) > out(20L))
+    assert(out(20L) > out(1L))
+  }
+}
