@@ -107,6 +107,33 @@ object EventPipeline {
       }
   }
 
+  /** Stream-stream interval join: purchases attributed to a prior click by
+    * the same user within `joinWindow`. Both sides carry a watermark and
+    * the join condition bounds event-time distance, so Spark can evict
+    * join state once the watermark passes — state stays O(window), not
+    * O(stream). Inner join ⇒ rows emit as soon as both sides arrive. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       watermark: String = "1 hour",
+                       joinWindow: String = "30 minutes"): DataFrame = {
+    val l = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("l_user"), col("ts").as("click_ts"))
+    val r = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("purchase_ts"), col("value"))
+    l.join(r, col("l_user") === col("r_user")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("l_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("value"))
+  }
+
+  /** Streaming exact dedup with bounded state: at-least-once sources
+    * replay records, and `dropDuplicatesWithinWatermark` holds each key
+    * only until the watermark passes its event time — unlike plain
+    * `dropDuplicates`, whose state grows with the whole stream. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Mutable holder for a graph maintained across micro-batches. Thread-safe
     * enough for a single streaming query (foreachBatch runs serially). */
   final class GraphState(initial: PropertyGraph) {

@@ -97,6 +97,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L)))
   }
 
+  test("clickAttribution: stream-stream interval join matches within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventPipeline.clickAttribution(
+        clicks.toDF().toDF("user_id", "ts"),
+        buys.toDF().toDF("user_id", "ts", "value"),
+        watermark = "1 hour", joinWindow = "30 minutes")
+      .writeStream.format("memory").queryName("attr").outputMode(OutputMode.Append()).start()
+    clicks.addData((1L, ts("10:00")), (2L, ts("10:00")))
+    buys.addData(
+      (1L, ts("10:10"), 9.5),  // in window -> match
+      (2L, ts("11:59"), 7.0),  // past 30min -> no match
+      (3L, ts("10:05"), 1.0))  // no click -> no match
+    q.processAllAvailable()
+    val rows = spark.table("attr")
+      .select(col("user_id"), col("click_ts").cast("string"),
+        col("purchase_ts").cast("string"), col("value"))
+      .as[(Long, String, String, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 9.5)))
+  }
+
+  test("dedupStream drops replayed event ids with watermark-bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = EventPipeline.dedupStream(mem.toDF().toDF("event_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    mem.addData((1L, ts("10:00"), "click"), (2L, ts("10:01"), "view"))
+    q.processAllAvailable()
+    mem.addData((1L, ts("10:00"), "click"), (3L, ts("10:02"), "click")) // replay of 1
+    q.processAllAvailable()
+    val ids = spark.table("dedup").select(col("event_id")).as[Long].collect().toSeq
+    q.stop()
+    assert(ids.sorted == Seq(1L, 2L, 3L))
+  }
+
   test("end-to-end: readStream over events parquet -> foreachBatch graph merge") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
