@@ -739,6 +739,27 @@ object SparkEntry {
       val nr = t(s, dir, "nation").select(
         (lit(2L * B) + col("n_nationkey")).as("src"), (lit(1L * B) + col("n_regionkey")).as("dst"))
       graph.GraphXBridge.pageRankFixed(sn.unionByName(nr), iters = 3)
+    }),
+
+    // TF-IDF: top-3 terms per document.
+    "t_tfidf" -> ((s, dir) => {
+      operators.TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)
+    }),
+
+    // PII-style redaction scrub (emails, long digit runs).
+    "t_redact" -> ((s, dir) => {
+      operators.TextAnalysis.redact(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Deterministic 10% hash sample of the corpus.
+    "d_hash_sample" -> ((s, dir) => {
+      operators.Dedup.hashSample(t(s, dir, "documents"), "doc_id", pct = 10)
+        .select(col("doc_id"), col("bucket"))
+    }),
+
+    // Symmetric int8 embedding quantization (q vector + 6dp scale).
+    "e5_quantize_int8" -> ((s, dir) => {
+      operators.Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
     })
   )
 
@@ -1286,7 +1307,43 @@ object SparkEntry {
          |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_micro FROM v),
          |$iters
          |SELECT id, CAST(rank_micro AS BIGINT) AS rank_micro FROM p3""".stripMargin
-    }
+    },
+
+    "t_tfidf" ->
+      s"""$WORDS_CTE,
+         |u AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, term,
+         |  floor(tf * ln((n + 1.0) / (df + 1.0)) * 1000000) / 1000000 AS score
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, score,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rank
+         |FROM sc QUALIFY rank <= 3""".stripMargin,
+
+    "t_redact" ->
+      """SELECT doc_id,
+        |regexp_replace(
+        |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |  '\d{4,}', '<NUM>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+
+    "d_hash_sample" ->
+      s"""SELECT doc_id, bucket FROM (
+         |  SELECT doc_id, ${md5i("CAST(doc_id AS VARCHAR)")} % 100 AS bucket FROM documents)
+         |WHERE bucket < 10""".stripMargin,
+
+    "e5_quantize_int8" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+        |       ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS INTEGER))
+        |  END AS q,
+        |  CASE WHEN mx = 0 THEN 0.0 ELSE floor(mx / 127.0 * 1000000) / 1000000 END AS scale
+        |FROM m""".stripMargin
   )
 
   // --------------------------------------------- oracle SQL shared fragments

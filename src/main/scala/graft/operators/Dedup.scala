@@ -115,4 +115,14 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))) * 10000) / 10000).as("jaccard"))
       .distinct()
   }
+
+  /** Deterministic hash sampling: keep rows whose md5 key-bucket (0..99)
+    * falls below `pct`. Unlike `rand()`-based sampling this is
+    * reproducible across engines, runs, retries, and partitionings — the
+    * property a training-data pipeline needs so a resampled shard is the
+    * SAME shard. Returns the input rows plus the `bucket` column. */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
+    df.withColumn("bucket", md5Long(col(keyCol)) % 100).filter(col("bucket") < pct)
+  }
 }

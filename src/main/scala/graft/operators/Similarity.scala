@@ -137,4 +137,21 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(cosineBy(native)(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Symmetric per-vector int8 quantization: q_i = floor(x_i · 127 / max|x|),
+    * scale = max|x| / 127 (6dp floor-truncated) — the compression pass an
+    * embedding store applies before ANN serving (4x smaller, dot products
+    * on int8). floor, not round: .5 ties round differently across engines.
+    * Zero vectors quantize to zeros with scale 0. Single codegen'd
+    * projection, no shuffle. */
+  def quantizeInt8(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    vecs.withColumn("__mx", mx)
+      .select(col(idCol),
+        when(col("__mx") === 0, transform(col(vecCol), x => lit(0)))
+          .otherwise(transform(col(vecCol),
+            x => floor(x.cast("double") * lit(127.0) / col("__mx")).cast("int"))).as("q"),
+        when(col("__mx") === 0, lit(0.0))
+          .otherwise(floor(col("__mx") / lit(127.0) * 1000000) / 1000000).as("scale"))
+  }
 }

@@ -78,6 +78,37 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
 
+  private def floor6(c: Column): Column = floor(c * 1000000) / 1000000
+
+  /** TF-IDF top-k terms per document: score = tf · ln((N+1)/(df+1)),
+    * truncated to 6dp, term string as deterministic tiebreak. Plan shape:
+    * two hash aggregations (tf, then document frequency — both map-side
+    * partial) + one join back on term (df table ≪ corpus, broadcast-able)
+    * + a per-document top-k window. N is one scalar count, not a
+    * per-row subquery. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score", floor6(col("tf") * log((lit(n) + lit(1.0)) / (col("df") + lit(1.0)))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("score"), col("rank"))
+  }
+
+  /** PII-style redaction: emails → `<EMAIL>`, 4+-digit runs → `<NUM>`.
+    * Pure codegen'd regexp_replace — the scrub pass a training-data
+    * pipeline runs before tokenization. */
+  def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_replace(
+        regexp_replace(col(textCol), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        "\\d{4,}", "<NUM>").as("redacted"))
+
   /** Order-sensitive document fingerprint: position-weighted word-hash sum
     * (a polynomial rolling hash re-expressed as a commutative sum so it
     * distributes: sum_i (md5(w_i) mod P) * i). Reordering words changes the

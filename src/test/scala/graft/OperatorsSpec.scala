@@ -154,4 +154,42 @@ class OperatorsSpec extends AnyFunSuite {
     // chars at positions 1, 5, 9 -> 'a','e','i'
     assert(out.map(_._3).toSeq == Seq('a'.toLong, 'e'.toLong, 'i'.toLong))
   }
+
+  test("tfidfTopK: corpus-wide terms score below distinctive ones") {
+    val corpus = docs(
+      (1L, "apple apple common"), (2L, "banana common"), (3L, "cherry common"))
+    val out = TextAnalysis.tfidfTopK(corpus, "doc_id", "text", k = 1)
+      .as[(Long, String, Double, Int)].collect().map(r => r._1 -> r._2).toMap
+    // 'common' appears in every doc (idf ~ ln(4/4) = 0) and must never win.
+    assert(out == Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+  }
+
+  test("redact masks emails and long digit runs, leaves short numbers") {
+    val out = TextAnalysis.redact(
+        docs((1L, "mail bob@x.com card 12345678 pin 123")), "doc_id", "text")
+      .as[(Long, String)].collect().head._2
+    assert(out == "mail <EMAIL> card <NUM> pin 123")
+  }
+
+  test("hashSample is deterministic and respects bucket bounds") {
+    val d = docs((1L to 200L).map(i => (i, s"doc $i")): _*)
+    val a = Dedup.hashSample(d, "doc_id", 10).select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Dedup.hashSample(d.repartition(7), "doc_id", 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b) // partitioning-independent
+    assert(a.nonEmpty && a.size < 60) // ~10% of 200, loose bound
+    val full = Dedup.hashSample(d, "doc_id", 100).count()
+    assert(full == 200L)
+  }
+
+  test("quantizeInt8: max element maps to 127; zero vector guarded") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .as[(Long, Seq[Int], Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 == Seq(63, -127, 31)) // floor(0.5*127)=63, floor(0.25*127)=31
+    assert(out(1L)._2 == math.floor(1.0 / 127.0 * 1e6) / 1e6)
+    assert(out(2L) == ((Seq(0, 0, 0), 0.0)))
+  }
 }
