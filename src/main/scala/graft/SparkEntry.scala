@@ -429,6 +429,14 @@ object SparkEntry {
         .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"))
     }),
 
+    // KMV distinct sketch: engine-portable approximate distinct (md5 order
+    // statistics + IEEE arithmetic) — the oracled twin of cd2's HLL.
+    "cd3_kmv_distinct" -> ((s, dir) => {
+      operators.Sketch.kmvDistinct(
+        t(s, dir, "orders").select(col("o_orderpriority").as("priority"), col("o_custkey")),
+        "priority", "o_custkey", k = 64)
+    }),
+
     // Q4-style EXISTS: orders with a returned lineitem, by priority.
     "q4_exists_agg" -> ((s, dir) => {
       val returned = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
@@ -1011,6 +1019,18 @@ object SparkEntry {
     "cd1_count_distinct" ->
       """SELECT c_mktsegment AS segment, count(DISTINCT c_nationkey) AS n_nations
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "cd3_kmv_distinct" ->
+      s"""WITH hashed AS (SELECT DISTINCT o_orderpriority AS grp,
+         |  ${md5i("CAST(o_custkey AS VARCHAR)")} AS h FROM orders),
+         |r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hashed),
+         |a AS (SELECT grp, max(rn) AS n_seen, max(CASE WHEN rn = 64 THEN h END) AS hk
+         |      FROM r WHERE rn <= 64 GROUP BY grp)
+         |SELECT grp AS priority,
+         |  CASE WHEN n_seen < 64 THEN CAST(n_seen AS BIGINT)
+         |       ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)) AS BIGINT)
+         |  END AS est_distinct
+         |FROM a""".stripMargin,
 
     "q4_exists_agg" ->
       """SELECT o_orderpriority AS priority, count(*) AS cnt FROM orders

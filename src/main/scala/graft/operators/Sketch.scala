@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing.md5Long
+
+/** Engine-portable sketches. Spark's built-in approximations
+  * (`approx_count_distinct` = HyperLogLog++) are fast but their results
+  * depend on the engine's internal hash and register layout, so no other
+  * system can reproduce them bit-for-bit. The sketches here trade a
+  * little speed for determinism: they hash through md5 (see
+  * [[graft.functions.Hashing]]) and use only order statistics + integer /
+  * IEEE-double arithmetic, so any engine with md5 gets identical output —
+  * the property the driver's DuckDB oracle (and any cross-system
+  * validation pipeline) needs.
+  */
+object Sketch {
+
+  /** Hash space size of [[md5Long]]: 2^60 (and 63·2^60 < 2^63 is exact in
+    * a double, so the estimator below stays bit-deterministic). */
+  private val M: Double = math.pow(2, 60)
+
+  /** KMV (k-minimum-values) distinct-count estimate per group.
+    *
+    * The k-th smallest of n uniform hashes on [0, M) sits near k·M/n, so
+    * n ≈ (k-1)·M / h₍ₖ₎ (the unbiased KMV estimator). Groups with fewer
+    * than k distinct hashes report their exact distinct count — the
+    * sketch is only approximate past its memory budget, like any KMV.
+    *
+    * Scale: the per-group state is the k smallest hashes, never the
+    * distinct set. The `(group, hash)` dedup + rank is one exchange on
+    * `group`; at 100 TB the dedup's partial aggregation collapses
+    * repeats map-side, so the shuffle carries at most the distinct
+    * hashes (a true implementation-at-scale would keep a bounded k-heap
+    * per partition via an Aggregator; the plan here expresses the same
+    * semantics declaratively and lets Tungsten aggregate).
+    *
+    * Estimator arithmetic is floor((k-1)·2^60 / h₍ₖ₎) computed in IEEE
+    * doubles — both factors convert exactly or round identically in any
+    * IEEE engine, so results are reproducible bit-for-bit. */
+  def kmvDistinct(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df.select(col(groupCol).as("grp"), md5Long(col(keyCol)).as("h")).distinct()
+    val w = Window.partitionBy(col("grp")).orderBy(col("h"))
+    hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k) // everything past the k-th min is irrelevant
+      .groupBy(col("grp"))
+      .agg(max(col("rn")).as("n_seen"), max(when(col("rn") === k, col("h"))).as("hk"))
+      .select(col("grp").as(groupCol),
+        when(col("n_seen") < k, col("n_seen").cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(M) / col("hk").cast("double")).cast("long"))
+          .as("est_distinct"))
+  }
+}

@@ -48,6 +48,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("kmvDistinct: exact below k, within 25% above k, partitioning-invariant") {
+    val d = (1L to 5000L).map(i => (s"g${i % 3}", i)).toDF("grp", "key")
+    val est = operators.Sketch.kmvDistinct(d, "grp", "key", k = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each group holds ~1667 distinct keys; KMV with k=256 has ~6% stderr,
+    // so 25% is a 4-sigma bound (and the data is fixed, so this is stable)
+    est.values.foreach(v => assert(math.abs(v - 1667.0) / 1667.0 < 0.25, s"est $v"))
+    val small = operators.Sketch.kmvDistinct(
+      (1L to 10L).map(i => ("g", i)).toDF("grp", "key"), "grp", "key", k = 64)
+      .collect().head.getLong(1)
+    assert(small == 10L) // below the sketch budget -> exact
+    val re = operators.Sketch.kmvDistinct(d.repartition(17), "grp", "key", k = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(re == est)
+  }
+
   test("pageRankFixed: higher in-degree earns higher rank") {
     // many sources point at 10; one source points at 20
     val edges = ((1L to 5L).map(i => (i, 10L)) :+ ((6L, 20L))).toDF("src", "dst")
