@@ -430,9 +430,11 @@ object SparkEntry {
     }),
 
     // KMV distinct sketch: engine-portable approximate distinct (md5 order
-    // statistics + IEEE arithmetic) — the oracled twin of cd2's HLL.
+    // statistics + IEEE arithmetic) — the oracled twin of cd2's HLL. Runs
+    // the bounded-state Aggregator (k longs per group map-side); the
+    // declarative window form in Sketch.kmvDistinct is its spec'd equal.
     "cd3_kmv_distinct" -> ((s, dir) => {
-      operators.Sketch.kmvDistinct(
+      operators.Sketch.kmvDistinctAgg(
         t(s, dir, "orders").select(col("o_orderpriority").as("priority"), col("o_custkey")),
         "priority", "o_custkey", k = 64)
     }),
@@ -458,12 +460,16 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     }),
 
-    // HAVING: segments with more than 15% of customers.
+    // HAVING: segments with more than 15% of customers. The total is a
+    // broadcast 1-row aggregate joined into the plan — one job, no
+    // driver-side count() action.
     "h1_having" -> ((s, dir) => {
-      val total = t(s, dir, "customer").count()
+      val total = t(s, dir, "customer").agg(count(lit(1)).as("total"))
       t(s, dir, "customer").groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > total * 0.15)
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") > col("total") * 0.15)
+        .select(col("segment"), col("cnt"))
     }),
 
     // Pivot: customer counts, nation rows x fixed segment columns.
@@ -495,14 +501,16 @@ object SparkEntry {
         (status <=> lit("F")).as("is_f_nullsafe"))
     }),
 
-    // Q22-style: above-average-balance customers with no orders
-    // (scalar subquery in a filter + anti-join).
+    // Q22-style: above-average-balance customers with no orders. The
+    // average is a broadcast 1-row aggregate in the same plan (no
+    // driver-side .first() round-trip), then anti-join.
     "q22_dormant_accounts" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
       val avgBal = cust.filter(col("c_acctbal") > 0)
-        .agg(avg(col("c_acctbal"))).first().getDouble(0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
       val finished = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
-      cust.filter(col("c_acctbal") > avgBal)
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
         .join(finished, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("total_bal"))

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.functions.Hashing.md5Long
 
@@ -19,6 +20,68 @@ object Sketch {
   /** Hash space size of [[md5Long]]: 2^60 (and 63·2^60 < 2^63 is exact in
     * a double, so the estimator below stays bit-deterministic). */
   private val M: Double = math.pow(2, 60)
+
+  /** The KMV estimate from a set of ≤ k smallest distinct hashes. Shared
+    * by the Aggregator and declarative paths so both are bit-identical. */
+  private def estimate(k: Int, nSeen: Int, hk: Long): Long =
+    if (nSeen < k) nSeen.toLong
+    else math.floor((k - 1).toDouble * M / hk.toDouble).toLong
+
+  /** Sorted distinct k-minimum buffer. `vals` is ascending, length ≤ k. */
+  case class KMinBuf(vals: Seq[Long])
+
+  /** Typed Aggregator maintaining the k smallest DISTINCT hash values —
+    * the scale path for [[kmvDistinct]]: partial aggregation keeps at most
+    * k longs per (group, partition), so the exchange carries O(groups · k)
+    * regardless of input size, and merge order cannot change the result
+    * (the k-min set is order-independent). */
+  class KMinDistinct(k: Int) extends Aggregator[Long, KMinBuf, Long] {
+    override def zero: KMinBuf = KMinBuf(Vector.empty)
+
+    override def reduce(b: KMinBuf, h: Long): KMinBuf = {
+      val v = b.vals
+      if (v.length >= k && h >= v.last) b // beyond the k-th min: irrelevant
+      else {
+        val i = insertionPoint(v, h)
+        if (i < v.length && v(i) == h) b // duplicate hash: KMV is over distinct
+        else {
+          val grown = (v.take(i) :+ h) ++ v.drop(i)
+          KMinBuf(if (grown.length > k) grown.take(k) else grown)
+        }
+      }
+    }
+
+    override def merge(a: KMinBuf, b: KMinBuf): KMinBuf =
+      KMinBuf((a.vals ++ b.vals).distinct.sorted.take(k))
+
+    override def finish(b: KMinBuf): Long =
+      estimate(k, b.vals.length, if (b.vals.length < k) 0L else b.vals.last)
+
+    override def bufferEncoder: Encoder[KMinBuf] = Encoders.product[KMinBuf]
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+
+    private def insertionPoint(v: Seq[Long], h: Long): Int = {
+      var lo = 0; var hi = v.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (v(mid) < h) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+  }
+
+  /** [[kmvDistinct]] via the bounded-state [[KMinDistinct]] Aggregator —
+    * identical output (same k-min set ⇒ same estimate), but shuffle volume
+    * is O(groups · k) instead of all distinct hashes: the form to run at
+    * 100 TB. */
+  def kmvDistinctAgg(df: DataFrame, groupCol: String, keyCol: String,
+                     k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val kmv = udaf(new KMinDistinct(k), Encoders.scalaLong)
+    df.select(col(groupCol), md5Long(col(keyCol)).as("__h"))
+      .groupBy(col(groupCol))
+      .agg(kmv(col("__h")).as("est_distinct"))
+  }
 
   /** KMV (k-minimum-values) distinct-count estimate per group.
     *

@@ -64,6 +64,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(re == est)
   }
 
+  test("kmvDistinctAgg (bounded-state Aggregator) equals the declarative form") {
+    val d = (1L to 3000L).map(i => (s"g${i % 4}", i % 900)).toDF("grp", "key")
+    val win = operators.Sketch.kmvDistinct(d, "grp", "key", k = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val agg = operators.Sketch.kmvDistinctAgg(d.repartition(11), "grp", "key", k = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg == win)
+    val small = operators.Sketch.kmvDistinctAgg(
+      (1L to 7L).map(i => ("g", i)).toDF("grp", "key"), "grp", "key", k = 32)
+      .collect().head.getLong(1)
+    assert(small == 7L)
+  }
+
   test("pageRankFixed: higher in-degree earns higher rank") {
     // many sources point at 10; one source points at 20
     val edges = ((1L to 5L).map(i => (i, 10L)) :+ ((6L, 20L))).toDF("src", "dst")
