@@ -77,6 +77,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(small == 7L)
   }
 
+  test("z1 as-of plan shape: one hash exchange, no nested-loop join") {
+    val plan = SparkEntry.queries("z1_asof_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size == 1, plan.take(500))
+  }
+
+  test("z2 range-join plan shape: bands broadcast, events never shuffle for the join") {
+    val plan = SparkEntry.queries("z2_range_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    // the only hash exchange is the final tiny groupBy(band_id)
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size == 1, plan.take(500))
+  }
+
   test("pageRankFixed: higher in-degree earns higher rank") {
     // many sources point at 10; one source points at 20
     val edges = ((1L to 5L).map(i => (i, 10L)) :+ ((6L, 20L))).toDF("src", "dst")
