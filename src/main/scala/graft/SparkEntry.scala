@@ -695,7 +695,10 @@ object SparkEntry {
       val buys = ev.filter(col("event_type") === "purchase").select(
         col("user_id"), lit(null).cast("long").as("event_id"), col("ts"), lit(0).as("is_l"),
         col("ts").as("p_ts"), col("value").as("p_val"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("is_l"))
+      // p_val as the final sort key: if a user ever had two purchases at
+      // the same ts, last() deterministically takes the max value (the
+      // oracle dedups to max(value) per (user, ts) for the same reason).
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("is_l"), col("p_val"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       clicks.unionByName(buys)
         .withColumn("purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
@@ -1279,7 +1282,8 @@ object SparkEntry {
         |  r.ts AS purchase_ts, r.value AS purchase_value
         |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') l
         |ASOF LEFT JOIN
-        |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        |  (SELECT user_id, ts, max(value) AS value FROM events
+        |   WHERE event_type = 'purchase' GROUP BY user_id, ts) r
         |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
 
     "z2_range_join" ->

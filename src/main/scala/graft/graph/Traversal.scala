@@ -88,6 +88,7 @@ object Traversal {
     var frontier = pairs(start, dedupStart)
     var live = List.empty[DataFrame] // persisted frames not yet released
     var result: Option[DataFrame] = None
+    var fresh = false // result is a checkpoint with nothing unioned since
     var hop = 1
     while (hop <= k) {
       val stepped = frontier.join(e, frontier("node") === e("src"))
@@ -100,10 +101,13 @@ object Traversal {
       result = Some(result.map(_.unionByName(stamped)).getOrElse(stamped))
       // Bound the plan depth for large k: an eager checkpoint materializes
       // the prefix (one job), truncates lineage, and lets the superseded
-      // frontier blocks go. `next` itself joins the release list only on a
-      // LATER checkpoint (or the final cleanup): it is the active frontier
-      // and the eager checkpoint job has just filled its cache.
-      if (hop % checkpointEvery == 0) {
+      // frontier blocks go (the superseded checkpoint's own blocks are
+      // reclaimed by the ContextCleaner once the old plan is unreferenced).
+      // `next` itself joins the release list only on a LATER checkpoint
+      // (or the final cleanup): it is the active frontier and the eager
+      // checkpoint job has just filled its cache.
+      fresh = hop % checkpointEvery == 0
+      if (fresh) {
         result = result.map(_.localCheckpoint())
         live.foreach(_.unpersist(false))
         live = Nil
@@ -112,7 +116,9 @@ object Traversal {
       frontier = next
       hop += 1
     }
-    val out = result.get.localCheckpoint() // eager: the one traversal job
+    // Eager final checkpoint = the one traversal job — unless the loop
+    // ended exactly on a checkpoint (re-checkpointing would copy blocks).
+    val out = if (fresh) result.get else result.get.localCheckpoint()
     live.foreach(_.unpersist(false))
     if (prepEdges) e.unpersist(false)
     out

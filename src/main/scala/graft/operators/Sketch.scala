@@ -17,8 +17,9 @@ import graft.functions.Hashing.md5Long
   */
 object Sketch {
 
-  /** Hash space size of [[md5Long]]: 2^60 (and 63·2^60 < 2^63 is exact in
-    * a double, so the estimator below stays bit-deterministic). */
+  /** Hash space size of [[md5Long]]: 2^60. (k-1)·M is exact in a double
+    * whenever k-1 has ≤ 53 significant bits (63 has 6), so the estimator
+    * below stays bit-deterministic for any practical k. */
   private val M: Double = math.pow(2, 60)
 
   /** The KMV estimate from a set of ≤ k smallest distinct hashes. Shared

@@ -84,17 +84,19 @@ object TextAnalysis {
     * truncated to 6dp, term string as deterministic tiebreak. Plan shape:
     * two hash aggregations (tf, then document frequency — both map-side
     * partial) + one join back on term (df table ≪ corpus, broadcast-able)
-    * + a per-document top-k window. N is one scalar count, not a
-    * per-row subquery. */
+    * + a per-document top-k window. N rides along as a broadcast 1-row
+    * aggregate inside the same plan — no driver-side count() action, so
+    * the operator composes lazily and the corpus is scanned once. */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
+    val total = docs.agg(count(lit(1)).cast("double").as("__n"))
     val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")
-      .withColumn("score", floor6(col("tf") * log((lit(n) + lit(1.0)) / (col("df") + lit(1.0)))))
+      .crossJoin(broadcast(total))
+      .withColumn("score", floor6(col("tf") * log((col("__n") + lit(1.0)) / (col("df") + lit(1.0)))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("score"), col("rank"))

@@ -60,50 +60,47 @@ object EventPipeline {
                          end: java.sql.Timestamp, n_events: Long)
 
   /** Event-time sessionization: split each user's stream into sessions
-    * separated by ≥ `gapMs` of silence. Closed sessions are emitted as the
-    * group function observes the gap; the last open session is emitted when
-    * the event-time watermark passes it (state timeout) — the standard
-    * flatMapGroupsWithState + EventTimeTimeout pattern, so state is bounded
-    * by the watermark, not by stream length. */
+    * separated by > `gapMs` of silence. State is the user's OPEN sessions
+    * (a sorted, disjoint list — out-of-order input within the watermark
+    * can open an earlier session, bridge two sessions into one, or extend
+    * either end of an existing one; single-session state cannot represent
+    * that). A session is emitted exactly when the event-time watermark
+    * passes `end + gap` — from then on no admissible event can merge with
+    * it, so emission is correct under any arrival order, unlike
+    * emit-on-observed-gap which mis-groups late predecessors. State stays
+    * bounded by the watermark horizon via EventTimeTimeout. */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
                  watermark: String = "1 hour"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, UserSession](
+      .flatMapGroupsWithState[List[SessionState], UserSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
           def toSession(s: SessionState) = UserSession(uid,
             new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n)
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(toSession).toSeq
-            state.remove()
-            out.iterator
-          } else {
-            val times = batch.map(_.ts.getTime).toSeq.sorted
-            var closed = List.empty[UserSession]
-            var cur = state.getOption
-            times.foreach { t =>
-              cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  // A late-but-within-watermark event can predate the current
-                  // session start; lower the start too, or out-of-order input
-                  // yields sessions with start > event ts.
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    end = math.max(s.end, t), n = s.n + 1))
-                case Some(s) =>
-                  closed ::= toSession(s)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
+          val prior = state.getOption.getOrElse(Nil)
+          // Fold new events in as singleton sessions, then coalesce
+          // everything within gap of each other (this also bridges two
+          // previously-separate sessions when a late event lands between).
+          val merged = (prior ++ batch.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
+            .sortBy(s => (s.start, s.end))
+            .foldLeft(List.empty[SessionState]) { (acc, s) =>
+              acc match {
+                case h :: tail if s.start - h.end <= gapMs =>
+                  SessionState(h.start, math.max(h.end, s.end), h.n + s.n) :: tail
+                case _ => s :: acc
               }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.reverseIterator
-          }
+            }.reverse
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.partition(s => s.end + gapMs <= wm)
+          if (open.nonEmpty) {
+            state.update(open)
+            // earliest possible close time; each open end+gap is > wm, so
+            // this is a valid (future) timeout timestamp
+            state.setTimeoutTimestamp(open.map(_.end).min + gapMs)
+          } else state.remove()
+          closed.iterator.map(toSession)
       }
   }
 

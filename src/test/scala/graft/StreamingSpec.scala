@@ -97,6 +97,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L)))
   }
 
+  test("sessionize keeps a late out-of-gap predecessor as its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventPipeline.SessionEvent]
+    val q = EventPipeline.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000, watermark = "2 hours")
+      .writeStream.format("memory").queryName("sess_oog").outputMode(OutputMode.Append()).start()
+    mem.addData(EventPipeline.SessionEvent(1L, ts("11:00")))
+    q.processAllAvailable()
+    // 09:30 arrives late (within the 2h watermark) but 90min of silence
+    // separates it from 11:00 — it must NOT merge into that session.
+    mem.addData(EventPipeline.SessionEvent(1L, ts("09:30")))
+    q.processAllAvailable()
+    // advance the watermark far past both sessions to flush them
+    mem.addData(EventPipeline.SessionEvent(2L, ts("20:00")))
+    q.processAllAvailable()
+    mem.addData(EventPipeline.SessionEvent(2L, ts("23:00")))
+    q.processAllAvailable()
+    val u1 = spark.table("sess_oog")
+      .select(col("user_id"), col("start").cast("string"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet.filter(_._1 == 1L)
+    q.stop()
+    assert(u1 == Set(
+      (1L, "2024-01-01 09:30:00", 1L),
+      (1L, "2024-01-01 11:00:00", 1L)))
+  }
+
   test("clickAttribution: stream-stream interval join matches within the window only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp)]
