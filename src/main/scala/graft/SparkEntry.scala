@@ -606,6 +606,13 @@ object SparkEntry {
       operators.Multimodal.frameSample(t(s, dir, "documents"), "doc_id", "text", 64)
     }),
 
+    // Multimodal: real feature extraction on the opaque blob — 4-bucket
+    // byte-value histogram (no codec required).
+    "m3_byte_histogram" -> ((s, dir) => {
+      operators.Multimodal.byteHistogram(
+        operators.Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+    }),
+
     // GraphX bridge: connected components on the supplier-nation-region
     // subgraph (undirected reachability, component = min vertex id).
     "x1_connected_components" -> ((s, dir) => {
@@ -1232,6 +1239,17 @@ object SparkEntry {
       """SELECT doc_id AS id, CAST(u.i AS BIGINT) AS frame_no,
         |CAST(ascii(substr(text, CAST(u.i * 64 + 1 AS INTEGER), 1)) AS BIGINT) AS frame_code
         |FROM documents, UNNEST(generate_series(0, (length(text) - 1) // 64)) AS u(i)""".stripMargin,
+
+    "m3_byte_histogram" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |c AS (SELECT doc_id, list_transform(generate_series(1, CAST(length(hx) // 2 AS INTEGER)),
+        |  i -> ('0x' || substr(hx, CAST((i - 1) * 2 + 1 AS INTEGER), 2))::BIGINT) AS codes FROM h)
+        |SELECT doc_id AS id,
+        | CAST(len(list_filter(codes, c -> c >= 0 AND c < 64)) AS BIGINT) AS h0,
+        | CAST(len(list_filter(codes, c -> c >= 64 AND c < 128)) AS BIGINT) AS h1,
+        | CAST(len(list_filter(codes, c -> c >= 128 AND c < 192)) AS BIGINT) AS h2,
+        | CAST(len(list_filter(codes, c -> c >= 192 AND c < 256)) AS BIGINT) AS h3
+        |FROM c""".stripMargin,
 
     "x1_connected_components" ->
       """WITH RECURSIVE e AS (

@@ -56,6 +56,44 @@ object Multimodal {
       }
   }
 
+  /** REAL feature extraction over the opaque blob (no codec needed): a
+    * 4-bucket byte-value histogram, computed codegen'd via the hex
+    * rendering of the binary column (BinaryType has no element access in
+    * Spark SQL; 2-hex-char slices do the indexing). The shape — binary in,
+    * fixed-width numeric feature vector out, no shuffle — is exactly what
+    * a real embedding/feature stage produces. */
+  def byteHistogram(media: DataFrame): DataFrame = {
+    val hx = hex(col("blob"))
+    val n = (length(hx) / 2).cast("int")
+    val codes = transform(sequence(lit(1), n),
+      i => conv(hx.substr((i - lit(1)) * 2 + 1, lit(2)), 16, 10).cast("long"))
+    // Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — guard.
+    val safe = when(n > 0, codes).otherwise(array().cast("array<bigint>"))
+    val buckets = (0 until 4).map { b =>
+      size(filter(safe, c => c >= b * 64 && c < (b + 1) * 64)).cast("long").as(s"h$b")
+    }
+    media.select(col("id") +: buckets: _*)
+  }
+
+  /** STUB resize: deterministic fake downsample keeping every 4th byte of
+    * the blob (marked fake like [[decodeStub]] — a real deployment calls a
+    * codec resize; the binary-in/binary-out column shape and the metadata
+    * update are the production plumbing). */
+  def resizeStub(media: DataFrame, factor: Int = 4): DataFrame = {
+    val hx = hex(col("blob"))
+    val n = (length(hx) / 2).cast("int")
+    val kept = transform(sequence(lit(0), ((n - 1) / factor).cast("int")),
+      i => hx.substr(i * lit(factor) * 2 + 1, lit(2)))
+    val resized = unhex(concat_ws("", when(n > 0, kept).otherwise(array().cast("array<string>"))))
+    // Two-step projection on purpose: aliasing the result as `blob` in the
+    // SAME select would make the metadata expression's inner col("blob")
+    // resolve as a lateral column alias against the NEW (resized) blob.
+    media.select(col("id"), resized.as("__resized"), col("meta.mime").as("__mime"))
+      .select(col("id"), col("__resized").as("blob"),
+        struct(octet_length(col("__resized")).cast("long").as("n_bytes"),
+          col("__mime").as("mime")).as("meta"))
+  }
+
   /** Frame-sample shape: pick every `stride`-th character code as a fake
     * "frame", exploded to (id, frame_no, frame_code) — the row-multiplying
     * stage a video pipeline needs, as a codegen'd posexplode. A real codec

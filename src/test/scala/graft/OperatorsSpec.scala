@@ -155,6 +155,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_._3).toSeq == Seq('a'.toLong, 'e'.toLong, 'i'.toLong))
   }
 
+  test("byteHistogram buckets every byte; empty blob yields zeros") {
+    val media = Multimodal.asMedia(docs((1L, "AB !"), (2L, "")), "doc_id", "text")
+    val out = Multimodal.byteHistogram(media)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // 'A'=65,'B'=66 -> h1; ' '=32,'!'=33 -> h0
+    assert(out(1L) == ((2L, 2L, 0L, 0L)))
+    assert(out(2L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("resizeStub keeps every factor-th byte and updates metadata") {
+    val media = Multimodal.asMedia(docs((1L, "abcdefgh")), "doc_id", "text")
+    val out = Multimodal.resizeStub(media, factor = 4)
+      .select(col("id"), col("blob").cast("string"), col("meta.n_bytes"))
+      .as[(Long, String, Long)].collect().head
+    assert(out == ((1L, "ae", 2L))) // positions 1 and 5
+  }
+
   test("tfidfTopK: corpus-wide terms score below distinctive ones") {
     val corpus = docs(
       (1L, "apple apple common"), (2L, "banana common"), (3L, "cherry common"))
