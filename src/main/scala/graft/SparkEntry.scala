@@ -66,6 +66,14 @@ object SparkEntry {
         .select(col("key").cast("long").as("custkey"))
     }),
 
+    // Gremlin text surface: the reference's console query shape
+    // (README.md:344) parsed and run verbatim by gremlin.GremlinLite —
+    // lowers to the same filters/joins as the fluent API.
+    "g1_gremlin_text" -> ((s, dir) => {
+      gremlin.GremlinLite.run(GraphStore.get(s, dir),
+        "g.V().hasLabel('customer').has('mktsegment','BUILDING').out('in').id()")
+    }),
+
     // A20 — point lookup by (label, key).
     "a20_point_lookup" -> ((s, dir) => {
       val g = GraphStore.get(s, dir)
@@ -809,6 +817,10 @@ object SparkEntry {
 
     "a03_property_predicate" ->
       "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
+
+    "g1_gremlin_text" ->
+      """SELECT 2*72057594037927936 + c_nationkey AS id FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
 
     "a20_point_lookup" ->
       """SELECT 3*72057594037927936 + c_custkey AS id, 'customer' AS label,

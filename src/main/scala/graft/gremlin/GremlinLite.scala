@@ -1,0 +1,116 @@
+package graft.gremlin
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.graph.PropertyGraph
+
+/** Text-level compatibility with the reference's console workflow: run the
+  * read-only Gremlin traversals its README actually types
+  * (`g.V().count()`, `g.E().count()`,
+  * `g.V().hasLabel('user').has('email','user1@…').out().valueMap()` —
+  * README.md:331-349) verbatim against a [[PropertyGraph]].
+  *
+  * This is a small traversal-step interpreter, not a Gremlin engine: each
+  * step lowers to the corresponding PropertyGraph DataFrame call, so the
+  * produced plan is identical to the fluent API's (Catalyst sees filters
+  * and joins, never the query string). Traverser semantics follow Gremlin:
+  * `out()` multiplies per path (no implicit dedup) — use `dedup()`.
+  *
+  * Supported steps: `V([id])`, `E()`, `hasLabel(l)`, `has(k,v)`,
+  * `out([l])`, `in([l])`, `outE([l])`, `inE([l])`, `outV()`, `inV()`,
+  * `valueMap()`, `values(k)`, `id()`, `count()`, `dedup()`, `limit(n)`.
+  * Mutation steps (addV/addE/drop) are intentionally absent — mutations go
+  * through the set-semantics upsert/drop API, which is the design point
+  * (SURVEY.md §2.A6/A9/A15), not a per-statement replay.
+  */
+object GremlinLite {
+
+  private val StepRe = """^\s*\.\s*([A-Za-z]+)\s*\(([^)]*)\)""".r
+
+  /** Parse `query` and evaluate it against `g`. Throws
+    * IllegalArgumentException on syntax errors or unsupported steps. */
+  def run(g: PropertyGraph, query: String): DataFrame = {
+    val steps = parse(query)
+    require(steps.nonEmpty, s"empty traversal: $query")
+
+    val (source, sourceArgs) = steps.head
+    var onEdges = false
+    var cur: DataFrame = source match {
+      case "V" if sourceArgs.isEmpty => g.V
+      case "V" => g.V.filter(col("id").isin(sourceArgs.map(_.toLong): _*))
+      case "E" => onEdges = true; g.E
+      case other => throw new IllegalArgumentException(
+        s"traversal must start with V() or E(), got $other()")
+    }
+
+    def prop(k: String): Column =
+      if (k == "key") col("key") else col("props").getItem(k)
+    def edgeLabel(args: Seq[String]): String = args.headOption.getOrElse("in")
+    def toVertices(joinOn: String): DataFrame = {
+      val v = g.vertices.as("v")
+      cur.join(v, col(joinOn) === col("v.id"))
+        .select(col("v.id").as("id"), col("v.label").as("label"),
+          col("v.key").as("key"), col("v.props").as("props"))
+    }
+
+    steps.tail.foreach { case (step, args) =>
+      (step, onEdges) match {
+        case ("hasLabel", _) => cur = cur.filter(col("label") === args.head)
+        case ("has", false) => cur = cur.filter(prop(args(0)) === lit(args(1)))
+        case ("has", true) => cur = cur.filter(col(args(0)) === lit(args(1)))
+        case ("out", false) =>
+          cur = g.out(cur, edgeLabel(args))
+            .select(col("id"), col("label"), col("key"), col("props"))
+        case ("in", false) =>
+          cur = g.in(cur, edgeLabel(args))
+            .select(col("id"), col("label"), col("key"), col("props"))
+        case ("outE", false) => cur = g.outE(cur, edgeLabel(args)); onEdges = true
+        case ("inE", false) => cur = g.inE(cur, edgeLabel(args)); onEdges = true
+        case ("inV", true) => cur = toVertices("dst"); onEdges = false
+        case ("outV", true) => cur = toVertices("src"); onEdges = false
+        case ("valueMap", false) => cur = g.valueMap(cur)
+        case ("values", false) => cur = cur.select(prop(args.head).as(args.head))
+        case ("id", false) => cur = g.ids(cur)
+        case ("count", _) => cur = cur.agg(count(lit(1)).as("count"))
+        case ("dedup", _) =>
+          // Gremlin dedups traversers by element identity, and Spark cannot
+          // set-op MAP columns anyway — dedup on the identity columns.
+          cur =
+            if (cur.columns.contains("id")) cur.dropDuplicates("id")
+            else if (onEdges) cur.dropDuplicates("src", "dst", "label")
+            else cur.distinct()
+        case ("limit", _) => cur = cur.limit(args.head.toInt)
+        case (other, oe) => throw new IllegalArgumentException(
+          s"unsupported step $other() on ${if (oe) "edges" else "vertices"} in: $query")
+      }
+    }
+    cur
+  }
+
+  /** `g.V().hasLabel('x')...` → [(V, []), (hasLabel, [x]), ...]. */
+  private[gremlin] def parse(query: String): Seq[(String, Seq[String])] = {
+    var rest = query.trim
+    require(rest.startsWith("g"), s"traversal must start with 'g': $query")
+    rest = rest.drop(1)
+    val steps = Seq.newBuilder[(String, Seq[String])]
+    while (rest.nonEmpty) {
+      StepRe.findFirstMatchIn(rest) match {
+        case Some(m) =>
+          steps += ((m.group(1), parseArgs(m.group(2))))
+          rest = rest.substring(m.end)
+        case None =>
+          throw new IllegalArgumentException(s"cannot parse traversal at: '$rest'")
+      }
+    }
+    steps.result()
+  }
+
+  /** Comma-separated args; quoted values lose their quotes. (The supported
+    * subset has no commas inside string literals.) */
+  private def parseArgs(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).map { a =>
+      if ((a.startsWith("'") && a.endsWith("'") && a.length >= 2) ||
+        (a.startsWith("\"") && a.endsWith("\"") && a.length >= 2)) a.substring(1, a.length - 1)
+      else a
+    }.toSeq
+}

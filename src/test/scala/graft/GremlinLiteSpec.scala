@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.PropertyGraph
+import graft.gremlin.GremlinLite
+
+/** The reference's own console queries (README.md:331-349), run verbatim
+  * as text against a PropertyGraph. */
+class GremlinLiteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // user1 -in-> subgroup1 -in-> group_of_groups1; user2 standalone
+  private def g = PropertyGraph(
+    Seq(
+      (1L, "user", "user1@d", Map("email" -> "user1@d", "isExternal" -> "false")),
+      (2L, "user", "user2@d", Map("email" -> "user2@d", "isExternal" -> "false")),
+      (3L, "group", "subgroup1@d", Map("email" -> "subgroup1@d")),
+      (4L, "group", "gog1@d", Map("email" -> "gog1@d")))
+      .toDF("id", "label", "key", "props"),
+    Seq((1L, 3L, "in", 1), (3L, 4L, "in", 1)).toDF("src", "dst", "label", "weight"))
+
+  test("g.V().count() and g.E().count() — README.md:331-340") {
+    assert(GremlinLite.run(g, "g.V().count()").as[Long].head() == 4L)
+    assert(GremlinLite.run(g, "g.E().count()").as[Long].head() == 2L)
+  }
+
+  test("the README's user lookup + expand + valueMap runs verbatim") {
+    val out = GremlinLite.run(g,
+      "g.V().hasLabel('user').has('email','user1@d').out().valueMap()")
+      .select("key").as[String].collect().toSeq
+    assert(out == Seq("subgroup1@d"))
+  }
+
+  test("edge traversal: outE / inV compose; V(id) anchors") {
+    assert(GremlinLite.run(g, "g.V(3).outE('in')")
+      .select("dst").as[Long].head() == 4L)
+    assert(GremlinLite.run(g, "g.V(1).outE('in').inV().id()")
+      .as[Long].head() == 3L)
+    assert(GremlinLite.run(g, "g.V(4).inE('in').outV().values('email')")
+      .as[String].head() == "subgroup1@d")
+  }
+
+  test("string query plans identically to the fluent API") {
+    val viaText = GremlinLite.run(g,
+      "g.V().hasLabel('user').has('email','user1@d').out('in').id()")
+    val viaApi = g.ids(g.out(g.has("user", "email", "user1@d")))
+    assert(viaText.collect().toSeq == viaApi.collect().toSeq)
+  }
+
+  test("limit and dedup; unsupported steps fail loudly") {
+    assert(GremlinLite.run(g, "g.V().hasLabel('user').dedup().limit(1).id()")
+      .as[Long].collect().length == 1)
+    val err = intercept[IllegalArgumentException] {
+      GremlinLite.run(g, "g.V().drop()")
+    }
+    assert(err.getMessage.contains("unsupported step drop"))
+    intercept[IllegalArgumentException] { GremlinLite.run(g, "x.V()") }
+    intercept[IllegalArgumentException] { GremlinLite.run(g, "g.V().bogus") }
+  }
+}
