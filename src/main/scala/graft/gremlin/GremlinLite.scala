@@ -18,14 +18,14 @@ import graft.graph.PropertyGraph
   *
   * Supported steps: `V([id])`, `E()`, `hasLabel(l)`, `has(k,v)`,
   * `out([l])`, `in([l])`, `outE([l])`, `inE([l])`, `outV()`, `inV()`,
-  * `valueMap()`, `values(k)`, `id()`, `count()`, `dedup()`, `limit(n)`.
+  * `valueMap()`, `values(k)`, `id()`, `count()`, `dedup()`, `limit(n)`,
+  * and `repeat(out([l])|in([l])).times(n)` — the canonical spelling of
+  * the reference's k-hop walk (README.md:20-33 repeated `.out()`).
   * Mutation steps (addV/addE/drop) are intentionally absent — mutations go
   * through the set-semantics upsert/drop API, which is the design point
   * (SURVEY.md §2.A6/A9/A15), not a per-statement replay.
   */
 object GremlinLite {
-
-  private val StepRe = """^\s*\.\s*([A-Za-z]+)\s*\(([^)]*)\)""".r
 
   /** Parse `query` and evaluate it against `g`. Throws
     * IllegalArgumentException on syntax errors or unsupported steps. */
@@ -53,8 +53,28 @@ object GremlinLite {
           col("v.key").as("key"), col("v.props").as("props"))
     }
 
-    steps.tail.foreach { case (step, args) =>
+    val rest = steps.tail.iterator.buffered
+    while (rest.hasNext) {
+      val (step, args) = rest.next()
       (step, onEdges) match {
+        case ("repeat", _) =>
+          // repeat(out('l')).times(n): args hold the raw body text.
+          val (body, bodyArgs) = parse("g" + "." + args.mkString(",")) match {
+            case Seq(one) => one
+            case other => throw new IllegalArgumentException(
+              s"repeat() supports a single out()/in() body, got: ${other.map(_._1)}")
+          }
+          require(body == "out" || body == "in",
+            s"repeat() supports out()/in() bodies, got $body()")
+          val (times, timesArgs) = if (rest.hasNext) rest.next() else ("", Nil)
+          require(times == "times" && timesArgs.length == 1,
+            s"repeat(...) must be followed by .times(n)")
+          val hop: DataFrame => DataFrame =
+            if (body == "out") d => g.out(d, edgeLabel(bodyArgs))
+              .select(col("id"), col("label"), col("key"), col("props"))
+            else d => g.in(d, edgeLabel(bodyArgs))
+              .select(col("id"), col("label"), col("key"), col("props"))
+          cur = (1 to timesArgs.head.toInt).foldLeft(cur)((d, _) => hop(d))
         case ("hasLabel", _) => cur = cur.filter(col("label") === args.head)
         case ("has", false) => cur = cur.filter(prop(args(0)) === lit(args(1)))
         case ("has", true) => cur = cur.filter(col(args(0)) === lit(args(1)))
@@ -87,19 +107,36 @@ object GremlinLite {
     cur
   }
 
-  /** `g.V().hasLabel('x')...` → [(V, []), (hasLabel, [x]), ...]. */
+  /** `g.V().hasLabel('x')...` → [(V, []), (hasLabel, [x]), ...]. Scans with
+    * balanced parentheses so nested bodies (`repeat(out('in'))`) arrive as
+    * a single raw argument. */
   private[gremlin] def parse(query: String): Seq[(String, Seq[String])] = {
-    var rest = query.trim
-    require(rest.startsWith("g"), s"traversal must start with 'g': $query")
-    rest = rest.drop(1)
+    val s = query.trim
+    require(s.startsWith("g"), s"traversal must start with 'g': $query")
+    var i = 1
     val steps = Seq.newBuilder[(String, Seq[String])]
-    while (rest.nonEmpty) {
-      StepRe.findFirstMatchIn(rest) match {
-        case Some(m) =>
-          steps += ((m.group(1), parseArgs(m.group(2))))
-          rest = rest.substring(m.end)
-        case None =>
-          throw new IllegalArgumentException(s"cannot parse traversal at: '$rest'")
+    while (i < s.length) {
+      while (i < s.length && (s(i) == '.' || s(i).isWhitespace)) i += 1
+      if (i < s.length) {
+        val nameStart = i
+        while (i < s.length && s(i).isLetter) i += 1
+        val name = s.substring(nameStart, i)
+        if (name.isEmpty || i >= s.length || s(i) != '(')
+          throw new IllegalArgumentException(s"cannot parse traversal at: '${s.substring(nameStart)}'")
+        var depth = 1
+        val argStart = i + 1
+        i += 1
+        while (i < s.length && depth > 0) {
+          if (s(i) == '(') depth += 1
+          else if (s(i) == ')') depth -= 1
+          i += 1
+        }
+        if (depth != 0)
+          throw new IllegalArgumentException(s"unbalanced parentheses in: $query")
+        val raw = s.substring(argStart, i - 1).trim
+        // A nested step body stays one raw argument; plain args split.
+        val args = if (raw.contains("(")) Seq(raw) else parseArgs(raw)
+        steps += ((name, args))
       }
     }
     steps.result()

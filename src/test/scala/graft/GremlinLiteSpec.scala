@@ -49,6 +49,20 @@ class GremlinLiteSpec extends AnyFunSuite {
     assert(viaText.collect().toSeq == viaApi.collect().toSeq)
   }
 
+  test("repeat(out()).times(2): the README walk's canonical spelling") {
+    val out = GremlinLite.run(g, "g.V(1).repeat(out('in')).times(2).values('email')")
+      .as[String].collect().toSeq
+    assert(out == Seq("gog1@d"))
+    // equivalent to chaining .out().out()
+    val chained = GremlinLite.run(g, "g.V(1).out('in').out('in').values('email')")
+      .as[String].collect().toSeq
+    assert(out == chained)
+    val err = intercept[IllegalArgumentException] {
+      GremlinLite.run(g, "g.V(1).repeat(out('in')).limit(1)")
+    }
+    assert(err.getMessage.contains("times"))
+  }
+
   test("limit and dedup; unsupported steps fail loudly") {
     assert(GremlinLite.run(g, "g.V().hasLabel('user').dedup().limit(1).id()")
       .as[Long].collect().length == 1)
