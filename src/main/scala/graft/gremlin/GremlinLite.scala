@@ -1,6 +1,6 @@
 package graft.gremlin
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.graph.PropertyGraph
 
@@ -43,9 +43,11 @@ object GremlinLite {
         s"traversal must start with V() or E(), got $other()")
     }
 
-    def prop(k: String): Column =
-      if (k == "key") col("key") else col("props").getItem(k)
+    // One promoted-property rule and one vertex-schema projection, shared
+    // with the fluent API — the text surface cannot drift from it.
     def edgeLabel(args: Seq[String]): String = args.headOption.getOrElse("in")
+    def hop(body: String, args: Seq[String])(d: DataFrame): DataFrame =
+      g.valueMap(if (body == "out") g.out(d, edgeLabel(args)) else g.in(d, edgeLabel(args)))
     def toVertices(joinOn: String): DataFrame = {
       val v = g.vertices.as("v")
       cur.join(v, col(joinOn) === col("v.id"))
@@ -56,8 +58,17 @@ object GremlinLite {
     val rest = steps.tail.iterator.buffered
     while (rest.hasNext) {
       val (step, args) = rest.next()
+      // Loud arity checks: Gremlin's 3-arg has(label,key,value) or a
+      // multi-label hasLabel would otherwise silently match nothing.
+      def arity(n: Int, m: Int = -1): Unit = {
+        val hi = if (m < 0) n else m
+        require(args.length >= n && args.length <= hi,
+          s"$step() takes ${if (hi == n) s"$n" else s"$n..$hi"} argument(s), " +
+            s"got ${args.length} in: $query")
+      }
       (step, onEdges) match {
         case ("repeat", _) =>
+          arity(1)
           // repeat(out('l')).times(n): args hold the raw body text.
           val (body, bodyArgs) = parse("g" + "." + args.mkString(",")) match {
             case Seq(one) => one
@@ -69,29 +80,21 @@ object GremlinLite {
           val (times, timesArgs) = if (rest.hasNext) rest.next() else ("", Nil)
           require(times == "times" && timesArgs.length == 1,
             s"repeat(...) must be followed by .times(n)")
-          val hop: DataFrame => DataFrame =
-            if (body == "out") d => g.out(d, edgeLabel(bodyArgs))
-              .select(col("id"), col("label"), col("key"), col("props"))
-            else d => g.in(d, edgeLabel(bodyArgs))
-              .select(col("id"), col("label"), col("key"), col("props"))
-          cur = (1 to timesArgs.head.toInt).foldLeft(cur)((d, _) => hop(d))
-        case ("hasLabel", _) => cur = cur.filter(col("label") === args.head)
-        case ("has", false) => cur = cur.filter(prop(args(0)) === lit(args(1)))
-        case ("has", true) => cur = cur.filter(col(args(0)) === lit(args(1)))
-        case ("out", false) =>
-          cur = g.out(cur, edgeLabel(args))
-            .select(col("id"), col("label"), col("key"), col("props"))
-        case ("in", false) =>
-          cur = g.in(cur, edgeLabel(args))
-            .select(col("id"), col("label"), col("key"), col("props"))
-        case ("outE", false) => cur = g.outE(cur, edgeLabel(args)); onEdges = true
-        case ("inE", false) => cur = g.inE(cur, edgeLabel(args)); onEdges = true
-        case ("inV", true) => cur = toVertices("dst"); onEdges = false
-        case ("outV", true) => cur = toVertices("src"); onEdges = false
-        case ("valueMap", false) => cur = g.valueMap(cur)
-        case ("values", false) => cur = cur.select(prop(args.head).as(args.head))
-        case ("id", false) => cur = g.ids(cur)
-        case ("count", _) => cur = cur.agg(count(lit(1)).as("count"))
+          cur = (1 to timesArgs.head.toInt).foldLeft(cur)((d, _) => hop(body, bodyArgs)(d))
+        case ("hasLabel", _) => arity(1); cur = cur.filter(col("label") === args.head)
+        case ("has", false) => arity(2); cur = cur.filter(g.propCol(args(0)) === lit(args(1)))
+        case ("has", true) => arity(2); cur = cur.filter(col(args(0)) === lit(args(1)))
+        case ("out", false) => arity(0, 1); cur = hop("out", args)(cur)
+        case ("in", false) => arity(0, 1); cur = hop("in", args)(cur)
+        case ("outE", false) => arity(0, 1); cur = g.outE(cur, edgeLabel(args)); onEdges = true
+        case ("inE", false) => arity(0, 1); cur = g.inE(cur, edgeLabel(args)); onEdges = true
+        case ("inV", true) => arity(0); cur = toVertices("dst"); onEdges = false
+        case ("outV", true) => arity(0); cur = toVertices("src"); onEdges = false
+        case ("valueMap", false) => arity(0); cur = g.valueMap(cur)
+        case ("values", false) =>
+          arity(1); cur = cur.select(g.propCol(args.head).as(args.head))
+        case ("id", false) => arity(0); cur = g.ids(cur)
+        case ("count", _) => arity(0); cur = cur.agg(count(lit(1)).as("count"))
         case ("dedup", _) =>
           // Gremlin dedups traversers by element identity, and Spark cannot
           // set-op MAP columns anyway — dedup on the identity columns.
@@ -99,7 +102,7 @@ object GremlinLite {
             if (cur.columns.contains("id")) cur.dropDuplicates("id")
             else if (onEdges) cur.dropDuplicates("src", "dst", "label")
             else cur.distinct()
-        case ("limit", _) => cur = cur.limit(args.head.toInt)
+        case ("limit", _) => arity(1); cur = cur.limit(args.head.toInt)
         case (other, oe) => throw new IllegalArgumentException(
           s"unsupported step $other() on ${if (oe) "edges" else "vertices"} in: $query")
       }

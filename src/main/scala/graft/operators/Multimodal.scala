@@ -80,6 +80,7 @@ object Multimodal {
     * codec resize; the binary-in/binary-out column shape and the metadata
     * update are the production plumbing). */
   def resizeStub(media: DataFrame, factor: Int = 4): DataFrame = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
     val hx = hex(col("blob"))
     val n = (length(hx) / 2).cast("int")
     val kept = transform(sequence(lit(0), ((n - 1) / factor).cast("int")),

@@ -86,7 +86,9 @@ object TextAnalysis {
     * partial) + one join back on term (df table ≪ corpus, broadcast-able)
     * + a per-document top-k window. N rides along as a broadcast 1-row
     * aggregate inside the same plan — no driver-side count() action, so
-    * the operator composes lazily and the corpus is scanned once. */
+    * the operator composes lazily in one job. (The plan still reads the
+    * corpus twice — once for N, once for tokenization; cache `docs`
+    * upstream if that second scan matters.) */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val total = docs.agg(count(lit(1)).cast("double").as("__n"))

@@ -73,4 +73,17 @@ class GremlinLiteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { GremlinLite.run(g, "x.V()") }
     intercept[IllegalArgumentException] { GremlinLite.run(g, "g.V().bogus") }
   }
+
+  test("wrong arities fail loudly instead of matching nothing") {
+    // Gremlin's 3-arg has(label, key, value) form is not supported — it must
+    // error, not silently filter props['user'] === 'email' to empty.
+    val err = intercept[IllegalArgumentException] {
+      GremlinLite.run(g, "g.V().has('user','email','user1@d')")
+    }
+    assert(err.getMessage.contains("has() takes 2"))
+    intercept[IllegalArgumentException] {
+      GremlinLite.run(g, "g.V().hasLabel('user','group')")
+    }
+    intercept[IllegalArgumentException] { GremlinLite.run(g, "g.V().out('in','x')") }
+  }
 }
