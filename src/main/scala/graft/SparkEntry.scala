@@ -791,6 +791,19 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"))
     }),
 
+    // Deterministic 90/5/5 train/val/test split (same shard anywhere).
+    "d_train_split" -> ((s, dir) => {
+      operators.Dedup.trainValTestSplit(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("split"))
+    }),
+
+    // Degree histogram of the whole graph: out-degree -> #vertices.
+    "x5_degree_histogram" -> ((s, dir) => {
+      GraphStore.get(s, dir).E
+        .groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .groupBy(col("outdeg")).agg(count(lit(1)).as("n_vertices"))
+    }),
+
     // Symmetric int8 embedding quantization (q vector + 6dp scale).
     "e5_quantize_int8" -> ((s, dir) => {
       operators.Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
@@ -1395,6 +1408,23 @@ object SparkEntry {
       s"""SELECT doc_id, bucket FROM (
          |  SELECT doc_id, ${md5i("CAST(doc_id AS VARCHAR)")} % 100 AS bucket FROM documents)
          |WHERE bucket < 10""".stripMargin,
+
+    "d_train_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ${md5i("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents)""".stripMargin,
+
+    "x5_degree_histogram" ->
+      """WITH e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT 3*72057594037927936 + c_custkey AS src, 2*72057594037927936 + c_nationkey AS dst FROM customer
+        |  UNION ALL SELECT 4*72057594037927936 + s_suppkey, 2*72057594037927936 + s_nationkey FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation
+        |  UNION ALL SELECT 6*72057594037927936 + o_orderkey, 3*72057594037927936 + o_custkey FROM orders
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 6*72057594037927936 + l_orderkey FROM lineitem
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 5*72057594037927936 + l_partkey FROM lineitem
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 4*72057594037927936 + l_suppkey FROM lineitem)),
+        |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)
+        |SELECT outdeg, count(*) AS n_vertices FROM d GROUP BY outdeg""".stripMargin,
 
     "e5_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,

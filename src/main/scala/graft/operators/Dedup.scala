@@ -125,4 +125,19 @@ object Dedup {
     require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
     df.withColumn("bucket", md5Long(col(keyCol)) % 100).filter(col("bucket") < pct)
   }
+
+  /** Deterministic train/val/test split on the same md5 key-buckets as
+    * [[hashSample]]: a document lands in the same split on every engine,
+    * run, and partitioning — and stays there when the corpus grows, since
+    * membership depends only on its own key. Adds a `split` column. */
+  def trainValTestSplit(df: DataFrame, keyCol: String,
+                        trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split: train=$trainPct val=$valPct")
+    val bucket = md5Long(col(keyCol)) % 100
+    df.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
 }
