@@ -447,6 +447,17 @@ object SparkEntry {
         "priority", "o_custkey", k = 64)
     }),
 
+    // Engine-portable table checksums (XOR of md5 row hashes): the
+    // one-number-per-table comparison a migration validation needs.
+    "cd4_row_checksum" -> ((s, dir) => {
+      def ck(table: String, cols: Seq[String]) =
+        operators.Sketch.rowChecksum(t(s, dir, table), cols)
+          .select(lit(table).as("tbl"), col("checksum"))
+      ck("nation", Seq("n_nationkey", "n_name", "n_regionkey"))
+        .unionByName(ck("region", Seq("r_regionkey", "r_name")))
+        .unionByName(ck("part", Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size")))
+    }),
+
     // Q4-style EXISTS: orders with a returned lineitem, by priority.
     "q4_exists_agg" -> ((s, dir) => {
       val returned = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
@@ -1074,6 +1085,18 @@ object SparkEntry {
          |       ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)) AS BIGINT)
          |  END AS est_distinct
          |FROM a""".stripMargin,
+
+    "cd4_row_checksum" -> {
+      def ck(table: String, cols: Seq[String]) = {
+        val canon = cols.map(c => s"coalesce(CAST($c AS VARCHAR), ' ')").mkString(", ")
+        s"SELECT '$table' AS tbl, bit_xor(${md5i(s"concat_ws('|', $canon)")}) AS checksum FROM $table"
+      }
+      Seq(
+        ck("nation", Seq("n_nationkey", "n_name", "n_regionkey")),
+        ck("region", Seq("r_regionkey", "r_name")),
+        ck("part", Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size")))
+        .mkString("\nUNION ALL ")
+    },
 
     "q4_exists_agg" ->
       """SELECT o_orderpriority AS priority, count(*) AS cnt FROM orders

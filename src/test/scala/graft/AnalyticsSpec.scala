@@ -77,6 +77,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(small == 7L)
   }
 
+  test("rowChecksum: order/partitioning-invariant, null-sensitive") {
+    val d = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String])).toDF("k", "v")
+    def sum(df: org.apache.spark.sql.DataFrame) =
+      operators.Sketch.rowChecksum(df, Seq("k", "v")).collect().head.getLong(0)
+    assert(sum(d) == sum(d.orderBy(col("v").desc)))
+    assert(sum(d) == sum(d.repartition(7)))
+    // a NULL is not the same as an absent value
+    val d2 = Seq((1L, "a"), (2L, "b"), (3L, "")).toDF("k", "v")
+    assert(sum(d) != sum(d2))
+  }
+
   test("z1 as-of plan shape: one hash exchange, no nested-loop join") {
     val plan = SparkEntry.queries("z1_asof_join")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
