@@ -79,4 +79,12 @@ class IamGoldenSpec extends AnyFunSuite {
       .filter(col("node") === 5L).select("hop").as[Int].collect().toSeq
     assert(hops == Seq(4))
   }
+
+  test("the README walk runs as Gremlin TEXT: user -> ... -> project in 4 out()s") {
+    val reached = gremlin.GremlinLite.run(g,
+      "g.V().hasLabel('user').has('key','user1@domain.com')" +
+        ".repeat(out('in')).times(4).values('key')")
+      .as[String].collect().toSeq
+    assert(reached == Seq("gcp-project-200601"))
+  }
 }

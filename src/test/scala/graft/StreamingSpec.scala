@@ -159,6 +159,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.sorted == Seq(1L, 2L, 3L))
   }
 
+  test("streaming sessionize equals the batch gaps-and-islands twin on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapMs = 30 * 60 * 1000L
+    // ms precision on both sides: sessionize state runs on Timestamp.getTime
+    // (epoch millis), so sub-ms digits would differ only in rendering
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+    // batch twin: lag/gap islands, same 30min gap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val batchSessions = events
+      .withColumn("brk", when(
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w) > gapMs * 1000, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).cast("string").as("start"), max(col("ts")).cast("string").as("end"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("start"), col("end"), col("n"))
+      .as[(Long, String, String, Long)].collect().toSet
+    // streaming: one batch of all events, then a sentinel far in the future
+    // to push the watermark past every session's close
+    val rows = events.as[(Long, java.sql.Timestamp)].collect()
+    val maxTs = rows.map(_._2.getTime).max
+    val mem = MemoryStream[EventPipeline.SessionEvent]
+    val q = EventPipeline.sessionize(mem.toDS(), gapMs, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess_eq").outputMode(OutputMode.Append()).start()
+    mem.addData(rows.map(r => EventPipeline.SessionEvent(r._1, r._2)).toIndexedSeq: _*)
+    q.processAllAvailable()
+    mem.addData(EventPipeline.SessionEvent(-1L, new Timestamp(maxTs + 10L * 86400 * 1000)))
+    q.processAllAvailable()
+    mem.addData(EventPipeline.SessionEvent(-1L, new Timestamp(maxTs + 20L * 86400 * 1000)))
+    q.processAllAvailable()
+    val streamSessions = spark.table("sess_eq")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("start").cast("string"), col("end").cast("string"),
+        col("n_events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    q.stop()
+    assert(streamSessions == batchSessions)
+    assert(streamSessions.nonEmpty)
+  }
+
   test("end-to-end: readStream over events parquet -> foreachBatch graph merge") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
