@@ -808,10 +808,13 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
     }),
 
-    // Degree histogram of the whole graph: out-degree -> #vertices.
+    // Degree histogram of the whole graph: out-degree -> #vertices,
+    // INCLUDING the outdeg=0 bucket (sink vertices never appear as src).
     "x5_degree_histogram" -> ((s, dir) => {
-      GraphStore.get(s, dir).E
-        .groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val g = GraphStore.get(s, dir)
+      val deg = g.E.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+      g.V.select(col("id")).join(deg, Seq("id"), "left")
+        .select(coalesce(col("outdeg"), lit(0L)).as("outdeg"))
         .groupBy(col("outdeg")).agg(count(lit(1)).as("n_vertices"))
     }),
 
@@ -1087,9 +1090,15 @@ object SparkEntry {
          |FROM a""".stripMargin,
 
     "cd4_row_checksum" -> {
+      // mirrors Sketch.rowChecksum: per-column md5 tokens ("null" for NULL)
+      // -> row hash -> (row hash, count) pairs -> XOR of their hashes
       def ck(table: String, cols: Seq[String]) = {
-        val canon = cols.map(c => s"coalesce(CAST($c AS VARCHAR), ' ')").mkString(", ")
-        s"SELECT '$table' AS tbl, bit_xor(${md5i(s"concat_ws('|', $canon)")}) AS checksum FROM $table"
+        val tokens = cols.map(c =>
+          s"coalesce(CAST(${md5i(s"CAST($c AS VARCHAR)")} AS VARCHAR), 'null')").mkString(", ")
+        s"""SELECT '$table' AS tbl,
+           |  bit_xor(${md5i("CAST(rh AS VARCHAR) || ':' || CAST(cnt AS VARCHAR)")}) AS checksum
+           |FROM (SELECT rh, count(*) AS cnt FROM (
+           |  SELECT ${md5i(s"concat_ws('|', $tokens)")} AS rh FROM $table) GROUP BY rh)""".stripMargin
       }
       Seq(
         ck("nation", Seq("n_nationkey", "n_name", "n_regionkey")),
@@ -1438,7 +1447,15 @@ object SparkEntry {
          |FROM (SELECT doc_id, ${md5i("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents)""".stripMargin,
 
     "x5_degree_histogram" ->
-      """WITH e AS (SELECT DISTINCT src, dst FROM (
+      """WITH verts AS (
+        |  SELECT 1*72057594037927936 + r_regionkey AS id FROM region
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey FROM nation
+        |  UNION ALL SELECT 3*72057594037927936 + c_custkey FROM customer
+        |  UNION ALL SELECT 4*72057594037927936 + s_suppkey FROM supplier
+        |  UNION ALL SELECT 5*72057594037927936 + p_partkey FROM part
+        |  UNION ALL SELECT 6*72057594037927936 + o_orderkey FROM orders
+        |  UNION ALL SELECT DISTINCT 7*72057594037927936 + l_orderkey*10 + l_linenumber FROM lineitem),
+        |e AS (SELECT DISTINCT src, dst FROM (
         |  SELECT 3*72057594037927936 + c_custkey AS src, 2*72057594037927936 + c_nationkey AS dst FROM customer
         |  UNION ALL SELECT 4*72057594037927936 + s_suppkey, 2*72057594037927936 + s_nationkey FROM supplier
         |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation
@@ -1447,7 +1464,8 @@ object SparkEntry {
         |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 5*72057594037927936 + l_partkey FROM lineitem
         |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 4*72057594037927936 + l_suppkey FROM lineitem)),
         |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)
-        |SELECT outdeg, count(*) AS n_vertices FROM d GROUP BY outdeg""".stripMargin,
+        |SELECT coalesce(d.outdeg, 0) AS outdeg, count(*) AS n_vertices
+        |FROM verts v LEFT JOIN d ON v.id = d.src GROUP BY 1""".stripMargin,
 
     "e5_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,

@@ -86,6 +86,13 @@ class AnalyticsSpec extends AnyFunSuite {
     // a NULL is not the same as an absent value
     val d2 = Seq((1L, "a"), (2L, "b"), (3L, "")).toDF("k", "v")
     assert(sum(d) != sum(d2))
+    // duplicated rows must not XOR-cancel: {R,R,S} != {S}
+    val rrs = Seq((1L, "r"), (1L, "r"), (2L, "s")).toDF("k", "v")
+    val s1 = Seq((2L, "s")).toDF("k", "v")
+    assert(sum(rrs) != sum(s1))
+    // separator aliasing must not collide: ("a|b","c") != ("a","b|c")
+    assert(sum(Seq((0L, "a|b")).toDF("k", "v").select(col("k").cast("string").as("k"), col("v")))
+      != sum(Seq(("0|a", "b")).toDF("k", "v")))
   }
 
   test("z1 as-of plan shape: one hash exchange, no nested-loop join") {
