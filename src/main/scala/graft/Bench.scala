@@ -32,31 +32,41 @@ object Bench {
     // (README.md:286-300; its 1h+ bulk load isn't counted in query times).
     graph.GraphStore.get(spark, sfDir)
 
+    // A failed query times as -1 so it can never flatter the total; the
+    // final JSON carries the failed names explicitly.
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case t: Throwable =>
+          Console.err.println(s"BENCH FAIL $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          false
+        }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
 
     val firstPass = SparkEntry.queries.keys.map(n => n -> run(n)).toMap
     // This host shows multi-x run-to-run noise; re-time the slowest tail
-    // and keep the per-query minimum (best-of-2 where it matters).
+    // and keep the per-query minimum (best-of-2 where it matters). A
+    // failure in either run keeps the -1 sentinel.
     val retimed = firstPass.toSeq.sortBy(-_._2).take(8).map { case (n, t) =>
-      n -> math.min(t, run(n))
+      val t2 = run(n)
+      n -> (if (t < 0 || t2 < 0) -1.0 else math.min(t, t2))
     }.toMap
     val results = firstPass ++ retimed
+    val failed = results.filter(_._2 < 0).keys.toSeq.sorted
     def fmt(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + math.max(0, math.rint(v * 1000) / 1000) }
+      m.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
         .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
     val totalR = math.rint(total * 1000) / 1000
     // Full map first (for humans/logs)...
-    println(s"""{"metric":"total_full","value":$totalR,"unit":"sec","queries":${fmt(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_full","value":$totalR,"unit":"sec","queries":${fmt(results.toSeq.sortBy(_._1))},"failed":$failedJson,"sf":"$sfDir"}""")
     // ...then the compact headline line LAST so a tail-window parser
     // always sees one complete JSON object.
     val head = headline.flatMap(n => results.get(n).map(n -> _))
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":${fmt(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":${fmt(head)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -74,6 +74,14 @@ object SparkEntry {
         "g.V().hasLabel('customer').has('mktsegment','BUILDING').out('in').id()")
     }),
 
+    // The reference's Cytoscape export session typed verbatim
+    // (README.md:369-380): label-less outE() over all edges, side-effect
+    // subgraph capture, cap() yielding the console's vertex/edge census.
+    "g2_subgraph_census" -> ((s, dir) => {
+      gremlin.GremlinLite.run(GraphStore.get(s, dir),
+        "sg = g.V().outE().subgraph('sg').cap('sg').next()")
+    }),
+
     // A20 — point lookup by (label, key).
     "a20_point_lookup" -> ((s, dir) => {
       val g = GraphStore.get(s, dir)
@@ -276,6 +284,19 @@ object SparkEntry {
       scan("global", col("p_size") <= 10)
         .unionByName(scan("org", col("p_size") > 10 && col("p_size") <= 30))
         .unionByName(scan("project", col("p_size") > 30))
+    }),
+
+    // B8 (array form) — a retained ARRAY<STRING> permissions column
+    // (init.groovy:4 LIST cardinality): filter on the array, then explode
+    // it back to rows. The array exists only inside the plan — the gate
+    // output is scalar columns (the driver comparator cannot canonicalize
+    // array cells).
+    "b08b_perm_array" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey").as("partkey"), split(col("p_type"), " ").as("perms"))
+        .filter(array_contains(col("perms"), "BRUSHED"))
+        .select(col("partkey"), size(col("perms")).cast("long").as("n_perms"),
+          explode(col("perms")).as("perm"))
     }),
 
     // B10 — deterministic dedup: first order per (custkey, status) by rank.
@@ -672,6 +693,57 @@ object SparkEntry {
         .groupBy("label").agg(count(lit(1)).as("cnt"))
     }),
 
+    // A18 (text form) — the reference's actual interchange loop closed:
+    // render region/nation rows into its emitted Groovy upsert-script
+    // shapes (vertex template main.go:205-211, lookup-bind + guarded addE
+    // main.go:310-322), re-parse the text with sources.GroovyLoader, write
+    // a store, replay the same batch through the idempotent merge (must be
+    // a no-op), and census what came back.
+    "a18b_groovy_load" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-a18b").toString
+      val vScripts = t(s, dir, "region").select(format_string(
+        "if (g.V().hasLabel('region').has('rkey','%s').hasNext() == false) {\n" +
+          " g.addV('region').property(label, 'region').property('rkey', '%s').property('name', '%s').next()\n}",
+        col("r_regionkey"), col("r_regionkey"), col("r_name")).as("chunk"))
+        .unionByName(t(s, dir, "nation").select(format_string(
+          "if (g.V().hasLabel('nation').has('nkey','%s').hasNext() == false) {\n" +
+            " g.addV('nation').property(label, 'nation').property('nkey', '%s').property('name', '%s').next()\n}",
+          col("n_nationkey"), col("n_nationkey"), col("n_name")).as("chunk")))
+      val eScripts = t(s, dir, "nation").select(format_string(
+        "u1 = g.V().hasLabel('nation').has('nkey', '%s' ).next()\n" +
+          "g1 = g.V().hasLabel('region').has('rkey', '%s').next()\n" +
+          "if ( g.V(u1).outE('in').where(inV().hasId( g1.id() )).hasNext() == false) {\n" +
+          " e1 = g.V(u1).addE('in').to(g1).property('weight', 1).next()\n}",
+        col("n_nationkey"), col("n_regionkey")).as("chunk"))
+      val (v, e) = sources.GroovyLoader.load(
+        vScripts.unionByName(eScripts).as[String],
+        Map("region" -> "rkey", "nation" -> "nkey"))
+      sources.GraphStorage.write(PropertyGraph(v, e), tmp)
+      sources.GraphStorage.merge(s, tmp, v, e) // replay — idempotent no-op
+      val loaded = sources.GraphStorage.load(s, tmp)
+      loaded.V.groupBy("label").agg(count(lit(1)).as("cnt"))
+        .unionByName(loaded.E
+          .select(concat(lit("edge:"), col("label")).as("label"))
+          .groupBy("label").agg(count(lit(1)).as("cnt")))
+    }),
+
+    // A19 — the schema/layout story made measurable: write the graph as
+    // catalog-bucketed tables (bucketBy src/id — the restart-surviving,
+    // zero-Exchange layout), reload from the catalog, and run a hop-join
+    // on the fresh read. StorageAndExportSpec asserts the plan shape
+    // (no Exchange); this gate asserts the hop's RESULT.
+    "a19_bucketed_layout" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      sources.GraphStorage.writeBucketedTables(s, g, db = "graft_a19", buckets = 8,
+        location = Some(java.nio.file.Files.createTempDirectory("graft-a19").toString))
+      val bg = sources.GraphStorage.loadBucketedTables(s, "graft_a19")
+      bg.out(bg.hasLabel("customer"), "in")
+        .filter(col("label") === "nation")
+        .groupBy(col("key")).agg(count(lit(1)).as("n_customers"))
+        .select(col("key").as("nation_key"), col("n_customers"))
+    }),
+
     // Streaming-shaped batch: tumbling 1h windows over the events table.
     "sw1_tumbling_window" -> ((s, dir) => {
       events(s, dir)
@@ -819,8 +891,14 @@ object SparkEntry {
     }),
 
     // Symmetric int8 embedding quantization (q vector + 6dp scale).
+    // The gate projects the int8 vector to a CSV string: the driver's
+    // comparator canonicalizes by lexsorting column values, which crashes
+    // on array-typed cells, so arrays never cross the gate boundary.
     "e5_quantize_int8" -> ((s, dir) => {
       operators.Similarity.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("q"), _.cast("string"))).as("q_csv"),
+          col("scale"))
     })
   )
 
@@ -848,6 +926,19 @@ object SparkEntry {
     "g1_gremlin_text" ->
       """SELECT 2*72057594037927936 + c_nationkey AS id FROM customer
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "g2_subgraph_census" ->
+      """WITH e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT 3*72057594037927936 + c_custkey AS src, 2*72057594037927936 + c_nationkey AS dst FROM customer
+        |  UNION ALL SELECT 4*72057594037927936 + s_suppkey, 2*72057594037927936 + s_nationkey FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation
+        |  UNION ALL SELECT 6*72057594037927936 + o_orderkey, 3*72057594037927936 + o_custkey FROM orders
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 6*72057594037927936 + l_orderkey FROM lineitem
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 5*72057594037927936 + l_partkey FROM lineitem
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 4*72057594037927936 + l_suppkey FROM lineitem))
+        |SELECT
+        |  CAST((SELECT count(*) FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)) AS BIGINT) AS vertices,
+        |  CAST((SELECT count(*) FROM e) AS BIGINT) AS edges""".stripMargin,
 
     "a20_point_lookup" ->
       """SELECT 3*72057594037927936 + c_custkey AS id, 'customer' AS label,
@@ -981,6 +1072,12 @@ object SparkEntry {
         |            WHEN p_size <= 30 THEN 'org' ELSE 'project' END AS scope,
         |p_partkey AS partkey, CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_perms
         |FROM part""".stripMargin,
+
+    "b08b_perm_array" ->
+      """SELECT p_partkey AS partkey,
+        |CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_perms,
+        |unnest(string_split(p_type, ' ')) AS perm
+        |FROM part WHERE list_contains(string_split(p_type, ' '), 'BRUSHED')""".stripMargin,
 
     "b10_dedup_rank" ->
       """SELECT o_custkey AS custkey, o_orderstatus AS status, min(o_orderkey) AS orderkey
@@ -1325,6 +1422,15 @@ object SparkEntry {
         |UNION ALL SELECT 'nation', count(*) FROM nation
         |UNION ALL SELECT 'zone', count(*) FROM region""".stripMargin,
 
+    "a18b_groovy_load" ->
+      """SELECT 'region' AS label, count(*) AS cnt FROM region
+        |UNION ALL SELECT 'nation', count(*) FROM nation
+        |UNION ALL SELECT 'edge:in', count(*) FROM nation""".stripMargin,
+
+    "a19_bucketed_layout" ->
+      """SELECT CAST(c_nationkey AS VARCHAR) AS nation_key,
+        |count(*) AS n_customers FROM customer GROUP BY 1""".stripMargin,
+
     "sw1_tumbling_window" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
         |count(*) AS cnt, round(sum(value), 2) AS sum_value
@@ -1472,9 +1578,10 @@ object SparkEntry {
         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
         |  FROM embeddings)
         |SELECT vec_id,
-        |  CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
-        |       ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS INTEGER))
-        |  END AS q,
+        |  array_to_string(
+        |    CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS INTEGER))
+        |    END, ',') AS q_csv,
         |  CASE WHEN mx = 0 THEN 0.0 ELSE floor(mx / 127.0 * 1000000) / 1000000 END AS scale
         |FROM m""".stripMargin
   )

@@ -100,15 +100,26 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 
   // ---------------------------------------------------------------- A7 / A8 / A10
 
+  /** Edges restricted to `edgeLabel`; None = all labels (Gremlin's
+    * label-less `out()`/`outE()` semantics). */
+  private def edgesFor(edgeLabel: Option[String]): DataFrame =
+    edgeLabel.fold(edges)(l => edges.filter(col("label") === l))
+
   /** A7 — out-edge expansion: `g.V(u).outE(l)` (main.go:320,339,...).
     * `from` must carry an `id` column. */
   def outE(from: DataFrame, edgeLabel: String = "in"): DataFrame =
-    edges.filter(col("label") === edgeLabel)
+    outE(from, Some(edgeLabel))
+
+  def outE(from: DataFrame, edgeLabel: Option[String]): DataFrame =
+    edgesFor(edgeLabel)
       .join(from.select(col("id")), edges("src") === from("id"), "left_semi")
 
   /** In-edges of `to` vertices: `g.V(v).inE(l)`. */
   def inE(to: DataFrame, edgeLabel: String = "in"): DataFrame =
-    edges.filter(col("label") === edgeLabel)
+    inE(to, Some(edgeLabel))
+
+  def inE(to: DataFrame, edgeLabel: Option[String]): DataFrame =
+    edgesFor(edgeLabel)
       .join(to.select(col("id")), edges("dst") === to("id"), "left_semi")
 
   /** A8 — edge-target semi-join: does an edge `src --l--> dst` exist for any
@@ -123,9 +134,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * Two joins: edges⋈from (semi side small → broadcast), then ⋈vertices on
     * dst. At scale: edges pre-partitioned on src makes the first join
     * shuffle-free; the second shuffles only the frontier. */
-  def out(from: DataFrame, edgeLabel: String = "in"): DataFrame = {
+  def out(from: DataFrame, edgeLabel: String = "in"): DataFrame =
+    out(from, Some(edgeLabel))
+
+  def out(from: DataFrame, edgeLabel: Option[String]): DataFrame = {
     val f = from.select(col("id").as("from_id"))
-    val e = edges.filter(col("label") === edgeLabel).as("e")
+    val e = edgesFor(edgeLabel).as("e")
     f.join(e, col("from_id") === col("e.src"))
       .join(vertices.as("v"), col("e.dst") === col("v.id"))
       .select(col("from_id"), col("v.id").as("id"), col("v.label").as("label"),
@@ -133,9 +147,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   }
 
   /** 1-hop in: `.in()`. */
-  def in(to: DataFrame, edgeLabel: String = "in"): DataFrame = {
+  def in(to: DataFrame, edgeLabel: String = "in"): DataFrame =
+    in(to, Some(edgeLabel))
+
+  def in(to: DataFrame, edgeLabel: Option[String]): DataFrame = {
     val t = to.select(col("id").as("to_id"))
-    val e = edges.filter(col("label") === edgeLabel).as("e")
+    val e = edgesFor(edgeLabel).as("e")
     t.join(e, col("to_id") === col("e.dst"))
       .join(vertices.as("v"), col("e.src") === col("v.id"))
       .select(col("to_id"), col("v.id").as("id"), col("v.label").as("label"),

@@ -19,8 +19,15 @@ import graft.graph.PropertyGraph
   * Supported steps: `V([id])`, `E()`, `hasLabel(l)`, `has(k,v)`,
   * `out([l])`, `in([l])`, `outE([l])`, `inE([l])`, `outV()`, `inV()`,
   * `valueMap()`, `values(k)`, `id()`, `count()`, `dedup()`, `limit(n)`,
-  * and `repeat(out([l])|in([l])).times(n)` — the canonical spelling of
-  * the reference's k-hop walk (README.md:20-33 repeated `.out()`).
+  * `repeat(out([l])|in([l])).times(n)` — the canonical spelling of
+  * the reference's k-hop walk (README.md:20-33 repeated `.out()`) — and
+  * `subgraph('sg')...cap('sg')[.next()]`, so the reference's Cytoscape
+  * export session (`sg = g.V().outE().subgraph('sg').cap('sg').next()`,
+  * README.md:369-380) runs verbatim: a leading `name =` assignment is
+  * skipped, `cap` yields the console's census (one row of
+  * vertex/edge counts), and [[subgraphOf]] returns the captured
+  * [[PropertyGraph]] for [[graft.graph.GraphExport]].
+  * A label-less hop traverses ALL edge labels, as Gremlin does.
   * Mutation steps (addV/addE/drop) are intentionally absent — mutations go
   * through the set-semantics upsert/drop API, which is the design point
   * (SURVEY.md §2.A6/A9/A15), not a per-statement replay.
@@ -29,7 +36,19 @@ object GremlinLite {
 
   /** Parse `query` and evaluate it against `g`. Throws
     * IllegalArgumentException on syntax errors or unsupported steps. */
-  def run(g: PropertyGraph, query: String): DataFrame = {
+  def run(g: PropertyGraph, query: String): DataFrame = eval(g, query)._1
+
+  /** The side-effect graph a `subgraph(name)` step captured while
+    * evaluating `query` — the `sg.io(...).writeGraph(...)` half of the
+    * reference's export session, minus the file format (pair with
+    * [[graft.graph.GraphExport]]). */
+  def subgraphOf(g: PropertyGraph, query: String, name: String = "sg"): PropertyGraph = {
+    val captured = eval(g, query)._2
+    captured.getOrElse(name, throw new IllegalArgumentException(
+      s"no subgraph('$name') step in: $query (captured: ${captured.keys.mkString(",")})"))
+  }
+
+  private def eval(g: PropertyGraph, query: String): (DataFrame, Map[String, PropertyGraph]) = {
     val steps = parse(query)
     require(steps.nonEmpty, s"empty traversal: $query")
 
@@ -45,9 +64,11 @@ object GremlinLite {
 
     // One promoted-property rule and one vertex-schema projection, shared
     // with the fluent API — the text surface cannot drift from it.
-    def edgeLabel(args: Seq[String]): String = args.headOption.getOrElse("in")
+    // A label-less hop traverses ALL edge labels (Gremlin semantics).
+    def edgeLabel(args: Seq[String]): Option[String] = args.headOption
     def hop(body: String, args: Seq[String])(d: DataFrame): DataFrame =
       g.valueMap(if (body == "out") g.out(d, edgeLabel(args)) else g.in(d, edgeLabel(args)))
+    var captured = Map.empty[String, PropertyGraph]
     def toVertices(joinOn: String): DataFrame = {
       val v = g.vertices.as("v")
       cur.join(v, col(joinOn) === col("v.id"))
@@ -103,18 +124,44 @@ object GremlinLite {
             else if (onEdges) cur.dropDuplicates("src", "dst", "label")
             else cur.distinct()
         case ("limit", _) => arity(1); cur = cur.limit(args.head.toInt)
+        case ("subgraph", true) =>
+          // Side-effect step: capture the edge-induced subgraph of the
+          // current edges; the traversal itself continues on those edges
+          // (Gremlin passes traversers through subgraph()).
+          arity(1)
+          val e = cur
+          val touched = e.select(col("src").as("id"))
+            .union(e.select(col("dst").as("id"))).distinct()
+          captured += args.head ->
+            PropertyGraph(g.vertices.join(touched, Seq("id"), "left_semi"), e)
+        case ("cap", _) =>
+          // cap('sg') emits the side-effect value; the console prints a
+          // census (`tinkergraph[vertices:183 edges:290]`, README.md:373)
+          // and that census is the DataFrame shape we return.
+          arity(1)
+          val sg = captured.getOrElse(args.head, throw new IllegalArgumentException(
+            s"cap('${args.head}') before subgraph('${args.head}') in: $query"))
+          cur = sg.V.agg(count(lit(1)).as("vertices"))
+            .crossJoin(sg.E.agg(count(lit(1)).as("edges")))
+          onEdges = false
+        case ("next", _) => arity(0) // console terminal — a no-op here
         case (other, oe) => throw new IllegalArgumentException(
           s"unsupported step $other() on ${if (oe) "edges" else "vertices"} in: $query")
       }
     }
-    cur
+    (cur, captured)
   }
 
   /** `g.V().hasLabel('x')...` → [(V, []), (hasLabel, [x]), ...]. Scans with
     * balanced parentheses so nested bodies (`repeat(out('in'))`) arrive as
-    * a single raw argument. */
+    * a single raw argument. A leading `name = ` assignment (the console's
+    * `sg = g.V()...`) is skipped. */
   private[gremlin] def parse(query: String): Seq[(String, Seq[String])] = {
-    val s = query.trim
+    val s0 = query.trim
+    val s = "^[A-Za-z_][A-Za-z0-9_]*\\s*=\\s*".r.findPrefixOf(s0) match {
+      case Some(pfx) => s0.substring(pfx.length)
+      case None => s0
+    }
     require(s.startsWith("g"), s"traversal must start with 'g': $query")
     var i = 1
     val steps = Seq.newBuilder[(String, Seq[String])]

@@ -18,8 +18,10 @@ import graft.functions.Hashing.md5Long
   *   - LSH banding shuffles only (band, bucket-hash, doc_id) triples —
   *     ~k/r rows of 3 longs per document, independent of document size;
   *   - the candidate self-join is per-bucket; pathological buckets (all
-  *     boilerplate docs identical) would skew — cap or salt in ingestion if
-  *     a bucket exceeds a bound;
+  *     boilerplate docs identical) are capped at `maxBucket` members by
+  *     [[Skew.capBuckets]] (exact below the bound, deterministic
+  *     hash-sample above it) so per-task join input stays bounded, with
+  *     [[lshOverflow]] reporting what was truncated;
   *   - exact dedup is a hash groupBy on a 128-bit fingerprint, the cheapest
   *     possible shuffle key.
   */
@@ -66,20 +68,38 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs: docs sharing at least one LSH bucket.
-    * Returns distinct (id_a, id_b) with id_a < id_b. */
+    * Returns distinct (id_a, id_b) with id_a < id_b.
+    *
+    * Hot buckets (all-identical boilerplate docs) are capped at `maxBucket`
+    * members via [[Skew.capBuckets]] — exact below the cap, deterministic
+    * hash-sample above it, so per-task self-join input is bounded by
+    * maxBucket² however skewed the corpus. Audit the truncation with
+    * [[lshOverflow]]. */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
-                    bands: Int = 4, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+                    bands: Int = 4, rowsPerBand: Int = 2, n: Int = 3,
+                    maxBucket: Int = 8192): DataFrame = {
     val sig = minhashSignature(docs, textCol, bands * rowsPerBand, n)
     // Persist the bucket table: both sides of the self-join read it, and
     // recomputing means re-hashing every shingle of the corpus. One row per
     // (doc, band) — negligible next to the corpus at any scale.
-    val b = lshBuckets(sig, idCol, bands, rowsPerBand)
+    val b = Skew.capBuckets(
+      lshBuckets(sig, idCol, bands, rowsPerBand), Seq("band", "bucket"), idCol, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** LSH buckets exceeding `maxBucket`, with estimated dropped pairs —
+    * the audit twin of [[lshCandidates]]'s cap. */
+  def lshOverflow(docs: DataFrame, idCol: String, textCol: String,
+                  bands: Int = 4, rowsPerBand: Int = 2, n: Int = 3,
+                  maxBucket: Int = 8192): DataFrame = {
+    val sig = minhashSignature(docs, textCol, bands * rowsPerBand, n)
+    Skew.bucketOverflow(lshBuckets(sig, idCol, bands, rowsPerBand),
+      Seq("band", "bucket"), maxBucket)
   }
 
   /** 16-bit SimHash over word unigrams (bit-vote fingerprint).
@@ -98,12 +118,17 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs that share the
-    * first minhash (a 1-hash LSH prefilter), rounded to 4 decimals. */
-  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    * first minhash (a 1-hash LSH prefilter), rounded to 4 decimals.
+    * The prefilter bucket is capped like [[lshCandidates]]'s (same hot-key
+    * failure mode: every boilerplate doc shares one h1). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                   maxBucket: Int = 8192): DataFrame = {
     // Persisted: both join sides scan it, and the shingle set + hash are
     // the expensive part (one md5 per shingle). One row per doc.
-    val base = docs.select(col(idCol), array_distinct(shingles(col(textCol), n)).as("sh"),
-      array_min(transform(shingles(col(textCol), n), s => md5Long(s, 1))).as("h1"))
+    val base = Skew.capBuckets(
+      docs.select(col(idCol), array_distinct(shingles(col(textCol), n)).as("sh"),
+        array_min(transform(shingles(col(textCol), n), s => md5Long(s, 1))).as("h1")),
+      Seq("h1"), idCol, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = base.select(col("h1"), col(idCol).as("id_a"), col("sh").as("sh_a"))
     val r = base.select(col("h1"), col(idCol).as("id_b"), col("sh").as("sh_b"))

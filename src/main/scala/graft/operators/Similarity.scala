@@ -127,12 +127,15 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs within coarse clusters: compares
     * only vectors sharing `clusterCol` (IVF-style blocking), keeps pairs
-    * with cosine ≥ threshold. */
+    * with cosine ≥ threshold. A hot cluster (near-duplicate flood) is
+    * capped at `maxBucket` members via [[Skew.capBuckets]] — exact below
+    * the bound, deterministic sample above it. */
   def cosineNearDup(vecs: DataFrame, idCol: String, vecCol: String,
                     clusterCol: String, threshold: Double,
-                    native: Boolean = false): DataFrame = {
-    val l = vecs.select(col(clusterCol).as("cl"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val r = vecs.select(col(clusterCol).as("cl"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+                    native: Boolean = false, maxBucket: Int = 8192): DataFrame = {
+    val capped = Skew.capBuckets(vecs, Seq(clusterCol), idCol, maxBucket)
+    val l = capped.select(col(clusterCol).as("cl"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = capped.select(col(clusterCol).as("cl"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     l.join(r, Seq("cl")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), round(cosineBy(native)(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)

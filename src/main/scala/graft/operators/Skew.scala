@@ -41,6 +41,47 @@ object Skew {
     bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Deterministically cap the member count of blocking buckets before a
+    * per-bucket self-join. A bucket of b members yields O(b²) pairs; one
+    * boilerplate-heavy bucket (millions of identical docs — the normal case
+    * in web-scale training data) puts that b² on a single reducer. The cap
+    * keeps every bucket with ≤ `maxBucket` members intact and
+    * hash-samples larger buckets down to ~`maxBucket` members, so per-task
+    * join input is bounded by maxBucket² regardless of corpus skew.
+    *
+    * Selection is deterministic (md5 of bucket key + member, mod bucket
+    * size) — task retries and re-runs keep the SAME members, and the cost
+    * is one extra count aggregation plus a linear join on the bucket key
+    * (which AQE skew-split can further shard; no per-bucket sort, no
+    * window over the hot bucket).
+    *
+    * Exact below the cap: when no bucket exceeds `maxBucket` the output is
+    * row-for-row the input. */
+  def capBuckets(df: DataFrame, bucketCols: Seq[String], memberCol: String,
+                 maxBucket: Int): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val keys = bucketCols.map(col)
+    val sizes = df.groupBy(keys: _*).agg(count(lit(1)).as("__sz"))
+    val member = graft.functions.Hashing.md5Long(
+      concat_ws("", (bucketCols :+ memberCol).map(c => col(c).cast("string")): _*))
+    df.join(sizes, bucketCols)
+      .filter(col("__sz") <= maxBucket ||
+        pmod(member, col("__sz")) < maxBucket)
+      .drop("__sz")
+  }
+
+  /** Audit companion to [[capBuckets]]: the buckets over the bound, with
+    * their size and the (expected) number of candidate pairs the cap drops
+    * — surface this count next to dedup results so truncation is never
+    * silent. */
+  def bucketOverflow(df: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame = {
+    val keys = bucketCols.map(col)
+    df.groupBy(keys: _*).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > maxBucket)
+      .withColumn("dropped_pairs_est",
+        (col("sz") * (col("sz") - 1) - lit(maxBucket.toLong) * (maxBucket - 1)) / 2)
+  }
+
   /** Two-phase salted aggregation: partial aggregate on (key, salt), final
     * on key. For algebraic aggregates (sum/count/min/max) this is exact and
     * turns one flooded reducer into `factor` balanced ones. */

@@ -44,8 +44,14 @@ object GraphStorage {
     * drop the Exchange+Sort from every hop-join on a fresh read — the
     * 100 TB answer, since no cache holds 100 TB. */
   def writeBucketedTables(spark: SparkSession, g: PropertyGraph,
-                          db: String = "graft", buckets: Int = 32): Unit = {
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+                          db: String = "graft", buckets: Int = 32,
+                          location: Option[String] = None): Unit = {
+    // An explicit per-run location sidesteps the warehouse-dir/catalog
+    // split-brain: managed-table directories outlive the in-memory catalog
+    // across JVMs, and saveAsTable refuses to overwrite a location the
+    // (fresh) catalog has no record of.
+    val loc = location.map(l => s" LOCATION '$l'").getOrElse("")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db$loc")
     g.vertices.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"$db.vertices")
     g.edges.write.mode(SaveMode.Overwrite)

@@ -93,12 +93,16 @@ object EventPipeline {
               }
             }.reverse
           val wm = state.getCurrentWatermarkMs()
-          val (closed, open) = merged.partition(s => s.end + gapMs <= wm)
+          // STRICT inequality: an event at ts == wm == end+gap is still
+          // admissible and merges (ts - end <= gap), so closing at
+          // end+gap == wm could split a session the batch twin keeps
+          // whole. Close only once no admissible event can extend it.
+          val (closed, open) = merged.partition(s => s.end + gapMs < wm)
           if (open.nonEmpty) {
             state.update(open)
-            // earliest possible close time; each open end+gap is > wm, so
-            // this is a valid (future) timeout timestamp
-            state.setTimeoutTimestamp(open.map(_.end).min + gapMs)
+            // earliest possible close time; an open end+gap may equal wm
+            // (still extendable), so clamp the timeout strictly past it
+            state.setTimeoutTimestamp(math.max(open.map(_.end).min + gapMs, wm + 1))
           } else state.remove()
           closed.iterator.map(toSession)
       }
