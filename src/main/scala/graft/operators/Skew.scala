@@ -79,7 +79,7 @@ object Skew {
     df.groupBy(keys: _*).agg(count(lit(1)).as("sz"))
       .filter(col("sz") > maxBucket)
       .withColumn("dropped_pairs_est",
-        (col("sz") * (col("sz") - 1) - lit(maxBucket.toLong) * (maxBucket - 1)) / 2)
+        ((col("sz") * (col("sz") - 1) - lit(maxBucket.toLong) * (maxBucket - 1)) / 2).cast("long"))
   }
 
   /** Two-phase salted aggregation: partial aggregate on (key, salt), final

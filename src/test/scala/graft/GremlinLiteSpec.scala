@@ -42,6 +42,36 @@ class GremlinLiteSpec extends AnyFunSuite {
       .as[String].head() == "subgroup1@d")
   }
 
+  test("label-less out()/outE() traverse ALL edge labels, not a default") {
+    // Two edge labels: user1 -in-> subgroup1, user1 -owns-> gog1.
+    val multi = PropertyGraph(g.vertices,
+      Seq((1L, 3L, "in", 1), (1L, 4L, "owns", 1)).toDF("src", "dst", "label", "weight"))
+    val all = GremlinLite.run(multi, "g.V(1).out().id()").as[Long].collect().toSet
+    assert(all == Set(3L, 4L))
+    val only = GremlinLite.run(multi, "g.V(1).out('in').id()").as[Long].collect().toSet
+    assert(only == Set(3L))
+    assert(GremlinLite.run(multi, "g.V(1).outE()").count() == 2L)
+  }
+
+  test("the reference's Cytoscape export session runs verbatim — README.md:372") {
+    val census = GremlinLite.run(g, "sg = g.V().outE().subgraph('sg').cap('sg').next()")
+      .as[(Long, Long)].head()
+    // Edges 1->3, 3->4 touch vertices {1,3,4}; user2 is isolated.
+    assert(census == ((3L, 2L)))
+  }
+
+  test("subgraphOf hands the captured graph to the export path") {
+    val sg = GremlinLite.subgraphOf(g, "g.V().outE('in').subgraph('sg').cap('sg')")
+    assert(sg.V.select("id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    assert(sg.E.count() == 2L)
+    assertThrows[IllegalArgumentException] {
+      GremlinLite.subgraphOf(g, "g.V().outE('in').subgraph('other').cap('other')", "sg")
+    }
+    assertThrows[IllegalArgumentException] {
+      GremlinLite.run(g, "g.V().outE('in').cap('sg')") // cap before subgraph
+    }
+  }
+
   test("string query plans identically to the fluent API") {
     val viaText = GremlinLite.run(g,
       "g.V().hasLabel('user').has('email','user1@d').out('in').id()")

@@ -41,6 +41,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("lshCandidates bounds a degenerate all-identical corpus via the bucket cap") {
+    // 2000 identical boilerplate docs: every band puts all of them in ONE
+    // bucket. Uncapped that is ~2M pairs on one reducer; the cap samples
+    // each hot bucket down to ~32 members.
+    val boiler = (1L to 2000L).map(i => (i, "terms of service apply to all users of this site"))
+    val pairs = Dedup.lshCandidates(boiler.toDF("doc_id", "text"),
+      "doc_id", "text", maxBucket = 32)
+    val n = pairs.count()
+    // 4 bands x C(~32,2) ≈ ≤4k distinct pairs, never the 2M blowup.
+    assert(n > 0 && n < 20000, s"expected capped candidate count, got $n")
+    // The audit twin sees the same hot buckets it truncated.
+    val over = Dedup.lshOverflow(boiler.toDF("doc_id", "text"),
+      "doc_id", "text", maxBucket = 32)
+    assert(over.count() == 4) // one hot bucket per band
+    assert(over.agg(min($"sz")).as[Long].head() == 2000L)
+  }
+
   test("simhash: equal docs equal, near docs close in hamming distance") {
     val fp = Dedup.simhash(
       docs((1L, "spark scala data pipeline engine"),

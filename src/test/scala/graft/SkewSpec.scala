@@ -31,6 +31,32 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("capBuckets is exact below the bound and bounded + deterministic above it") {
+    val rows = ((1 to 1000).map(i => ("hot", i.toLong)) ++
+      (1 to 20).map(i => ("cold", (10000 + i).toLong))).toDF("bucket", "id")
+    val capped = Skew.capBuckets(rows, Seq("bucket"), "id", maxBucket = 50)
+    // Cold bucket (20 <= 50): untouched, row for row.
+    assert(capped.filter($"bucket" === "cold").count() == 20)
+    // Hot bucket: hash-sampled to ~50 members (binomial around the cap).
+    val hot = capped.filter($"bucket" === "hot").count()
+    assert(hot > 15 && hot < 120, s"hot bucket kept $hot of 1000, expected ~50")
+    // Deterministic: the SAME members survive a re-run (retry safety).
+    val again = Skew.capBuckets(rows, Seq("bucket"), "id", maxBucket = 50)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == capped.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("bucketOverflow reports only over-bound buckets with dropped-pair estimates") {
+    val rows = ((1 to 200).map(i => ("hot", i.toLong)) ++
+      (1 to 5).map(i => ("cold", (900 + i).toLong))).toDF("bucket", "id")
+    val over = Skew.bucketOverflow(rows, Seq("bucket"), maxBucket = 50).collect()
+    assert(over.length == 1)
+    val r = over.head
+    assert(r.getAs[String]("bucket") == "hot" && r.getAs[Long]("sz") == 200)
+    // 200*199/2 - 50*49/2 = 19900 - 1225
+    assert(r.getAs[Long]("dropped_pairs_est") == 18675L)
+  }
+
   test("saltedSum == plain groupBy sum/count") {
     val plain = big.groupBy("member")
       .agg(sum("amount").as("sum_amount"), count(lit(1)).as("cnt"))
