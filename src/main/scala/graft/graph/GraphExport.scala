@@ -35,6 +35,63 @@ object GraphExport {
     graphsonEdges(g).write.mode("overwrite").text(s"$dir/edges")
   }
 
+  // ------------------------------------------- typed GraphSON 2.0 (TinkerPop)
+
+  import graft.functions.Hashing.md5Long
+
+  private def gInt64(c: org.apache.spark.sql.Column) =
+    struct(lit("g:Int64").as("@type"), c.as("@value"))
+
+  /** TinkerPop GraphSON 2.0 typed vertices — the `{"@type":"g:Vertex",...}`
+    * module shape the reference's console mapper emits
+    * (README.md:484-489 `GraphSONMapper...JanusGraphSONModuleV2d0`), so the
+    * export round-trips into TinkerPop tooling, not just analytics. The
+    * promoted `key` column is emitted as a regular vertex property;
+    * vertex-property ids are deterministic md5s (the reference's are
+    * server-assigned). One codegen'd to_json per row, fully distributed. */
+  def graphsonTypedVertices(g: PropertyGraph): DataFrame = {
+    val allProps = map_concat(col("props"), map(lit("key"), col("key")))
+    val vprops = transform_values(allProps, (k, v) => array(struct(
+      lit("g:VertexProperty").as("@type"),
+      struct(
+        gInt64(md5Long(concat_ws("|", col("id").cast("string"), k))).as("id"),
+        v.as("value"), k.as("label")).as("@value"))))
+    g.vertices.select(to_json(struct(
+      lit("g:Vertex").as("@type"),
+      struct(gInt64(col("id")).as("id"), col("label"),
+        vprops.as("properties")).as("@value"))).as("json"))
+  }
+
+  /** TinkerPop GraphSON 2.0 typed edges. Edge ids are deterministic md5s of
+    * (src,dst,label); inVLabel/outVLabel come from two joins against the
+    * vertex table (an export reads everything once anyway). */
+  def graphsonTypedEdges(g: PropertyGraph): DataFrame = {
+    val vl = g.vertices.select(col("id"), col("label"))
+    val e = g.edges.as("e")
+      .join(vl.select(col("id").as("__out_id"), col("label").as("outVLabel")),
+        col("e.src") === col("__out_id"))
+      .join(vl.select(col("id").as("__in_id"), col("label").as("inVLabel")),
+        col("e.dst") === col("__in_id"))
+    e.select(to_json(struct(
+      lit("g:Edge").as("@type"),
+      struct(
+        gInt64(md5Long(concat_ws("|", col("e.src"), col("e.dst"), col("e.label")))).as("id"),
+        col("e.label").as("label"),
+        col("inVLabel"), col("outVLabel"),
+        gInt64(col("e.dst")).as("inV"), gInt64(col("e.src")).as("outV"),
+        map(lit("weight"), struct(
+          lit("g:Property").as("@type"),
+          struct(lit("weight").as("key"),
+            struct(lit("g:Int32").as("@type"), col("e.weight").as("@value")).as("value"))
+            .as("@value"))).as("properties")).as("@value"))).as("json"))
+  }
+
+  /** Distributed typed-GraphSON export (TinkerPop 2.0 module shape). */
+  def writeGraphsonTyped(g: PropertyGraph, dir: String): Unit = {
+    graphsonTypedVertices(g).write.mode("overwrite").text(s"$dir/vertices")
+    graphsonTypedEdges(g).write.mode("overwrite").text(s"$dir/edges")
+  }
+
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;").replace("'", "&apos;")

@@ -28,11 +28,83 @@ import graft.graph.PropertyGraph
   * vertex/edge counts), and [[subgraphOf]] returns the captured
   * [[PropertyGraph]] for [[graft.graph.GraphExport]].
   * A label-less hop traverses ALL edge labels, as Gremlin does.
-  * Mutation steps (addV/addE/drop) are intentionally absent — mutations go
-  * through the set-semantics upsert/drop API, which is the design point
-  * (SURVEY.md §2.A6/A9/A15), not a per-statement replay.
+  * Mutation steps are deliberately split from [[run]] (read-only): typed
+  * mutation scripts — the reference's guarded addV/addE console statements
+  * plus `...drop()` — go through [[mutate]], which lowers them to the
+  * set-semantics upsert/drop API (SURVEY.md §2.A6/A9/A15) via
+  * [[graft.sources.GroovyLoader]] rather than replaying per statement.
   */
 object GremlinLite {
+
+  /** Apply a typed mutation script — the reference's console statement
+    * shapes (`g.addV('l').property(...)`, lookup-bind + `addE`,
+    * main.go:205-211/310-322, README.md:331-340) plus
+    * `g.V().hasLabel('l')[.has(k,v)].drop()` — to `g`.
+    *
+    * addV/addE runs accumulate and flush through the set-semantics
+    * upserts (guarded-`if` wrappers become no-ops — the upsert IS the
+    * guard, set-at-a-time); a drop() flushes pending upserts first so
+    * statement order is preserved. Returns the mutated graph; `g` itself
+    * is immutable. */
+  def mutate(g: PropertyGraph, script: String,
+             keyProps: Map[String, String] =
+               graft.sources.GroovyLoader.ReferenceKeyProps): PropertyGraph = {
+    val spark = g.vertices.sparkSession
+    import spark.implicits._
+    val Drop =
+      """g\.V\(\)\.hasLabel\('([^']+)'\)(?:\.has\(\s*'([^']+)'\s*,\s*'([^']*)'\s*\))?\.drop\(\)""".r
+    var cur = g
+    val buf = new StringBuilder
+    def flush(): Unit = if (buf.nonEmpty) {
+      val (pv, pe) = graft.sources.GroovyLoader.parsedBatches(
+        Seq(buf.toString).toDS(), keyProps)
+      cur = cur.upsertVertices(graft.sources.GroovyLoader.vertexBatch(pv))
+      // Resolve addE endpoints by LOOKUP against the (just-upserted)
+      // graph — Gremlin's `u1 = g.V()...next()` semantics — so mutate
+      // works on graphs whose ids don't follow the loader's scheme. The
+      // bound property may be the promoted key (stored in `key`, not in
+      // `props`) — consult the per-label registry for that.
+      val kp = typedLit(keyProps)
+      val e = pe.toDF()
+      def vside(s: String) = cur.vertices.select(
+        col("id").as(s"__${s}id"), col("label").as(s"__${s}l"),
+        col("key").as(s"__${s}k"), col("props").as(s"__${s}p"))
+      def cond(s: String, labelC: String, propC: String, keyC: String) =
+        col(s"__${s}l") === col(labelC) &&
+          when(col(propC) === coalesce(kp(col(labelC)), lit("key")) ||
+            col(propC) === "key",
+            col(s"__${s}k") === col(keyC))
+            .otherwise(element_at(col(s"__${s}p"), col(propC)) === col(keyC))
+      val parsedCount = e.count()
+      val full = e
+        .join(vside("s"), cond("s", "srcLabel", "srcProp", "srcKey"))
+        .join(vside("d"), cond("d", "dstLabel", "dstProp", "dstKey"))
+        .select(col("__sid").as("src"), col("__did").as("dst"),
+          col("label"), col("weight"))
+      if (parsedCount > 0) {
+        val resolvedCount = full.count()
+        require(resolvedCount == parsedCount,
+          s"addE endpoint lookup failed: $parsedCount statement(s) parsed, " +
+            s"only $resolvedCount resolved to existing vertices (Gremlin .next() " +
+            s"on an empty traversal throws; so do we)")
+        cur = cur.upsertEdges(full)
+      }
+      buf.setLength(0)
+    }
+    script.linesIterator.foreach { line =>
+      Drop.findFirstMatchIn(line) match {
+        case Some(m) =>
+          flush()
+          val pred =
+            if (m.group(2) == null) col("label") === m.group(1)
+            else col("label") === m.group(1) && cur.propCol(m.group(2)) === lit(m.group(3))
+          cur = cur.dropVertices(pred)
+        case None => buf.append(line).append('\n')
+      }
+    }
+    flush()
+    cur
+  }
 
   /** Parse `query` and evaluate it against `g`. Throws
     * IllegalArgumentException on syntax errors or unsupported steps. */

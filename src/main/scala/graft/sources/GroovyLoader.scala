@@ -37,9 +37,11 @@ object GroovyLoader {
   /** One parsed `addV` statement: promoted key + remaining props. */
   final case class ParsedVertex(label: String, key: String, props: Map[String, String])
 
-  /** One parsed `addE` statement, endpoints still (label, key)-form. */
-  final case class ParsedEdge(srcLabel: String, srcKey: String,
-                              dstLabel: String, dstKey: String,
+  /** One parsed `addE` statement, endpoints still lookup-form: the
+    * (label, property, value) triple of the `has()` bind that anchored
+    * each end (main.go:317-318). */
+  final case class ParsedEdge(srcLabel: String, srcProp: String, srcKey: String,
+                              dstLabel: String, dstProp: String, dstKey: String,
                               label: String, weight: Int)
 
   /** `g.addV('l').property(label,'l').property('k','v')...` — statements are
@@ -78,10 +80,8 @@ object GroovyLoader {
   : (Seq[ParsedVertex], Seq[ParsedEdge]) = {
     val verts = Seq.newBuilder[ParsedVertex]
     val edges = Seq.newBuilder[ParsedEdge]
-    // (var -> (label, key)) bindings, re-bound entry by entry. The has()
-    // property in a binding is always the promoted key in emitted scripts;
-    // trust the value, not the property name.
-    var binds = Map.empty[String, (String, String)]
+    // (var -> (label, property, value)) bindings, re-bound entry by entry.
+    var binds = Map.empty[String, (String, String, String)]
     text.linesIterator.foreach { line =>
       AddV.findFirstMatchIn(line).foreach { m =>
         val label = m.group(1)
@@ -95,16 +95,16 @@ object GroovyLoader {
         verts += ParsedVertex(label, key, props.filterNot(_._1 == keyProp).toMap)
       }
       Bind.findFirstMatchIn(line).foreach { m =>
-        binds += m.group(1) -> (m.group(2), m.group(4))
+        binds += m.group(1) -> (m.group(2), m.group(3), m.group(4))
       }
       AddE.findFirstMatchIn(line).foreach { m =>
-        def resolve(v: String): (String, String) = binds.getOrElse(v,
+        def resolve(v: String): (String, String, String) = binds.getOrElse(v,
           throw new IllegalArgumentException(s"addE references unbound variable '$v' in: $line"))
-        val (sl, sk) = resolve(m.group(1))
-        val (dl, dk) = resolve(m.group(3))
+        val (sl, sp, sk) = resolve(m.group(1))
+        val (dl, dp, dk) = resolve(m.group(3))
         val weight = propsOf(m.group(4))
           .collectFirst { case ("weight", w) => w.toDouble.toInt }.getOrElse(1)
-        edges += ParsedEdge(sl, sk, dl, dk, m.group(2), weight)
+        edges += ParsedEdge(sl, sp, sk, dl, dp, dk, m.group(2), weight)
       }
     }
     (verts.result(), edges.result())
@@ -121,24 +121,40 @@ object GroovyLoader {
       .otherwise(md5Long(concat_ws(":", labelCol, keyCol)))
   }
 
+  /** Distributed parse only — batches still in (label, prop, key) lookup
+    * form. One task per chunk. [[load]] stamps ids; `GremlinLite.mutate`
+    * instead resolves edge endpoints against an existing graph. */
+  def parsedBatches(scripts: Dataset[String], keyProps: Map[String, String])
+  : (Dataset[ParsedVertex], Dataset[ParsedEdge]) = {
+    val spark = scripts.sparkSession
+    import spark.implicits._
+    val parsed = scripts.map(t => parseScript(t, keyProps)).persist()
+    (parsed.flatMap(_._1), parsed.flatMap(_._2))
+  }
+
+  /** Vertex batch with deterministic ids stamped. */
+  def vertexBatch(pv: Dataset[ParsedVertex]): DataFrame =
+    pv.toDF().select(idFor(col("label"), col("key")).as("id"),
+      col("label"), col("key"), col("props"))
+
   /** Parse script chunks into graph-schema batches:
     * `(vertices(id,label,key,props), edges(src,dst,label,weight))` —
     * ready for [[GraphStorage.merge]] or `PropertyGraph.upsert*`.
+    * Edge endpoint ids are recomputed with the same deterministic scheme
+    * as the vertices, which is correct when the target store uses that
+    * scheme (anything built by this loader or [[graft.graph.GraphBuilder]]);
+    * to mutate a graph with foreign ids, use `GremlinLite.mutate`, which
+    * looks endpoints up instead.
     * `scripts` is a Dataset of independent chunks (one per file or entry
     * block); parsing fans out one task per chunk. */
   def load(scripts: Dataset[String], keyProps: Map[String, String])
   : (DataFrame, DataFrame) = {
-    val spark = scripts.sparkSession
-    import spark.implicits._
-    val parsed = scripts.map(t => parseScript(t, keyProps)).persist()
-    val v = parsed.flatMap(_._1).toDF()
-      .select(idFor(col("label"), col("key")).as("id"),
-        col("label"), col("key"), col("props"))
-    val e = parsed.flatMap(_._2).toDF()
+    val (pv, pe) = parsedBatches(scripts, keyProps)
+    val e = pe.toDF()
       .select(idFor(col("srcLabel"), col("srcKey")).as("src"),
         idFor(col("dstLabel"), col("dstKey")).as("dst"),
         col("label"), col("weight"))
-    (v, e)
+    (vertexBatch(pv), e)
   }
 
   /** Promoted-key registry for the reference's own seven scripts

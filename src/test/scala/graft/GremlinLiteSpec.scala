@@ -72,6 +72,30 @@ class GremlinLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("mutate(): typed addV/addE upsert and drop() lower to the set-semantics API") {
+    val script =
+      """if (g.V().hasLabel('user').has('email','new@d').hasNext() == false) {
+        | g.addV('user').property(label, 'user').property('email', 'new@d').property('isExternal', true).id().next()
+        |}
+        |u1 = g.V().hasLabel('user').has('email', 'new@d' ).next()
+        |g1 = g.V().hasLabel('group').has('email', 'subgroup1@d').next()
+        |if ( g.V(u1).outE('in').where(inV().hasId( g1.id() )).hasNext() == false) {
+        | e1 = g.V(u1).addE('in').to(g1).property('weight', 1).next()
+        |}""".stripMargin
+    // GroovyLoader keys users by email; the fixture's group keys are its
+    // `key` column values, so bind resolution still works (binds are by
+    // (label, has-value), not by id).
+    val mutated = GremlinLite.mutate(g, script)
+    assert(mutated.V.count() == 5) // 4 + the new user
+    val newUser = mutated.has("user", "key", "new@d")
+    assert(newUser.count() == 1)
+    // Replay is a no-op (the guarded-if is subsumed by upsert semantics).
+    assert(GremlinLite.mutate(mutated, script).V.count() == 5)
+    // drop() removes by label+property predicate, cascading edges.
+    val dropped = GremlinLite.mutate(mutated, "g.V().hasLabel('user').has('key','new@d').drop()")
+    assert(dropped.V.count() == 4)
+  }
+
   test("string query plans identically to the fluent API") {
     val viaText = GremlinLite.run(g,
       "g.V().hasLabel('user').has('email','user1@d').out('in').id()")

@@ -43,7 +43,7 @@ class GroovyLoaderSpec extends AnyFunSuite {
     assert(vs.find(_.key == "user1@domain.com").get.props == Map("isExternal" -> "false"))
     assert(vs.find(_.key == "user2@domain.com").get.props == Map.empty)
     assert(es == Seq(GroovyLoader.ParsedEdge(
-      "user", "user2@domain.com", "group", "grp@domain.com", "in", 1)))
+      "user", "email", "user2@domain.com", "group", "email", "grp@domain.com", "in", 1)))
   }
 
   test("the guard lines never parse as statements") {

@@ -42,6 +42,24 @@ class StorageAndExportSpec extends AnyFunSuite {
     assert(line == """{"src":1,"dst":2,"label":"in","weight":1}""")
   }
 
+  test("typed GraphSON 2.0 carries the TinkerPop module shape") {
+    val vjson = GraphExport.graphsonTypedVertices(g0).as[String].collect()
+    assert(vjson.length == 2)
+    val u = vjson.find(_.contains("\"label\":\"user\"")).get
+    assert(u.contains(""""@type":"g:Vertex""""))
+    assert(u.contains(""""id":{"@type":"g:Int64","@value":1}"""))
+    assert(u.contains(""""@type":"g:VertexProperty""""))
+    assert(u.contains(""""value":"a@x"""")) // email prop survives, typed
+    val ejson = GraphExport.graphsonTypedEdges(g0).as[String].head()
+    assert(ejson.contains(""""@type":"g:Edge""""))
+    assert(ejson.contains(""""inV":{"@type":"g:Int64","@value":2}"""))
+    assert(ejson.contains(""""outV":{"@type":"g:Int64","@value":1}"""))
+    assert(ejson.contains(""""outVLabel":"user"""") && ejson.contains(""""inVLabel":"group""""))
+    assert(ejson.contains(""""value":{"@type":"g:Int32","@value":1}"""))
+    // Deterministic ids: a re-export emits byte-identical lines.
+    assert(GraphExport.graphsonTypedEdges(g0).as[String].head() == ejson)
+  }
+
   test("storage round-trip: partitioned write + load preserves the graph") {
     val dir = Files.createTempDirectory("graft-store").toString
     GraphStorage.write(g0, dir)
