@@ -735,7 +735,13 @@ object SparkEntry {
     // (no Exchange); this gate asserts the hop's RESULT.
     "a19_bucketed_layout" -> ((s, dir) => {
       val g = GraphStore.get(s, dir)
-      sources.GraphStorage.writeBucketedTables(s, g, db = "graft_a19", buckets = 8,
+      // The layout proof only needs the hop's slice (customer vertices +
+      // their nation out-edges) — writing the full graph each run would
+      // time the sink, not the layout.
+      val sub = PropertyGraph(
+        g.V.filter(col("label").isin("customer", "nation")),
+        g.E.filter(expr(s"src div ${B}") === 3))
+      sources.GraphStorage.writeBucketedTables(s, sub, db = "graft_a19", buckets = 8,
         location = Some(java.nio.file.Files.createTempDirectory("graft-a19").toString))
       val bg = sources.GraphStorage.loadBucketedTables(s, "graft_a19")
       bg.out(bg.hasLabel("customer"), "in")
