@@ -93,10 +93,13 @@ object EventPipeline {
               }
             }.reverse
           val wm = state.getCurrentWatermarkMs()
-          // STRICT inequality: an event at ts == wm == end+gap is still
-          // admissible and merges (ts - end <= gap), so closing at
-          // end+gap == wm could split a session the batch twin keeps
-          // whole. Close only once no admissible event can extend it.
+          // STRICT inequality, as the exact complement of the merge
+          // condition for in-principle-admissible events (ts == wm would
+          // merge at ts == end+gap). In practice Spark's late-row filter
+          // drops ts == wm before it reaches this function (pinned by
+          // StreamingSpec's boundary test), so the strict form is a free
+          // safety margin rather than a behavior change — it keeps this
+          // code correct even under a `ts < wm` late-filter semantics.
           val (closed, open) = merged.partition(s => s.end + gapMs < wm)
           if (open.nonEmpty) {
             state.update(open)

@@ -73,6 +73,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.contains((1L, "2024-01-01 10:35:00", 1L))) // closed by timeout
   }
 
+  test("watermark boundary: an event at ts == wm is late-filtered; the session emits whole") {
+    // Pins the exact boundary semantics behind the strict close predicate
+    // (end+gap < wm): Spark's late-row filter drops an input row whose
+    // ts == watermark BEFORE it reaches the state function, so no
+    // admissible event can ever have ts <= wm — a session with
+    // end+gap == wm is unextendable either way, and the strict predicate
+    // is a free safety margin, not a behavior change. Observable contract:
+    // the session is never split, never loses its identity, and emits
+    // exactly once via timeout.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventPipeline.SessionEvent]
+    val q = EventPipeline.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_bound").outputMode(OutputMode.Append()).start()
+    mem.addData(EventPipeline.SessionEvent(1L, ts("10:00")))
+    q.processAllAvailable()
+    // advance the watermark to EXACTLY end+gap via another user...
+    mem.addData(EventPipeline.SessionEvent(2L, ts("10:10")))
+    q.processAllAvailable()
+    // ...the boundary event ts == wm == 10:10 is dropped by the late
+    // filter (it would merge if admitted; it is not admitted)...
+    mem.addData(EventPipeline.SessionEvent(1L, ts("10:10")))
+    q.processAllAvailable()
+    // ...push the watermark far past everything so timeouts flush.
+    mem.addData(EventPipeline.SessionEvent(3L, ts("13:00")))
+    q.processAllAvailable()
+    mem.addData(EventPipeline.SessionEvent(3L, ts("16:00")))
+    q.processAllAvailable()
+    val sessions = spark.table("sess_bound")
+      .filter(col("user_id") === 1L)
+      .select(col("start").cast("string"), col("end").cast("string"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    q.stop()
+    // One whole session; the boundary event neither splits it nor opens a
+    // phantom second session.
+    assert(sessions == Set(("2024-01-01 10:00:00", "2024-01-01 10:00:00", 1L)),
+      s"unexpected boundary behavior: $sessions")
+  }
+
   test("sessionize lowers session start on a late in-gap event (out-of-order input)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventPipeline.SessionEvent]
