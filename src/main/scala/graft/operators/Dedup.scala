@@ -79,12 +79,14 @@ object Dedup {
                     bands: Int = 4, rowsPerBand: Int = 2, n: Int = 3,
                     maxBucket: Int = 8192): DataFrame = {
     val sig = minhashSignature(docs, textCol, bands * rowsPerBand, n)
-    // Persist the bucket table: both sides of the self-join read it, and
-    // recomputing means re-hashing every shingle of the corpus. One row per
-    // (doc, band) — negligible next to the corpus at any scale.
-    val b = Skew.capBuckets(
-      lshBuckets(sig, idCol, bands, rowsPerBand), Seq("band", "bucket"), idCol, maxBucket)
+    // Persist the RAW bucket table: the size count, and both sides of the
+    // self-join, read it — recomputing would re-hash every shingle of the
+    // corpus per consumer. One row per (doc, band) — negligible next to
+    // the corpus at any scale. The capped view stays derived (a cheap join
+    // against the cached table + cached sizes).
+    val raw = lshBuckets(sig, idCol, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = Skew.capBuckets(raw, Seq("band", "bucket"), idCol, maxBucket)
     val l = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val r = b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "bucket"))
@@ -123,13 +125,14 @@ object Dedup {
     * failure mode: every boilerplate doc shares one h1). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
                    maxBucket: Int = 8192): DataFrame = {
-    // Persisted: both join sides scan it, and the shingle set + hash are
-    // the expensive part (one md5 per shingle). One row per doc.
-    val base = Skew.capBuckets(
-      docs.select(col(idCol), array_distinct(shingles(col(textCol), n)).as("sh"),
-        array_min(transform(shingles(col(textCol), n), s => md5Long(s, 1))).as("h1")),
-      Seq("h1"), idCol, maxBucket)
+    // Persist the RAW shingle table: the cap's size count and both join
+    // sides scan it, and the shingle set + hash are the expensive part
+    // (one md5 per shingle). One row per doc; the capped view is a cheap
+    // derived join against it.
+    val pre = docs.select(col(idCol), array_distinct(shingles(col(textCol), n)).as("sh"),
+      array_min(transform(shingles(col(textCol), n), s => md5Long(s, 1))).as("h1"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = Skew.capBuckets(pre, Seq("h1"), idCol, maxBucket)
     val l = base.select(col("h1"), col(idCol).as("id_a"), col("sh").as("sh_a"))
     val r = base.select(col("h1"), col(idCol).as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("h1")).filter(col("id_a") < col("id_b"))
