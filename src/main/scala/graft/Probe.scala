@@ -33,6 +33,28 @@ object Probe {
       .dropVertices(col("props").getItem("flag") === "x")
     require(g.vertices.count() == 1 && g.edges.count() == 0)
     println("[probe] null-safe drop cascade OK")
+
+    // Plan dumps for PLANS.md (round 4): the capped LSH candidate join
+    // and the fresh-read bucketed-catalog hop.
+    if (args.contains("plans")) {
+      val sfDir = "/root/testdata/sf0.01"
+      println("[probe] === d_minhash_lsh (capped) plan ===")
+      operators.Dedup.lshCandidates(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+        .explain("formatted")
+      println("[probe] === a19 fresh-read bucketed hop plan ===")
+      val full = graph.GraphBuilder.build(spark, sfDir)
+      val sub = PropertyGraph(
+        full.V.filter(col("label").isin("customer", "nation")),
+        full.E.filter(expr(s"src div ${graph.GraphBuilder.B}") === 3))
+      sources.GraphStorage.writeBucketedTables(spark, sub, db = "graft_probe", buckets = 8,
+        location = Some(java.nio.file.Files.createTempDirectory("graft-probe").toString))
+      val bg = sources.GraphStorage.loadBucketedTables(spark, "graft_probe")
+      bg.out(bg.hasLabel("customer"), "in")
+        .filter(col("label") === "nation")
+        .groupBy(col("key")).agg(count(lit(1)).as("n_customers"))
+        .explain("formatted")
+    }
     spark.stop()
   }
 }
