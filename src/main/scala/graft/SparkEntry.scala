@@ -896,6 +896,22 @@ object SparkEntry {
         .groupBy(col("outdeg")).agg(count(lit(1)).as("n_vertices"))
     }),
 
+    // End-to-end near-dup CLUSTERING: LSH candidate pairs -> undirected
+    // transitive closure -> canonical (minimum) doc per dup cluster. The
+    // "keep one per cluster" pass every training-data dedup ends with,
+    // composed from the capped LSH join and the cycle-safe fixpoint
+    // (clusters are symmetric graphs — cycles by construction).
+    "d_dup_clusters" -> ((s, dir) => {
+      val pairs = operators.Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text")
+      val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val members = und.select(col("src").as("id")).distinct()
+      graph.Traversal.reachFix(und, members)
+        .groupBy(col("origin")).agg(min(col("node")).as("mn"))
+        .select(col("origin").as("doc_id"),
+          least(col("mn"), col("origin")).as("canonical"))
+    }),
+
     // Symmetric int8 embedding quantization (q vector + 6dp scale).
     // The gate projects the int8 vector to a CSV string: the driver's
     // comparator canonicalizes by lexsorting column values, which crashes
@@ -1280,6 +1296,28 @@ object SparkEntry {
          |b AS ($bands)
          |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
          |FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id""".stripMargin
+    },
+
+    "d_dup_clusters" -> {
+      val hs = (1 to 8).map(i =>
+        s"list_min(list_transform(sh, x -> ${md5i(s"x || '|$i'")})) AS h$i").mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val (l, r) = (s"h${2 * b + 1}", s"h${2 * b + 2}")
+        s"SELECT doc_id, $b AS band, ${md5i(s"CAST($l AS VARCHAR) || '_' || CAST($r AS VARCHAR)")} AS bucket FROM sig"
+      }.mkString("\nUNION ALL ")
+      s"""WITH RECURSIVE ${SHINGLE_CTES.stripPrefix("WITH ")},
+         |sig AS (SELECT doc_id, $hs FROM s),
+         |b AS ($bands),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(origin, node) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.origin, e2.dst FROM reach r JOIN e e2 ON r.node = e2.src
+         |)
+         |SELECT origin AS doc_id, least(min(node), origin) AS canonical
+         |FROM reach GROUP BY origin""".stripMargin
     },
 
     "d_simhash" -> {

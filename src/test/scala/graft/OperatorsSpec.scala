@@ -41,6 +41,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dup clustering: candidates -> closure -> canonical picks the min doc per cluster") {
+    val corpus = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (5L, "alpha beta gamma delta epsilon zeta"), // 3-doc cluster -> canonical 1
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven"),   // 2-doc cluster -> canonical 3
+      (9L, "nothing like anything else at all ever"))
+    val pairs = Dedup.lshCandidates(corpus, "doc_id", "text")
+    val und = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+    val canon = graph.Traversal.reachFix(und, und.select($"src".as("id")).distinct())
+      .groupBy($"origin").agg(least(min($"node"), first($"origin")).as("canonical"))
+      .as[(Long, Long)].collect().toMap
+    assert(canon == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("lshCandidates bounds a degenerate all-identical corpus via the bucket cap") {
     // 2000 identical boilerplate docs: every band puts all of them in ONE
     // bucket. Uncapped that is ~2M pairs on one reducer; the cap samples
