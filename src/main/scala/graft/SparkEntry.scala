@@ -912,6 +912,31 @@ object SparkEntry {
           least(col("mn"), col("origin")).as("canonical"))
     }),
 
+    // Matryoshka prefix truncation + L2 renormalize (16 of 64 dims),
+    // exploded to scalar rows for the comparator.
+    "e6_matryoshka" -> ((s, dir) => {
+      operators.Similarity.matryoshka(t(s, dir, "embeddings"), "vec_id", "embedding", 16)
+        .select(col("vec_id"), posexplode(col("mvec")).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("val"))
+    }),
+
+    // Concat-and-chunk sequence packing: 512-token context windows over
+    // 8 deterministic shards (per-shard prefix-sum window — no global
+    // single-reducer ordering at any corpus size).
+    "t_pack_chunks" -> ((s, dir) => {
+      operators.TextAnalysis.packChunks(t(s, dir, "documents"), "doc_id", "text", budget = 512)
+    }),
+
+    // Train<->benchmark contamination: shared distinct 3-gram counts for
+    // pairs over the threshold; bench = the deterministic 10% hash sample,
+    // train = the rest (the pre-training decontamination pass).
+    "d_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = operators.Dedup.hashSample(docs, "doc_id", 10).drop("bucket")
+      val train = docs.join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
+      operators.Dedup.contamination(train, bench, "doc_id", "text")
+    }),
+
     // Symmetric int8 embedding quantization (q vector + 6dp scale).
     // The gate projects the int8 vector to a CSV string: the driver's
     // comparator canonicalizes by lexsorting column values, which crashes
@@ -1616,6 +1641,41 @@ object SparkEntry {
         |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)
         |SELECT coalesce(d.outdeg, 0) AS outdeg, count(*) AS n_vertices
         |FROM verts v LEFT JOIN d ON v.id = d.src GROUP BY 1""".stripMargin,
+
+    "e6_matryoshka" ->
+      """WITH m AS (SELECT vec_id,
+        |  list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS p FROM embeddings),
+        |n AS (SELECT vec_id, p,
+        |  sqrt(list_reduce(list_transform(p, x -> x * x), (a, b) -> a + b)) AS nrm FROM m)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+        |  CASE WHEN nrm = 0 THEN 0.0 ELSE floor(p[i] / nrm * 1000000) / 1000000 END AS val
+        |FROM n, generate_series(1, 16) AS g(i)""".stripMargin,
+
+    "t_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         |  ${md5i("CAST(doc_id AS VARCHAR)")} % 8 AS shard FROM documents),
+         |o AS (SELECT doc_id, shard, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset" FROM t)
+         |SELECT doc_id, shard, n_tokens, "offset",
+         |  CAST(floor("offset" / 512) AS BIGINT) AS chunk,
+         |  (n_tokens > 0 AND
+         |   CAST(floor(("offset" + n_tokens - 1) / 512) AS BIGINT) > CAST(floor("offset" / 512) AS BIGINT)) AS straddles
+         |FROM o""".stripMargin,
+
+    "d_contamination" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |  list_transform(generate_series(1, greatest(len(w) - 2, 0)), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+         |  x -> ${md5i("x")})) AS hs FROM w),
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+         |b AS (SELECT doc_id, h FROM e WHERE ${md5i("CAST(doc_id AS VARCHAR)")} % 100 < 10),
+         |tr AS (SELECT doc_id, h FROM e WHERE ${md5i("CAST(doc_id AS VARCHAR)")} % 100 >= 10)
+         |SELECT tr.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
+         |FROM tr JOIN b ON tr.h = b.h
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     "e5_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,

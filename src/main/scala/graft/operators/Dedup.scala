@@ -144,6 +144,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Train↔benchmark contamination scan: for every (train doc, bench
+    * doc) pair sharing at least `minShared` distinct word n-grams,
+    * the count of shared n-grams — the decontamination pass run before
+    * training so eval sets aren't memorized. One shuffle on the 60-bit
+    * shingle hash (never the text); the benchmark side is typically
+    * small, and per-shingle fan-out is bounded by the bench side's
+    * posting size. Shingle hashes are md5 — any engine reproduces the
+    * counts exactly. */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3, minShared: Int = 3): DataFrame = {
+    def sh(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      explode(array_distinct(transform(shingles(col(textCol), n), s => md5Long(s)))).as("h"))
+    sh(train, "train_id").join(sh(bench, "bench_id"), Seq("h"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Deterministic hash sampling: keep rows whose md5 key-bucket (0..99)
     * falls below `pct`. Unlike `rand()`-based sampling this is
     * reproducible across engines, runs, retries, and partitionings — the

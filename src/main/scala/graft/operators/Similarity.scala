@@ -141,6 +141,22 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Matryoshka truncation: keep the first `dims` dimensions and
+    * L2-renormalize — the MRL serving trick (use a prefix of the
+    * embedding at a fraction of the cost; Kusupati et al. 2022). Zero
+    * prefixes stay zero vectors. Single codegen'd projection, no
+    * shuffle; values floor-truncated to 6dp so any engine reproduces
+    * them (.5-tie rounding differs across engines). */
+  def matryoshka(vecs: DataFrame, idCol: String, vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val prefix = slice(transform(col(vecCol), x => x.cast("double")), 1, dims)
+    val nrm = sqrt(aggregate(prefix, lit(0.0), (acc, x) => acc + x * x))
+    vecs.select(col(idCol),
+      when(nrm === 0, transform(prefix, _ => lit(0.0)))
+        .otherwise(transform(prefix, x => floor(x / nrm * 1000000) / 1000000))
+        .as("mvec"))
+  }
+
   /** Symmetric per-vector int8 quantization: q_i = floor(x_i · 127 / max|x|),
     * scale = max|x| / 127 (6dp floor-truncated) — the compression pass an
     * embedding store applies before ANN serving (4x smaller, dot products

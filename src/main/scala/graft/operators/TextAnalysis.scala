@@ -117,6 +117,32 @@ object TextAnalysis {
     * (a polynomial rolling hash re-expressed as a commutative sum so it
     * distributes: sum_i (md5(w_i) mod P) * i). Reordering words changes the
     * fingerprint; a bag-of-words hash would not. */
+  /** Concat-and-chunk packing: lay the documents of each shard end to
+    * end (ordered by id — deterministic) and assign every document the
+    * `budget`-token context-window chunk its first token lands in,
+    * flagging documents that straddle a chunk boundary — the sequence-
+    * packing bookkeeping a pretraining pipeline runs before writing
+    * examples. Sharding bounds the window: the running sum partitions by
+    * `shards` deterministic md5 buckets, so no global single-reducer
+    * ordering exists at any corpus size (within a shard the window is
+    * the standard one-shuffle prefix sum). All-BIGINT outputs — exact in
+    * any engine. */
+  def packChunks(docs: DataFrame, idCol: String, textCol: String,
+                 budget: Long, shards: Int = 8): DataFrame = {
+    require(budget >= 1 && shards >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(tokens(col(textCol))).cast("long")
+    val shard = pmod(md5Long(col(idCol)), lit(shards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    docs.select(col(idCol), shard.as("shard"), nTok.as("n_tokens"))
+      .withColumn("offset", coalesce(
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("chunk", floor(col("offset") / budget).cast("long"))
+      .withColumn("straddles",
+        col("n_tokens") > 0 &&
+          floor((col("offset") + col("n_tokens") - 1) / budget).cast("long") > col("chunk"))
+  }
+
   def rollingFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = tokens(col(textCol))
     val weighted = transform(sequence(lit(1), size(w)),

@@ -233,6 +233,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full == 200L)
   }
 
+  test("matryoshka: prefix is renormalized to unit length; zero prefix stays zero") {
+    val vecs = Seq(
+      (1L, Seq(3.0f, 4.0f, 9.0f, 9.0f)), // prefix (3,4): norm 5 -> (0.6, 0.8)
+      (2L, Seq(0.0f, 0.0f, 7.0f, 7.0f))) // zero prefix stays (0, 0)
+      .toDF("vec_id", "embedding")
+    val out = Similarity.matryoshka(vecs, "vec_id", "embedding", 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == Seq(0.6, 0.8))
+    assert(out(2L) == Seq(0.0, 0.0))
+  }
+
+  test("packChunks: offsets are the running sum; straddlers flagged at chunk boundaries") {
+    // One shard so the layout is fully deterministic: 3+4+5 tokens,
+    // budget 6 -> offsets 0,3,7; doc 2 straddles (spans tokens 3..6).
+    val corpus = docs(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l"))
+    val out = TextAnalysis.packChunks(corpus, "doc_id", "text", budget = 6, shards = 1)
+      .select("doc_id", "offset", "chunk", "straddles")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((0L, 0L, false)))
+    assert(out(2L) == ((3L, 0L, true)))  // tokens 3..6 cross offset 6
+    assert(out(3L) == ((7L, 1L, false))) // tokens 7..11 inside chunk 1
+  }
+
+  test("contamination counts shared distinct n-grams across sets, thresholded") {
+    val train = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated content with no overlap here"))
+    val bench = docs(
+      (10L, "the quick brown fox jumps somewhere else entirely"))
+    val hits = Dedup.contamination(train, bench, "doc_id", "text", n = 3, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    // train 1 shares the 3-grams "the quick brown", "quick brown fox",
+    // "brown fox jumps" with bench 10; train 2 shares nothing.
+    assert(hits == Seq((1L, 10L, 3L)))
+  }
+
   test("quantizeInt8: max element maps to 127; zero vector guarded") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
