@@ -565,6 +565,10 @@ object SparkEntry {
     }),
 
     // MinHash + LSH banding: candidate near-dup pairs (4 bands x 2 rows).
+    // Oracle parity note (also d_ngram_jaccard, d_dup_clusters): the
+    // DuckDB oracles mirror the UNCAPPED pipeline; equivalence is exact
+    // below the 8192 hot-bucket cap, which gate corpora never reach
+    // (sf0.1 has 5000 docs). The capped path is OperatorsSpec-covered.
     "d_minhash_lsh" -> ((s, dir) => {
       operators.Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text")
     }),
@@ -902,7 +906,13 @@ object SparkEntry {
     // composed from the capped LSH join and the cycle-safe fixpoint
     // (clusters are symmetric graphs — cycles by construction).
     "d_dup_clusters" -> ((s, dir) => {
+      // Persisted: reachFix's edge prep AND the member frontier both
+      // consume the pair set — uncached, each would re-run the per-bucket
+      // self-join. NOTE the oracle mirrors the UNCAPPED pipeline: parity
+      // holds below the 8192 hot-bucket cap (guaranteed at gate scales —
+      // sf docs < 8192); the capped path is spec-covered instead.
       val pairs = operators.Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       val members = und.select(col("src").as("id")).distinct()

@@ -50,7 +50,11 @@ object GraphExport {
     * vertex-property ids are deterministic md5s (the reference's are
     * server-assigned). One codegen'd to_json per row, fully distributed. */
   def graphsonTypedVertices(g: PropertyGraph): DataFrame = {
-    val allProps = map_concat(col("props"), map(lit("key"), col("key")))
+    // A props map that already carries a literal "key" entry wins — the
+    // default mapKeyDedupPolicy=EXCEPTION would otherwise fail the whole
+    // export job on one such row.
+    val allProps = when(map_contains_key(col("props"), "key"), col("props"))
+      .otherwise(map_concat(col("props"), map(lit("key"), col("key"))))
     val vprops = transform_values(allProps, (k, v) => array(struct(
       lit("g:VertexProperty").as("@type"),
       struct(

@@ -65,7 +65,10 @@ object GremlinLite {
       // bound property may be the promoted key (stored in `key`, not in
       // `props`) — consult the per-label registry for that.
       val kp = typedLit(keyProps)
-      val e = pe.toDF()
+      // localCheckpoint freezes the per-statement ids so the validation
+      // aggregates and the upsert all see the same numbering.
+      val e = pe.toDF().withColumn("__stmt", monotonically_increasing_id())
+        .localCheckpoint()
       def vside(s: String) = cur.vertices.select(
         col("id").as(s"__${s}id"), col("label").as(s"__${s}l"),
         col("key").as(s"__${s}k"), col("props").as(s"__${s}p"))
@@ -79,15 +82,21 @@ object GremlinLite {
       val full = e
         .join(vside("s"), cond("s", "srcLabel", "srcProp", "srcKey"))
         .join(vside("d"), cond("d", "dstLabel", "dstProp", "dstKey"))
-        .select(col("__sid").as("src"), col("__did").as("dst"),
+        .select(col("__stmt"), col("__sid").as("src"), col("__did").as("dst"),
           col("label"), col("weight"))
       if (parsedCount > 0) {
-        val resolvedCount = full.count()
-        require(resolvedCount == parsedCount,
+        // Per-STATEMENT validation: every addE must resolve to exactly one
+        // (src, dst) pair — an unmatched bind (Gremlin .next() on an empty
+        // traversal throws) must not cancel out against an ambiguous bind
+        // that matched several vertices.
+        val perStmt = full.groupBy(col("__stmt")).agg(count(lit(1)).as("__c"))
+        val resolvedStmts = perStmt.count()
+        val ambiguous = perStmt.filter(col("__c") > 1).count()
+        require(resolvedStmts == parsedCount && ambiguous == 0,
           s"addE endpoint lookup failed: $parsedCount statement(s) parsed, " +
-            s"only $resolvedCount resolved to existing vertices (Gremlin .next() " +
-            s"on an empty traversal throws; so do we)")
-        cur = cur.upsertEdges(full)
+            s"$resolvedStmts resolved, $ambiguous ambiguous (a bind must match " +
+            s"exactly one vertex; Gremlin .next() on an empty traversal throws — so do we)")
+        cur = cur.upsertEdges(full.drop("__stmt"))
       }
       buf.setLength(0)
     }
@@ -95,9 +104,17 @@ object GremlinLite {
       Drop.findFirstMatchIn(line) match {
         case Some(m) =>
           flush()
+          // The bound property may be the label's promoted key, which
+          // lives in the `key` column, not the props map — same registry
+          // rule as addE endpoint resolution above.
           val pred =
             if (m.group(2) == null) col("label") === m.group(1)
-            else col("label") === m.group(1) && cur.propCol(m.group(2)) === lit(m.group(3))
+            else {
+              val isKey = m.group(2) == "key" ||
+                keyProps.get(m.group(1)).contains(m.group(2))
+              col("label") === m.group(1) &&
+                (if (isKey) col("key") else cur.propCol(m.group(2))) === lit(m.group(3))
+            }
           cur = cur.dropVertices(pred)
         case None => buf.append(line).append('\n')
       }

@@ -146,7 +146,10 @@ object Similarity {
     * embedding at a fraction of the cost; Kusupati et al. 2022). Zero
     * prefixes stay zero vectors. Single codegen'd projection, no
     * shuffle; values floor-truncated to 6dp so any engine reproduces
-    * them (.5-tie rounding differs across engines). */
+    * them (.5-tie rounding differs across engines). Contract: every
+    * vector must have >= `dims` elements — a shorter vector yields a
+    * shorter output prefix rather than NULL-padding (matryoshka models
+    * are trained at fixed dims; validate upstream for ragged corpora). */
   def matryoshka(vecs: DataFrame, idCol: String, vecCol: String, dims: Int): DataFrame = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     val prefix = slice(transform(col(vecCol), x => x.cast("double")), 1, dims)

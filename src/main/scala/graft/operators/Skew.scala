@@ -61,12 +61,13 @@ object Skew {
                  maxBucket: Int): DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val keys = bucketCols.map(col)
-    // One row per distinct bucket — orders of magnitude smaller than the
-    // data. Cached so the (usually twice-consumed) capped view never
-    // recomputes the count pass; callers should persist `df` itself when
-    // it is expensive to produce (the LSH/shingle call sites do).
+    // Deliberately NOT persisted: with mostly-singleton buckets (the LSH
+    // norm) the size table is the same order as the data, and a cached
+    // copy per invocation would accumulate session storage pressure
+    // against the deliberately-kept graph caches. Callers persist `df`
+    // itself when it is expensive (the LSH/shingle call sites do), making
+    // the recomputed count pass one cheap aggregate over cache.
     val sizes = df.groupBy(keys: _*).agg(count(lit(1)).as("__sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val member = graft.functions.Hashing.md5Long(
       concat_ws("", (bucketCols :+ memberCol).map(c => col(c).cast("string")): _*))
     df.join(sizes, bucketCols)

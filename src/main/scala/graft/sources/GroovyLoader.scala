@@ -115,7 +115,10 @@ object GroovyLoader {
     * Pure Column expression — computable by a SQL oracle. */
   private def idFor(labelCol: org.apache.spark.sql.Column, keyCol: org.apache.spark.sql.Column) = {
     val codes = typedLit(GraphBuilder.LabelCodes)
-    val isNum = keyCol.rlike("^[0-9]{1,15}$")
+    // Canonical numeric form only — '007' must NOT share '7''s vid while
+    // remaining a distinct (label, key) row; zero-padded keys take the
+    // md5 path instead.
+    val isNum = keyCol.rlike("^(0|[1-9][0-9]{0,14})$")
     when(codes(labelCol).isNotNull && isNum,
       codes(labelCol) * GraphBuilder.B + keyCol.cast("long"))
       .otherwise(md5Long(concat_ws(":", labelCol, keyCol)))

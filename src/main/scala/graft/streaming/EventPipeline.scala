@@ -97,9 +97,11 @@ object EventPipeline {
           // condition for in-principle-admissible events (ts == wm would
           // merge at ts == end+gap). In practice Spark's late-row filter
           // drops ts == wm before it reaches this function (pinned by
-          // StreamingSpec's boundary test), so the strict form is a free
-          // safety margin rather than a behavior change — it keeps this
-          // code correct even under a `ts < wm` late-filter semantics.
+          // StreamingSpec's boundary test), so `<=` would be equally
+          // CORRECT; the strict form stays robust if that filter ever
+          // becomes `ts < wm`, at the cost of emitting an exact-boundary
+          // session one watermark advance later (the timeout below is
+          // clamped past wm, so a later advance always flushes it).
           val (closed, open) = merged.partition(s => s.end + gapMs < wm)
           if (open.nonEmpty) {
             state.update(open)

@@ -91,9 +91,20 @@ class GremlinLiteSpec extends AnyFunSuite {
     assert(newUser.count() == 1)
     // Replay is a no-op (the guarded-if is subsumed by upsert semantics).
     assert(GremlinLite.mutate(mutated, script).V.count() == 5)
-    // drop() removes by label+property predicate, cascading edges.
-    val dropped = GremlinLite.mutate(mutated, "g.V().hasLabel('user').has('key','new@d').drop()")
+    // drop() removes by label+property predicate, cascading edges — and
+    // the PROMOTED key property ('email' for users) resolves against the
+    // key column, exactly like addE binds do.
+    val dropped = GremlinLite.mutate(mutated, "g.V().hasLabel('user').has('email','new@d').drop()")
     assert(dropped.V.count() == 4)
+    val dropped2 = GremlinLite.mutate(mutated, "g.V().hasLabel('user').has('key','new@d').drop()")
+    assert(dropped2.V.count() == 4)
+    // An addE whose bind matches nothing fails loudly, like .next().
+    assertThrows[IllegalArgumentException] {
+      GremlinLite.mutate(g,
+        """u1 = g.V().hasLabel('user').has('email', 'ghost@d' ).next()
+          |g1 = g.V().hasLabel('group').has('email', 'subgroup1@d').next()
+          |e1 = g.V(u1).addE('in').to(g1).property('weight', 1).next()""".stripMargin)
+    }
   }
 
   test("string query plans identically to the fluent API") {

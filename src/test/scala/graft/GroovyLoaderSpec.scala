@@ -77,6 +77,17 @@ class GroovyLoaderSpec extends AnyFunSuite {
     assert(v2.collect().map(r => r.getString(1) -> r.getLong(0)).toMap == byLabel)
   }
 
+  test("zero-padded numeric keys stay distinct vertices with distinct ids") {
+    val chunks = Seq(
+      " g.addV('region').property(label, 'region').property('rkey', '7').property('name', 'A').next()",
+      " g.addV('region').property(label, 'region').property('rkey', '007').property('name', 'B').next()").toDS()
+    val (v, _) = GroovyLoader.load(chunks, Map("region" -> "rkey"))
+    val ids = v.collect().map(r => r.getString(2) -> r.getLong(0)).toMap
+    assert(ids.size == 2)
+    assert(ids("7") == GraphBuilder.LabelCodes("region") * GraphBuilder.B + 7L)
+    assert(ids("007") != ids("7")) // '007' takes the md5 path, not vid(7)
+  }
+
   test("render -> parse -> upsert twice == once (idempotent round trip)") {
     val rendered = Seq(3, 4).map(k =>
       s"""if (g.V().hasLabel('region').has('rkey','$k').hasNext() == false) {
