@@ -13,9 +13,11 @@ object Bench {
     "a13_khop2_regions", "a14_reach_fixpoint", "a18_bulk_load_merge",
     "b09_invert_map", "b10_dedup_rank", "q1_pricing_summary",
     "q3_top_revenue", "q5_region_revenue", "k1_global_topk",
-    "d_minhash_lsh", "e2_lsh_ann", "e3_cosine_neardup",
+    "d_minhash_lsh", "d_dup_clusters", "d_contamination",
+    "e2_lsh_ann", "e3_cosine_neardup",
     "t_quality_score", "sw1_tumbling_window", "sw3_session_window",
-    "z1_asof_join", "x1_connected_components", "x3_triangle_count")
+    "z1_asof_join", "x1_connected_components", "x3_triangle_count",
+    "a18b_groovy_load", "a19_bucketed_layout")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
