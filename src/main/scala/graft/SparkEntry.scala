@@ -890,6 +890,16 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
     }),
 
+    // Multi-source BFS: minimum hop distance from the lineitem layer to
+    // everything it reaches (lineitem=0 -> orders/part/supplier=1 ->
+    // customer/nation=2 -> nation/region=3/4; nation's min is 2 via the
+    // supplier path — the MIN semantics the per-origin khop can't give
+    // without materializing every pair).
+    "x6_bfs_depth" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      g.bfsDepth(g.hasLabel("lineitem"))
+    }),
+
     // Degree histogram of the whole graph: out-degree -> #vertices,
     // INCLUDING the outdeg=0 bucket (sink vertices never appear as src).
     "x5_degree_histogram" -> ((s, dir) => {
@@ -1686,6 +1696,22 @@ object SparkEntry {
          |SELECT tr.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
          |FROM tr JOIN b ON tr.h = b.h
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    "x6_bfs_depth" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT 3*72057594037927936 + c_custkey AS src, 2*72057594037927936 + c_nationkey AS dst FROM customer
+        |  UNION ALL SELECT 4*72057594037927936 + s_suppkey, 2*72057594037927936 + s_nationkey FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation
+        |  UNION ALL SELECT 6*72057594037927936 + o_orderkey, 3*72057594037927936 + o_custkey FROM orders
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 6*72057594037927936 + l_orderkey FROM lineitem
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 5*72057594037927936 + l_partkey FROM lineitem
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 4*72057594037927936 + l_suppkey FROM lineitem)),
+        |reach(id, depth) AS (
+        |  SELECT DISTINCT 7*72057594037927936 + l_orderkey*10 + l_linenumber, CAST(0 AS BIGINT) FROM lineitem
+        |  UNION
+        |  SELECT e.dst, r.depth + 1 FROM reach r JOIN e ON e.src = r.id WHERE r.depth < 8
+        |)
+        |SELECT id, min(depth) AS depth FROM reach GROUP BY id""".stripMargin,
 
     "e5_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,

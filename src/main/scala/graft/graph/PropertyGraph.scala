@@ -221,4 +221,9 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
                dedupStart: Boolean = true): DataFrame =
     Traversal.reachFix(edges.filter(col("label") === edgeLabel), start, maxIter,
       prepEdges = !edgesCached, dedupStart = dedupStart)
+
+  /** Multi-source BFS min-hop depth (see [[Traversal.bfsDepth]]). */
+  def bfsDepth(start: DataFrame, edgeLabel: String = "in", maxIter: Int = 64): DataFrame =
+    Traversal.bfsDepth(edges.filter(col("label") === edgeLabel), start, maxIter,
+      prepEdges = !edgesCached)
 }

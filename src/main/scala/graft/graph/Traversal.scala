@@ -124,6 +124,49 @@ object Traversal {
     out
   }
 
+  /** Multi-source BFS depth: for every vertex reachable from the seed SET,
+    * the minimum hop distance (seeds themselves at 0). Unlike [[khop]]
+    * (per-origin pairs) the state here is one row per REACHED VERTEX —
+    * frontier-only movement with a visited-set anti-join per level, so a
+    * level costs one join however many seeds there are. Cycle-safe by the
+    * visited set; levels beyond the first reach of a vertex never revisit
+    * it (that first reach IS the minimum — BFS invariant). Converges in
+    * graph-diameter rounds; throws if `maxIter` is hit first (a truncated
+    * depth map is a wrong answer, not a partial one). */
+  def bfsDepth(edges: DataFrame, start: DataFrame, maxIter: Int = 64,
+               prepEdges: Boolean = true): DataFrame = {
+    val e = prep(edges, prepEdges)
+    var visited = start.select(col("id")).distinct()
+      .withColumn("depth", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    var live = List(visited)
+    var depth = 1L
+    var done = false
+    while (!done) {
+      require(depth <= maxIter,
+        s"bfsDepth did not converge in $maxIter levels — raise maxIter")
+      val next = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id").hint("shuffle_hash"), Seq("id"), "left_anti")
+        .withColumn("depth", lit(depth))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // convergence probe doubles as the cache fill
+      done = next.count() == 0
+      if (!done) {
+        visited = visited.unionByName(next).localCheckpoint()
+        live.foreach(_.unpersist(false))
+        live = List(next)
+        frontier = next
+        depth += 1
+      } else next.unpersist(false)
+    }
+    val out = visited
+    live.foreach(_.unpersist(false))
+    if (prepEdges) e.unpersist(false)
+    out
+  }
+
   /** Cycle-safe transitive closure: all (origin, node) pairs with a directed
     * path of length ≥ 1 from origin to node — equivalent to DuckDB/ANSI
     * `WITH RECURSIVE ... UNION` (set semantics ⇒ termination on cycles).

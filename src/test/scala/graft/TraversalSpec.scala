@@ -58,6 +58,23 @@ class TraversalSpec extends AnyFunSuite {
     assert(out.contains((1L, 1L, 3)))
   }
 
+  test("bfsDepth: multi-source min-hop; short path wins; cycles terminate") {
+    // 1 -> 2 -> 3 -> 4 and 1 -> 4 directly: 4's min depth is 1, not 3.
+    // 5 <-> 6 cycle hangs off 4 (4 -> 5): cycle-safe, depths 2 and 3.
+    val es = edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L), (5L, 6L), (6L, 5L)))
+    val d = Traversal.bfsDepth(es, Seq(1L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L, 6L -> 3L))
+    // Multi-source: seeds {3, 1} — 4 still depth 1 (via 1), 5 depth 2.
+    val d2 = Traversal.bfsDepth(es, Seq(3L, 1L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(d2(4L) == 1L && d2(3L) == 0L && d2(5L) == 2L)
+    // Unreachable convergence guard: tiny maxIter on a longer graph throws.
+    assertThrows[IllegalArgumentException] {
+      Traversal.bfsDepth(es, Seq(1L).toDF("id"), maxIter = 1)
+    }
+  }
+
   test("reachFix throws instead of silently truncating") {
     val e = edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
     assertThrows[IllegalStateException] {
