@@ -894,7 +894,9 @@ object SparkEntry {
     // everything it reaches (lineitem=0 -> orders/part/supplier=1 ->
     // customer/nation=2 -> nation/region=3/4; nation's min is 2 via the
     // supplier path — the MIN semantics the per-origin khop can't give
-    // without materializing every pair).
+    // without materializing every pair). The oracle's recursion guard is
+    // pinned to bfsDepth's maxIter (64): parity must not silently depend
+    // on graph diameter staying under a smaller ad-hoc bound.
     "x6_bfs_depth" -> ((s, dir) => {
       val g = GraphStore.get(s, dir)
       g.bfsDepth(g.hasLabel("lineitem"))
@@ -916,20 +918,17 @@ object SparkEntry {
     // composed from the capped LSH join and the cycle-safe fixpoint
     // (clusters are symmetric graphs — cycles by construction).
     "d_dup_clusters" -> ((s, dir) => {
-      // Persisted: reachFix's edge prep AND the member frontier both
-      // consume the pair set — uncached, each would re-run the per-bucket
-      // self-join. NOTE the oracle mirrors the UNCAPPED pipeline: parity
+      // Min-id label propagation (state O(vertices)), NOT the all-pairs
+      // transitive closure: a web-scale boilerplate cluster of 10⁵-10⁶
+      // near-identical docs would make the closure materialize 10¹⁰-10¹²
+      // (origin, node) rows, while the label column stays one row per doc.
+      // min-over-closure ≡ min label, so the WITH RECURSIVE oracle is
+      // unchanged. NOTE the oracle mirrors the UNCAPPED pipeline: parity
       // holds below the 8192 hot-bucket cap (guaranteed at gate scales —
       // sf docs < 8192); the capped path is spec-covered instead.
       val pairs = operators.Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val members = und.select(col("src").as("id")).distinct()
-      graph.Traversal.reachFix(und, members)
-        .groupBy(col("origin")).agg(min(col("node")).as("mn"))
-        .select(col("origin").as("doc_id"),
-          least(col("mn"), col("origin")).as("canonical"))
+      graph.Traversal.minLabel(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("id").as("doc_id"), col("label").as("canonical"))
     }),
 
     // Matryoshka prefix truncation + L2 renormalize (16 of 64 dims),
@@ -1676,8 +1675,8 @@ object SparkEntry {
          |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
          |  ${md5i("CAST(doc_id AS VARCHAR)")} % 8 AS shard FROM documents),
          |o AS (SELECT doc_id, shard, n_tokens,
-         |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset" FROM t)
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset" FROM t)
          |SELECT doc_id, shard, n_tokens, "offset",
          |  CAST(floor("offset" / 512) AS BIGINT) AS chunk,
          |  (n_tokens > 0 AND
@@ -1691,8 +1690,10 @@ object SparkEntry {
          |  list_transform(generate_series(1, greatest(len(w) - 2, 0)), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
          |  x -> ${md5i("x")})) AS hs FROM w),
          |e AS (SELECT doc_id, unnest(hs) AS h FROM sh),
-         |b AS (SELECT doc_id, h FROM e WHERE ${md5i("CAST(doc_id AS VARCHAR)")} % 100 < 10),
-         |tr AS (SELECT doc_id, h FROM e WHERE ${md5i("CAST(doc_id AS VARCHAR)")} % 100 >= 10)
+         |hot AS (SELECT h FROM e GROUP BY h HAVING count(*) > 8192),
+         |e2 AS (SELECT e.doc_id, e.h FROM e ANTI JOIN hot ON e.h = hot.h),
+         |b AS (SELECT doc_id, h FROM e2 WHERE ${md5i("CAST(doc_id AS VARCHAR)")} % 100 < 10),
+         |tr AS (SELECT doc_id, h FROM e2 WHERE ${md5i("CAST(doc_id AS VARCHAR)")} % 100 >= 10)
          |SELECT tr.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
          |FROM tr JOIN b ON tr.h = b.h
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
@@ -1709,7 +1710,7 @@ object SparkEntry {
         |reach(id, depth) AS (
         |  SELECT DISTINCT 7*72057594037927936 + l_orderkey*10 + l_linenumber, CAST(0 AS BIGINT) FROM lineitem
         |  UNION
-        |  SELECT e.dst, r.depth + 1 FROM reach r JOIN e ON e.src = r.id WHERE r.depth < 8
+        |  SELECT e.dst, r.depth + 1 FROM reach r JOIN e ON e.src = r.id WHERE r.depth < 64
         |)
         |SELECT id, min(depth) AS depth FROM reach GROUP BY id""".stripMargin,
 

@@ -23,6 +23,32 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Cap-precondition audit: the dedup/similarity oracles mirror the
+    // UNCAPPED pipelines, which is exact only while no hot bucket exceeds
+    // the 8192 cap at this sf. If a future corpus breaks that, the gates
+    // would fail as a bare hash mismatch — surface the real cause loudly.
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val pre = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.array_min(
+          org.apache.spark.sql.functions.transform(
+            operators.Dedup.shingles(org.apache.spark.sql.functions.col("text")),
+            s => functions.Hashing.md5Long(s, 1))).as("h1"))
+      val audits = Seq(
+        "lsh band buckets" -> operators.Dedup.lshOverflow(docs, "doc_id", "text"),
+        "ngram h1 prefilter" -> operators.Skew.bucketOverflow(pre, Seq("h1"), 8192),
+        "cosine label blocks" -> operators.Skew.bucketOverflow(embs, Seq("label"), 8192))
+      audits.foreach { case (what, audit) =>
+        val n = audit.count()
+        if (n > 0) System.err.println(
+          s"[verify] CAP-AUDIT VIOLATION: $n hot $what bucket(s) exceed the " +
+            "8192 cap at this sf — capped Spark pipelines will hash-mismatch " +
+            "their uncapped oracles; shrink the corpus or mirror the cap in SQL")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] cap audit skipped: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

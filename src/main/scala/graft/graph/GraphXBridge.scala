@@ -14,14 +14,25 @@ import org.apache.spark.sql.functions._
   *
   * Scale: edges are partitioned with `EdgePartition2D` (grid partitioning
   * bounds each vertex's replication to 2*sqrt(numParts) partitions —
-  * the standard GraphX answer to power-law degree skew).
+  * the standard GraphX answer to power-law degree skew), except for
+  * graphs the caller coalesced tiny, where the extra shuffle is pure
+  * overhead (see [[toGraphX]]).
   */
 object GraphXBridge {
+
+  /** Below this partition count, grid partitioning is skipped: its
+    * replication bound (2·√p) barely beats p itself for small p, while the
+    * partitionBy is a full extra shuffle + task wave — measured ~2 s of
+    * pure overhead per tiny-graph job at gate scale. */
+  private val Min2DParts = 17
 
   /** Lower a [[PropertyGraph]] to a GraphX graph (vertex attr = label).
     * `numParts` sizes the edge partitioning: Pregel runs a join round per
     * superstep, so a small graph on many partitions is pure task-launch
-    * overhead — size to data, not to cluster default. */
+    * overhead — size to data, not to cluster default. Callers that coalesce
+    * small (`numParts < 17`) have declared the graph tiny, and the
+    * EdgePartition2D pass is skipped (see [[Min2DParts]]); unsized or wide
+    * graphs keep the grid partitioning that bounds power-law replication. */
   def toGraphX(g: PropertyGraph, numParts: Int = 0): Graph[String, Int] = {
     val vs = g.vertices.select(col("id"), col("label")).rdd
       .map(r => (r.getLong(0): VertexId, r.getString(1)))
@@ -30,7 +41,8 @@ object GraphXBridge {
     val graph = if (numParts > 0)
       Graph(vs.coalesce(numParts), es.coalesce(numParts))
     else Graph(vs, es)
-    graph.partitionBy(PartitionStrategy.EdgePartition2D)
+    if (numParts > 0 && numParts < Min2DParts) graph
+    else graph.partitionBy(PartitionStrategy.EdgePartition2D)
   }
 
   /** Connected components (undirected reachability; component id = min

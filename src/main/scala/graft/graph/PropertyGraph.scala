@@ -186,6 +186,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         .join(dropped.withColumnRenamed("id", "__d2"), col("dst") === col("__d2"), "left_anti"))
   }
 
+  /** A15 — drop edges matching `pred` (`g.E()...drop()`,
+    * README.md:321-328). Vertices are untouched — Gremlin's edge drop
+    * never cascades (an isolated vertex is legal). NULL-safe like
+    * [[dropVertices]]: a NULL predicate row is kept, not lost. */
+  def dropEdges(pred: Column): PropertyGraph =
+    PropertyGraph(vertices, edges.filter(!coalesce(pred, lit(false))))
+
   /** A15 — `g.V().drop()` / `g.E().drop()`: empty graph of same schema. */
   def dropAll: PropertyGraph =
     PropertyGraph(vertices.limit(0), edges.limit(0))

@@ -162,7 +162,10 @@ object Traversal {
       } else next.unpersist(false)
     }
     val out = visited
-    live.foreach(_.unpersist(false))
+    // A seed set with no out-edges converges on round 1 with `live` still
+    // holding the initial `visited` — which IS `out`. Unpersisting it would
+    // hand back an uncached result (recomputed by every consumer).
+    live.filterNot(_ eq out).foreach(_.unpersist(false))
     if (prepEdges) e.unpersist(false)
     out
   }
@@ -226,5 +229,81 @@ object Traversal {
     if (prepEdges) e.unpersist(false)
     zeroHop.unpersist(false)
     out
+  }
+
+  /** Connected-component labels by min-id label propagation with pointer
+    * jumping: every vertex of the (symmetrized) pair graph gets the MINIMUM
+    * vertex id of its component. This is the scale-safe form of the
+    * "canonical doc per dup cluster" reduction: the all-pairs transitive
+    * closure materializes O(c²) rows for a c-member cluster (a web corpus
+    * has boilerplate clusters of 10⁵-10⁶ near-identical docs, chained
+    * across LSH buckets, so no per-bucket cap bounds c), while label
+    * propagation keeps exactly ONE row per vertex at every step.
+    *
+    * Per round, two bounded steps:
+    *   1. neighbor-min — each vertex takes the min of its own and its
+    *      neighbors' labels (one hop of propagation);
+    *   2. pointer jump — `label(v) := min(label(v), label(label(v)))`
+    *      (every label is itself a vertex id of the same component, so the
+    *      self-join is total). Jumping halves the residual chain depth, so
+    *      path-shaped components converge in O(log diameter) rounds, not
+    *      O(diameter).
+    * Labels only ever decrease, so the decimal label sum is a monotone
+    * convergence witness: unchanged sum ⟺ fixed point. State per round is
+    * O(vertices), eagerly localCheckpoint'ed (the jump self-join would
+    * otherwise double the logical plan per round); shuffles are two hash
+    * exchanges on `id` plus the jump join on `label`. Throws on `maxIter`
+    * — a truncated labeling silently splits clusters.
+    *
+    * Input edges are directed (src, dst) pairs (e.g. LSH candidates with
+    * id_a < id_b); symmetrization happens here. Output: (id, label).
+    */
+  def minLabel(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Seed the witness with the initial sum so an already-labeled fixed
+    // point (empty input included) converges without a wasted round.
+    var prevSum = labels.agg(sum(col("label").cast("decimal(38,0)"))).first().get(0)
+    var iter = 1
+    var done = false
+    while (!done) {
+      if (iter > maxIter)
+        throw new IllegalStateException(
+          s"minLabel did not converge within $maxIter rounds — " +
+            "a truncated labeling would silently split components; raise maxIter")
+      // Neighbor-min via join+join, NOT a self-referential union: a union
+      // whose second branch is also joined inside the first trips Union's
+      // constraint rewrite (key-not-found during analysis). Coverage is
+      // intact — und is symmetrized, so every vertex appears as a dst.
+      val nmin = und.join(labels.hint("shuffle_hash"), und("src") === labels("id"))
+        .groupBy(und("dst").as("id")).agg(min(col("label")).as("nl"))
+      val l1 = labels.as("l")
+        .join(nmin.as("n").hint("shuffle_hash"), col("l.id") === col("n.id"))
+        .select(col("l.id").as("id"), least(col("l.label"), col("n.nl")).as("label"))
+      // Eager localCheckpoint EVERY round, not every N: the jump is a
+      // self-join, so an uncut logical plan DOUBLES per round — Catalyst
+      // re-analyzes the whole tree at each action, and 2^rounds plan nodes
+      // stalls the driver long before the data is the bottleneck. The
+      // checkpoint materializes the one-row-per-vertex state (cheap) and
+      // keeps every round's plan three joins deep.
+      val next = l1.as("a")
+        .join(l1.as("b").hint("shuffle_hash"), col("a.label") === col("b.id"))
+        .select(col("a.id").as("id"), least(col("a.label"), col("b.label")).as("label"))
+        .localCheckpoint()
+      val s = timed(s"minLabel round $iter")(
+        next.agg(sum(col("label").cast("decimal(38,0)"))).first().get(0))
+      done = s == prevSum
+      prevSum = s
+      labels.unpersist(false)
+      labels = next
+      iter += 1
+    }
+    und.unpersist(false)
+    labels
   }
 }

@@ -16,8 +16,10 @@ import graft.graph.PropertyGraph
   * and joins, never the query string). Traverser semantics follow Gremlin:
   * `out()` multiplies per path (no implicit dedup) — use `dedup()`.
   *
-  * Supported steps: `V([id])`, `E()`, `hasLabel(l)`, `has(k,v)`,
-  * `out([l])`, `in([l])`, `outE([l])`, `inE([l])`, `outV()`, `inV()`,
+  * Supported steps: `V([id|var])`, `E()`, `hasLabel(l)`, `has(k,v)`,
+  * `hasId(x)`, `out([l])`, `in([l])`, `outE([l])`, `inE([l])`, `outV()`,
+  * `inV()`, `where(inV()|outV().hasId(x))` (the main.go:320 edge-existence
+  * guard), `hasNext()` (boolean terminal), `iterate()` (terminal no-op),
   * `valueMap()`, `values(k)`, `id()`, `count()`, `dedup()`, `limit(n)`,
   * `repeat(out([l])|in([l])).times(n)` — the canonical spelling of
   * the reference's k-hop walk (README.md:20-33 repeated `.out()`) — and
@@ -51,14 +53,23 @@ object GremlinLite {
                graft.sources.GroovyLoader.ReferenceKeyProps): PropertyGraph = {
     val spark = g.vertices.sparkSession
     import spark.implicits._
+    // hasLabel is optional: a bare `g.V().drop()` / `g.E().drop()` is the
+    // reference's full wipe (README.md:321-328); `.iterate()` is the
+    // gremlin-python submit suffix (README.md:327-328) — a terminal no-op.
     val Drop =
-      """g\.V\(\)\.hasLabel\('([^']+)'\)(?:\.has\(\s*'([^']+)'\s*,\s*'([^']*)'\s*\))?\.drop\(\)""".r
+      """g\.V\(\)(?:\.hasLabel\('([^']+)'\))?(?:\.has\(\s*'([^']+)'\s*,\s*'([^']*)'\s*\))?\.drop\(\)(?:\.iterate\(\))?""".r
+    val EDrop =
+      """g\.E\(\)(?:\.hasLabel\('([^']+)'\))?\.drop\(\)(?:\.iterate\(\))?""".r
     var cur = g
     val buf = new StringBuilder
     def flush(): Unit = if (buf.nonEmpty) {
-      val (pv, pe) = graft.sources.GroovyLoader.parsedBatches(
+      // Managed form: both batches are materialized inside this flush, so
+      // the loader's parse cache can be released immediately — the plain
+      // form leaked one cached dataset per drop() into session storage.
+      val (pv, pe, parsed) = graft.sources.GroovyLoader.parsedBatchesManaged(
         Seq(buf.toString).toDS(), keyProps)
-      cur = cur.upsertVertices(graft.sources.GroovyLoader.vertexBatch(pv))
+      cur = cur.upsertVertices(
+        graft.sources.GroovyLoader.vertexBatch(pv).localCheckpoint())
       // Resolve addE endpoints by LOOKUP against the (just-upserted)
       // graph — Gremlin's `u1 = g.V()...next()` semantics — so mutate
       // works on graphs whose ids don't follow the loader's scheme. The
@@ -78,45 +89,55 @@ object GremlinLite {
             col(propC) === "key",
             col(s"__${s}k") === col(keyC))
             .otherwise(element_at(col(s"__${s}p"), col(propC)) === col(keyC))
-      val parsedCount = e.count()
       val full = e
         .join(vside("s"), cond("s", "srcLabel", "srcProp", "srcKey"))
         .join(vside("d"), cond("d", "dstLabel", "dstProp", "dstKey"))
         .select(col("__stmt"), col("__sid").as("src"), col("__did").as("dst"),
           col("label"), col("weight"))
+      // Per-STATEMENT validation: every addE must resolve to exactly one
+      // (src, dst) pair — an unmatched bind (Gremlin .next() on an empty
+      // traversal throws) must not cancel out against an ambiguous bind
+      // that matched several vertices. ONE driver action: parsed statements
+      // left-joined to their resolution counts, folded to a single row.
+      val stats = e.select(col("__stmt"))
+        .join(full.groupBy(col("__stmt")).agg(count(lit(1)).as("__c")),
+          Seq("__stmt"), "left")
+        .agg(count(lit(1)).as("parsed"), count(col("__c")).as("resolved"),
+          count_if(col("__c") > 1).as("ambiguous"))
+        .first()
+      val (parsedCount, resolvedStmts, ambiguous) =
+        (stats.getLong(0), stats.getLong(1), stats.getLong(2))
       if (parsedCount > 0) {
-        // Per-STATEMENT validation: every addE must resolve to exactly one
-        // (src, dst) pair — an unmatched bind (Gremlin .next() on an empty
-        // traversal throws) must not cancel out against an ambiguous bind
-        // that matched several vertices.
-        val perStmt = full.groupBy(col("__stmt")).agg(count(lit(1)).as("__c"))
-        val resolvedStmts = perStmt.count()
-        val ambiguous = perStmt.filter(col("__c") > 1).count()
         require(resolvedStmts == parsedCount && ambiguous == 0,
           s"addE endpoint lookup failed: $parsedCount statement(s) parsed, " +
             s"$resolvedStmts resolved, $ambiguous ambiguous (a bind must match " +
             s"exactly one vertex; Gremlin .next() on an empty traversal throws — so do we)")
         cur = cur.upsertEdges(full.drop("__stmt"))
       }
+      parsed.unpersist(false)
       buf.setLength(0)
     }
     script.linesIterator.foreach { line =>
-      Drop.findFirstMatchIn(line) match {
-        case Some(m) =>
+      (Drop.findFirstMatchIn(line), EDrop.findFirstMatchIn(line)) match {
+        case (Some(m), _) =>
           flush()
           // The bound property may be the label's promoted key, which
           // lives in the `key` column, not the props map — same registry
           // rule as addE endpoint resolution above.
-          val pred =
-            if (m.group(2) == null) col("label") === m.group(1)
-            else {
-              val isKey = m.group(2) == "key" ||
-                keyProps.get(m.group(1)).contains(m.group(2))
-              col("label") === m.group(1) &&
-                (if (isKey) col("key") else cur.propCol(m.group(2))) === lit(m.group(3))
-            }
+          val labelPred = Option(m.group(1)).map(l => col("label") === l)
+          val propPred = Option(m.group(2)).map { k =>
+            val isKey = k == "key" ||
+              Option(m.group(1)).exists(l => keyProps.get(l).contains(k))
+            (if (isKey) col("key") else cur.propCol(k)) === lit(m.group(3))
+          }
+          // bare g.V().drop() (README.md:321): both absent — full wipe.
+          val pred = (labelPred ++ propPred).reduceOption(_ && _).getOrElse(lit(true))
           cur = cur.dropVertices(pred)
-        case None => buf.append(line).append('\n')
+        case (None, Some(m)) =>
+          flush()
+          cur = cur.dropEdges(
+            if (m.group(1) == null) lit(true) else col("label") === m.group(1))
+        case _ => buf.append(line).append('\n')
       }
     }
     flush()
@@ -124,20 +145,42 @@ object GremlinLite {
   }
 
   /** Parse `query` and evaluate it against `g`. Throws
-    * IllegalArgumentException on syntax errors or unsupported steps. */
-  def run(g: PropertyGraph, query: String): DataFrame = eval(g, query)._1
+    * IllegalArgumentException on syntax errors or unsupported steps.
+    * `bindings` resolves console variables — the reference's guard line
+    * `g.V(u1).outE('in').where(inV().hasId( g1.id() )).hasNext()`
+    * (main.go:320) runs verbatim with `bindings = Map("u1" -> …,
+    * "g1" -> …)`, exactly as the console session that bound `u1`/`g1`
+    * with `u1 = g.V()...next()` lines would. */
+  def run(g: PropertyGraph, query: String,
+          bindings: Map[String, Long] = Map.empty): DataFrame =
+    eval(g, query, bindings)._1
 
   /** The side-effect graph a `subgraph(name)` step captured while
     * evaluating `query` — the `sg.io(...).writeGraph(...)` half of the
     * reference's export session, minus the file format (pair with
     * [[graft.graph.GraphExport]]). */
   def subgraphOf(g: PropertyGraph, query: String, name: String = "sg"): PropertyGraph = {
-    val captured = eval(g, query)._2
+    val captured = eval(g, query, Map.empty)._2
     captured.getOrElse(name, throw new IllegalArgumentException(
       s"no subgraph('$name') step in: $query (captured: ${captured.keys.mkString(",")})"))
   }
 
-  private def eval(g: PropertyGraph, query: String): (DataFrame, Map[String, PropertyGraph]) = {
+  /** A vertex-id argument: a numeric literal, a bound console variable
+    * (`u1`), or a bound variable's id projection (`g1.id()`). */
+  private def resolveId(arg: String, bindings: Map[String, Long], query: String): Long = {
+    val IdOf = """([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*id\(\)""".r
+    val name = arg.trim match {
+      case IdOf(n) => n
+      case v if v.matches("-?\\d+") => return v.toLong
+      case n => n
+    }
+    bindings.getOrElse(name, throw new IllegalArgumentException(
+      s"unbound console variable '$name' in: $query " +
+        s"(bound: ${bindings.keys.mkString(",")})"))
+  }
+
+  private def eval(g: PropertyGraph, query: String,
+                   bindings: Map[String, Long]): (DataFrame, Map[String, PropertyGraph]) = {
     val steps = parse(query)
     require(steps.nonEmpty, s"empty traversal: $query")
 
@@ -145,7 +188,8 @@ object GremlinLite {
     var onEdges = false
     var cur: DataFrame = source match {
       case "V" if sourceArgs.isEmpty => g.V
-      case "V" => g.V.filter(col("id").isin(sourceArgs.map(_.toLong): _*))
+      case "V" =>
+        g.V.filter(col("id").isin(sourceArgs.map(resolveId(_, bindings, query)): _*))
       case "E" => onEdges = true; g.E
       case other => throw new IllegalArgumentException(
         s"traversal must start with V() or E(), got $other()")
@@ -233,7 +277,30 @@ object GremlinLite {
           cur = sg.V.agg(count(lit(1)).as("vertices"))
             .crossJoin(sg.E.agg(count(lit(1)).as("edges")))
           onEdges = false
+        case ("where", true) =>
+          // The reference's edge-existence guard (main.go:320):
+          // `.outE('in').where(inV().hasId( g1.id() ))` — keep edges whose
+          // far endpoint has the given id. A pure filter on the edge set's
+          // own src/dst columns: no join, no shuffle.
+          arity(1)
+          parse("g." + args.mkString(",")) match {
+            case Seq(("inV", Seq()), ("hasId", Seq(idArg))) =>
+              cur = cur.filter(col("dst") === resolveId(idArg, bindings, query))
+            case Seq(("outV", Seq()), ("hasId", Seq(idArg))) =>
+              cur = cur.filter(col("src") === resolveId(idArg, bindings, query))
+            case other => throw new IllegalArgumentException(
+              s"where() supports inV().hasId(x) / outV().hasId(x), " +
+                s"got: ${other.map(_._1).mkString(".")} in: $query")
+          }
+        case ("hasId", false) =>
+          arity(1); cur = cur.filter(col("id") === resolveId(args.head, bindings, query))
+        case ("hasNext", _) =>
+          // Console boolean terminal (`...hasNext() == false`, main.go:311)
+          // — one row, one boolean; the emptiness probe stays in-plan.
+          arity(0)
+          cur = cur.agg((count(lit(1)) > 0).as("hasNext"))
         case ("next", _) => arity(0) // console terminal — a no-op here
+        case ("iterate", _) => arity(0) // gremlin-python submit suffix (README.md:327)
         case (other, oe) => throw new IllegalArgumentException(
           s"unsupported step $other() on ${if (oe) "edges" else "vertices"} in: $query")
       }

@@ -148,16 +148,40 @@ object Dedup {
     * doc) pair sharing at least `minShared` distinct word n-grams,
     * the count of shared n-grams — the decontamination pass run before
     * training so eval sets aren't memorized. One shuffle on the 60-bit
-    * shingle hash (never the text); the benchmark side is typically
-    * small, and per-shingle fan-out is bounded by the bench side's
-    * posting size. Shingle hashes are md5 — any engine reproduces the
-    * counts exactly. */
+    * shingle hash (never the text). Shingle hashes are md5 — any engine
+    * reproduces the counts exactly.
+    *
+    * Hot-shingle bound: the h-join produces |train postings| × |bench
+    * postings| rows PER SHINGLE, and a stopword n-gram ("of the and")
+    * appears in nearly every document — at corpus scale one such key is a
+    * near-cartesian blowup on a single reducer. Shingles whose document
+    * frequency (across train ∪ bench) exceeds `maxDf` are dropped before
+    * the join: they carry no contamination signal (sharing a universal
+    * n-gram is not evidence of copying), and the filter is a deterministic
+    * exact count, so any engine mirrors it bit-for-bit. The surviving
+    * per-shingle fan-out is ≤ maxDf². Set `maxDf = 0` to disable. */
   def contamination(train: DataFrame, bench: DataFrame, idCol: String,
-                    textCol: String, n: Int = 3, minShared: Int = 3): DataFrame = {
+                    textCol: String, n: Int = 3, minShared: Int = 3,
+                    maxDf: Int = 8192): DataFrame = {
     def sh(df: DataFrame, as: String) = df.select(
       col(idCol).as(as),
       explode(array_distinct(transform(shingles(col(textCol), n), s => md5Long(s)))).as("h"))
-    sh(train, "train_id").join(sh(bench, "bench_id"), Seq("h"))
+    val tr = sh(train, "train_id")
+    val be = sh(bench, "bench_id")
+    val (trB, beB) =
+      if (maxDf <= 0) (tr, be)
+      else {
+        // Hot set is ≤ |postings|/maxDf keys — small but NOT always
+        // broadcastable at corpus scale, so a shuffle-hash anti-join (the
+        // sides are already exchanged on h for the main join; AQE reuses
+        // the partitioning).
+        val hot = tr.select(col("h")).unionByName(be.select(col("h")))
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("h"))
+        (tr.join(hot.hint("shuffle_hash"), Seq("h"), "left_anti"),
+         be.join(hot.hint("shuffle_hash"), Seq("h"), "left_anti"))
+      }
+    trB.join(beB, Seq("h"))
       .groupBy(col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -65,12 +65,21 @@ object GroovyLoader {
   private val AddE =
     """(?:\w+\s*=\s*)?g\.V\(\s*(\w+)\s*\)\.addE\('([^']+)'\)\.to\(\s*(\w+)\s*\)((?:\s*\.property\([^)]*\))*)\s*\.next\(\)""".r
 
-  private def propsOf(chain: String): Seq[(String, String)] =
-    Prop.findAllMatchIn(chain).flatMap { m =>
+  private def propsOf(chain: String): Seq[(String, String)] = {
+    val links = Prop.findAllMatchIn(chain).toSeq
+    // The link regex stops at the first ')' or unescaped quote inside a
+    // value — a malformed value would silently DROP that and later props.
+    // Count links against `.property(` occurrences so it fails loudly.
+    val expected = "\\.property\\(".r.findAllIn(chain).length
+    require(links.length == expected,
+      s"unparseable .property(...) link (value containing ')' or an " +
+        s"escaped quote?): parsed ${links.length} of $expected in: $chain")
+    links.flatMap { m =>
       if (m.group(1) != null) None // .property(label, '...') — label restates addV's
       else Some(m.group(2) ->
         Seq(m.group(3), m.group(4), m.group(5)).find(_ != null).getOrElse(""))
-    }.toSeq
+    }
+  }
 
   /** Parse one script chunk. `keyProps` names each label's promoted-key
     * property (the reference's: email for user/group, name for role, ...);
@@ -129,10 +138,23 @@ object GroovyLoader {
     * instead resolves edge endpoints against an existing graph. */
   def parsedBatches(scripts: Dataset[String], keyProps: Map[String, String])
   : (Dataset[ParsedVertex], Dataset[ParsedEdge]) = {
+    val (pv, pe, _) = parsedBatchesManaged(scripts, keyProps)
+    (pv, pe)
+  }
+
+  /** As [[parsedBatches]], but also hands back the persisted parse
+    * intermediate so a caller that MATERIALIZES both batches (e.g.
+    * `GremlinLite.mutate`, which localCheckpoints them per flush) can
+    * unpersist it — otherwise each flush leaks one cached dataset into
+    * session storage for the life of the session. Callers that consume
+    * the batches lazily (e.g. [[load]]) must keep it cached: the batches'
+    * lineage runs through it, and unpersisting early re-parses per sink. */
+  def parsedBatchesManaged(scripts: Dataset[String], keyProps: Map[String, String])
+  : (Dataset[ParsedVertex], Dataset[ParsedEdge], Dataset[(Seq[ParsedVertex], Seq[ParsedEdge])]) = {
     val spark = scripts.sparkSession
     import spark.implicits._
     val parsed = scripts.map(t => parseScript(t, keyProps)).persist()
-    (parsed.flatMap(_._1), parsed.flatMap(_._2))
+    (parsed.flatMap(_._1), parsed.flatMap(_._2), parsed)
   }
 
   /** Vertex batch with deterministic ids stamped. */

@@ -107,6 +107,45 @@ class GremlinLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("main.go:320 edge-existence guard runs verbatim with console bindings") {
+    // The reference's exact guard traversal (main.go:320):
+    //   g.V(u1).outE('in').where(inV().hasId( g1.id() )).hasNext()
+    // u1/g1 are console variables bound by the preceding `= g.V()...next()`
+    // lines; bindings supply them. Edge 1 -in-> 3 exists, 1 -in-> 4 does not.
+    val q = "g.V(u1).outE('in').where(inV().hasId( g1.id() )).hasNext()"
+    assert(GremlinLite.run(g, q, Map("u1" -> 1L, "g1" -> 3L)).as[Boolean].head())
+    assert(!GremlinLite.run(g, q, Map("u1" -> 1L, "g1" -> 4L)).as[Boolean].head())
+    // where(outV().hasId(x)) filters the near endpoint symmetrically.
+    assert(GremlinLite.run(g, "g.E().where(outV().hasId(3)).hasNext()")
+      .as[Boolean].head())
+    // Unbound variables fail loudly, like an undefined console variable.
+    val err = intercept[IllegalArgumentException] {
+      GremlinLite.run(g, q, Map("u1" -> 1L))
+    }
+    assert(err.getMessage.contains("unbound console variable 'g1'"))
+  }
+
+  test("hasId() filters vertices; iterate() is a terminal no-op — README.md:327") {
+    assert(GremlinLite.run(g, "g.V().hasLabel('group').hasId(3).id()")
+      .as[Long].collect().toSeq == Seq(3L))
+    assert(GremlinLite.run(g, "g.V().hasLabel('user').id().iterate()")
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("mutate: g.E().drop() / g.V().drop() — the README's full wipe (README.md:321-328)") {
+    // g.E().drop(): edges gone, vertices intact (no cascade on edge drop).
+    val eDropped = GremlinLite.mutate(g, "g.E().drop()")
+    assert(eDropped.E.count() == 0 && eDropped.V.count() == 4)
+    // Label-selective edge drop.
+    val multi = PropertyGraph(g.vertices,
+      Seq((1L, 3L, "in", 1), (1L, 4L, "owns", 1)).toDF("src", "dst", "label", "weight"))
+    val owns = GremlinLite.mutate(multi, "g.E().hasLabel('in').drop()")
+    assert(owns.E.select("label").as[String].collect().toSeq == Seq("owns"))
+    // gremlin-python suffix form and bare g.V().drop() (full wipe).
+    val wiped = GremlinLite.mutate(g, "g.V().drop().iterate()")
+    assert(wiped.V.count() == 0 && wiped.E.count() == 0)
+  }
+
   test("string query plans identically to the fluent API") {
     val viaText = GremlinLite.run(g,
       "g.V().hasLabel('user').has('email','user1@d').out('in').id()")

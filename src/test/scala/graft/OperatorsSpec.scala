@@ -270,6 +270,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits == Seq((1L, 10L, 3L)))
   }
 
+  test("contamination drops flooding shingles above the df threshold") {
+    // "aa bb cc" floods every document (the stopword-n-gram shape that
+    // goes near-cartesian at corpus scale); "xx yy zz" is the genuine
+    // overlap between train 1 and bench 10.
+    val train = docs(
+      (1L, "aa bb cc xx yy zz"),
+      (2L, "aa bb cc something else entirely here"),
+      (3L, "aa bb cc another unrelated train document"))
+    val bench = docs((10L, "aa bb cc xx yy zz"))
+    // df("aa bb cc") = 4 > maxDf = 3 → dropped; shared count for (1,10)
+    // falls from 4 ("aa bb cc","bb cc xx","cc xx yy","xx yy zz") to 3.
+    val cappedSet = Dedup.contamination(train, bench, "doc_id", "text",
+        n = 3, minShared = 1, maxDf = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cappedSet == Set((1L, 10L, 3L)))
+    // Uncapped (maxDf = 0): the flooding shingle links every train doc.
+    val raw = Dedup.contamination(train, bench, "doc_id", "text",
+        n = 3, minShared = 1, maxDf = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(raw == Set((1L, 10L, 4L), (2L, 10L, 1L), (3L, 10L, 1L)))
+  }
+
   test("quantizeInt8: max element maps to 127; zero vector guarded") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),

@@ -82,6 +82,47 @@ class TraversalSpec extends AnyFunSuite {
     }
   }
 
+  /** canonical per vertex via the r4 all-pairs closure form (the shape
+    * minLabel replaces) — ground truth for the equivalence tests. */
+  private def closureCanonical(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val nodes = und.map(_._1).toSet
+    naiveClosure(und, nodes).groupBy(_._1)
+      .map { case (o, reach) => o -> math.min(o, reach.map(_._2).min) }
+  }
+
+  test("minLabel equals the all-pairs-closure canonical on a large chained cluster") {
+    // One 60-doc chain (the LSH cross-bucket chaining shape that defeats
+    // per-bucket caps), one triangle, one isolated pair. Chain diameter 59
+    // exercises the pointer-jumping path: plain propagation needs 59
+    // rounds, jumping converges well inside maxIter = 16.
+    val chain = (1L until 60L).map(i => (i, i + 1))
+    val pairs = chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+    val got = Traversal.minLabel(edgesDF(pairs), maxIter = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(got == closureCanonical(pairs))
+    assert(got(60L) == 1L && got(102L) == 100L && got(201L) == 200L)
+  }
+
+  test("property: minLabel equals closure canonical on 15 seeded random pair graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 15).foreach { _ =>
+      val n = 2 + rnd.nextInt(30)
+      val m = 1 + rnd.nextInt(40)
+      val es = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      if (es.nonEmpty) {
+        val got = Traversal.minLabel(edgesDF(es)).as[(Long, Long)].collect().toMap
+        assert(got == closureCanonical(es), s"pairs=$es")
+      }
+    }
+  }
+
+  test("minLabel on empty input returns empty labeling") {
+    val got = Traversal.minLabel(edgesDF(Seq.empty))
+    assert(got.count() == 0)
+  }
+
   test("property: fixpoint equals naive closure on 15 seeded random graphs (cycles included)") {
     val rnd = new scala.util.Random(42)
     (1 to 15).foreach { _ =>
