@@ -639,6 +639,24 @@ object SparkEntry {
       operators.TextAnalysis.rollingFingerprint(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Gopher repetition filters: duplicate word / 3-gram occurrence
+    // fractions + most-frequent-3-gram share (floor-4dp).
+    "t_repetition" -> ((s, dir) => {
+      operators.TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Gopher quality flags: word-count band, mean word length, symbol /
+    // bullet / ellipsis ratios, alphabetic-word fraction + pass verdict.
+    "t_gopher_quality" -> ((s, dir) => {
+      operators.TextAnalysis.gopherQuality(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Deterministic pre-training shuffle: md5-ordered shard + position
+    // assignment (reproducible on any engine/partitioning — no rand()).
+    "d_shuffle_shard" -> ((s, dir) => {
+      operators.Dedup.shuffleShard(t(s, dir, "documents"), "doc_id")
+    }),
+
     // Multimodal: opaque blob + metadata pass (size + digest).
     "m1_media_meta" -> ((s, dir) => {
       operators.Multimodal.mediaMeta(

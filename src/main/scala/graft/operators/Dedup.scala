@@ -197,6 +197,29 @@ object Dedup {
     df.withColumn("bucket", md5Long(col(keyCol)) % 100).filter(col("bucket") < pct)
   }
 
+  /** Deterministic pre-training shuffle + shard assignment: order documents
+    * by the md5 hash of their key (a reproducible "random" permutation —
+    * same order on every engine, run, retry, and partitioning, unlike
+    * `rand()` or `shuffle()`), split them across `nShards` output shards by
+    * hash, and stamp each document's position within its shard. The
+    * (shard, pos) pair is exactly the bookkeeping a distributed example
+    * writer needs: shard i, position p is the same document forever.
+    *
+    * Scale: one shuffle, partitioned BY SHARD — no global total order
+    * exists at any corpus size; each shard's window sorts |docs|/nShards
+    * rows, and nShards is the write parallelism knob (thousands at corpus
+    * scale). md5 ties are broken by the key itself, so the order is total
+    * and the output reproducible. */
+  def shuffleShard(df: DataFrame, keyCol: String, nShards: Int = 8): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))
+    df.select(col(keyCol), md5Long(col(keyCol)).as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select(col(keyCol), col("shard"), col("pos"))
+  }
+
   /** Deterministic train/val/test split on the same md5 key-buckets as
     * [[hashSample]]: a document lands in the same split on every engine,
     * run, and partitioning — and stays there when the corpus grows, since

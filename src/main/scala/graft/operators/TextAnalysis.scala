@@ -152,4 +152,78 @@ object TextAnalysis {
       when(size(w) > 0, aggregate(weighted, lit(0L), (acc, x) => acc + x))
         .otherwise(lit(0L)).as("fingerprint"))
   }
+
+  /** Repetition signals (the Gopher repetition filters, Rae et al. 2021
+    * §A1.1): per document, the fraction of word occurrences that are
+    * repeats, the fraction of word n-gram occurrences that are repeats,
+    * and the share of occurrences claimed by the single most frequent
+    * n-gram. Boilerplate and spam sit high on all three; a training-data
+    * pipeline thresholds them before anything touches a tokenizer.
+    *
+    * Plan shape: the word-level fraction is an in-row array fold (no
+    * shuffle); the n-gram mode/total need per-(doc, gram) counts, which is
+    * ONE map-side-combinable explode+aggregate — the (doc_id, gram) key is
+    * unique-ish per doc so no reducer hot key exists at any corpus size,
+    * and state per doc is one row after the second partial agg. Ratios are
+    * floor-truncated to 4dp (engine-portable). Documents shorter than `n`
+    * words have no n-grams: fractions are 0 by convention (left join +
+    * coalesce, not silent row loss). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val words = tokens(col(textCol))
+    val ng = docs.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(sum("cnt").as("__tot"),
+        count(lit(1)).as("__dst"), max("cnt").as("__top"))
+    docs.select(col(idCol),
+        when(size(words) > 0,
+          floor4(lit(1.0) - size(array_distinct(words)).cast("double") / size(words)))
+          .otherwise(lit(0.0)).as("dup_word_frac"))
+      .join(ng, Seq(idCol), "left")
+      .select(col(idCol), col("dup_word_frac"),
+        coalesce(floor4(lit(1.0) - col("__dst").cast("double") / col("__tot")), lit(0.0))
+          .as("dup_ngram_frac"),
+        coalesce(floor4(col("__top").cast("double") / col("__tot")), lit(0.0))
+          .as("top_ngram_frac"))
+  }
+
+  /** Gopher-style document quality flags (Rae et al. 2021 §A1.1): word
+    * count bounds, mean word length band, symbol-to-char ratio, bullet /
+    * ellipsis line ratios, alphabetic-word fraction, and the combined
+    * `passes` verdict. Everything is one codegen'd projection per document
+    * — array folds and regexes, no shuffle, no UDF — so the filter runs at
+    * scan speed on any corpus. The reported ratios are floor-truncated to
+    * 4dp; the pass/fail comparisons use the UNtruncated doubles (both
+    * engines compute identical IEEE doubles from identical integer
+    * counts, so the verdict is engine-portable too). */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = tokens(t)
+    val nWords = size(words).cast("long")
+    val meanLen = when(nWords > 0,
+      aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / nWords)
+      .otherwise(lit(0.0))
+    val nChars = greatest(length(t), lit(1)).cast("double")
+    val symRatio = (length(t) - length(regexp_replace(t, "[#…]", ""))).cast("double") / nChars
+    val lines = split(t, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletRatio = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+      .cast("double") / nLines
+    val ellipsisRatio = size(filter(lines, l => trim(l).rlike("\\.\\.\\.$")))
+      .cast("double") / nLines
+    val alphaFrac = when(nWords > 0,
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords)
+      .otherwise(lit(0.0))
+    docs.select(col(idCol),
+      nWords.as("n_words"),
+      floor4(meanLen).as("mean_word_len"),
+      floor4(symRatio).as("symbol_ratio"),
+      floor4(bulletRatio).as("bullet_ratio"),
+      floor4(ellipsisRatio).as("ellipsis_ratio"),
+      floor4(alphaFrac).as("alpha_word_frac"),
+      (nWords >= 50 && nWords <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symRatio < 0.1 && bulletRatio <= 0.9 && ellipsisRatio <= 0.3 &&
+        alphaFrac >= 0.8).as("passes"))
+  }
 }
