@@ -1701,6 +1701,68 @@ object SparkEntry {
          |   CAST(floor(("offset" + n_tokens - 1) / 512) AS BIGINT) > CAST(floor("offset" / 512) AS BIGINT)) AS straddles
          |FROM o""".stripMargin,
 
+    // Gopher repetition filters: per-doc word/3-gram repeat fractions +
+    // top-3-gram share. Ratios floor-truncated to 4dp (engine-portable);
+    // docs with <3 words have no 3-grams → fractions 0 via LEFT JOIN +
+    // coalesce, mirroring repetitionStats exactly.
+    "t_repetition" ->
+      s"""$SHINGLE_CTES,
+         |g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |ng AS (SELECT doc_id, sum(cnt) AS tot, count(*) AS dst, max(cnt) AS top
+         |  FROM c GROUP BY 1),
+         |d AS (SELECT doc_id,
+         |  CASE WHEN len(w) > 0
+         |    THEN floor((1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 10000) / 10000
+         |    ELSE 0.0 END AS dup_word_frac FROM t)
+         |SELECT d.doc_id, d.dup_word_frac,
+         |  coalesce(floor((1.0 - CAST(dst AS DOUBLE) / tot) * 10000) / 10000, 0.0) AS dup_ngram_frac,
+         |  coalesce(floor(CAST(top AS DOUBLE) / tot * 10000) / 10000, 0.0) AS top_ngram_frac
+         |FROM d LEFT JOIN ng USING (doc_id)""".stripMargin,
+
+    // Gopher quality flags: integer counts → IEEE-identical doubles in any
+    // engine; reported ratios floor-4dp, the pass verdict on UNtruncated
+    // values — both mirror gopherQuality term for term.
+    "t_gopher_quality" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+         |  string_split(text, chr(10)) AS ln FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  CASE WHEN len(w) > 0 THEN
+         |    CAST(list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / len(w)
+         |  ELSE 0.0 END AS mean_len,
+         |  CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+         |    + 3 * len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS sym_ratio,
+         |  CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+         |    / greatest(len(ln), 1) AS bullet_ratio,
+         |  CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '\\.\\.\\.$$'))) AS DOUBLE)
+         |    / greatest(len(ln), 1) AS ellipsis_ratio,
+         |  CASE WHEN len(w) > 0 THEN
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w)
+         |  ELSE 0.0 END AS alpha_frac
+         |  FROM t)
+         |SELECT doc_id, n_words,
+         |  floor(mean_len * 10000) / 10000 AS mean_word_len,
+         |  floor(sym_ratio * 10000) / 10000 AS symbol_ratio,
+         |  floor(bullet_ratio * 10000) / 10000 AS bullet_ratio,
+         |  floor(ellipsis_ratio * 10000) / 10000 AS ellipsis_ratio,
+         |  floor(alpha_frac * 10000) / 10000 AS alpha_word_frac,
+         |  (n_words >= 50 AND n_words <= 100000 AND
+         |   mean_len >= 3.0 AND mean_len <= 10.0 AND
+         |   sym_ratio < 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 AND
+         |   alpha_frac >= 0.8) AS passes
+         |FROM m""".stripMargin,
+
+    // Deterministic shuffle-shard: md5 total order within md5-assigned
+    // shards; h is non-negative (60-bit) so % == pmod.
+    "d_shuffle_shard" ->
+      s"""WITH h AS (SELECT doc_id, ${md5i("CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+         |SELECT doc_id, h % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) - 1 AS pos
+         |FROM h""".stripMargin,
+
     "d_contamination" ->
       s"""WITH w AS (SELECT doc_id,
          |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),

@@ -35,10 +35,17 @@ object Verify {
           org.apache.spark.sql.functions.transform(
             operators.Dedup.shingles(org.apache.spark.sql.functions.col("text")),
             s => functions.Hashing.md5Long(s, 1))).as("h1"))
+        // NULL h1 = docs with <3 words; they never match ngramJaccard's
+        // equi-join, so a flood of short docs is not a cap violation.
+        .filter(org.apache.spark.sql.functions.col("h1").isNotNull)
       val audits = Seq(
         "lsh band buckets" -> operators.Dedup.lshOverflow(docs, "doc_id", "text"),
         "ngram h1 prefilter" -> operators.Skew.bucketOverflow(pre, Seq("h1"), 8192),
-        "cosine label blocks" -> operators.Skew.bucketOverflow(embs, Seq("label"), 8192))
+        "cosine label blocks" -> operators.Skew.bucketOverflow(embs, Seq("label"), 8192),
+        // d_shuffle_shard's gate pins nShards=8; a corpus where one shard
+        // tops 8192 rows means the gate's window sorts are outgrowing a
+        // single task — resize with Dedup.shuffleShardAuto.
+        "shuffle-shard size" -> operators.Dedup.shardOverflow(docs, "doc_id", 8, 8192L))
       audits.foreach { case (what, audit) =>
         val n = audit.count()
         if (n > 0) System.err.println(

@@ -261,7 +261,7 @@ object Traversal {
   def minLabel(edges: DataFrame, maxIter: Int = 64): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).sortWithinPartitions(col("src"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))

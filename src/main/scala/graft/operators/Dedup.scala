@@ -220,6 +220,35 @@ object Dedup {
       .select(col(keyCol), col("shard"), col("pos"))
   }
 
+  /** [[shuffleShard]] with the shard count DERIVED from the corpus: one
+    * count() pass, then `nShards = max(minShards, ceil(count /
+    * maxShardRows))`. Each shard's window sort is a single task over its
+    * rows, so an un-sized `nShards` on a billion-doc corpus would
+    * serialize into a handful of giant sorts — this keeps per-shard rows
+    * near `maxShardRows` (a TARGET, not a bound: md5 splits shards evenly
+    * in expectation, so a shard can exceed it by the usual hash variance).
+    * Audit the realized sizes with [[shardOverflow]]. */
+  def shuffleShardAuto(df: DataFrame, keyCol: String,
+                       maxShardRows: Long = 1000000L, minShards: Int = 8): DataFrame = {
+    require(maxShardRows >= 1, s"maxShardRows must be >= 1, got $maxShardRows")
+    val n = df.count()
+    val derived = math.max(minShards.toLong, (n + maxShardRows - 1) / maxShardRows)
+    shuffleShard(df, keyCol, derived.toInt)
+  }
+
+  /** Audit twin of [[shuffleShard]]: shards whose realized row count
+    * exceeds `maxShardRows` — i.e. window-sort tasks bigger than the
+    * caller planned for. Non-empty means nShards was sized too small for
+    * the corpus (or the md5 split is improbably skewed); resize with
+    * [[shuffleShardAuto]]. */
+  def shardOverflow(df: DataFrame, keyCol: String, nShards: Int,
+                    maxShardRows: Long): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    df.select(pmod(md5Long(col(keyCol)), lit(nShards.toLong)).as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > maxShardRows)
+  }
+
   /** Deterministic train/val/test split on the same md5 key-buckets as
     * [[hashSample]]: a document lands in the same split on every engine,
     * run, and partitioning — and stays there when the corpus grows, since

@@ -204,7 +204,12 @@ object TextAnalysis {
       aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / nWords)
       .otherwise(lit(0.0))
     val nChars = greatest(length(t), lit(1)).cast("double")
-    val symRatio = (length(t) - length(regexp_replace(t, "[#…]", ""))).cast("double") / nChars
+    // Symbol chars per Gopher: '#', the Unicode ellipsis '…', AND the ASCII
+    // three-dot '...' (counted as 3 chars per non-overlapping match — both
+    // Java and RE2 regex scan left-to-right non-overlapping, so the count
+    // is engine-portable).
+    val symRatio = (length(t) - length(regexp_replace(t, "[#…]", "")) +
+      size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0))) * 3).cast("double") / nChars
     val lines = split(t, "\n")
     val nLines = greatest(size(lines), lit(1)).cast("double")
     val bulletRatio = size(filter(lines, l => trim(l).rlike("^[-*•]")))

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gate discipline, enforced: every query the driver runs must either have
+  * a DuckDB oracle or be on the explicit rows-only allowlist below, with
+  * the reason written down. A new gate added without an oracle fails HERE,
+  * at `sbt test` time, instead of shipping as a silent `no_oracle` row in
+  * the round's correctness board. */
+class GateCoverageSpec extends AnyFunSuite {
+
+  /** Queries with no SQL-expressible exact oracle, each with a documented
+    * reason and (where one exists) the deterministic hash-checked twin
+    * that covers the same code path. */
+  private val rowsOnlyAllowlist: Map[String, String] = Map(
+    "cd2_approx_distinct" -> "HLL sketch estimate — engine-specific; exact twin cd3_kmv_distinct is hash-checked",
+    "x2_pagerank" -> "float PageRank scores — FP-order-dependent; fixed-point twin x4_pagerank_fixed is hash-checked",
+    "e4_ivf_ann" -> "float k-means centroids — FP-order-dependent; integer-centroid twin e4b_ivf_fixed is hash-checked")
+
+  test("every gate query has a DuckDB oracle or a documented rows-only reason") {
+    val unverified = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyAllowlist.keySet
+    assert(unverified.isEmpty,
+      s"gate(s) with neither oracle nor allowlist entry: ${unverified.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("the allowlist and oracle map only name real gates (no stale entries)") {
+    val staleAllow = rowsOnlyAllowlist.keySet -- SparkEntry.queries.keySet
+    val staleOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(staleAllow.isEmpty, s"allowlist names missing gates: ${staleAllow.mkString(", ")}")
+    assert(staleOracle.isEmpty, s"oracles name missing gates: ${staleOracle.mkString(", ")}")
+    val both = rowsOnlyAllowlist.keySet & SparkEntry.oracleSql.keySet
+    assert(both.isEmpty, s"gates both oracled and allowlisted: ${both.mkString(", ")}")
+  }
+}

@@ -292,6 +292,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(raw == Set((1L, 10L, 4L), (2L, 10L, 1L), (3L, 10L, 1L)))
   }
 
+  test("repetitionStats: repeat fractions; short/empty docs get zeros") {
+    val out = TextAnalysis.repetitionStats(docs(
+        (1L, "spam spam spam spam spam"), // 5 words 1 distinct; 3 identical 3-grams
+        (2L, "a b c d"),                  // all distinct words and grams
+        (3L, "a b"),                      // < 3 words → no 3-grams
+        (4L, "")), "doc_id", "text")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((0.8, 0.6666, 1.0))) // 1-1/5; floor4(1-1/3); 3/3
+    assert(out(2L) == ((0.0, 0.0, 0.5)))    // top gram 1 of 2
+    assert(out(3L) == ((0.0, 0.0, 0.0)))
+    assert(out(4L) == ((0.0, 0.0, 0.0)))
+  }
+
+  test("gopherQuality: ASCII '...' counts 3 symbol chars; bands gate the verdict") {
+    val good = Seq.tabulate(60)(i => s"alpha$i").mkString(" ") // 60 words, all alphabetic
+    val out = TextAnalysis.gopherQuality(docs(
+        (1L, good),
+        (2L, "hello... world"),            // 14 chars, one ASCII ellipsis → 3/14
+        (3L, "- a\n- b\n- c"),             // every line a bullet
+        (4L, "")), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4), r.getBoolean(7)))).toMap
+    assert(out(1L)._1 == 60 && out(1L)._4)                  // passes all gates
+    assert(out(2L)._2 == math.floor(3.0 / 14 * 1e4) / 1e4)  // symbol_ratio
+    assert(!out(2L)._4)                                     // too short to pass
+    assert(out(3L)._3 == 1.0 && !out(3L)._4)                // bullet_ratio kills it
+    assert(out(4L) == ((0L, 0.0, 0.0, false)))
+  }
+
+  test("shuffleShard: md5-ordered positions are contiguous per shard and reproducible") {
+    // JVM replica of Hashing.md5Long — the spec recomputes the exact
+    // expected (shard, pos) assignment independently of Spark.
+    def md5long(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val corpus = docs((1L to 20L).map(i => i -> s"doc number $i"): _*)
+    val expected = (1L to 20L).map(i => (i, md5long(i.toString)))
+      .groupBy { case (_, h) => h % 4 }
+      .flatMap { case (shard, members) =>
+        members.sortBy { case (id, h) => (h, id) }.zipWithIndex
+          .map { case ((id, _), pos) => id -> ((shard, pos.toLong)) }
+      }
+    val out = Dedup.shuffleShard(corpus, "doc_id", nShards = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == expected)
+    // Positions are dense 0..n-1 within each shard.
+    out.groupBy(_._2._1).foreach { case (_, m) =>
+      assert(m.values.map(_._2).toSeq.sorted == (0L until m.size).toSeq)
+    }
+  }
+
+  test("shuffleShardAuto sizes nShards from the corpus; shardOverflow flags undersized nShards") {
+    val corpus = docs((1L to 100L).map(i => i -> s"doc $i"): _*)
+    // 100 rows / maxShardRows=10 → 10 shards (above the minShards floor of 2).
+    val auto = Dedup.shuffleShardAuto(corpus, "doc_id", maxShardRows = 10L, minShards = 2)
+    assert(auto.select("shard").distinct().count() == 10)
+    // Small corpus: the minShards floor wins.
+    val floor = Dedup.shuffleShardAuto(corpus, "doc_id", maxShardRows = 1000000L, minShards = 4)
+    assert(floor.agg(org.apache.spark.sql.functions.max("shard")).first().getLong(0) < 4)
+    // Undersized nShards=2 over 100 rows with a 10-row target: both shards
+    // overflow and the audit says so; a right-sized plan audits clean.
+    assert(Dedup.shardOverflow(corpus, "doc_id", 2, 10L).count() == 2)
+    assert(Dedup.shardOverflow(corpus, "doc_id", 32, 10L).count() == 0)
+  }
+
   test("quantizeInt8: max element maps to 127; zero vector guarded") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
