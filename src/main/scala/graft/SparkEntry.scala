@@ -609,6 +609,18 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
     }),
 
+    // Deterministic IVF twin of e4 (the x2→x4 pattern): iters=0 pins the
+    // coarse quantizer to the md5-seeded input vectors — exact doubles,
+    // no float centroid means — so probe-and-rescore is hash-checkable
+    // cross-engine while e4 keeps the Lloyd-iterated float form.
+    "e4b_ivf_fixed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 2, iters = 0, native = true)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs within coarse clusters (IVF blocking).
     "e3_cosine_neardup" -> ((s, dir) => {
       operators.Similarity.cosineNearDup(
@@ -1430,6 +1442,29 @@ object SparkEntry {
          |FROM sc QUALIFY rank <= 3""".stripMargin
     },
 
+    // iters=0 IVF: centroids are the 8 corpus vectors with smallest
+    // md5(vec_id); assignment/probing argmin over sequential-fold L2 —
+    // identical doubles in both engines, ties broken by cid.
+    "e4b_ivf_fixed" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |sd AS (SELECT vec_id, e, row_number() OVER (ORDER BY ${md5i("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn FROM v),
+         |cent AS (SELECT CAST(rn - 1 AS INT) AS cid, e AS cvec FROM sd WHERE rn <= 8),
+         |asg AS (SELECT vec_id, e, cid FROM (
+         |  SELECT v.vec_id, v.e, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${l2Sql("v.e", "c.cvec")}, c.cid) AS r
+         |  FROM v CROSS JOIN cent c) WHERE r = 1),
+         |q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 20),
+         |pr AS (SELECT query_id, qv, cid FROM (
+         |  SELECT q.query_id, q.qv, c.cid,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY ${l2Sql("q.qv", "c.cvec")}, c.cid) AS r
+         |  FROM q CROSS JOIN cent c) WHERE r <= 2),
+         |sc AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+         |  round(${cosSql("pr.qv", "a.e")}, 6) AS cos
+         |  FROM pr JOIN asg a ON a.cid = pr.cid AND a.vec_id <> pr.query_id)
+         |SELECT query_id, neighbor_id, cos,
+         | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |FROM sc QUALIFY rank <= 3""".stripMargin,
+
     "e3_cosine_neardup" ->
       s"""WITH v AS (SELECT vec_id, label, embedding AS e FROM embeddings),
          |sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1821,6 +1856,14 @@ object SparkEntry {
     s"""$WORDS_CTE,
        |s AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 2, 0)),
        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh FROM t)""".stripMargin
+
+  /** DuckDB replica of [[graft.operators.Clustering]]'s sequential-fold
+    * squared-L2 — same left-to-right double accumulation as Spark's
+    * `aggregate(zip_with(...))`, so distances are bit-identical. */
+  private def l2Sql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($a)),
+       | i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))),
+       | (x,y) -> x + y)""".stripMargin
 
   private def cosSql(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x + y)

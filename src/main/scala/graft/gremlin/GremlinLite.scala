@@ -19,7 +19,8 @@ import graft.graph.PropertyGraph
   * Supported steps: `V([id|var])`, `E()`, `hasLabel(l)`, `has(k,v)`,
   * `hasId(x)`, `out([l])`, `in([l])`, `outE([l])`, `inE([l])`, `outV()`,
   * `inV()`, `where(inV()|outV().hasId(x))` (the main.go:320 edge-existence
-  * guard), `hasNext()` (boolean terminal), `iterate()` (terminal no-op),
+  * guard), `where(has(k,v))`/`where(hasLabel(l))` (filters on the current
+  * traverser), `hasNext()` (boolean terminal), `iterate()` (terminal no-op),
   * `valueMap()`, `values(k)`, `id()`, `count()`, `dedup()`, `limit(n)`,
   * `repeat(out([l])|in([l])).times(n)` — the canonical spelling of
   * the reference's k-hop walk (README.md:20-33 repeated `.out()`) — and
@@ -126,9 +127,22 @@ object GremlinLite {
           // rule as addE endpoint resolution above.
           val labelPred = Option(m.group(1)).map(l => col("label") === l)
           val propPred = Option(m.group(2)).map { k =>
-            val isKey = k == "key" ||
-              Option(m.group(1)).exists(l => keyProps.get(l).contains(k))
-            (if (isKey) col("key") else cur.propCol(k)) === lit(m.group(3))
+            val v = lit(m.group(3))
+            Option(m.group(1)) match {
+              case Some(l) =>
+                val isKey = k == "key" || keyProps.get(l).contains(k)
+                (if (isKey) col("key") else cur.propCol(k)) === v
+              case None if k == "key" => col("key") === v
+              case None =>
+                // Label-less has-drop: consult the registry PER LABEL —
+                // props[k] is NULL for labels where k is the promoted key
+                // (it lives in the `key` column), so a flat props[k]===v
+                // would silently keep exactly the vertices it should drop.
+                val promoted = keyProps.collect { case (l, p) if p == k => l }.toSeq
+                if (promoted.isEmpty) cur.propCol(k) === v
+                else when(col("label").isin(promoted: _*), col("key") === v)
+                  .otherwise(cur.propCol(k) === v)
+            }
           }
           // bare g.V().drop() (README.md:321): both absent — full wipe.
           val pred = (labelPred ++ propPred).reduceOption(_ && _).getOrElse(lit(true))
@@ -277,19 +291,28 @@ object GremlinLite {
           cur = sg.V.agg(count(lit(1)).as("vertices"))
             .crossJoin(sg.E.agg(count(lit(1)).as("edges")))
           onEdges = false
-        case ("where", true) =>
+        case ("where", _) =>
           // The reference's edge-existence guard (main.go:320):
           // `.outE('in').where(inV().hasId( g1.id() ))` — keep edges whose
           // far endpoint has the given id. A pure filter on the edge set's
-          // own src/dst columns: no join, no shuffle.
+          // own src/dst columns: no join, no shuffle. Plus the near-miss
+          // console forms on the CURRENT traverser: where(has(k,v)) /
+          // where(hasLabel(l)), which lower to the same filters as the
+          // bare steps.
           arity(1)
           parse("g." + args.mkString(",")) match {
-            case Seq(("inV", Seq()), ("hasId", Seq(idArg))) =>
+            case Seq(("inV", Seq()), ("hasId", Seq(idArg))) if onEdges =>
               cur = cur.filter(col("dst") === resolveId(idArg, bindings, query))
-            case Seq(("outV", Seq()), ("hasId", Seq(idArg))) =>
+            case Seq(("outV", Seq()), ("hasId", Seq(idArg))) if onEdges =>
               cur = cur.filter(col("src") === resolveId(idArg, bindings, query))
+            case Seq(("has", Seq(k, v))) =>
+              cur = cur.filter(
+                (if (onEdges) col(k) else g.propCol(k)) === lit(v))
+            case Seq(("hasLabel", Seq(l))) =>
+              cur = cur.filter(col("label") === l)
             case other => throw new IllegalArgumentException(
-              s"where() supports inV().hasId(x) / outV().hasId(x), " +
+              s"where() supports inV()/outV().hasId(x) on edges and " +
+                s"has(k,v) / hasLabel(l) on the current traverser, " +
                 s"got: ${other.map(_._1).mkString(".")} in: $query")
           }
         case ("hasId", false) =>

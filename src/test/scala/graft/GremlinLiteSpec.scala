@@ -146,6 +146,36 @@ class GremlinLiteSpec extends AnyFunSuite {
     assert(wiped.V.count() == 0 && wiped.E.count() == 0)
   }
 
+  test("label-less has().drop() resolves the promoted key per label") {
+    // 'email' is the promoted key for BOTH user and group (it lives in the
+    // key column, props['email'] is also set in this fixture for users but
+    // NOT for a vertex whose props omit it — model that): a vertex whose
+    // props map lacks 'email' must still drop by its key column.
+    val bare = PropertyGraph(
+      Seq((9L, "user", "bare@d", Map.empty[String, String]))
+        .toDF("id", "label", "key", "props"),
+      Seq.empty[(Long, Long, String, Int)].toDF("src", "dst", "label", "weight"))
+    val dropped = GremlinLite.mutate(bare, "g.V().has('email','bare@d').drop()")
+    assert(dropped.V.count() == 0)
+    // Non-promoted property still matches through the props map.
+    val byProp = GremlinLite.mutate(g, "g.V().has('isExternal','false').drop()")
+    assert(byProp.V.select("label").as[String].collect().toSet == Set("group"))
+  }
+
+  test("where(has(k,v)) / where(hasLabel(l)) filter the current traverser") {
+    assert(GremlinLite.run(g, "g.V().where(hasLabel('user')).count()")
+      .as[Long].head() == 2L)
+    assert(GremlinLite.run(g, "g.V().where(has('email','user1@d')).id()")
+      .as[Long].collect().toSeq == Seq(1L))
+    // On edges, where(has()) filters edge columns.
+    assert(GremlinLite.run(g, "g.E().where(hasLabel('in')).count()")
+      .as[Long].head() == 2L)
+    // Unsupported where-bodies still fail loudly.
+    assertThrows[IllegalArgumentException] {
+      GremlinLite.run(g, "g.V().where(order())")
+    }
+  }
+
   test("string query plans identically to the fluent API") {
     val viaText = GremlinLite.run(g,
       "g.V().hasLabel('user').has('email','user1@d').out('in').id()")
