@@ -621,6 +621,23 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
     }),
 
+    // Product-quantization codes: m=4 subspaces x k=16 deterministic
+    // (md5-seeded, iters=0) centroids — integer codes, hash-exact in any
+    // engine; the compression half of the IVF+PQ serving architecture.
+    "e7_pq_codes" -> ((s, dir) => {
+      operators.Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding")
+    }),
+
+    // IVF + PQ asymmetric-distance search (FAISS IVFADC shape): probe 2
+    // of 8 coarse cells, score candidates by query-subvector-to-codebook
+    // reconstruction distance folded in subspace order (deterministic).
+    "e8_ivfpq_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.ivfPqTopK(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", kTop = 3)
+        .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs within coarse clusters (IVF blocking).
     "e3_cosine_neardup" -> ((s, dir) => {
       operators.Similarity.cosineNearDup(
@@ -959,6 +976,20 @@ object SparkEntry {
       val pairs = operators.Dedup.lshCandidates(t(s, dir, "documents"), "doc_id", "text")
       graph.Traversal.minLabel(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
         .select(col("id").as("doc_id"), col("label").as("canonical"))
+    }),
+
+    // SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs (e3's
+    // IVF-style label blocking) → min-id label propagation → canonical
+    // representative per embedding-similarity cluster — the
+    // embedding-space twin of d_dup_clusters' lexical MinHash pipeline.
+    // Same oracle-parity note as d_dup_clusters: the WITH RECURSIVE
+    // oracle mirrors the uncapped pair join, exact below the 8192 cap.
+    "d_semantic_dup" -> ((s, dir) => {
+      val pairs = operators.Similarity.cosineNearDup(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        threshold = 0.3, native = true)
+      graph.Traversal.minLabel(pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("id").as("vec_id"), col("label").as("canonical"))
     }),
 
     // Matryoshka prefix truncation + L2 renormalize (16 of 64 dims),
@@ -1465,6 +1496,75 @@ object SparkEntry {
          | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          |FROM sc QUALIFY rank <= 3""".stripMargin,
 
+    // PQ codes: codebook (sub, cid) = subspace sub of the cid-th
+    // md5-seeded vector; integer codes — exact in any engine.
+    "e7_pq_codes" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |sd AS (SELECT vec_id, e, row_number() OVER (ORDER BY ${md5i("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn FROM v),
+         |g AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |cb AS (SELECT g.sub, CAST(sd.rn - 1 AS INT) AS cid, ${pqSubSql("sd.e", "g.sub")} AS cvec
+         |  FROM sd CROSS JOIN g WHERE sd.rn <= 16),
+         |sv AS (SELECT v.vec_id, g.sub, ${pqSubSql("v.e", "g.sub")} AS svec FROM v CROSS JOIN g),
+         |asg AS (SELECT vec_id, sub, cid FROM (
+         |  SELECT sv.vec_id, sv.sub, cb.cid,
+         |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY ${l2Sql("sv.svec", "cb.cvec")}, cb.cid) AS r
+         |  FROM sv JOIN cb USING (sub)) WHERE r = 1)
+         |SELECT vec_id, list(cid ORDER BY sub) AS codes FROM asg GROUP BY vec_id""".stripMargin,
+
+    // IVF+PQ ADC: coarse cells = e4b's iters=0 quantizer (rn<=8 seeds);
+    // candidate distance = sum over subspaces of L2²(query subvector,
+    // candidate's codebook centroid), folded in subspace order.
+    "e8_ivfpq_ann" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |sd AS (SELECT vec_id, e, row_number() OVER (ORDER BY ${md5i("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn FROM v),
+         |g AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |cent AS (SELECT CAST(rn - 1 AS INT) AS ccid, e AS ccv FROM sd WHERE rn <= 8),
+         |cb AS (SELECT g.sub, CAST(sd.rn - 1 AS INT) AS cid, ${pqSubSql("sd.e", "g.sub")} AS cvec
+         |  FROM sd CROSS JOIN g WHERE sd.rn <= 16),
+         |asgc AS (SELECT vec_id, ccid FROM (
+         |  SELECT v.vec_id, c.ccid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${l2Sql("v.e", "c.ccv")}, c.ccid) AS r
+         |  FROM v CROSS JOIN cent c) WHERE r = 1),
+         |pqa AS (SELECT vec_id, sub, cid FROM (
+         |  SELECT sv.vec_id, sv.sub, cb.cid,
+         |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY ${l2Sql("sv.svec", "cb.cvec")}, cb.cid) AS r
+         |  FROM (SELECT v.vec_id, g.sub, ${pqSubSql("v.e", "g.sub")} AS svec FROM v CROSS JOIN g) sv
+         |  JOIN cb USING (sub)) WHERE r = 1),
+         |q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 20),
+         |pr AS (SELECT query_id, qv, ccid FROM (
+         |  SELECT q.query_id, q.qv, c.ccid,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY ${l2Sql("q.qv", "c.ccv")}, c.ccid) AS r
+         |  FROM q CROSS JOIN cent c) WHERE r <= 2),
+         |cand AS (SELECT pr.query_id, pr.qv, a.vec_id AS neighbor_id
+         |  FROM pr JOIN asgc a ON a.ccid = pr.ccid AND a.vec_id <> pr.query_id),
+         |terms AS (SELECT c.query_id, c.neighbor_id, p.sub,
+         |  ${l2Sql(pqSubSql("c.qv", "p.sub"), "cb.cvec")} AS t
+         |  FROM cand c JOIN pqa p ON p.vec_id = c.neighbor_id
+         |  JOIN cb ON cb.sub = p.sub AND cb.cid = p.cid),
+         |ad AS (SELECT query_id, neighbor_id,
+         |  round(list_reduce(list(t ORDER BY sub), (a, b) -> a + b), 6) AS adist
+         |  FROM terms GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, adist,
+         | CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+         |FROM ad QUALIFY rank <= 3""".stripMargin,
+
+    // Embedding-space dedup clustering: e3's pair join + WITH RECURSIVE
+    // closure, canonical = min id over the component (≡ minLabel).
+    "d_semantic_dup" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, label, embedding AS e FROM embeddings),
+         |sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | round(${cosSql("a.e", "b.e")}, 6) AS cos
+         | FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |p AS (SELECT id_a, id_b FROM sc WHERE cos >= 0.3),
+         |eg AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(origin, node) AS (
+         |  SELECT src, dst FROM eg
+         |  UNION
+         |  SELECT r.origin, e2.dst FROM reach r JOIN eg e2 ON r.node = e2.src
+         |)
+         |SELECT origin AS vec_id, least(min(node), origin) AS canonical
+         |FROM reach GROUP BY origin""".stripMargin,
+
     "e3_cosine_neardup" ->
       s"""WITH v AS (SELECT vec_id, label, embedding AS e FROM embeddings),
          |sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1856,6 +1956,12 @@ object SparkEntry {
     s"""$WORDS_CTE,
        |s AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 2, 0)),
        |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh FROM t)""".stripMargin
+
+  /** DuckDB replica of [[graft.operators.Similarity]]'s PQ subvector
+    * slice: subspace `sub` of 4 contiguous equal slices (1-based
+    * inclusive list slicing). */
+  private def pqSubSql(arr: String, sub: String): String =
+    s"$arr[(($sub)*(len($arr)//4)+1):((($sub)+1)*(len($arr)//4))]"
 
   /** DuckDB replica of [[graft.operators.Clustering]]'s sequential-fold
     * squared-L2 — same left-to-right double accumulation as Spark's

@@ -22,6 +22,7 @@ import graft.graph.PropertyGraph
   * guard), `where(has(k,v))`/`where(hasLabel(l))` (filters on the current
   * traverser), `hasNext()` (boolean terminal), `iterate()` (terminal no-op),
   * `valueMap()`, `values(k)`, `id()`, `count()`, `dedup()`, `limit(n)`,
+  * `order()[.by(k)]`, `groupCount().by(label|k)` (the console census),
   * `repeat(out([l])|in([l])).times(n)` — the canonical spelling of
   * the reference's k-hop walk (README.md:20-33 repeated `.out()`) — and
   * `subgraph('sg')...cap('sg')[.next()]`, so the reference's Cytoscape
@@ -315,6 +316,44 @@ object GremlinLite {
                 s"has(k,v) / hasLabel(l) on the current traverser, " +
                 s"got: ${other.map(_._1).mkString(".")} in: $query")
           }
+        case ("order", _) =>
+          // order() sorts traversers; an optional .by('k') sorts by that
+          // property (vertices) / column (edges). Console-ordering only —
+          // a global sort is one exchange, fine for the console's result
+          // sizes; at corpus scale prefer top-k (limit after order lowers
+          // to TakeOrdered, no full sort materialization).
+          arity(0)
+          val byKey = if (rest.hasNext && rest.head._1 == "by") {
+            val (_, byArgs) = rest.next()
+            require(byArgs.length == 1, s"by() takes 1 argument in: $query")
+            Some(byArgs.head)
+          } else None
+          cur = byKey match {
+            case Some(k) if !onEdges => cur.orderBy(g.propCol(k).asc, col("id").asc)
+            case Some(k) => cur.orderBy(col(k).asc)
+            case None =>
+              // A MAP column (props) is not orderable in Spark — sort on
+              // everything else (id/label/key carry the identity anyway).
+              val cols = cur.schema.fields
+                .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+                .map(f => col(f.name).asc)
+              cur.orderBy(cols.toIndexedSeq: _*)
+          }
+        case ("groupCount", _) =>
+          // groupCount().by(label|'k'): the console census line
+          // (`g.V().groupCount().by(label)`) — one partial+final agg.
+          arity(0)
+          require(rest.hasNext && rest.head._1 == "by",
+            s"groupCount() must be followed by .by(label|'key') in: $query")
+          val (_, byArgs) = rest.next()
+          require(byArgs.length == 1, s"by() takes 1 argument in: $query")
+          val keyCol = byArgs.head match {
+            case "label" => col("label")
+            case k if !onEdges => g.propCol(k)
+            case k => col(k)
+          }
+          cur = cur.groupBy(keyCol.as(byArgs.head))
+            .agg(count(lit(1)).as("count"))
         case ("hasId", false) =>
           arity(1); cur = cur.filter(col("id") === resolveId(args.head, bindings, query))
         case ("hasNext", _) =>

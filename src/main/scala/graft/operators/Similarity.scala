@@ -141,6 +141,119 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Product-quantization codes (Jégou et al. 2011): split each vector
+    * into `m` contiguous subspaces and store, per subspace, the id of the
+    * nearest of `k` codebook centroids — 64 dims of float32 become m=4
+    * bytes, the compression that makes exhaustive candidate scoring
+    * affordable at corpus scale (see [[ivfPqTopK]] for the ADC search
+    * half).
+    *
+    * The codebook is DETERMINISTIC: centroid (s, c) is subspace `s` of the
+    * c-th seed vector, seeds being the `k` corpus vectors with smallest
+    * (md5(id), id) — the same iters=0 convention as the e4b coarse
+    * quantizer, so codes are integers any engine reproduces exactly (no
+    * float k-means means). Swap a Lloyd-refined codebook in for recall at
+    * the cost of cross-engine exactness.
+    *
+    * Plan shape: corpus explodes to m rows per vector (subvectors), joins
+    * the BROADCAST m·k-row codebook, argmin per (vector, subspace) via
+    * window, reassembles with one groupBy — one shuffle of (id, sub,
+    * code) triples; the full vectors never shuffle. */
+  def pqCodes(vecs: DataFrame, idCol: String, vecCol: String,
+              m: Int = 4, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (v, codebook) = pqCodebook(vecs, idCol, vecCol, m, k)
+    val ex = v.select(col("vid"), explode(subvecs(col("vec"), m)).as("e"))
+      .select(col("vid"), col("e.sub").as("sub"), col("e.svec").as("svec"))
+    val w = Window.partitionBy(col("vid"), col("sub")).orderBy(col("__d"), col("cid"))
+    ex.join(broadcast(codebook), Seq("sub"))
+      .withColumn("__d", l2sq(col("svec"), col("cvec")))
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .groupBy(col("vid"))
+      .agg(transform(sort_array(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid")).as("codes"))
+      .select(col("vid").as(idCol), col("codes"))
+  }
+
+  /** IVF + PQ approximate top-k — the FAISS IVFADC shape: queries probe
+    * their `nprobe` nearest coarse cells (iters=0 quantizer, as [[ivfTopK]]
+    * with iters=0 / e4b), and candidates in those cells are scored by
+    * ASYMMETRIC DISTANCE (ADC): the exact query subvector against each
+    * candidate's reconstructed codebook centroid, summed over subspaces in
+    * subspace order (deterministic double fold). Returns (query_id,
+    * neighbor_id, adist, rank) with rank by ascending reconstructed L2².
+    *
+    * 100 TB shape: candidate vectors are never touched at query time —
+    * only their m-byte codes move; the codebook and query set broadcast;
+    * per-query work is nprobe/nlist of the corpus times an m-term table
+    * lookup. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                kTop: Int, nlist: Int = 8, nprobe: Int = 2,
+                m: Int = 4, k: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (assigned, centroids) = Clustering.kmeansLite(corpus, idCol, vecCol, nlist, iters = 0)
+    val codes = pqCodes(corpus, idCol, vecCol, m, k)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val lists = assigned.select(col("cid"), col("vid").as("neighbor_id"))
+      .join(codes, Seq("neighbor_id"))
+    // The codebook must come from the CORPUS seeds, not the query set.
+    val (_, corpusBook) = pqCodebook(corpus, idCol, vecCol, m, k)
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__d"), col("cid"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__d", l2sq(col("qv"), col("cvec")))
+      .withColumn("__r", row_number().over(probeW)).filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    // ADC: explode candidate codes by subspace, join the (sub, cid)
+    // codebook entry, score against the query's subvector, and fold the
+    // m per-subspace terms IN SUBSPACE ORDER so the double sum is
+    // engine-reproducible.
+    val cand = probes.join(lists, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val scored = cand
+      .join(broadcast(corpusBook.withColumnRenamed("cid", "code")), Seq("sub", "code"))
+      .withColumn("__t", l2sq(element_at(subvecs(col("qv"), m), col("sub") + 1)
+        .getField("svec"), col("cvec")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(aggregate(transform(sort_array(collect_list(struct(col("sub"), col("__t")))),
+        s => s.getField("__t")), lit(0.0), (a, x) => a + x), 6).as("adist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
+  }
+
+  /** (normalized corpus, broadcastable (sub, cid, cvec) codebook) for
+    * [[pqCodes]]/[[ivfPqTopK]]: centroid (s, c) = subspace s of the c-th
+    * md5-seeded corpus vector. */
+  private def pqCodebook(vecs: DataFrame, idCol: String, vecCol: String,
+                         m: Int, k: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1 && k >= 1, s"m/k must be >= 1, got $m/$k")
+    val v = vecs.select(col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val seedW = Window.orderBy(col("__h"), col("vid"))
+    val codebook = v.withColumn("__h", md5Long(col("vid")))
+      .withColumn("__rn", row_number().over(seedW)).filter(col("__rn") <= k)
+      .select((col("__rn") - 1).cast("int").as("cid"),
+        explode(subvecs(col("vec"), m)).as("e"))
+      .select(col("e.sub").as("sub"), col("cid"), col("e.svec").as("cvec"))
+    (v, codebook)
+  }
+
+  /** Array of m (sub, svec) structs: contiguous equal slices of `vec`
+    * (vector length must be divisible by m; a ragged tail would silently
+    * shrink the last subspace, so slice arithmetic uses size/m). */
+  private def subvecs(vec: Column, m: Int): Column = {
+    val sl = size(vec) / m
+    array((0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(vec, sl * lit(s) + 1, sl).as("svec"))): _*)
+  }
+
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
   /** Matryoshka truncation: keep the first `dims` dimensions and
     * L2-renormalize — the MRL serving trick (use a prefix of the
     * embedding at a fraction of the cost; Kusupati et al. 2022). Zero

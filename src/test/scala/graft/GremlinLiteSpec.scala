@@ -176,6 +176,23 @@ class GremlinLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("order()[.by(k)] sorts traversers; groupCount().by(label) is the console census") {
+    assert(GremlinLite.run(g, "g.V().values('email').order()")
+      .as[String].collect().toSeq ==
+      Seq("gog1@d", "subgroup1@d", "user1@d", "user2@d"))
+    assert(GremlinLite.run(g, "g.V().hasLabel('user').order().by('email').id()")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    val census = GremlinLite.run(g, "g.V().groupCount().by(label)")
+      .as[(String, Long)].collect().toMap
+    assert(census == Map("user" -> 2L, "group" -> 2L))
+    assert(GremlinLite.run(g, "g.E().groupCount().by(label)")
+      .as[(String, Long)].collect().toMap == Map("in" -> 2L))
+    // groupCount without by() fails loudly (no silent element-identity map).
+    assertThrows[IllegalArgumentException] {
+      GremlinLite.run(g, "g.V().groupCount()")
+    }
+  }
+
   test("string query plans identically to the fluent API") {
     val viaText = GremlinLite.run(g,
       "g.V().hasLabel('user').has('email','user1@d').out('in').id()")

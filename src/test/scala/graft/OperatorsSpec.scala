@@ -358,6 +358,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.shardOverflow(corpus, "doc_id", 32, 10L).count() == 0)
   }
 
+  // JVM replica of Hashing.md5Long for seed-order replication in specs.
+  private def md5long(s: String): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15), 16)
+
+  test("pqCodes: codes pick the nearest subspace centroid of the md5-seeded codebook") {
+    val data = Seq(
+      1L -> Array(0f, 0f, 10f, 10f),
+      2L -> Array(10f, 10f, 0f, 0f),
+      3L -> Array(0f, 0f, 9f, 9f),
+      4L -> Array(9f, 9f, 1f, 1f))
+    val out = Similarity.pqCodes(data.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", m = 2, k = 2)
+      .as[(Long, Seq[Int])].collect().toMap
+    // Independent JVM replica: seeds = the 2 ids with smallest (md5, id);
+    // codebook (sub, c) = subspace sub of seed c; code = argmin L2, ties
+    // to the lower cid.
+    val seeds = data.sortBy { case (id, _) => (md5long(id.toString), id) }.take(2)
+    def sub(v: Array[Float], s: Int) = v.slice(s * 2, s * 2 + 2).map(_.toDouble)
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val expected = data.map { case (id, v) =>
+      id -> (0 until 2).map { s =>
+        seeds.zipWithIndex.map { case ((_, sv), c) => (l2(sub(v, s), sub(sv, s)), c) }.min._2
+      }
+    }.toMap
+    assert(out == expected)
+  }
+
+  test("ivfPqTopK: with nprobe=nlist the ranking is exactly ADC over the whole corpus") {
+    // Deterministic pseudo-random corpus (no RNG — seeded by index).
+    val data = (1L to 8L).map(i =>
+      i -> Array.tabulate(4)(d => ((i * 7 + d * 13) % 10).toFloat))
+    val df = data.toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopK(df, df.filter(col("vec_id") <= 2),
+        "vec_id", "embedding", kTop = 3, nlist = 2, nprobe = 2, m = 2, k = 4)
+      .select("query_id", "neighbor_id", "adist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // JVM ADC replica.
+    val byMd5 = data.sortBy { case (id, _) => (md5long(id.toString), id) }
+    def sub(v: Array[Float], s: Int) = v.slice(s * 2, s * 2 + 2).map(_.toDouble)
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val book = byMd5.take(4).map(_._2) // (cid)(subspace slice via sub())
+    val codes = data.map { case (id, v) =>
+      id -> (0 until 2).map { s =>
+        book.zipWithIndex.map { case (sv, c) => (l2(sub(v, s), sub(sv, s)), c) }.min._2
+      }
+    }.toMap
+    val expected = data.take(2).flatMap { case (qid, qv) =>
+      val scored = data.filter(_._1 != qid).map { case (nid, _) =>
+        val d = (0 until 2).foldLeft(0.0)((acc, s) => acc + l2(sub(qv, s), sub(book(codes(nid)(s)), s)))
+        (nid, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (nid, d) => (d, nid) }
+      scored.take(3).zipWithIndex.map { case ((nid, d), r) => (qid, nid, d, r + 1) }
+    }.toSet
+    assert(out == expected)
+  }
+
   test("quantizeInt8: max element maps to 127; zero vector guarded") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
