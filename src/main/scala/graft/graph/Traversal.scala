@@ -257,12 +257,49 @@ object Traversal {
     *
     * Input edges are directed (src, dst) pairs (e.g. LSH candidates with
     * id_a < id_b); symmetrization happens here. Output: (id, label).
+    *
+    * Graphs at or under `smallCutoff` undirected rows short-circuit to a
+    * size-guarded single-task union-find on the driver (see inline note);
+    * pass `smallCutoff = 0` to force the distributed rounds.
     */
-  def minLabel(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+  def minLabel(edges: DataFrame, maxIter: Int = 64,
+               smallCutoff: Long = 1000000L): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Size-guarded driver escape hatch (the GraphX tiny-graph-skip
+    // precedent): a pair graph under `smallCutoff` undirected rows is
+    // cheaper to solve in ONE task of union-find than in log(diameter)
+    // distributed rounds — the gate corpora pay ~16 rounds of
+    // join+checkpoint job latency (~0.5 s each) for 10³ edges otherwise.
+    // Same output contract (min id per component: union-by-min keeps
+    // every root the minimum of its set); the distributed path below is
+    // the 100 TB path and takes over past the cutoff. ≤ cutoff rows of
+    // two longs is ≤ ~16 MB on the driver — the same envelope as the
+    // size-guarded GraphML export.
+    val nUnd = und.count()
+    if (nUnd <= smallCutoff) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val pairs = und.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keys.toSeq.sorted.map(x => (x, find(x)))
+      und.unpersist(false)
+      return out.toDF("id", "label")
+    }
     var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -98,10 +98,16 @@ class TraversalSpec extends AnyFunSuite {
     // rounds, jumping converges well inside maxIter = 16.
     val chain = (1L until 60L).map(i => (i, i + 1))
     val pairs = chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
-    val got = Traversal.minLabel(edgesDF(pairs), maxIter = 16)
+    // smallCutoff = 0 forces the DISTRIBUTED rounds (the 100 TB path);
+    // the default exercises the size-guarded driver union-find. Both
+    // must equal the closure ground truth.
+    val got = Traversal.minLabel(edgesDF(pairs), maxIter = 16, smallCutoff = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got == closureCanonical(pairs))
     assert(got(60L) == 1L && got(102L) == 100L && got(201L) == 200L)
+    val gotSmall = Traversal.minLabel(edgesDF(pairs), maxIter = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(gotSmall == got)
   }
 
   test("property: minLabel equals closure canonical on 15 seeded random pair graphs") {
@@ -112,7 +118,11 @@ class TraversalSpec extends AnyFunSuite {
       val es = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter(e => e._1 != e._2).distinct
       if (es.nonEmpty) {
-        val got = Traversal.minLabel(edgesDF(es)).as[(Long, Long)].collect().toMap
+        // Alternate paths: even graphs force the distributed rounds,
+        // odd take the driver union-find — both against ground truth.
+        val cutoff = if (es.size % 2 == 0) 0L else 1000000L
+        val got = Traversal.minLabel(edgesDF(es), smallCutoff = cutoff)
+          .as[(Long, Long)].collect().toMap
         assert(got == closureCanonical(es), s"pairs=$es")
       }
     }
