@@ -686,6 +686,22 @@ object SparkEntry {
       operators.Dedup.shuffleShard(t(s, dir, "documents"), "doc_id")
     }),
 
+    // Domain-mixture epoch realization (DoReMi-style): src0 upsampled
+    // 2.5x, src1 downsampled 0.25x, everything else 1.0 — epochs by
+    // deterministic md5 coin per (doc, epoch); pure projection+explode.
+    "d_mixture" -> ((s, dir) => {
+      operators.Dedup.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.25))
+        .select(col("doc_id"), col("source"), col("epoch"))
+    }),
+
+    // Balanced per-domain quota: the 5 docs per source with smallest
+    // (md5, id) — a deterministic stratified eval head.
+    "d_stratified_head" -> ((s, dir) => {
+      operators.Dedup.stratifiedHead(t(s, dir, "documents"), "doc_id", "source", n = 5)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Multimodal: opaque blob + metadata pass (size + digest).
     "m1_media_meta" -> ((s, dir) => {
       operators.Multimodal.mediaMeta(
@@ -1897,6 +1913,28 @@ object SparkEntry {
          |SELECT doc_id, h % 8 AS shard,
          |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) - 1 AS pos
          |FROM h""".stripMargin,
+
+    // Mixture epochs: rate quantized to basis points; full epochs via
+    // generate_series, fractional epoch by the md5 coin on (doc, epoch).
+    "d_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25 ELSE 1.0 END AS rate
+         |  FROM documents),
+         |f AS (SELECT doc_id, source,
+         |  CAST(CAST(floor(rate * 10000) AS BIGINT) // 10000 AS INT) AS efull,
+         |  CAST(floor(rate * 10000) AS BIGINT) % 10000 AS fbp FROM d),
+         |fe AS (SELECT doc_id, source, CAST(unnest(generate_series(0, efull - 1)) AS INT) AS epoch
+         |  FROM f WHERE efull >= 1),
+         |ex AS (SELECT doc_id, source, efull AS epoch FROM f
+         |  WHERE ${md5i("CAST(doc_id AS VARCHAR) || '#' || CAST(efull AS VARCHAR)")} % 10000 < fbp)
+         |SELECT doc_id, source, epoch FROM fe
+         |UNION ALL SELECT doc_id, source, epoch FROM ex""".stripMargin,
+
+    "d_stratified_head" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY ${md5i("CAST(doc_id AS VARCHAR)")}, doc_id) AS r
+         |  FROM documents) WHERE r <= 5""".stripMargin,
 
     "d_contamination" ->
       s"""WITH w AS (SELECT doc_id,

@@ -249,6 +249,51 @@ object Dedup {
       .filter(col("sz") > maxShardRows)
   }
 
+  /** Deterministic domain-mixture realization (the DoReMi/data-mixing
+    * epoch step): each domain samples at its target `rate` — every doc
+    * appears `floor(rate)` times (epochs 0..floor(rate)-1) plus one more
+    * epoch with probability frac(rate), decided by the same md5 bucket
+    * coin as [[hashSample]] keyed on (doc, epoch). Reproducible across
+    * engines/runs/retries/partitionings, and a doc's epochs never change
+    * when the corpus grows (membership depends only on its own key).
+    *
+    * Rates are quantized to basis points: `floor(rate * 10000)` — state
+    * 0.25 as 0.25, not as something that rounds surprisingly. Rate 0
+    * drops the domain. Output: input columns + `epoch` (int).
+    *
+    * Scale: a pure in-row projection + explode — NO shuffle, no join; the
+    * rate table rides in as a map literal. */
+  def mixtureSample(df: DataFrame, keyCol: String, domainCol: String,
+                    rates: Map[String, Double],
+                    defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1000),
+      "rates must be in [0, 1000]")
+    val rate = coalesce(element_at(typedLit(rates), col(domainCol)), lit(defaultRate))
+    val bp = floor(rate * 10000).cast("long")
+    val full = (bp / 10000).cast("int")
+    val fracBp = bp % 10000
+    val coin = md5Long(concat(col(keyCol).cast("string"), lit("#"),
+      full.cast("string"))) % 10000
+    val epochs = concat(
+      when(full >= 1, sequence(lit(0), full - 1)).otherwise(array().cast("array<int>")),
+      when(coin < fracBp, array(full)).otherwise(array().cast("array<int>")))
+    df.withColumn("epoch", explode(epochs))
+  }
+
+  /** Deterministic per-domain quota: the `n` docs of each domain with the
+    * smallest (md5(key), key) — a balanced "random" head for eval sets,
+    * stable under reruns and engine changes. One shuffle on the domain;
+    * the per-domain sort is windowed top-k (rank pushdown keeps state at
+    * n rows per partition, no full sort materializes). */
+  def stratifiedHead(df: DataFrame, keyCol: String, domainCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol)).orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", md5Long(col(keyCol)))
+      .withColumn("__r", row_number().over(w)).filter(col("__r") <= n)
+      .drop("__h", "__r")
+  }
+
   /** Deterministic train/val/test split on the same md5 key-buckets as
     * [[hashSample]]: a document lands in the same split on every engine,
     * run, and partitioning — and stays there when the corpus grows, since

@@ -417,6 +417,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("mixtureSample: floor(rate) full epochs + md5-coin fractional epoch; rate 0 drops") {
+    val corpus = (1L to 40L).map(i =>
+      (i, s"doc $i", if (i <= 10) "a" else if (i <= 20) "b" else if (i <= 30) "c" else "d"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.mixtureSample(corpus, "doc_id", "source",
+        Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0), defaultRate = 1.0)
+      .select("doc_id", "source", "epoch")
+      .as[(Long, String, Int)].collect().toSeq
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    // rate 2.0: exactly epochs 0 and 1; rate 0: absent; default 1.0: epoch 0.
+    (1L to 10L).foreach(i => assert(byDoc(i) == Seq(0, 1)))
+    (21L to 30L).foreach(i => assert(!byDoc.contains(i)))
+    (31L to 40L).foreach(i => assert(byDoc(i) == Seq(0)))
+    // rate 0.5: epoch 0 iff the md5 coin on (id, epoch 0) lands < 5000 bp.
+    (11L to 20L).foreach { i =>
+      val coin = md5long(s"$i#0") % 10000
+      assert(byDoc.get(i).toSeq.flatten == (if (coin < 5000) Seq(0) else Nil), s"doc $i")
+    }
+    // Reruns produce the identical multiset.
+    val again = Dedup.mixtureSample(corpus, "doc_id", "source",
+        Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0), defaultRate = 1.0)
+      .select("doc_id", "source", "epoch").as[(Long, String, Int)].collect().toSeq
+    assert(out.sorted == again.sorted)
+  }
+
+  test("stratifiedHead: n smallest (md5, id) per domain, input columns preserved") {
+    val corpus = (1L to 30L).map(i => (i, s"doc $i", if (i % 3 == 0) "x" else "y"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.stratifiedHead(corpus, "doc_id", "source", n = 4)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    val expected = (1L to 30L).map(i => (i, if (i % 3 == 0) "x" else "y"))
+      .groupBy(_._2).flatMap { case (_, members) =>
+        members.sortBy { case (id, _) => (md5long(id.toString), id) }.take(4)
+      }.toSet
+    assert(out == expected)
+    assert(out.count(_._2 == "x") == 4 && out.count(_._2 == "y") == 4)
+  }
+
   test("quantizeInt8: max element maps to 127; zero vector guarded") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
