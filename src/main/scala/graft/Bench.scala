@@ -49,6 +49,10 @@ object Bench {
 
     // Optional args: bench only the named queries (dev-mode adjudication
     // of a single noisy timing); the driver passes none and gets all.
+    // A typo'd name must FAIL, not silently print a zero-query success.
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.length == 1) "y" else "ies"}: ${unknown.mkString(", ")}")
     val wanted =
       if (args.nonEmpty) SparkEntry.queries.keys.filter(args.toSet).toSeq
       else SparkEntry.queries.keys.toSeq

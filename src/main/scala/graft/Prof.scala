@@ -24,14 +24,21 @@ object Prof {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    def resolve(names: List[String]): List[String] = {
+      require(names.nonEmpty, "usage: explain|time <gate> [<gate>…]")
+      val unknown = names.filterNot(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown gate(s): ${unknown.mkString(", ")} " +
+        s"(valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+      names
+    }
     args.toList match {
-      case "explain" :: names if names.nonEmpty =>
-        names.foreach { n =>
+      case "explain" :: names =>
+        resolve(names).foreach { n =>
           println(s"\n========== $n ==========")
           SparkEntry.queries(n)(spark, dir).explain("formatted")
         }
-      case "time" :: names if names.nonEmpty =>
-        names.foreach { n =>
+      case "time" :: names =>
+        resolve(names).foreach { n =>
           (1 to 3).foreach(i => time(s"$n run$i")(
             SparkEntry.queries(n)(spark, dir).count()))
         }

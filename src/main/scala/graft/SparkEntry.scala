@@ -1914,15 +1914,19 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) - 1 AS pos
          |FROM h""".stripMargin,
 
-    // Mixture epochs: rate quantized to basis points; full epochs via
-    // generate_series, fractional epoch by the md5 coin on (doc, epoch).
+    // Mixture epochs: rate quantized to basis points as floor(x + 0.5) —
+    // bare floor of the IEEE product puts 0.3 at 2999 bp in Spark vs
+    // 3000 in DuckDB's decimal literals, and round() tie modes differ
+    // across engines; floor(x+0.5) is identical IEEE arithmetic in both.
+    // The CAST AS DOUBLE forces DuckDB off its DECIMAL literal onto the
+    // same IEEE product Spark computes.
     "d_mixture" ->
       s"""WITH d AS (SELECT doc_id, source,
          |  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25 ELSE 1.0 END AS rate
          |  FROM documents),
          |f AS (SELECT doc_id, source,
-         |  CAST(CAST(floor(rate * 10000) AS BIGINT) // 10000 AS INT) AS efull,
-         |  CAST(floor(rate * 10000) AS BIGINT) % 10000 AS fbp FROM d),
+         |  CAST(CAST(floor(CAST(rate AS DOUBLE) * 10000 + 0.5) AS BIGINT) // 10000 AS INT) AS efull,
+         |  CAST(floor(CAST(rate AS DOUBLE) * 10000 + 0.5) AS BIGINT) % 10000 AS fbp FROM d),
          |fe AS (SELECT doc_id, source, CAST(unnest(generate_series(0, efull - 1)) AS INT) AS epoch
          |  FROM f WHERE efull >= 1),
          |ex AS (SELECT doc_id, source, efull AS epoch FROM f

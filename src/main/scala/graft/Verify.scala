@@ -38,20 +38,23 @@ object Verify {
         // NULL h1 = docs with <3 words; they never match ngramJaccard's
         // equi-join, so a flood of short docs is not a cap violation.
         .filter(org.apache.spark.sql.functions.col("h1").isNotNull)
+      val capMsg = "capped Spark pipelines will hash-mismatch their " +
+        "uncapped oracles; shrink the corpus or mirror the cap in SQL"
       val audits = Seq(
-        "lsh band buckets" -> operators.Dedup.lshOverflow(docs, "doc_id", "text"),
-        "ngram h1 prefilter" -> operators.Skew.bucketOverflow(pre, Seq("h1"), 8192),
-        "cosine label blocks" -> operators.Skew.bucketOverflow(embs, Seq("label"), 8192),
-        // d_shuffle_shard's gate pins nShards=8; a corpus where one shard
-        // tops 8192 rows means the gate's window sorts are outgrowing a
-        // single task — resize with Dedup.shuffleShardAuto.
-        "shuffle-shard size" -> operators.Dedup.shardOverflow(docs, "doc_id", 8, 8192L))
-      audits.foreach { case (what, audit) =>
+        ("lsh band buckets", operators.Dedup.lshOverflow(docs, "doc_id", "text"), capMsg),
+        ("ngram h1 prefilter", operators.Skew.bucketOverflow(pre, Seq("h1"), 8192), capMsg),
+        ("cosine label blocks", operators.Skew.bucketOverflow(embs, Seq("label"), 8192), capMsg),
+        // d_shuffle_shard has NO cap and still matches its oracle when a
+        // shard overflows — the violation is an OVERSIZED single-task
+        // window sort, with its own remediation.
+        ("shuffle-shard size", operators.Dedup.shardOverflow(docs, "doc_id", 8, 8192L),
+          "the gate output still hash-matches its oracle, but a shard " +
+            "outgrew a single window-sort task; resize with Dedup.shuffleShardAuto"))
+      audits.foreach { case (what, audit, why) =>
         val n = audit.count()
         if (n > 0) System.err.println(
           s"[verify] CAP-AUDIT VIOLATION: $n hot $what bucket(s) exceed the " +
-            "8192 cap at this sf — capped Spark pipelines will hash-mismatch " +
-            "their uncapped oracles; shrink the corpus or mirror the cap in SQL")
+            s"8192 bound at this sf — $why")
       }
     } catch { case e: Throwable =>
       System.err.println(s"[verify] cap audit skipped: ${e.getMessage}")

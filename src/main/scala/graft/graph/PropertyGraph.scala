@@ -48,6 +48,17 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def propCol(prop: String): Column =
     if (prop == "key") col("key") else col("props").getItem(prop)
 
+  /** Label-aware property column: `prop` may be the PROMOTED key for some
+    * labels — stored in the `key` column and (on loader-built graphs,
+    * GroovyLoader.scala) absent from `props` — and a plain map entry for
+    * others. Resolve per label via the registry; [[propCol]] is the
+    * registry-free flat form. */
+  def propColFor(prop: String, keyProps: Map[String, String]): Column = {
+    val promoted = keyProps.collect { case (l, p) if p == prop => l }.toSeq
+    if (prop == "key" || promoted.isEmpty) propCol(prop)
+    else when(col("label").isin(promoted: _*), col("key")).otherwise(propCol(prop))
+  }
+
   // ---------------------------------------------------------------- A4 / A5 / A20
 
   /** A4 — existence probe, set form: of `candidates` (label,key rows), which

@@ -273,30 +273,38 @@ object Traversal {
     // cheaper to solve in ONE task of union-find than in log(diameter)
     // distributed rounds — the gate corpora pay ~16 rounds of
     // join+checkpoint job latency (~0.5 s each) for 10³ edges otherwise.
-    // Same output contract (min id per component: union-by-min keeps
-    // every root the minimum of its set); the distributed path below is
-    // the 100 TB path and takes over past the cutoff. ≤ cutoff rows of
-    // two longs is ≤ ~16 MB on the driver — the same envelope as the
-    // size-guarded GraphML export.
+    // Same output contract (min id per component: ids are sorted, so
+    // index order == id order and union-by-min-index == union-by-min-id);
+    // the distributed path below is the 100 TB path and takes over past
+    // the cutoff. Footprint at the 1M-row cutoff, measured honestly:
+    // ~32 MB of collected tuple objects + 8 MB ids + 4 MB parent indices
+    // — sized for the ≥8g bench/verify drivers this library documents,
+    // NOT for a 1g default driver; shrink the cutoff when embedding.
     val nUnd = und.count()
     if (nUnd <= smallCutoff) {
       val spark = edges.sparkSession
       import spark.implicits._
       val pairs = und.select(col("src"), col("dst")).as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
+      val sorted = pairs.flatMap(p => Array(p._1, p._2))
+      java.util.Arrays.sort(sorted)
+      var n = 0
+      for (i <- sorted.indices)
+        if (n == 0 || sorted(i) != sorted(n - 1)) { sorted(n) = sorted(i); n += 1 }
+      val ids = java.util.Arrays.copyOf(sorted, n)
+      val parent = Array.tabulate(n)(identity)
+      def find(i: Int): Int = {
+        var r = i
         while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        var c = i
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      pairs.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      pairs.foreach { p =>
+        val ra = find(java.util.Arrays.binarySearch(ids, p._1))
+        val rb = find(java.util.Arrays.binarySearch(ids, p._2))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
-      val out = parent.keys.toSeq.sorted.map(x => (x, find(x)))
+      val out = Array.tabulate(n)(i => (ids(i), ids(find(i)))).toSeq
       und.unpersist(false)
       return out.toDF("id", "label")
     }

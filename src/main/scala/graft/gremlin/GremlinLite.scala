@@ -133,16 +133,12 @@ object GremlinLite {
               case Some(l) =>
                 val isKey = k == "key" || keyProps.get(l).contains(k)
                 (if (isKey) col("key") else cur.propCol(k)) === v
-              case None if k == "key" => col("key") === v
               case None =>
-                // Label-less has-drop: consult the registry PER LABEL —
-                // props[k] is NULL for labels where k is the promoted key
-                // (it lives in the `key` column), so a flat props[k]===v
-                // would silently keep exactly the vertices it should drop.
-                val promoted = keyProps.collect { case (l, p) if p == k => l }.toSeq
-                if (promoted.isEmpty) cur.propCol(k) === v
-                else when(col("label").isin(promoted: _*), col("key") === v)
-                  .otherwise(cur.propCol(k) === v)
+                // Label-less has-drop: props[k] is NULL for labels where
+                // k is the promoted key (it lives in the `key` column),
+                // so a flat props[k]===v would silently keep exactly the
+                // vertices it should drop — resolve per label.
+                cur.propColFor(k, keyProps) === v
             }
           }
           // bare g.V().drop() (README.md:321): both absent — full wipe.
@@ -167,15 +163,18 @@ object GremlinLite {
     * "g1" -> …)`, exactly as the console session that bound `u1`/`g1`
     * with `u1 = g.V()...next()` lines would. */
   def run(g: PropertyGraph, query: String,
-          bindings: Map[String, Long] = Map.empty): DataFrame =
-    eval(g, query, bindings)._1
+          bindings: Map[String, Long] = Map.empty,
+          keyProps: Map[String, String] =
+            graft.sources.GroovyLoader.ReferenceKeyProps): DataFrame =
+    eval(g, query, bindings, keyProps)._1
 
   /** The side-effect graph a `subgraph(name)` step captured while
     * evaluating `query` — the `sg.io(...).writeGraph(...)` half of the
     * reference's export session, minus the file format (pair with
     * [[graft.graph.GraphExport]]). */
   def subgraphOf(g: PropertyGraph, query: String, name: String = "sg"): PropertyGraph = {
-    val captured = eval(g, query, Map.empty)._2
+    val captured = eval(g, query, Map.empty,
+      graft.sources.GroovyLoader.ReferenceKeyProps)._2
     captured.getOrElse(name, throw new IllegalArgumentException(
       s"no subgraph('$name') step in: $query (captured: ${captured.keys.mkString(",")})"))
   }
@@ -194,8 +193,12 @@ object GremlinLite {
         s"(bound: ${bindings.keys.mkString(",")})"))
   }
 
-  private def eval(g: PropertyGraph, query: String,
-                   bindings: Map[String, Long]): (DataFrame, Map[String, PropertyGraph]) = {
+  private def eval(g: PropertyGraph, query: String, bindings: Map[String, Long],
+                   keyProps: Map[String, String]): (DataFrame, Map[String, PropertyGraph]) = {
+    // Vertex property reads resolve promoted keys per label (the key
+    // column, not props — see PropertyGraph.propColFor) so loader-built
+    // graphs, whose props omit the promoted key, match like fluent ones.
+    def vProp(k: String) = g.propColFor(k, keyProps)
     val steps = parse(query)
     require(steps.nonEmpty, s"empty traversal: $query")
 
@@ -251,7 +254,7 @@ object GremlinLite {
             s"repeat(...) must be followed by .times(n)")
           cur = (1 to timesArgs.head.toInt).foldLeft(cur)((d, _) => hop(body, bodyArgs)(d))
         case ("hasLabel", _) => arity(1); cur = cur.filter(col("label") === args.head)
-        case ("has", false) => arity(2); cur = cur.filter(g.propCol(args(0)) === lit(args(1)))
+        case ("has", false) => arity(2); cur = cur.filter(vProp(args(0)) === lit(args(1)))
         case ("has", true) => arity(2); cur = cur.filter(col(args(0)) === lit(args(1)))
         case ("out", false) => arity(0, 1); cur = hop("out", args)(cur)
         case ("in", false) => arity(0, 1); cur = hop("in", args)(cur)
@@ -261,7 +264,7 @@ object GremlinLite {
         case ("outV", true) => arity(0); cur = toVertices("src"); onEdges = false
         case ("valueMap", false) => arity(0); cur = g.valueMap(cur)
         case ("values", false) =>
-          arity(1); cur = cur.select(g.propCol(args.head).as(args.head))
+          arity(1); cur = cur.select(vProp(args.head).as(args.head))
         case ("id", false) => arity(0); cur = g.ids(cur)
         case ("count", _) => arity(0); cur = cur.agg(count(lit(1)).as("count"))
         case ("dedup", _) =>
@@ -308,7 +311,7 @@ object GremlinLite {
               cur = cur.filter(col("src") === resolveId(idArg, bindings, query))
             case Seq(("has", Seq(k, v))) =>
               cur = cur.filter(
-                (if (onEdges) col(k) else g.propCol(k)) === lit(v))
+                (if (onEdges) col(k) else vProp(k)) === lit(v))
             case Seq(("hasLabel", Seq(l))) =>
               cur = cur.filter(col("label") === l)
             case other => throw new IllegalArgumentException(
@@ -329,8 +332,9 @@ object GremlinLite {
             Some(byArgs.head)
           } else None
           cur = byKey match {
-            case Some(k) if !onEdges => cur.orderBy(g.propCol(k).asc, col("id").asc)
-            case Some(k) => cur.orderBy(col(k).asc)
+            case Some(k) if !onEdges => cur.orderBy(vProp(k).asc, col("id").asc)
+            case Some(k) => cur.orderBy(col(k).asc,
+              col("src").asc, col("dst").asc, col("label").asc)
             case None =>
               // A MAP column (props) is not orderable in Spark — sort on
               // everything else (id/label/key carry the identity anyway).
@@ -349,7 +353,7 @@ object GremlinLite {
           require(byArgs.length == 1, s"by() takes 1 argument in: $query")
           val keyCol = byArgs.head match {
             case "label" => col("label")
-            case k if !onEdges => g.propCol(k)
+            case k if !onEdges => vProp(k)
             case k => col(k)
           }
           cur = cur.groupBy(keyCol.as(byArgs.head))

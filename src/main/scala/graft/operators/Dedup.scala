@@ -257,8 +257,11 @@ object Dedup {
     * engines/runs/retries/partitionings, and a doc's epochs never change
     * when the corpus grows (membership depends only on its own key).
     *
-    * Rates are quantized to basis points: `floor(rate * 10000)` — state
-    * 0.25 as 0.25, not as something that rounds surprisingly. Rate 0
+    * Rates are quantized to basis points as `floor(rate * 10000 + 0.5)`:
+    * NOT bare floor (0.3 is 2999.999… in IEEE double — floor alone
+    * quantizes it to 2999 bp while a decimal-arithmetic engine gets
+    * 3000), and not `round` either (engines disagree on exact-.5 tie
+    * modes; floor(x+0.5) is the same IEEE arithmetic everywhere). Rate 0
     * drops the domain. Output: input columns + `epoch` (int).
     *
     * Scale: a pure in-row projection + explode — NO shuffle, no join; the
@@ -269,7 +272,7 @@ object Dedup {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1000),
       "rates must be in [0, 1000]")
     val rate = coalesce(element_at(typedLit(rates), col(domainCol)), lit(defaultRate))
-    val bp = floor(rate * 10000).cast("long")
+    val bp = floor(rate * 10000 + 0.5).cast("long")
     val full = (bp / 10000).cast("int")
     val fracBp = bp % 10000
     val coin = md5Long(concat(col(keyCol).cast("string"), lit("#"),

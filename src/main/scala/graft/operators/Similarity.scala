@@ -161,14 +161,9 @@ object Similarity {
     * code) triples; the full vectors never shuffle. */
   def pqCodes(vecs: DataFrame, idCol: String, vecCol: String,
               m: Int = 4, k: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val (v, codebook) = pqCodebook(vecs, idCol, vecCol, m, k)
-    val ex = v.select(col("vid"), explode(subvecs(col("vec"), m)).as("e"))
-      .select(col("vid"), col("e.sub").as("sub"), col("e.svec").as("svec"))
-    val w = Window.partitionBy(col("vid"), col("sub")).orderBy(col("__d"), col("cid"))
-    ex.join(broadcast(codebook), Seq("sub"))
-      .withColumn("__d", l2sq(col("svec"), col("cvec")))
-      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+    val v = pqNormalize(vecs, idCol, vecCol, m)
+    val codebook = codebookOf(seedVecs(v, k), m)
+    pqAssign(v, codebook, m)
       .groupBy(col("vid"))
       .agg(transform(sort_array(collect_list(struct(col("sub"), col("cid")))),
         s => s.getField("cid")).as("codes"))
@@ -191,19 +186,32 @@ object Similarity {
                 kTop: Int, nlist: Int = 8, nprobe: Int = 2,
                 m: Int = 4, k: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (assigned, centroids) = Clustering.kmeansLite(corpus, idCol, vecCol, nlist, iters = 0)
-    val codes = pqCodes(corpus, idCol, vecCol, m, k)
-      .select(col(idCol).as("neighbor_id"), col("codes"))
+    // ONE md5 pass + ONE global top-k over the corpus supplies both the
+    // coarse centroids (first nlist seeds — identical to kmeansLite with
+    // iters = 0) and the PQ codebook (first k seeds); localCheckpoint
+    // because the max(nlist, k)-row seed table feeds three consumers.
+    val v = pqNormalize(corpus, idCol, vecCol, m)
+    val seeds = seedVecs(v, math.max(nlist, k)).localCheckpoint()
+    val centroids = seeds.filter(col("cid") < nlist)
+      .select(col("cid"), col("vec").as("cvec"))
+    val codebook = codebookOf(seeds.filter(col("cid") < k), m)
+    val probeW = Window.partitionBy(col("vid")).orderBy(col("__d"), col("cid"))
+    val assigned = v.crossJoin(broadcast(centroids))
+      .withColumn("__d", l2sq(col("vec"), col("cvec")))
+      .withColumn("__r", row_number().over(probeW)).filter(col("__r") === 1)
+      .select(col("vid"), col("cid"))
+    val codes = pqAssign(v, codebook, m)
+      .groupBy(col("vid"))
+      .agg(transform(sort_array(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid")).as("codes"))
     val lists = assigned.select(col("cid"), col("vid").as("neighbor_id"))
-      .join(codes, Seq("neighbor_id"))
-    // The codebook must come from the CORPUS seeds, not the query set.
-    val (_, corpusBook) = pqCodebook(corpus, idCol, vecCol, m, k)
-    val q = queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("qv"))
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("__d"), col("cid"))
+      .join(codes.select(col("vid").as("neighbor_id"), col("codes")), Seq("neighbor_id"))
+    val q = pqNormalize(queries, idCol, vecCol, m)
+      .select(col("vid").as("query_id"), col("vec").as("qv"))
+    val qProbeW = Window.partitionBy(col("query_id")).orderBy(col("__d"), col("cid"))
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("__d", l2sq(col("qv"), col("cvec")))
-      .withColumn("__r", row_number().over(probeW)).filter(col("__r") <= nprobe)
+      .withColumn("__r", row_number().over(qProbeW)).filter(col("__r") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid"))
     // ADC: explode candidate codes by subspace, join the (sub, cid)
     // codebook entry, score against the query's subvector, and fold the
@@ -214,7 +222,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("neighbor_id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
     val scored = cand
-      .join(broadcast(corpusBook.withColumnRenamed("cid", "code")), Seq("sub", "code"))
+      .join(broadcast(codebook.withColumnRenamed("cid", "code")), Seq("sub", "code"))
       .withColumn("__t", l2sq(element_at(subvecs(col("qv"), m), col("sub") + 1)
         .getField("svec"), col("cvec")))
       .groupBy(col("query_id"), col("neighbor_id"))
@@ -224,29 +232,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= kTop)
   }
 
-  /** (normalized corpus, broadcastable (sub, cid, cvec) codebook) for
-    * [[pqCodes]]/[[ivfPqTopK]]: centroid (s, c) = subspace s of the c-th
-    * md5-seeded corpus vector. */
-  private def pqCodebook(vecs: DataFrame, idCol: String, vecCol: String,
-                         m: Int, k: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    require(m >= 1 && k >= 1, s"m/k must be >= 1, got $m/$k")
-    val v = vecs.select(col(idCol).as("vid"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val seedW = Window.orderBy(col("__h"), col("vid"))
-    val codebook = v.withColumn("__h", md5Long(col("vid")))
-      .withColumn("__rn", row_number().over(seedW)).filter(col("__rn") <= k)
-      .select((col("__rn") - 1).cast("int").as("cid"),
-        explode(subvecs(col("vec"), m)).as("e"))
-      .select(col("e.sub").as("sub"), col("cid"), col("e.svec").as("cvec"))
-    (v, codebook)
+  /** (vid, vec double) projection with the PQ divisibility contract
+    * ENFORCED: a vector whose length m does not divide would silently
+    * lose its tail dimensions to integer slice arithmetic — raise
+    * instead. */
+  private def pqNormalize(vecs: DataFrame, idCol: String, vecCol: String,
+                          m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    vecs.select(col(idCol).as("vid"),
+      when(size(col(vecCol)) % m === 0, transform(col(vecCol), x => x.cast("double")))
+        .otherwise(raise_error(concat(
+          lit(s"pq: vector length must be divisible by m=$m, got "),
+          size(col(vecCol)).cast("string")))).as("vec"))
   }
 
-  /** Array of m (sub, svec) structs: contiguous equal slices of `vec`
-    * (vector length must be divisible by m; a ragged tail would silently
-    * shrink the last subspace, so slice arithmetic uses size/m). */
+  /** The n corpus vectors with smallest (md5(id), id) as (cid 0..n-1,
+    * vec) — plans as one TakeOrderedAndProject, O(n) driver state. */
+  private def seedVecs(v: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"seed count must be >= 1, got $n")
+    val seedW = Window.orderBy(col("__h"), col("vid"))
+    v.withColumn("__h", md5Long(col("vid")))
+      .withColumn("__rn", row_number().over(seedW)).filter(col("__rn") <= n)
+      .select((col("__rn") - 1).cast("int").as("cid"), col("vec"))
+  }
+
+  /** Broadcastable (sub, cid, cvec) PQ codebook: subspace slices of the
+    * seed vectors. */
+  private def codebookOf(seeds: DataFrame, m: Int): DataFrame =
+    seeds.select(col("cid"), explode(subvecs(col("vec"), m)).as("e"))
+      .select(col("e.sub").as("sub"), col("cid"), col("e.svec").as("cvec"))
+
+  /** Per-(vector, subspace) nearest codebook centroid: (vid, sub, cid). */
+  private def pqAssign(v: DataFrame, codebook: DataFrame, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = v.select(col("vid"), explode(subvecs(col("vec"), m)).as("e"))
+      .select(col("vid"), col("e.sub").as("sub"), col("e.svec").as("svec"))
+    val w = Window.partitionBy(col("vid"), col("sub")).orderBy(col("__d"), col("cid"))
+    ex.join(broadcast(codebook), Seq("sub"))
+      .withColumn("__d", l2sq(col("svec"), col("cvec")))
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("vid"), col("sub"), col("cid"))
+  }
+
+  /** Array of m (sub, svec) structs: contiguous equal slices of `vec`.
+    * Divisibility is enforced upstream in [[pqNormalize]]. */
   private def subvecs(vec: Column, m: Int): Column = {
-    val sl = size(vec) / m
+    val sl = (size(vec) / m).cast("int")
     array((0 until m).map(s =>
       struct(lit(s).as("sub"), slice(vec, sl * lit(s) + 1, sl).as("svec"))): _*)
   }

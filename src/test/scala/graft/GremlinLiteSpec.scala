@@ -193,6 +193,28 @@ class GremlinLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("read steps resolve promoted keys on loader-built graphs (props omit the key)") {
+    // GroovyLoader strips the promoted key out of props — email lives
+    // ONLY in the key column here. has/where/values/groupCount must
+    // still see it through the registry, like mutate's drop path does.
+    val loaderish = PropertyGraph(
+      Seq(
+        (1L, "user", "u1@d", Map("isExternal" -> "false")),
+        (2L, "user", "u2@d", Map("isExternal" -> "true")),
+        (3L, "group", "g1@d", Map.empty[String, String]))
+        .toDF("id", "label", "key", "props"),
+      Seq((1L, 3L, "in", 1)).toDF("src", "dst", "label", "weight"))
+    assert(GremlinLite.run(loaderish, "g.V().hasLabel('user').has('email','u1@d').id()")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(GremlinLite.run(loaderish, "g.V().where(has('email','g1@d')).id()")
+      .as[Long].collect().toSeq == Seq(3L))
+    assert(GremlinLite.run(loaderish, "g.V().hasLabel('user').values('email').order()")
+      .as[String].collect().toSeq == Seq("u1@d", "u2@d"))
+    assert(GremlinLite.run(loaderish, "g.V().groupCount().by('email')")
+      .as[(String, Long)].collect().toMap ==
+      Map("u1@d" -> 1L, "u2@d" -> 1L, "g1@d" -> 1L))
+  }
+
   test("string query plans identically to the fluent API") {
     val viaText = GremlinLite.run(g,
       "g.V().hasLabel('user').has('email','user1@d').out('in').id()")

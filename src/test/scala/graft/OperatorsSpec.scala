@@ -323,11 +323,8 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("shuffleShard: md5-ordered positions are contiguous per shard and reproducible") {
-    // JVM replica of Hashing.md5Long — the spec recomputes the exact
-    // expected (shard, pos) assignment independently of Spark.
-    def md5long(s: String): Long = java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(15), 16)
+    // md5long (the class-level Hashing.md5Long replica) recomputes the
+    // exact expected (shard, pos) assignment independently of Spark.
     val corpus = docs((1L to 20L).map(i => i -> s"doc number $i"): _*)
     val expected = (1L to 20L).map(i => (i, md5long(i.toString)))
       .groupBy { case (_, h) => h % 4 }
@@ -418,11 +415,13 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("mixtureSample: floor(rate) full epochs + md5-coin fractional epoch; rate 0 drops") {
-    val corpus = (1L to 40L).map(i =>
-      (i, s"doc $i", if (i <= 10) "a" else if (i <= 20) "b" else if (i <= 30) "c" else "d"))
+    val corpus = (1L to 50L).map(i =>
+      (i, s"doc $i",
+        if (i <= 10) "a" else if (i <= 20) "b" else if (i <= 30) "c"
+        else if (i <= 40) "d" else "e"))
       .toDF("doc_id", "text", "source")
     val out = Dedup.mixtureSample(corpus, "doc_id", "source",
-        Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0), defaultRate = 1.0)
+        Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0, "e" -> 0.3), defaultRate = 1.0)
       .select("doc_id", "source", "epoch")
       .as[(Long, String, Int)].collect().toSeq
     val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
@@ -435,9 +434,15 @@ class OperatorsSpec extends AnyFunSuite {
       val coin = md5long(s"$i#0") % 10000
       assert(byDoc.get(i).toSeq.flatten == (if (coin < 5000) Seq(0) else Nil), s"doc $i")
     }
+    // rate 0.3 quantizes to 3000 bp, not floor(2999.999…) = 2999 — the
+    // IEEE-vs-decimal trap the floor(x+0.5) quantization exists for.
+    (41L to 50L).foreach { i =>
+      val coin = md5long(s"$i#0") % 10000
+      assert(byDoc.get(i).toSeq.flatten == (if (coin < 3000) Seq(0) else Nil), s"doc $i")
+    }
     // Reruns produce the identical multiset.
     val again = Dedup.mixtureSample(corpus, "doc_id", "source",
-        Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0), defaultRate = 1.0)
+        Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0, "e" -> 0.3), defaultRate = 1.0)
       .select("doc_id", "source", "epoch").as[(Long, String, Int)].collect().toSeq
     assert(out.sorted == again.sorted)
   }
