@@ -702,6 +702,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // End-to-end pipeline composition: Gopher quality gate → exact-dup
+    // canonicalization → 90/5/5 split → per-split doc/token totals.
+    // Each stage is an already-oracled operator; this verifies the CHAIN.
+    "d_pipeline_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = docs.join(
+        operators.TextAnalysis.gopherQuality(docs, "doc_id", "text")
+          .filter(col("passes")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val canon = kept.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = kept.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+      operators.Dedup.trainValTestSplit(deduped, "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(operators.TextAnalysis.tokens(col("text"))).cast("long"))
+            .as("total_tokens"))
+    }),
+
     // Multimodal: opaque blob + metadata pass (size + digest).
     "m1_media_meta" -> ((s, dir) => {
       operators.Multimodal.mediaMeta(
@@ -1875,36 +1894,33 @@ object SparkEntry {
     // engine; reported ratios floor-4dp, the pass verdict on UNtruncated
     // values — both mirror gopherQuality term for term.
     "t_gopher_quality" ->
-      s"""WITH t AS (SELECT doc_id, text,
-         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
-         |  string_split(text, chr(10)) AS ln FROM documents),
-         |m AS (SELECT doc_id,
-         |  CAST(len(w) AS BIGINT) AS n_words,
-         |  CASE WHEN len(w) > 0 THEN
-         |    CAST(list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / len(w)
-         |  ELSE 0.0 END AS mean_len,
-         |  CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
-         |    + 3 * len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
-         |    / greatest(length(text), 1) AS sym_ratio,
-         |  CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
-         |    / greatest(len(ln), 1) AS bullet_ratio,
-         |  CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '\\.\\.\\.$$'))) AS DOUBLE)
-         |    / greatest(len(ln), 1) AS ellipsis_ratio,
-         |  CASE WHEN len(w) > 0 THEN
-         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w)
-         |  ELSE 0.0 END AS alpha_frac
-         |  FROM t)
+      s"""$GOPHER_CTES
          |SELECT doc_id, n_words,
          |  floor(mean_len * 10000) / 10000 AS mean_word_len,
          |  floor(sym_ratio * 10000) / 10000 AS symbol_ratio,
          |  floor(bullet_ratio * 10000) / 10000 AS bullet_ratio,
          |  floor(ellipsis_ratio * 10000) / 10000 AS ellipsis_ratio,
          |  floor(alpha_frac * 10000) / 10000 AS alpha_word_frac,
-         |  (n_words >= 50 AND n_words <= 100000 AND
-         |   mean_len >= 3.0 AND mean_len <= 10.0 AND
-         |   sym_ratio < 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 AND
-         |   alpha_frac >= 0.8) AS passes
+         |  ($GOPHER_PASS) AS passes
          |FROM m""".stripMargin,
+
+    // End-to-end pipeline composition: Gopher quality gate → exact-dup
+    // canonicalization (min id per md5(text)) → 90/5/5 split → per-split
+    // doc and token totals. Every stage is an already-oracled operator;
+    // this gate verifies they COMPOSE (the switch-over story: a user
+    // chains these, not one at a time).
+    "d_pipeline_e2e" ->
+      s"""$GOPHER_CTES,
+         |pass AS (SELECT doc_id FROM m WHERE $GOPHER_PASS),
+         |kept AS (SELECT d.doc_id, d.text FROM documents d JOIN pass USING (doc_id)),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+         |dd AS (SELECT kept.doc_id, kept.text FROM kept JOIN canon USING (doc_id)),
+         |sp AS (SELECT doc_id, text,
+         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, text, ${md5i("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM dd))
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens
+         |FROM sp GROUP BY split""".stripMargin,
 
     // Deterministic shuffle-shard: md5 total order within md5-assigned
     // shards; h is non-negative (60-bit) so % == pmod.
@@ -1993,6 +2009,37 @@ object SparkEntry {
   private val WORDS_CTE =
     """WITH t AS (SELECT doc_id,
       |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents)""".stripMargin
+
+  /** DuckDB replica of [[graft.operators.TextAnalysis.gopherQuality]]'s
+    * per-doc measures (CTE `m`) — shared by the t_gopher_quality oracle
+    * and the d_pipeline_e2e composition. */
+  private val GOPHER_CTES =
+    s"""WITH t AS (SELECT doc_id, text,
+       |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+       |  string_split(text, chr(10)) AS ln FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(len(w) AS BIGINT) AS n_words,
+       |  CASE WHEN len(w) > 0 THEN
+       |    CAST(list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / len(w)
+       |  ELSE 0.0 END AS mean_len,
+       |  CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+       |    + 3 * len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+       |    / greatest(length(text), 1) AS sym_ratio,
+       |  CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+       |    / greatest(len(ln), 1) AS bullet_ratio,
+       |  CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '\\.\\.\\.$$'))) AS DOUBLE)
+       |    / greatest(len(ln), 1) AS ellipsis_ratio,
+       |  CASE WHEN len(w) > 0 THEN
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w)
+       |  ELSE 0.0 END AS alpha_frac
+       |  FROM t)""".stripMargin
+
+  /** The Gopher pass verdict on CTE `m`'s UNtruncated measures. */
+  private val GOPHER_PASS =
+    """n_words >= 50 AND n_words <= 100000 AND
+      |   mean_len >= 3.0 AND mean_len <= 10.0 AND
+      |   sym_ratio < 0.1 AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 AND
+      |   alpha_frac >= 0.8""".stripMargin
 
   private val SHINGLE_CTES =
     s"""$WORDS_CTE,
