@@ -460,6 +460,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.count(_._2 == "x") == 4 && out.count(_._2 == "y") == 4)
   }
 
+  test("property: pqCodes equals the JVM replica on 10 seeded random corpora") {
+    val rnd = new scala.util.Random(11)
+    (1 to 10).foreach { trial =>
+      val m = 1 + rnd.nextInt(3)
+      val dims = m * (1 + rnd.nextInt(4))
+      val k = 1 + rnd.nextInt(5)
+      val n = k + rnd.nextInt(20)
+      val data = (1L to n.toLong).map(i => i -> Array.fill(dims)(rnd.nextInt(20).toFloat))
+      val out = Similarity.pqCodes(data.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", m, k)
+        .as[(Long, Seq[Int])].collect().toMap
+      val seeds = data.sortBy { case (id, _) => (md5long(id.toString), id) }.take(k)
+      val sl = dims / m
+      def sub(v: Array[Float], s: Int) = v.slice(s * sl, s * sl + sl).map(_.toDouble)
+      def l2(a: Array[Double], b: Array[Double]) =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      val expected = data.map { case (id, v) =>
+        id -> (0 until m).map { s =>
+          seeds.zipWithIndex.map { case ((_, sv), c) => (l2(sub(v, s), sub(sv, s)), c) }.min._2
+        }
+      }.toMap
+      assert(out == expected, s"trial=$trial m=$m k=$k dims=$dims n=$n")
+    }
+  }
+
+  test("property: mixtureSample equals the JVM replica on seeded random 0.1-step rates") {
+    // 0.1-granular rates hit the IEEE quantization traps (0.3, 0.7, 1.1…)
+    // the floor(x+0.5) basis-point rule exists for.
+    val rnd = new scala.util.Random(13)
+    (1 to 8).foreach { trial =>
+      val domains = Seq("a", "b", "c", "d")
+      val rates = domains.map(d => d -> rnd.nextInt(30) / 10.0).toMap
+      val data = (1L to 30L).map(i => (i, s"t$i", domains(rnd.nextInt(4))))
+      val out = Dedup.mixtureSample(data.toDF("doc_id", "text", "source"),
+          "doc_id", "source", rates)
+        .select("doc_id", "epoch").as[(Long, Int)].collect().toSet
+      val expected = data.flatMap { case (id, _, dom) =>
+        val bp = math.floor(rates(dom) * 10000 + 0.5).toLong
+        val full = (bp / 10000).toInt
+        val frac = bp % 10000
+        (0 until full).map(e => (id, e)) ++
+          (if (md5long(s"$id#$full") % 10000 < frac) Seq((id, full)) else Nil)
+      }.toSet
+      assert(out == expected, s"trial=$trial rates=$rates")
+    }
+  }
+
   test("quantizeInt8: max element maps to 127; zero vector guarded") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),

@@ -197,6 +197,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.sorted == Seq(1L, 2L, 3L))
   }
 
+  test("training-data ingest as a stream: gopher gate + watermark dedup match the batch twin") {
+    // The LLM-pipeline quality gate is a pure codegen'd projection, so it
+    // applies unchanged to a stream; replayed doc ids are dropped by the
+    // watermark-bounded dedup. Streaming output must equal the batch
+    // composition of the same operators on the same (deduped) corpus.
+    implicit val sqlCtx = spark.sqlContext
+    val good = Seq.tabulate(60)(i => s"alpha$i").mkString(" ")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val gated = operators.TextAnalysis.gopherQuality(
+        docs.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("doc_id"), "doc_id", "text")
+      .filter(col("passes")).select("doc_id", "n_words")
+    val q = gated.writeStream.format("memory").queryName("ingest")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((1L, ts("10:00"), good), (2L, ts("10:01"), "too short"))
+    q.processAllAvailable()
+    mem.addData((1L, ts("10:02"), good), (3L, ts("10:03"), good)) // 1 is a replay
+    q.processAllAvailable()
+    val streamed = spark.table("ingest").as[(Long, Long)].collect().toSet
+    q.stop()
+    val batch = operators.TextAnalysis.gopherQuality(
+        Seq((1L, good), (2L, "too short"), (3L, good)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .filter(col("passes")).select("doc_id", "n_words")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Set(1L, 3L))
+  }
+
   test("streaming sessionize equals the batch gaps-and-islands twin on real events") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
