@@ -706,14 +706,19 @@ object SparkEntry {
     // canonicalization → 90/5/5 split → per-split doc/token totals.
     // Each stage is an already-oracled operator; this verifies the CHAIN.
     "d_pipeline_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val kept = docs.join(
         operators.TextAnalysis.gopherQuality(docs, "doc_id", "text")
           .filter(col("passes")).select("doc_id"),
         Seq("doc_id"), "left_semi")
-      val canon = kept.groupBy(md5(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val deduped = kept.join(canon.select("doc_id"), Seq("doc_id"), "left_semi")
+      // Window-min canonicalization, ONE pass over `kept` — the
+      // groupBy+self-semi-join form would evaluate the regex-heavy
+      // quality gate twice (same shape as d_exact_dup_fingerprint).
+      val deduped = kept
+        .withColumn("__mn", min(col("doc_id"))
+          .over(Window.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("__mn")).drop("__mn")
       operators.Dedup.trainValTestSplit(deduped, "doc_id")
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
