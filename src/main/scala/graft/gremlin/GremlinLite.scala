@@ -388,7 +388,13 @@ object GremlinLite {
     var i = 1
     val steps = Seq.newBuilder[(String, Seq[String])]
     while (i < s.length) {
-      while (i < s.length && (s(i) == '.' || s(i).isWhitespace)) i += 1
+      var sawDot = false
+      while (i < s.length && (s(i) == '.' || s(i).isWhitespace)) {
+        if (s(i) == '.') sawDot = true
+        i += 1
+      }
+      if (i >= s.length && sawDot)
+        throw new IllegalArgumentException(s"dangling '.' at end of: $query")
       if (i < s.length) {
         val nameStart = i
         while (i < s.length && s(i).isLetter) i += 1

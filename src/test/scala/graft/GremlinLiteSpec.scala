@@ -215,6 +215,24 @@ class GremlinLiteSpec extends AnyFunSuite {
       Map("u1@d" -> 1L, "u2@d" -> 1L, "g1@d" -> 1L))
   }
 
+  test("malformed queries throw IllegalArgumentException, never MatchError/NPE") {
+    // Every parse/eval failure mode must surface as the documented
+    // IllegalArgumentException (or IllegalState for traversal limits) —
+    // a console typo should read as a syntax error, not a Scala crash.
+    val bad = Seq(
+      "", "g", "V().count()", "g.", "g.V", "g.V(", "g.V()).count()",
+      "g.V().", "g.V().has('a'", "g.V().unknownStep()", "g.V().out('a','b')",
+      "g.E().out()", "g.V().inV()", "g.V().where()", "g.V().where(out())",
+      "g.V().repeat(out()).count()", "g.V().repeat(dedup()).times(2)",
+      "g.V().groupCount()", "g.V().order().by('a','b')", "g.V().cap('x')",
+      "g.V(u9).count()", "g.V().has('k','v','w')", "g.123()", "x.V()")
+    bad.foreach { q =>
+      val thrown = intercept[Exception](GremlinLite.run(g, q).collect())
+      assert(thrown.isInstanceOf[IllegalArgumentException],
+        s"query '$q' threw ${thrown.getClass.getSimpleName}: ${thrown.getMessage}")
+    }
+  }
+
   test("string query plans identically to the fluent API") {
     val viaText = GremlinLite.run(g,
       "g.V().hasLabel('user').has('email','user1@d').out('in').id()")
