@@ -16,9 +16,9 @@ import graft.graph.PropertyGraph
   * and joins, never the query string). Traverser semantics follow Gremlin:
   * `out()` multiplies per path (no implicit dedup) — use `dedup()`.
   *
-  * Supported steps: `V([id|var])`, `E()`, `hasLabel(l)`, `has(k,v)`,
-  * `hasId(x)`, `out([l])`, `in([l])`, `outE([l])`, `inE([l])`, `outV()`,
-  * `inV()`, `where(inV()|outV().hasId(x))` (the main.go:320 edge-existence
+  * Supported steps: `V([id|var])`, `E()`, `hasLabel(l[,l…])`, `has(k,v)`,
+  * `hasId(x)`, `out([l])`, `in([l])`, `both([l])`, `outE([l])`,
+  * `inE([l])`, `bothE([l])`, `outV()`, `inV()`, `where(inV()|outV().hasId(x))` (the main.go:320 edge-existence
   * guard), `where(has(k,v))`/`where(hasLabel(l))` (filters on the current
   * traverser), `hasNext()` (boolean terminal), `iterate()` (terminal no-op),
   * `valueMap()`, `values(k)`, `id()`, `count()`, `dedup()`, `limit(n)`,
@@ -253,13 +253,28 @@ object GremlinLite {
           require(times == "times" && timesArgs.length == 1,
             s"repeat(...) must be followed by .times(n)")
           cur = (1 to timesArgs.head.toInt).foldLeft(cur)((d, _) => hop(body, bodyArgs)(d))
-        case ("hasLabel", _) => arity(1); cur = cur.filter(col("label") === args.head)
+        case ("hasLabel", _) =>
+          // Gremlin hasLabel is variadic: hasLabel('a','b') = label ∈ {a,b}.
+          require(args.nonEmpty, s"hasLabel() needs at least 1 label in: $query")
+          cur =
+            if (args.length == 1) cur.filter(col("label") === args.head)
+            else cur.filter(col("label").isin(args: _*))
         case ("has", false) => arity(2); cur = cur.filter(vProp(args(0)) === lit(args(1)))
         case ("has", true) => arity(2); cur = cur.filter(col(args(0)) === lit(args(1)))
         case ("out", false) => arity(0, 1); cur = hop("out", args)(cur)
         case ("in", false) => arity(0, 1); cur = hop("in", args)(cur)
+        case ("both", false) =>
+          // Undirected hop: traversers multiply per incident edge in each
+          // direction (Gremlin both() emits one traverser per edge — a
+          // vertex reached via out AND in appears twice; dedup() collapses).
+          arity(0, 1)
+          cur = hop("out", args)(cur).unionByName(hop("in", args)(cur))
         case ("outE", false) => arity(0, 1); cur = g.outE(cur, edgeLabel(args)); onEdges = true
         case ("inE", false) => arity(0, 1); cur = g.inE(cur, edgeLabel(args)); onEdges = true
+        case ("bothE", false) =>
+          arity(0, 1)
+          cur = g.outE(cur, edgeLabel(args)).unionByName(g.inE(cur, edgeLabel(args)))
+          onEdges = true
         case ("inV", true) => arity(0); cur = toVertices("dst"); onEdges = false
         case ("outV", true) => arity(0); cur = toVertices("src"); onEdges = false
         case ("valueMap", false) => arity(0); cur = g.valueMap(cur)

@@ -215,6 +215,22 @@ class GremlinLiteSpec extends AnyFunSuite {
       Map("u1@d" -> 1L, "u2@d" -> 1L, "g1@d" -> 1L))
   }
 
+  test("both()/bothE() traverse undirected; hasLabel is variadic") {
+    // Vertex 3 has one in-edge (1->3) and one out-edge (3->4): both()
+    // reaches {1, 4}; traverser multiplicity is per incident edge.
+    assert(GremlinLite.run(g, "g.V(3).both().id()")
+      .as[Long].collect().toSet == Set(1L, 4L))
+    assert(GremlinLite.run(g, "g.V(3).bothE()").count() == 2L)
+    // A vertex reachable both ways appears twice until dedup().
+    val loop = PropertyGraph(g.vertices,
+      Seq((1L, 3L, "in", 1), (3L, 1L, "in", 1)).toDF("src", "dst", "label", "weight"))
+    assert(GremlinLite.run(loop, "g.V(1).both().id()").count() == 2L)
+    assert(GremlinLite.run(loop, "g.V(1).both().dedup().id()")
+      .as[Long].collect().toSeq == Seq(3L))
+    assert(GremlinLite.run(g, "g.V().hasLabel('user','group').count()")
+      .as[Long].head() == 4L)
+  }
+
   test("malformed queries throw IllegalArgumentException, never MatchError/NPE") {
     // Every parse/eval failure mode must surface as the documented
     // IllegalArgumentException (or IllegalState for traversal limits) —
@@ -272,9 +288,8 @@ class GremlinLiteSpec extends AnyFunSuite {
       GremlinLite.run(g, "g.V().has('user','email','user1@d')")
     }
     assert(err.getMessage.contains("has() takes 2"))
-    intercept[IllegalArgumentException] {
-      GremlinLite.run(g, "g.V().hasLabel('user','group')")
-    }
+    // hasLabel is variadic (multi-label = isin) — but empty is an error.
+    intercept[IllegalArgumentException] { GremlinLite.run(g, "g.V().hasLabel()") }
     intercept[IllegalArgumentException] { GremlinLite.run(g, "g.V().out('in','x')") }
   }
 }
