@@ -14,7 +14,8 @@ object Bench {
     "b09_invert_map", "b10_dedup_rank", "q1_pricing_summary",
     "q3_top_revenue", "q5_region_revenue", "k1_global_topk",
     "d_minhash_lsh", "d_dup_clusters", "d_contamination",
-    "e2_lsh_ann", "e3_cosine_neardup",
+    "d_semantic_dup", "d_pipeline_e2e",
+    "e2_lsh_ann", "e3_cosine_neardup", "e8_ivfpq_ann",
     "t_quality_score", "sw1_tumbling_window", "sw3_session_window",
     "z1_asof_join", "x1_connected_components", "x3_triangle_count",
     "a18b_groovy_load", "a19_bucketed_layout")
