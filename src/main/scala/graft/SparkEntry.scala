@@ -680,6 +680,12 @@ object SparkEntry {
       operators.TextAnalysis.gopherQuality(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Corpus bigram LM count table (KenLM-ingest shape): top-1000 grams
+    // with context totals and floor-4dp conditional probabilities.
+    "t_ngram_lm" -> ((s, dir) => {
+      operators.TextAnalysis.ngramLm(t(s, dir, "documents"), "text")
+    }),
+
     // Deterministic pre-training shuffle: md5-ordered shard + position
     // assignment (reproducible on any engine/partitioning — no rand()).
     "d_shuffle_shard" -> ((s, dir) => {
@@ -1926,6 +1932,23 @@ object SparkEntry {
          |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens
          |FROM sp GROUP BY split""".stripMargin,
+
+    // Bigram LM: contexts are the first word of the space-joined gram;
+    // HUGEINT sums cast back; ties in the global top-K break on gram.
+    "t_ngram_lm" ->
+      s"""$WORDS_CTE,
+         |s AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+         |  i -> w[i] || ' ' || w[i+1]) AS sh FROM t),
+         |g AS (SELECT unnest(sh) AS gram FROM s),
+         |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+         |x AS (SELECT gram, cnt, (string_split(gram, ' '))[1] AS ctx FROM c),
+         |ct AS (SELECT ctx, CAST(sum(cnt) AS BIGINT) AS ctx_cnt FROM x GROUP BY 1),
+         |r AS (SELECT x.gram, x.ctx, CAST(x.cnt AS BIGINT) AS cnt, ct.ctx_cnt,
+         |  CAST(row_number() OVER (ORDER BY x.cnt DESC, x.gram) AS INTEGER) AS rank
+         |  FROM x JOIN ct USING (ctx))
+         |SELECT gram, ctx, cnt, ctx_cnt,
+         |  floor(CAST(cnt AS DOUBLE) / ctx_cnt * 10000) / 10000 AS cond_p, rank
+         |FROM r WHERE rank <= 1000""".stripMargin,
 
     // Deterministic shuffle-shard: md5 total order within md5-assigned
     // shards; h is non-negative (60-bit) so % == pmod.

@@ -187,6 +187,33 @@ object TextAnalysis {
           .as("top_ngram_frac"))
   }
 
+  /** Corpus n-gram language-model count table (the KenLM-ingest shape):
+    * corpus-wide n-gram counts, their (n-1)-word context totals, and the
+    * floor-4dp conditional probability cnt/ctx_cnt — the artifact a
+    * perplexity-based quality scorer trains from. Bounded output: the
+    * `topK` most frequent n-grams by (cnt desc, gram).
+    *
+    * Plan shape: one explode + two map-side-combinable aggs (gram counts,
+    * then context totals over the far smaller gram table) + a global
+    * top-K window (rank pushdown keeps per-partition state at topK rows).
+    * Document text shuffles never — only (gram, cnt) pairs move. */
+  def ngramLm(docs: DataFrame, textCol: String, n: Int = 2,
+              topK: Int = 1000): DataFrame = {
+    require(n >= 2, s"n must be >= 2 (contexts are n-1 words), got $n")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("ctx", substring_index(col("gram"), " ", n - 1))
+    val ctxTot = grams.groupBy(col("ctx")).agg(sum(col("cnt")).as("ctx_cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("gram"))
+    grams.join(ctxTot, Seq("ctx"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("gram"), col("ctx"), col("cnt"), col("ctx_cnt"),
+        floor4(col("cnt").cast("double") / col("ctx_cnt")).as("cond_p"),
+        col("rank"))
+  }
+
   /** Gopher-style document quality flags (Rae et al. 2021 §A1.1): word
     * count bounds, mean word length band, symbol-to-char ratio, bullet /
     * ellipsis line ratios, alphabetic-word fraction, and the combined

@@ -535,6 +535,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramLm: corpus bigram counts, context totals, conditional probabilities") {
+    val out = TextAnalysis.ngramLm(docs(
+        (1L, "a b a b c"), // bigrams: "a b","b a","a b","b c"
+        (2L, "a b"),       // "a b"
+        (3L, "x")), "text", n = 2, topK = 10)
+      .as[(String, String, Long, Long, Double, Int)].collect()
+    val byGram = out.map(r => r._1 -> r).toMap
+    assert(byGram("a b") == (("a b", "a", 3L, 3L, 1.0, 1)))
+    assert(byGram("b a") == (("b a", "b", 1L, 2L, 0.5, 2))) // tie broken by gram
+    assert(byGram("b c") == (("b c", "b", 1L, 2L, 0.5, 3)))
+    assert(out.length == 3) // the single-word doc contributes no bigrams
+    assert(TextAnalysis.ngramLm(docs((1L, "a b a b c")), "text", topK = 1).count() == 1)
+  }
+
   test("quantizeInt8: max element maps to 127; zero vector guarded") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
