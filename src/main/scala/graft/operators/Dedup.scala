@@ -33,15 +33,23 @@ object Dedup {
 
   /** Word n-gram shingles as an array column (empty if doc has < n words).
     * NOTE: Spark's `sequence(1, 0)` yields a DESCENDING [1,0] — not the
-    * empty list SQL engines produce — so short docs need an explicit guard. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = tokens(text)
-    when(size(w) >= n,
-      transform(
-        sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * empty list SQL engines produce — so short docs need an explicit guard.
+    *
+    * The tokenized array is LET-BOUND once per row via a single-element
+    * outer transform: higher-order-function lambdas evaluate interpreted,
+    * so referencing the tokenize subtree directly inside the per-element
+    * lambda re-runs the regex split once per shingle — O(words²) regex
+    * work per document (measured 2.8 s vs 0.37 s for the corpus bigram
+    * explode at sf0.1). */
+  def shingles(text: Column, n: Int = 3): Column =
+    element_at(
+      transform(array(tokens(text)), w =>
+        when(size(w) >= n,
+          transform(
+            sequence(lit(1), size(w) - (n - 1)),
+            i => concat_ws(" ", slice(w, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))),
+      1)
 
   /** MinHash signature: k independent 60-bit min-hashes over shingles.
     * Returns the input plus columns h1..hk (NULL when no shingles). */

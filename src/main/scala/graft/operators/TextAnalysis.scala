@@ -205,9 +205,12 @@ object TextAnalysis {
     val grams = docs.select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       .withColumn("ctx", substring_index(col("gram"), " ", n - 1))
-    val ctxTot = grams.groupBy(col("ctx")).agg(sum(col("cnt")).as("ctx_cnt"))
+    // Context totals as a window over the (small) gram table — ONE pass;
+    // a groupBy+join would plant the explode+agg subtree under two
+    // branches and evaluate the corpus scan twice.
     val w = Window.orderBy(col("cnt").desc, col("gram"))
-    grams.join(ctxTot, Seq("ctx"))
+    grams
+      .withColumn("ctx_cnt", sum(col("cnt")).over(Window.partitionBy(col("ctx"))))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
       .select(col("gram"), col("ctx"), col("cnt"), col("ctx_cnt"),
         floor4(col("cnt").cast("double") / col("ctx_cnt")).as("cond_p"),
