@@ -115,15 +115,22 @@ object Dedup {
   /** 16-bit SimHash over word unigrams (bit-vote fingerprint).
     * Single map pass: 16 array folds per doc, no shuffle. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    val words = tokens(col(textCol))
-    val hs = transform(words, w => md5Long(w))
-    val votes = (0 until bits).map { b =>
-      aggregate(hs, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L))
-    }
-    val fp = votes.zipWithIndex.map { case (v, b) =>
-      when(v > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // The md5-per-word array is let-bound once per row (see [[shingles]]):
+    // all `bits` vote folds reference the bound lambda variable, not the
+    // tokenize+md5 subtree — which would otherwise re-hash every word
+    // `bits` times per document.
+    val hsExpr = transform(tokens(col(textCol)), w => md5Long(w))
+    val fp = element_at(
+      transform(array(hsExpr), hs => {
+        val votes = (0 until bits).map { b =>
+          aggregate(hs, lit(0L),
+            (acc, h) => acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L))
+        }
+        votes.zipWithIndex.map { case (v, b) =>
+          when(v > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }),
+      1)
     docs.select(col(idCol), fp.as("simhash"))
   }
 
