@@ -290,11 +290,13 @@ object SparkEntry {
     // (init.groovy:4 LIST cardinality): filter on the array, then explode
     // it back to rows. The array exists only inside the plan — the gate
     // output is scalar columns (the driver comparator cannot canonicalize
-    // array cells).
+    // array cells). Tokens come from p_name (the multi-word column in
+    // this corpus; p_type is single-word) so the gate proves the array
+    // path on rows > 0.
     "b08b_perm_array" -> ((s, dir) => {
       t(s, dir, "part")
-        .select(col("p_partkey").as("partkey"), split(col("p_type"), " ").as("perms"))
-        .filter(array_contains(col("perms"), "BRUSHED"))
+        .select(col("p_partkey").as("partkey"), split(col("p_name"), " ").as("perms"))
+        .filter(array_contains(col("perms"), "red"))
         .select(col("partkey"), size(col("perms")).cast("long").as("n_perms"),
           explode(col("perms")).as("perm"))
     }),
@@ -624,8 +626,11 @@ object SparkEntry {
     // Product-quantization codes: m=4 subspaces x k=16 deterministic
     // (md5-seeded, iters=0) centroids — integer codes, hash-exact in any
     // engine; the compression half of the IVF+PQ serving architecture.
+    // Gate emits the flat (vec_id, sub, code) triples (the e6 posexplode
+    // convention: scalar rows at the gate boundary; pqCodes keeps the
+    // array form for API callers).
     "e7_pq_codes" -> ((s, dir) => {
-      operators.Similarity.pqCodes(t(s, dir, "embeddings"), "vec_id", "embedding")
+      operators.Similarity.pqCodesFlat(t(s, dir, "embeddings"), "vec_id", "embedding")
     }),
 
     // IVF + PQ asymmetric-distance search (FAISS IVFADC shape): probe 2
@@ -1248,9 +1253,9 @@ object SparkEntry {
 
     "b08b_perm_array" ->
       """SELECT p_partkey AS partkey,
-        |CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_perms,
-        |unnest(string_split(p_type, ' ')) AS perm
-        |FROM part WHERE list_contains(string_split(p_type, ' '), 'BRUSHED')""".stripMargin,
+        |CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_perms,
+        |unnest(string_split(p_name, ' ')) AS perm
+        |FROM part WHERE list_contains(string_split(p_name, ' '), 'red')""".stripMargin,
 
     "b10_dedup_rank" ->
       """SELECT o_custkey AS custkey, o_orderstatus AS status, min(o_orderkey) AS orderkey
@@ -1555,7 +1560,7 @@ object SparkEntry {
          |  SELECT sv.vec_id, sv.sub, cb.cid,
          |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY ${l2Sql("sv.svec", "cb.cvec")}, cb.cid) AS r
          |  FROM sv JOIN cb USING (sub)) WHERE r = 1)
-         |SELECT vec_id, list(cid ORDER BY sub) AS codes FROM asg GROUP BY vec_id""".stripMargin,
+         |SELECT vec_id, CAST(sub AS INTEGER) AS sub, cid AS code FROM asg""".stripMargin,
 
     // IVF+PQ ADC: coarse cells = e4b's iters=0 quantizer (rn<=8 seeds);
     // candidate distance = sum over subspaces of L2²(query subvector,
@@ -2044,7 +2049,7 @@ object SparkEntry {
   private val GOPHER_CTES =
     s"""WITH t AS (SELECT doc_id, text,
        |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
-       |  string_split(text, chr(10)) AS ln FROM documents),
+       |  string_split_regex(text, '\\r?\\n') AS ln FROM documents),
        |m AS (SELECT doc_id,
        |  CAST(len(w) AS BIGINT) AS n_words,
        |  CASE WHEN len(w) > 0 THEN

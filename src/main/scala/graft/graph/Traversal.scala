@@ -231,6 +231,15 @@ object Traversal {
     out
   }
 
+  /** Default driver union-find cutoff, sized to the JVM actually running:
+    * the collected pairs cost ~45 bytes/row (measured — tuple objects +
+    * id array + parent indices), and we budget ~1% of driver heap for
+    * them, capped at 1M rows. A 1g default driver gets ~230k; the ≥8g
+    * bench/verify drivers get the full 1M. Pass `smallCutoff` explicitly
+    * to override in either direction. */
+  def defaultSmallCutoff: Long =
+    math.min(1000000L, Runtime.getRuntime.maxMemory() / 100 / 45)
+
   /** Connected-component labels by min-id label propagation with pointer
     * jumping: every vertex of the (symmetrized) pair graph gets the MINIMUM
     * vertex id of its component. This is the scale-safe form of the
@@ -263,7 +272,7 @@ object Traversal {
     * pass `smallCutoff = 0` to force the distributed rounds.
     */
   def minLabel(edges: DataFrame, maxIter: Int = 64,
-               smallCutoff: Long = 1000000L): DataFrame = {
+               smallCutoff: Long = defaultSmallCutoff): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
@@ -276,15 +285,23 @@ object Traversal {
     // Same output contract (min id per component: ids are sorted, so
     // index order == id order and union-by-min-index == union-by-min-id);
     // the distributed path below is the 100 TB path and takes over past
-    // the cutoff. Footprint at the 1M-row cutoff, measured honestly:
-    // ~32 MB of collected tuple objects + 8 MB ids + 4 MB parent indices
-    // — sized for the ≥8g bench/verify drivers this library documents,
-    // NOT for a 1g default driver; shrink the cutoff when embedding.
+    // the cutoff. The shortcut requires integral ids (it unions on Long);
+    // string-keyed graphs fall through to the type-generic distributed
+    // rounds. The default cutoff is derived from spark.driver.memory
+    // (see defaultSmallCutoff) so a 1g embedder never collects ~45 MB of
+    // tuples by default; pass an explicit cutoff to override.
+    val integralIds = und.schema.fields.forall(f => f.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
     val nUnd = und.count()
-    if (nUnd <= smallCutoff) {
+    if (nUnd <= smallCutoff && integralIds) {
       val spark = edges.sparkSession
       import spark.implicits._
-      val pairs = und.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      val idType = und.schema("src").dataType
+      val pairs = und.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
       val sorted = pairs.flatMap(p => Array(p._1, p._2))
       java.util.Arrays.sort(sorted)
       var n = 0
@@ -306,7 +323,9 @@ object Traversal {
       }
       val out = Array.tabulate(n)(i => (ids(i), ids(find(i)))).toSeq
       und.unpersist(false)
+      // Cast back to the input id type so both paths return one schema.
       return out.toDF("id", "label")
+        .select(col("id").cast(idType).as("id"), col("label").cast(idType).as("label"))
     }
     var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))

@@ -286,6 +286,8 @@ object Dedup {
                     defaultRate: Double = 1.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1000),
       "rates must be in [0, 1000]")
+    require(!df.columns.contains("epoch"),
+      "mixtureSample adds an `epoch` column; input already has one — rename it first")
     val rate = coalesce(element_at(typedLit(rates), col(domainCol)), lit(defaultRate))
     val bp = floor(rate * 10000 + 0.5).cast("long")
     val full = (bp / 10000).cast("int")
@@ -305,6 +307,8 @@ object Dedup {
     * n rows per partition, no full sort materializes). */
   def stratifiedHead(df: DataFrame, keyCol: String, domainCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    require(!df.columns.exists(Set("__h", "__r")),
+      "stratifiedHead uses temp columns __h/__r; input already has one — rename it first")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(domainCol)).orderBy(col("__h"), col(keyCol))
     df.withColumn("__h", md5Long(col(keyCol)))

@@ -160,14 +160,23 @@ object Similarity {
     * window, reassembles with one groupBy — one shuffle of (id, sub,
     * code) triples; the full vectors never shuffle. */
   def pqCodes(vecs: DataFrame, idCol: String, vecCol: String,
-              m: Int = 4, k: Int = 16): DataFrame = {
+              m: Int = 4, k: Int = 16): DataFrame =
+    pqCodesFlat(vecs, idCol, vecCol, m, k)
+      .groupBy(col(idCol))
+      .agg(transform(sort_array(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** [[pqCodes]] in its pre-assembly shape: one (id, sub, code) row per
+    * (vector, subspace). This is the layout downstream joins and the
+    * correctness harness want — scalar columns sort/compare everywhere,
+    * and the ADC search path consumes exactly these triples before its
+    * own reassembly. */
+  def pqCodesFlat(vecs: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 4, k: Int = 16): DataFrame = {
     val v = pqNormalize(vecs, idCol, vecCol, m)
     val codebook = codebookOf(seedVecs(v, k), m)
     pqAssign(v, codebook, m)
-      .groupBy(col("vid"))
-      .agg(transform(sort_array(collect_list(struct(col("sub"), col("cid")))),
-        s => s.getField("cid")).as("codes"))
-      .select(col("vid").as(idCol), col("codes"))
+      .select(col("vid").as(idCol), col("sub"), col("cid").as("code"))
   }
 
   /** IVF + PQ approximate top-k — the FAISS IVFADC shape: queries probe

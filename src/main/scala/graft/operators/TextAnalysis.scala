@@ -240,7 +240,11 @@ object TextAnalysis {
     // is engine-portable).
     val symRatio = (length(t) - length(regexp_replace(t, "[#…]", "")) +
       size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0))) * 3).cast("double") / nChars
-    val lines = split(t, "\n")
+    // Split on \r?\n, not bare \n: Java-regex `$` matches before a
+    // trailing \r (line terminator) while RE2/DuckDB's does not, so a
+    // CRLF corpus would make ellipsis_ratio engine-divergent if the \r
+    // stayed on the line (trim() strips spaces, not \r).
+    val lines = split(t, "\r?\n")
     val nLines = greatest(size(lines), lit(1)).cast("double")
     val bulletRatio = size(filter(lines, l => trim(l).rlike("^[-*•]")))
       .cast("double") / nLines

@@ -31,4 +31,24 @@ class GateCoverageSpec extends AnyFunSuite {
     val both = rowsOnlyAllowlist.keySet & SparkEntry.oracleSql.keySet
     assert(both.isEmpty, s"gates both oracled and allowlisted: ${both.mkString(", ")}")
   }
+
+  /** The driver's pandas comparator lexsorts every output column; a
+    * top-level ARRAY/MAP cell crashes it (`unhashable type:
+    * numpy.ndarray`). Convention: explode/posexplode to scalar rows at
+    * the gate boundary (arrays may exist INSIDE the plan, and API
+    * methods may return them — only gate OUTPUT schemas are checked). */
+  test("no gate output schema has a top-level ARRAY/MAP column") {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val bad = q(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] => s"$name.${f.name}: ARRAY"
+        case f if f.dataType.isInstanceOf[MapType]   => s"$name.${f.name}: MAP"
+      }
+      bad
+    }
+    assert(offenders.isEmpty,
+      s"gate output column(s) the driver harness cannot sort: ${offenders.mkString("; ")}")
+  }
 }

@@ -133,6 +133,27 @@ class TraversalSpec extends AnyFunSuite {
     assert(got.count() == 0)
   }
 
+  test("minLabel on string ids falls through the driver shortcut to the distributed rounds") {
+    // The driver union-find needs integral ids; string-keyed graphs must
+    // take the type-generic distributed path even under the cutoff, and
+    // keep the input id type in the output.
+    val es = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val got = Traversal.minLabel(es).as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("minLabel driver shortcut preserves an integer id type in the output schema") {
+    val es = Seq((1, 2), (2, 3)).toDF("src", "dst")
+    val out = Traversal.minLabel(es)
+    assert(out.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.IntegerType))
+    assert(out.as[(Int, Int)].collect().toMap == Map(1 -> 1, 2 -> 1, 3 -> 1))
+  }
+
+  test("defaultSmallCutoff is positive and capped at 1M") {
+    assert(Traversal.defaultSmallCutoff > 0 && Traversal.defaultSmallCutoff <= 1000000L)
+  }
+
   test("property: fixpoint equals naive closure on 15 seeded random graphs (cycles included)") {
     val rnd = new scala.util.Random(42)
     (1 to 15).foreach { _ =>
