@@ -257,8 +257,11 @@ object Traversal {
     *      self-join is total). Jumping halves the residual chain depth, so
     *      path-shaped components converge in O(log diameter) rounds, not
     *      O(diameter).
-    * Labels only ever decrease, so the decimal label sum is a monotone
-    * convergence witness: unchanged sum ⟺ fixed point. State per round is
+    * Convergence is witnessed by a changed-row probe: the new labeling is
+    * joined back to the previous round's and the round is a fixed point iff
+    * no row changed label. The probe is type-agnostic (ids may be numeric
+    * or string — `least`/`min` order either) and exact — no cast, no
+    * hash-collision caveat. State per round is
     * O(vertices), eagerly localCheckpoint'ed (the jump self-join would
     * otherwise double the logical plan per round); shuffles are two hash
     * exchanges on `id` plus the jump join on `label`. Throws on `maxIter`
@@ -287,9 +290,10 @@ object Traversal {
     // the distributed path below is the 100 TB path and takes over past
     // the cutoff. The shortcut requires integral ids (it unions on Long);
     // string-keyed graphs fall through to the type-generic distributed
-    // rounds. The default cutoff is derived from spark.driver.memory
-    // (see defaultSmallCutoff) so a 1g embedder never collects ~45 MB of
-    // tuples by default; pass an explicit cutoff to override.
+    // rounds. The default cutoff is derived from the driver JVM's max heap
+    // (Runtime.maxMemory — see defaultSmallCutoff) so a 1g embedder never
+    // collects ~45 MB of tuples by default; pass an explicit cutoff to
+    // override.
     val integralIds = und.schema.fields.forall(f => f.dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
@@ -330,9 +334,6 @@ object Traversal {
     var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Seed the witness with the initial sum so an already-labeled fixed
-    // point (empty input included) converges without a wasted round.
-    var prevSum = labels.agg(sum(col("label").cast("decimal(38,0)"))).first().get(0)
     var iter = 1
     var done = false
     while (!done) {
@@ -359,10 +360,17 @@ object Traversal {
         .join(l1.as("b").hint("shuffle_hash"), col("a.label") === col("b.id"))
         .select(col("a.id").as("id"), least(col("a.label"), col("b.label")).as("label"))
         .localCheckpoint()
-      val s = timed(s"minLabel round $iter")(
-        next.agg(sum(col("label").cast("decimal(38,0)"))).first().get(0))
-      done = s == prevSum
-      prevSum = s
+      // Type-agnostic convergence witness: the round is a fixed point iff
+      // no vertex changed label. Works for any orderable id type (numeric
+      // OR string) — no cast — and is exact, unlike a hashed-sum witness.
+      // `next` is already materialized by the eager checkpoint above, so
+      // the probe joins two cached one-row-per-vertex frames; `isEmpty`
+      // plans a limit-1, so a single surviving changed row ends the scan.
+      done = timed(s"minLabel round $iter")(
+        next.as("a")
+          .join(labels.as("b").hint("shuffle_hash"), col("a.id") === col("b.id"))
+          .where(col("a.label") =!= col("b.label"))
+          .isEmpty)
       labels.unpersist(false)
       labels = next
       iter += 1

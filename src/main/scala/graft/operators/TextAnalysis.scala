@@ -244,7 +244,7 @@ object TextAnalysis {
     // trailing \r (line terminator) while RE2/DuckDB's does not, so a
     // CRLF corpus would make ellipsis_ratio engine-divergent if the \r
     // stayed on the line (trim() strips spaces, not \r).
-    val lines = split(t, "\r?\n")
+    val lines = split(t, "\\r?\\n")
     val nLines = greatest(size(lines), lit(1)).cast("double")
     val bulletRatio = size(filter(lines, l => trim(l).rlike("^[-*•]")))
       .cast("double") / nLines
