@@ -697,6 +697,16 @@ object SparkEntry {
       operators.Dedup.shuffleShard(t(s, dir, "documents"), "doc_id")
     }),
 
+    // Auto-sized twin: nShards DERIVED from the corpus count
+    // (max(minShards, ceil(n / maxShardRows))) — the production entry
+    // point for un-sized corpora. maxShardRows=40 puts the 500-doc gate
+    // corpus at 13 shards, so the gate proves the derivation, not the
+    // minShards floor.
+    "d_shuffle_shard_auto" -> ((s, dir) => {
+      operators.Dedup.shuffleShardAuto(t(s, dir, "documents"), "doc_id",
+        maxShardRows = 40L, minShards = 2)
+    }),
+
     // Domain-mixture epoch realization (DoReMi-style): src0 upsampled
     // 2.5x, src1 downsampled 0.25x, everything else 1.0 — epochs by
     // deterministic md5 coin per (doc, epoch); pure projection+explode.
@@ -1962,6 +1972,16 @@ object SparkEntry {
          |SELECT doc_id, h % 8 AS shard,
          |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) - 1 AS pos
          |FROM h""".stripMargin,
+
+    // Auto-sized twin: the shard count is greatest(minShards,
+    // ceil(n/maxShardRows)) computed with the SAME integer arithmetic as
+    // Spark's (n + maxShardRows - 1) / maxShardRows — no IEEE ceil.
+    "d_shuffle_shard_auto" ->
+      s"""WITH n AS (SELECT greatest(2, (count(*) + 39) // 40) AS k FROM documents),
+         |h AS (SELECT doc_id, ${md5i("CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+         |SELECT doc_id, h % k AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % k ORDER BY h, doc_id) AS BIGINT) - 1 AS pos
+         |FROM h, n""".stripMargin,
 
     // Mixture epochs: rate quantized to basis points as floor(x + 0.5) —
     // bare floor of the IEEE product puts 0.3 at 2999 bp in Spark vs
