@@ -82,6 +82,16 @@ object SparkEntry {
         "sg = g.V().outE().subgraph('sg').cap('sg').next()")
     }),
 
+    // as()/select(): the tutorial path-projection idiom — label two
+    // traversal positions, emit one (c_id, n_id) row per surviving path.
+    // Lowers to the same hop join as the fluent API plus one tag
+    // join-back (GremlinLite.hop's path-preserving branch).
+    "g3_select_pairs" -> ((s, dir) => {
+      gremlin.GremlinLite.run(GraphStore.get(s, dir),
+        "g.V().hasLabel('customer').has('mktsegment','BUILDING').as('c')" +
+          ".out('in').as('n').select('c','n')")
+    }),
+
     // A20 — point lookup by (label, key).
     "a20_point_lookup" -> ((s, dir) => {
       val g = GraphStore.get(s, dir)
@@ -1114,6 +1124,11 @@ object SparkEntry {
     "g1_gremlin_text" ->
       """SELECT 2*72057594037927936 + c_nationkey AS id FROM customer
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "g3_select_pairs" ->
+      """SELECT 3*72057594037927936 + c_custkey AS c_id,
+        |  2*72057594037927936 + c_nationkey AS n_id
+        |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
 
     "g2_subgraph_census" ->
       """WITH e AS (SELECT DISTINCT src, dst FROM (

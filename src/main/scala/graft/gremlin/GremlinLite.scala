@@ -1,6 +1,6 @@
 package graft.gremlin
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.graph.PropertyGraph
 
@@ -23,6 +23,8 @@ import graft.graph.PropertyGraph
   * traverser), `hasNext()` (boolean terminal), `iterate()` (terminal no-op),
   * `valueMap()`, `values(k)`, `id()`, `count()`, `dedup()`, `limit(n)`,
   * `order()[.by(k)]`, `groupCount().by(label|k)` (the console census),
+  * `as('x')` + `select('x')` (step back) / `select('a','b')[.by(k)…]`
+  * (per-path projection — ids, or property values under by() modulators),
   * `repeat(out([l])|in([l])).times(n)` — the canonical spelling of
   * the reference's k-hop walk (README.md:20-33 repeated `.out()`) — and
   * `subgraph('sg')...cap('sg')[.next()]`, so the reference's Cytoscape
@@ -217,8 +219,37 @@ object GremlinLite {
     // with the fluent API — the text surface cannot drift from it.
     // A label-less hop traverses ALL edge labels (Gremlin semantics).
     def edgeLabel(args: Seq[String]): Option[String] = args.headOption
-    def hop(body: String, args: Seq[String])(d: DataFrame): DataFrame =
-      g.valueMap(if (body == "out") g.out(d, edgeLabel(args)) else g.in(d, edgeLabel(args)))
+    def tagCols(d: DataFrame): Seq[String] = d.columns.filter(_.startsWith("__as_")).toSeq
+    def hop(body: String, args: Seq[String])(d: DataFrame): DataFrame = {
+      val tags = tagCols(d)
+      if (tags.isEmpty)
+        g.valueMap(if (body == "out") g.out(d, edgeLabel(args)) else g.in(d, edgeLabel(args)))
+      else {
+        // Path-preserving hop for live as() labels: step a DEDUP'd
+        // frontier once, then join each labeled traverser row back over
+        // its id — per-path fan-out, exactly Gremlin traverser semantics
+        // (a traverser at v with its own history multiplies over v's
+        // edges). One extra join per hop, paid only while labels are live.
+        val frontier = d.select(col("id")).distinct()
+        val stepped =
+          if (body == "out") g.out(frontier, edgeLabel(args))
+          else g.in(frontier, edgeLabel(args))
+        val link = if (body == "out") "from_id" else "to_id"
+        d.select(col("id").as("__hop_prev") +: tags.map(col): _*)
+          .join(stepped, col("__hop_prev") === col(link))
+          .select(Seq("id", "label", "key", "props").map(col) ++ tags.map(col): _*)
+      }
+    }
+    // Label-aware property column over an as('x') snapshot — the same
+    // promoted-key resolution as PropertyGraph.propColFor, on the
+    // snapshot's prefixed columns.
+    def snapProp(tag: String, prop: String): Column = {
+      val keyC = col(s"__as_${tag}_key"); val flat =
+        if (prop == "key") keyC else col(s"__as_${tag}_props").getItem(prop)
+      val promoted = keyProps.collect { case (l, p) if p == prop => l }.toSeq
+      if (prop == "key" || promoted.isEmpty) flat
+      else when(col(s"__as_${tag}_label").isin(promoted: _*), keyC).otherwise(flat)
+    }
     var captured = Map.empty[String, PropertyGraph]
     def toVertices(joinOn: String): DataFrame = {
       val v = g.vertices.as("v")
@@ -285,8 +316,12 @@ object GremlinLite {
         case ("dedup", _) =>
           // Gremlin dedups traversers by element identity, and Spark cannot
           // set-op MAP columns anyway — dedup on the identity columns.
+          // With live as() labels the identity is the PATH signature
+          // (current id + labeled ids): set semantics, deterministic —
+          // a bare dropDuplicates("id") would keep an arbitrary tag row.
           cur =
-            if (cur.columns.contains("id")) cur.dropDuplicates("id")
+            if (cur.columns.contains("id"))
+              cur.dropDuplicates("id" +: tagCols(cur).filter(_.endsWith("_id")))
             else if (onEdges) cur.dropDuplicates("src", "dst", "label")
             else cur.distinct()
         case ("limit", _) => arity(1); cur = cur.limit(args.head.toInt)
@@ -373,6 +408,57 @@ object GremlinLite {
           }
           cur = cur.groupBy(keyCol.as(byArgs.head))
             .agg(count(lit(1)).as("count"))
+        case ("as", false) =>
+          // as('x') labels the current traverser position: snapshot the
+          // vertex identity columns under a prefixed name and carry them
+          // through subsequent vertex steps (hops become path-preserving —
+          // see hop()). Re-using a label overwrites it, as Gremlin does.
+          arity(1)
+          val x = args.head
+          require(x.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"as() label must be an identifier, got '$x' in: $query")
+          cur = cur
+            .withColumn(s"__as_${x}_id", col("id"))
+            .withColumn(s"__as_${x}_label", col("label"))
+            .withColumn(s"__as_${x}_key", col("key"))
+            .withColumn(s"__as_${x}_props", col("props"))
+        case ("select", false) =>
+          // select('u'): step the traverser back to the labeled position
+          // (later steps continue from it; other labels stay live).
+          // select('u','g')[.by(k)...]: project one row per surviving
+          // PATH — ids as `<label>_id` columns, or property values named
+          // by the labels when by() modulators follow (one by() applies
+          // to every key; n by()s pair up with n keys, Gremlin's cycle
+          // rule for the only unambiguous cases).
+          require(args.nonEmpty, s"select() needs at least 1 label in: $query")
+          args.foreach(x => require(cur.columns.contains(s"__as_${x}_id"),
+            s"select('$x') needs a preceding as('$x') on an unbroken vertex " +
+              s"path (outE/inE/subgraph drop labels) in: $query"))
+          val bys = Seq.newBuilder[String]
+          while (rest.hasNext && rest.head._1 == "by") {
+            val (_, byArgs) = rest.next()
+            require(byArgs.length == 1, s"by() takes 1 argument in: $query")
+            bys += byArgs.head
+          }
+          val mods = bys.result()
+          if (mods.isEmpty && args.length == 1) {
+            val x = args.head
+            val keep = tagCols(cur).map(col)
+            cur = cur.select(Seq(
+              col(s"__as_${x}_id").as("id"), col(s"__as_${x}_label").as("label"),
+              col(s"__as_${x}_key").as("key"), col(s"__as_${x}_props").as("props")) ++ keep: _*)
+          } else {
+            val proj: Seq[Column] =
+              if (mods.isEmpty) args.map(x => col(s"__as_${x}_id").as(s"${x}_id"))
+              else if (mods.length == 1) args.map(x => snapProp(x, mods.head).as(x))
+              else {
+                require(mods.length == args.length,
+                  s"select() with ${args.length} label(s) takes 1 or " +
+                    s"${args.length} by() modulator(s), got ${mods.length} in: $query")
+                args.zip(mods).map { case (x, k) => snapProp(x, k).as(x) }
+              }
+            cur = cur.select(proj: _*)
+          }
         case ("hasId", false) =>
           arity(1); cur = cur.filter(col("id") === resolveId(args.head, bindings, query))
         case ("hasNext", _) =>

@@ -231,6 +231,39 @@ class GremlinLiteSpec extends AnyFunSuite {
       .as[Long].head() == 4L)
   }
 
+  test("as()/select(): step back, per-path projection, by() modulators") {
+    // Step back: walk to the end of the chain, then return to the start.
+    assert(GremlinLite.run(g, "g.V(1).as('u').out().out().select('u').id()")
+      .as[Long].head() == 1L)
+    // Per-path id projection: one row per surviving (u, gr) path.
+    val pairs = GremlinLite.run(g,
+      "g.V().hasLabel('user').as('u').out('in').as('gr').select('u','gr')")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)))
+    // by() modulators project property values, promoted keys included.
+    val emails = GremlinLite.run(g,
+      "g.V().hasLabel('user').as('u').out('in').as('gr').select('u','gr').by('email')")
+      .as[(String, String)].collect().toSet
+    assert(emails == Set(("user1@d", "subgroup1@d")))
+    // Labels survive filters after the hop, and select continues the
+    // traversal: group-side filter, then back to the user.
+    assert(GremlinLite.run(g,
+      "g.V().hasLabel('user').as('u').out('in').has('email','subgroup1@d').select('u').values('email')")
+      .as[String].collect().toSeq == Seq("user1@d"))
+  }
+
+  test("as()/select(): per-path fan-out multiplies like Gremlin traversers") {
+    // user1 has TWO out-edges; each path keeps its own 'u' snapshot.
+    val multi = PropertyGraph(g.vertices,
+      Seq((1L, 3L, "in", 1), (1L, 4L, "owns", 1)).toDF("src", "dst", "label", "weight"))
+    val rows = GremlinLite.run(multi, "g.V(1).as('u').out().as('v').select('u','v')")
+      .as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 3L), (1L, 4L)))
+    // dedup() with live labels collapses identical PATH signatures only.
+    assert(GremlinLite.run(multi, "g.V(1).as('u').out().in().dedup().select('u').id()")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("malformed queries throw IllegalArgumentException, never MatchError/NPE") {
     // Every parse/eval failure mode must surface as the documented
     // IllegalArgumentException (or IllegalState for traversal limits) —
@@ -241,7 +274,10 @@ class GremlinLiteSpec extends AnyFunSuite {
       "g.E().out()", "g.V().inV()", "g.V().where()", "g.V().where(out())",
       "g.V().repeat(out()).count()", "g.V().repeat(dedup()).times(2)",
       "g.V().groupCount()", "g.V().order().by('a','b')", "g.V().cap('x')",
-      "g.V(u9).count()", "g.V().has('k','v','w')", "g.123()", "x.V()")
+      "g.V(u9).count()", "g.V().has('k','v','w')", "g.123()", "x.V()",
+      "g.V().select('u')", "g.V().as('u','v')", "g.V().as('9bad')",
+      "g.V().as('u').select()", "g.E().as('x')",
+      "g.V().as('a').as('b').select('a','b').by('k').by('k').by('k')")
     bad.foreach { q =>
       val thrown = intercept[Exception](GremlinLite.run(g, q).collect())
       assert(thrown.isInstanceOf[IllegalArgumentException],
