@@ -36,7 +36,14 @@ class GateCoverageSpec extends AnyFunSuite {
     * top-level ARRAY/MAP cell crashes it (`unhashable type:
     * numpy.ndarray`). Convention: explode/posexplode to scalar rows at
     * the gate boundary (arrays may exist INSIDE the plan, and API
-    * methods may return them — only gate OUTPUT schemas are checked). */
+    * methods may return them — only gate OUTPUT schemas are checked).
+    *
+    * Note this calls every gate BUILDER, not just its analyzed schema:
+    * builders that run eager driver work during construction (codebook
+    * seeding, minLabel's count+collect shortcut, a19's bucketed write)
+    * execute real sf0.001 Spark jobs here. That is accepted — the same
+    * eagerness runs in Verify, and a builder that crashes on real data
+    * should fail THIS suite, not first surface in the driver run. */
   test("no gate output schema has a top-level ARRAY/MAP column") {
     import org.apache.spark.sql.types.{ArrayType, MapType}
     val spark = TestSpark.spark
