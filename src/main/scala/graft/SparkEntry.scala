@@ -701,6 +701,15 @@ object SparkEntry {
       operators.TextAnalysis.ngramLm(t(s, dir, "documents"), "text")
     }),
 
+    // LM-coverage scoring: each document scored against the corpus's own
+    // top-K bigram table — the OOV-rate / perplexity-proxy keep-drop
+    // signal. The LM is broadcast; text never shuffles.
+    "t_lm_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.TextAnalysis.lmCoverage(
+        docs, operators.TextAnalysis.ngramLm(docs, "text"), "doc_id", "text")
+    }),
+
     // Deterministic pre-training shuffle: md5-ordered shard + position
     // assignment (reproducible on any engine/partitioning — no rand()).
     "d_shuffle_shard" -> ((s, dir) => {
@@ -1979,6 +1988,30 @@ object SparkEntry {
          |SELECT gram, ctx, cnt, ctx_cnt,
          |  floor(CAST(cnt AS DOUBLE) / ctx_cnt * 10000) / 10000 AS cond_p, rank
          |FROM r WHERE rank <= 1000""".stripMargin,
+
+    // LM coverage: the t_ngram_lm table as a CTE, left-joined per doc
+    // gram; integer counts + integer hit mass + ONE floored division
+    // (IEEE division is correctly rounded — identical in both engines).
+    "t_lm_coverage" ->
+      s"""$WORDS_CTE,
+         |s AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+         |  i -> w[i] || ' ' || w[i+1]) AS sh FROM t),
+         |g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+         |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+         |r AS (SELECT gram, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS INTEGER) AS rank FROM c),
+         |lm AS (SELECT gram, cnt FROM r WHERE rank <= 1000),
+         |a AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(lm.cnt) AS BIGINT) AS n_known,
+         |  CAST(coalesce(sum(lm.cnt), 0) AS BIGINT) AS hit_weight
+         |  FROM g LEFT JOIN lm USING (gram) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+         |  coalesce(a.n_known, 0) AS n_known,
+         |  coalesce(a.hit_weight, 0) AS hit_weight,
+         |  CASE WHEN coalesce(a.n_grams, 0) > 0
+         |    THEN floor(CAST(a.n_known AS DOUBLE) / a.n_grams * 10000) / 10000
+         |    ELSE 0.0 END AS coverage
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
 
     // Deterministic shuffle-shard: md5 total order within md5-assigned
     // shards; h is non-negative (60-bit) so % == pmod.

@@ -217,6 +217,37 @@ object TextAnalysis {
         col("rank"))
   }
 
+  /** Per-document coverage against an [[ngramLm]] count table — the
+    * scoring half of the LM workflow (counts table → per-doc quality
+    * signal): how much of a document's n-gram mass the corpus LM has seen.
+    * A perplexity PROXY that stays engine-portable: true log-prob sums
+    * hit libm `log` rounding differences across engines, so the score is
+    * built from exact pieces only — integer gram/match counts, an integer
+    * frequency-weighted hit mass, and ONE floored division at the end
+    * (IEEE division is correctly rounded, so both engines truncate the
+    * same 4dp value). Low `coverage` ≈ high OOV rate ≈ far from the
+    * corpus distribution — the usual keep/drop signal.
+    *
+    * Output: (id, n_grams, n_known, hit_weight, coverage) — one row per
+    * document, zero-filled for docs shorter than `n` words.
+    *
+    * Scale: `lm` is a top-K table (≤ topK rows) and is broadcast — the
+    * corpus never shuffles to meet it; grams explode map-side from the
+    * text (`explode_outer` keeps short docs without a restore join);
+    * the per-doc agg combines partially map-side, so the one exchange
+    * carries (id, three longs) per document, never text. */
+  def lmCoverage(docs: DataFrame, lm: DataFrame, idCol: String,
+                 textCol: String, n: Int = 2): DataFrame = {
+    require(n >= 2, s"n must be >= 2 to match ngramLm grams, got $n")
+    docs.select(col(idCol), explode_outer(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(lm.select(col("gram"), col("cnt"))), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("gram")).as("n_grams"), count(col("cnt")).as("n_known"),
+        coalesce(sum(col("cnt")), lit(0L)).cast("long").as("hit_weight"))
+      .withColumn("coverage", when(col("n_grams") > 0,
+        floor4(col("n_known").cast("double") / col("n_grams"))).otherwise(lit(0.0)))
+  }
+
   /** Gopher-style document quality flags (Rae et al. 2021 §A1.1): word
     * count bounds, mean word length band, symbol-to-char ratio, bullet /
     * ellipsis line ratios, alphabetic-word fraction, and the combined

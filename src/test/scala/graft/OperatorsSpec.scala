@@ -549,6 +549,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(TextAnalysis.ngramLm(docs((1L, "a b a b c")), "text", topK = 1).count() == 1)
   }
 
+  test("lmCoverage: per-doc known-gram counts, integer hit mass, zero-filled short docs") {
+    val corpus = docs(
+      (1L, "a b a b c"), // bigrams: "a b","b a","a b","b c"
+      (2L, "a b"),       // "a b"
+      (3L, "x"))         // no bigrams -> zero row
+    // topK=1 keeps only "a b" (cnt 3) in the LM.
+    val lm = TextAnalysis.ngramLm(corpus, "text", topK = 1)
+    val out = TextAnalysis.lmCoverage(corpus, lm, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 4 grams, 2 known ("a b" twice), hit mass 2*3, coverage 0.5.
+    assert(out(1L) == ((1L, 4L, 2L, 6L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 1L, 3L, 1.0)))
+    assert(out(3L) == ((3L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("quantizeInt8: max element maps to 127; zero vector guarded") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
