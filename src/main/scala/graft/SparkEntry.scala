@@ -726,6 +726,15 @@ object SparkEntry {
         maxShardRows = 40L, minShards = 2)
     }),
 
+    // Overflow audit twin: shards whose realized size exceeds the
+    // caller's plan. nShards=2/maxShardRows=200 deliberately undersizes
+    // the 500-doc corpus so the report is NON-empty — the gate proves
+    // the audit fires, not that it stays silent.
+    "d_shard_overflow" -> ((s, dir) => {
+      operators.Dedup.shardOverflow(t(s, dir, "documents"), "doc_id",
+        nShards = 2, maxShardRows = 200L)
+    }),
+
     // Domain-mixture epoch realization (DoReMi-style): src0 upsampled
     // 2.5x, src1 downsampled 0.25x, everything else 1.0 — epochs by
     // deterministic md5 coin per (doc, epoch); pure projection+explode.
@@ -2012,6 +2021,12 @@ object SparkEntry {
          |    THEN floor(CAST(a.n_known AS DOUBLE) / a.n_grams * 10000) / 10000
          |    ELSE 0.0 END AS coverage
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // Overflow audit: same md5 shard assignment, undersized on purpose.
+    "d_shard_overflow" ->
+      s"""WITH h AS (SELECT ${md5i("CAST(doc_id AS VARCHAR)")} % 2 AS shard FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS sz FROM h
+         |GROUP BY 1 HAVING count(*) > 200""".stripMargin,
 
     // Deterministic shuffle-shard: md5 total order within md5-assigned
     // shards; h is non-negative (60-bit) so % == pmod.
