@@ -92,6 +92,15 @@ object SparkEntry {
           ".out('in').as('n').select('c','n')")
     }),
 
+    // path(): full visit history per surviving path — customer → nation
+    // → region ids in hop order. Only path()-bearing queries pay the
+    // per-hop history tagging.
+    "g4_path" -> ((s, dir) => {
+      gremlin.GremlinLite.run(GraphStore.get(s, dir),
+        "g.V().hasLabel('customer').has('mktsegment','BUILDING')" +
+          ".out('in').out('in').path()")
+    }),
+
     // A20 — point lookup by (label, key).
     "a20_point_lookup" -> ((s, dir) => {
       val g = GraphStore.get(s, dir)
@@ -1147,6 +1156,13 @@ object SparkEntry {
       """SELECT 3*72057594037927936 + c_custkey AS c_id,
         |  2*72057594037927936 + c_nationkey AS n_id
         |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "g4_path" ->
+      """SELECT 3*72057594037927936 + c_custkey AS p0_id,
+        |  2*72057594037927936 + c_nationkey AS p1_id,
+        |  1*72057594037927936 + n_regionkey AS p2_id
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
 
     "g2_subgraph_census" ->
       """WITH e AS (SELECT DISTINCT src, dst FROM (

@@ -25,6 +25,9 @@ import graft.graph.PropertyGraph
   * `order()[.by(k)]`, `groupCount().by(label|k)` (the console census),
   * `as('x')` + `select('x')` (step back) / `select('a','b')[.by(k)…]`
   * (per-path projection — ids, or property values under by() modulators),
+  * `path()` (visited-vertex ids per surviving path as `p0_id..pk_id`;
+  * vertex-hop traversals only, and only queries containing path() pay
+  * the per-hop history tagging),
   * `repeat(out([l])|in([l])).times(n)` — the canonical spelling of
   * the reference's k-hop walk (README.md:20-33 repeated `.out()`) — and
   * `subgraph('sg')...cap('sg')[.next()]`, so the reference's Cytoscape
@@ -204,13 +207,30 @@ object GremlinLite {
     val steps = parse(query)
     require(steps.nonEmpty, s"empty traversal: $query")
 
+    // path() support is decided BEFORE evaluation (the step list is fully
+    // parsed): only a query that contains path() pays the per-hop history
+    // tagging — every other traversal runs the untagged plans.
+    val wantsPath = steps.exists(_._1 == "path")
+    var pathIdx = 0
+    def ptag(d: DataFrame): DataFrame =
+      if (!wantsPath) d
+      else {
+        // Path history needs ids only — one carried column per position,
+        // not the full 4-column as() snapshot.
+        val t = d.withColumn(s"__as__p${pathIdx}_id", col("id"))
+        pathIdx += 1
+        t
+      }
+
     val (source, sourceArgs) = steps.head
     var onEdges = false
     var cur: DataFrame = source match {
-      case "V" if sourceArgs.isEmpty => g.V
+      case "V" if sourceArgs.isEmpty => ptag(g.V)
       case "V" =>
-        g.V.filter(col("id").isin(sourceArgs.map(resolveId(_, bindings, query)): _*))
-      case "E" => onEdges = true; g.E
+        ptag(g.V.filter(col("id").isin(sourceArgs.map(resolveId(_, bindings, query)): _*)))
+      case "E" =>
+        require(!wantsPath, s"path() is supported on vertex-hop traversals only: $query")
+        onEdges = true; g.E
       case other => throw new IllegalArgumentException(
         s"traversal must start with V() or E(), got $other()")
     }
@@ -283,7 +303,7 @@ object GremlinLite {
           val (times, timesArgs) = if (rest.hasNext) rest.next() else ("", Nil)
           require(times == "times" && timesArgs.length == 1,
             s"repeat(...) must be followed by .times(n)")
-          cur = (1 to timesArgs.head.toInt).foldLeft(cur)((d, _) => hop(body, bodyArgs)(d))
+          cur = (1 to timesArgs.head.toInt).foldLeft(cur)((d, _) => ptag(hop(body, bodyArgs)(d)))
         case ("hasLabel", _) =>
           // Gremlin hasLabel is variadic: hasLabel('a','b') = label ∈ {a,b}.
           require(args.nonEmpty, s"hasLabel() needs at least 1 label in: $query")
@@ -292,18 +312,25 @@ object GremlinLite {
             else cur.filter(col("label").isin(args: _*))
         case ("has", false) => arity(2); cur = cur.filter(vProp(args(0)) === lit(args(1)))
         case ("has", true) => arity(2); cur = cur.filter(col(args(0)) === lit(args(1)))
-        case ("out", false) => arity(0, 1); cur = hop("out", args)(cur)
-        case ("in", false) => arity(0, 1); cur = hop("in", args)(cur)
+        case ("out", false) => arity(0, 1); cur = ptag(hop("out", args)(cur))
+        case ("in", false) => arity(0, 1); cur = ptag(hop("in", args)(cur))
         case ("both", false) =>
           // Undirected hop: traversers multiply per incident edge in each
           // direction (Gremlin both() emits one traverser per edge — a
           // vertex reached via out AND in appears twice; dedup() collapses).
           arity(0, 1)
-          cur = hop("out", args)(cur).unionByName(hop("in", args)(cur))
-        case ("outE", false) => arity(0, 1); cur = g.outE(cur, edgeLabel(args)); onEdges = true
-        case ("inE", false) => arity(0, 1); cur = g.inE(cur, edgeLabel(args)); onEdges = true
+          cur = ptag(hop("out", args)(cur).unionByName(hop("in", args)(cur)))
+        case ("outE", false) =>
+          arity(0, 1)
+          require(!wantsPath, s"path() is supported on vertex-hop traversals only: $query")
+          cur = g.outE(cur, edgeLabel(args)); onEdges = true
+        case ("inE", false) =>
+          arity(0, 1)
+          require(!wantsPath, s"path() is supported on vertex-hop traversals only: $query")
+          cur = g.inE(cur, edgeLabel(args)); onEdges = true
         case ("bothE", false) =>
           arity(0, 1)
+          require(!wantsPath, s"path() is supported on vertex-hop traversals only: $query")
           cur = g.outE(cur, edgeLabel(args)).unionByName(g.inE(cur, edgeLabel(args)))
           onEdges = true
         case ("inV", true) => arity(0); cur = toVertices("dst"); onEdges = false
@@ -459,6 +486,16 @@ object GremlinLite {
               }
             cur = cur.select(proj: _*)
           }
+        case ("path", false) =>
+          // One row per surviving path, ids in visit order as p0_id..pk_id
+          // (filters refine positions, they don't add them — Gremlin path
+          // elements are the visited vertices). Vertex hops only; edge
+          // steps reject path() up front.
+          arity(0)
+          require((0 until pathIdx).forall(i => cur.columns.contains(s"__as__p${i}_id")),
+            s"path() history was dropped by an intermediate projection step in: $query")
+          cur = cur.select((0 until pathIdx).map(i =>
+            col(s"__as__p${i}_id").as(s"p${i}_id")): _*)
         case ("hasId", false) =>
           arity(1); cur = cur.filter(col("id") === resolveId(args.head, bindings, query))
         case ("hasNext", _) =>

@@ -264,6 +264,25 @@ class GremlinLiteSpec extends AnyFunSuite {
       .as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("path(): visited-vertex ids per surviving path; repeat() contributes each hop") {
+    assert(GremlinLite.run(g, "g.V(1).out('in').out('in').path()")
+      .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 3L, 4L)))
+    // Filters refine positions without adding path elements.
+    assert(GremlinLite.run(g,
+      "g.V().hasLabel('user').out('in').has('email','subgroup1@d').path()")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 3L)))
+    // repeat(out()).times(2) == two explicit hops, path included.
+    assert(GremlinLite.run(g, "g.V(1).repeat(out('in')).times(2).path()")
+      .as[(Long, Long, Long)].collect().toSeq == Seq((1L, 3L, 4L)))
+    // Fan-out: one row per path.
+    val multi = PropertyGraph(g.vertices,
+      Seq((1L, 3L, "in", 1), (1L, 4L, "owns", 1)).toDF("src", "dst", "label", "weight"))
+    assert(GremlinLite.run(multi, "g.V(1).out().path()")
+      .as[(Long, Long)].collect().toSet == Set((1L, 3L), (1L, 4L)))
+    // Queries without path() stay untagged (no hidden history columns).
+    assert(GremlinLite.run(g, "g.V(1).out('in').id()").columns.toSeq == Seq("id"))
+  }
+
   test("malformed queries throw IllegalArgumentException, never MatchError/NPE") {
     // Every parse/eval failure mode must surface as the documented
     // IllegalArgumentException (or IllegalState for traversal limits) —
@@ -277,7 +296,9 @@ class GremlinLiteSpec extends AnyFunSuite {
       "g.V(u9).count()", "g.V().has('k','v','w')", "g.123()", "x.V()",
       "g.V().select('u')", "g.V().as('u','v')", "g.V().as('9bad')",
       "g.V().as('u').select()", "g.E().as('x')",
-      "g.V().as('a').as('b').select('a','b').by('k').by('k').by('k')")
+      "g.V().as('a').as('b').select('a','b').by('k').by('k').by('k')",
+      "g.E().path()", "g.V().outE().path()", "g.V().path('x')",
+      "g.V().valueMap().path()")
     bad.foreach { q =>
       val thrown = intercept[Exception](GremlinLite.run(g, q).collect())
       assert(thrown.isInstanceOf[IllegalArgumentException],
