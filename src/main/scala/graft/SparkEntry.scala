@@ -710,6 +710,14 @@ object SparkEntry {
       operators.TextAnalysis.ngramLm(t(s, dir, "documents"), "text")
     }),
 
+    // Sliding-window chunking with overlap (window 16, overlap 4): the
+    // RAG/embedding preprocessing step — pure projection+explode, chunks
+    // emitted map-side, zero shuffles.
+    "t_chunk_windows" -> ((s, dir) => {
+      operators.TextAnalysis.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+        window = 16, overlap = 4)
+    }),
+
     // LM-coverage scoring: each document scored against the corpus's own
     // top-K bigram table — the OOV-rate / perplexity-proxy keep-drop
     // signal. The LM is broadcast; text never shuffles.
@@ -2013,6 +2021,17 @@ object SparkEntry {
          |SELECT gram, ctx, cnt, ctx_cnt,
          |  floor(CAST(cnt AS DOUBLE) / ctx_cnt * 10000) / 10000 AS cond_p, rank
          |FROM r WHERE rank <= 1000""".stripMargin,
+
+    // Sliding windows: all-integer start/index/size arithmetic; both
+    // engines' series and slices are 1-based inclusive.
+    "t_chunk_windows" ->
+      s"""$WORDS_CTE,
+         |s AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 12)) AS start
+         |  FROM t WHERE len(w) > 0)
+         |SELECT doc_id, (start - 1) // 12 AS chunk_idx,
+         |  CAST(least(16, len(w) - start + 1) AS BIGINT) AS chunk_tokens,
+         |  array_to_string(list_slice(w, start, start + 15), ' ') AS chunk_text
+         |FROM s""".stripMargin,
 
     // LM coverage: the t_ngram_lm table as a CTE, left-joined per doc
     // gram; integer counts + integer hit mass + ONE floored division

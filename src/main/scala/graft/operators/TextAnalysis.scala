@@ -143,6 +143,38 @@ object TextAnalysis {
           floor((col("offset") + col("n_tokens") - 1) / budget).cast("long") > col("chunk"))
   }
 
+  /** Sliding token windows with overlap — the chunking step every
+    * RAG / embedding pipeline runs before encoding: each document becomes
+    * windows of up to `window` tokens starting every `window - overlap`
+    * tokens, so consecutive chunks share `overlap` tokens of context.
+    * Output: (id, chunk_idx, chunk_tokens, chunk_text) — zero rows for
+    * empty documents. All window arithmetic is integer (starts, index,
+    * sizes), so any engine reproduces it exactly.
+    *
+    * Scale: pure projection + explode — the token array is let-bound once
+    * per row (the [[Dedup.shingles]] lesson: a lambda referencing the
+    * tokenize subtree re-splits per element), chunks are emitted map-side,
+    * and nothing shuffles; downstream encoders see chunk-sized rows
+    * instead of document-sized ones. */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 128, overlap: Int = 32): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(overlap >= 0 && overlap < window,
+      s"overlap must be in [0, window), got $overlap for window $window")
+    val stride = window - overlap
+    docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol), col("__w"), explode(
+        when(size(col("__w")) > 0, sequence(lit(1), size(col("__w")), lit(stride)))
+          .otherwise(array().cast("array<int>"))).as("start"))
+      .select(col(idCol),
+        // (start-1)/stride is an exact integer (starts are 1 + k*stride);
+        // floor keeps it integral through Spark's double division.
+        floor((col("start") - 1) / lit(stride)).cast("long").as("chunk_idx"),
+        least(lit(window), size(col("__w")) - col("start") + 1).cast("long")
+          .as("chunk_tokens"),
+        concat_ws(" ", slice(col("__w"), col("start"), lit(window))).as("chunk_text"))
+  }
+
   def rollingFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = tokens(col(textCol))
     val weighted = transform(sequence(lit(1), size(w)),

@@ -549,6 +549,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(TextAnalysis.ngramLm(docs((1L, "a b a b c")), "text", topK = 1).count() == 1)
   }
 
+  test("chunkWindows: strided windows share overlap tokens; empty docs emit no chunks") {
+    val out = TextAnalysis.chunkWindows(
+        docs((1L, "a b c d e f g h"), (2L, "a b"), (3L, "")),
+        "doc_id", "text", window = 4, overlap = 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 4L, "a b c d"), // starts every stride=2
+      (1L, 1L, 4L, "c d e f"),
+      (1L, 2L, 4L, "e f g h"),
+      (1L, 3L, 2L, "g h"),     // tail window clamps to the doc end
+      (2L, 0L, 2L, "a b")))
+    // doc 3 (no tokens) contributes nothing — zero chunks, not one empty.
+    assert(!out.exists(_._1 == 3L))
+  }
+
   test("lmCoverage: per-doc known-gram counts, integer hit mass, zero-filled short docs") {
     val corpus = docs(
       (1L, "a b a b c"), // bigrams: "a b","b a","a b","b c"
