@@ -564,6 +564,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 3L))
   }
 
+  test("property: chunkWindows equals the JVM replica on seeded random corpora") {
+    val rnd = new scala.util.Random(11)
+    (1 to 10).foreach { _ =>
+      val window = 2 + rnd.nextInt(6)
+      val overlap = rnd.nextInt(window)
+      val stride = window - overlap
+      val corpus = (1L to 20L).map { id =>
+        val n = rnd.nextInt(25)
+        (id, Seq.fill(n)(('a' + rnd.nextInt(4)).toChar.toString).mkString(" "))
+      }
+      val expect = corpus.flatMap { case (id, text) =>
+        val w = text.split("\\s+").filter(_.nonEmpty)
+        (1 to w.length by stride).zipWithIndex.map { case (start, idx) =>
+          (id, idx.toLong, math.min(window, w.length - start + 1).toLong,
+            w.slice(start - 1, start - 1 + window).mkString(" "))
+        }
+      }.toSet
+      val got = TextAnalysis.chunkWindows(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", window, overlap)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == expect, s"window=$window overlap=$overlap")
+    }
+  }
+
   test("lmCoverage: per-doc known-gram counts, integer hit mass, zero-filled short docs") {
     val corpus = docs(
       (1L, "a b a b c"), // bigrams: "a b","b a","a b","b c"
