@@ -227,6 +227,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._1) == Set(1L, 3L))
   }
 
+  test("chunkWindows applies unchanged to a stream and equals the batch twin") {
+    // Chunking is a stateless projection+explode, so the same operator
+    // runs on readStream input with no watermark or state — the
+    // encoder-feeding path of a streaming ingest pipeline.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val chunked = operators.TextAnalysis.chunkWindows(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", window = 4, overlap = 2)
+    val q = chunked.writeStream.format("memory").queryName("chunks")
+      .outputMode(OutputMode.Append()).start()
+    val rows = Seq((1L, "a b c d e f"), (2L, "x y"), (3L, ""))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("chunks").as[(Long, Long, Long, String)].collect().toSet
+    q.stop()
+    val batch = operators.TextAnalysis.chunkWindows(
+        rows.toDF("doc_id", "text"), "doc_id", "text", window = 4, overlap = 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming sessionize equals the batch gaps-and-islands twin on real events") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
