@@ -509,7 +509,10 @@ object GremlinLite {
           s"unsupported step $other() on ${if (oe) "edges" else "vertices"} in: $query")
       }
     }
-    (cur, captured)
+    // Tag columns are internal traverser state: any still live at the end
+    // (labeled but never selected, or path history under a terminal that
+    // kept them) stay out of the caller-visible schema.
+    (if (tagCols(cur).isEmpty) cur else cur.drop(tagCols(cur): _*), captured)
   }
 
   /** `g.V().hasLabel('x')...` → [(V, []), (hasLabel, [x]), ...]. Scans with

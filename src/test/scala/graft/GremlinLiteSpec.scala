@@ -281,6 +281,10 @@ class GremlinLiteSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet == Set((1L, 3L), (1L, 4L)))
     // Queries without path() stay untagged (no hidden history columns).
     assert(GremlinLite.run(g, "g.V(1).out('in').id()").columns.toSeq == Seq("id"))
+    // Internal tag columns never leak into the caller-visible schema,
+    // even when labeled but never selected.
+    assert(GremlinLite.run(g, "g.V(1).as('u').out('in')").columns.toSeq ==
+      Seq("id", "label", "key", "props"))
   }
 
   test("malformed queries throw IllegalArgumentException, never MatchError/NPE") {
