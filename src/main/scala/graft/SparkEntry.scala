@@ -662,6 +662,28 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
     }),
 
+    // Nearest-class-centroid assignment: exact integer micro-unit class
+    // means (labelCentroids) + argmin squared-L2 per vector — the
+    // label-purity audit, engine-exact end to end.
+    "e9_centroid_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = operators.Clustering.labelCentroids(emb, "embedding", "label")
+      operators.Clustering.nearestCentroid(emb, cents, "vec_id", "embedding", "label")
+    }),
+
+    // ANN recall@5: LSH (bits=4) top-5 measured against the exact
+    // brute-force top-5 over the same queries — the index-quality
+    // evaluation, one row per query.
+    "e10_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = operators.Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", k = 5, native = true)
+      val approx = operators.Similarity.lshTopK(
+        emb, qs, "vec_id", "embedding", k = 5, bits = 4, native = true)
+      operators.Similarity.annRecall(exact, approx)
+    }),
+
     // Embedding-cosine near-dup pairs within coarse clusters (IVF blocking).
     "e3_cosine_neardup" -> ((s, dir) => {
       operators.Similarity.cosineNearDup(
@@ -725,6 +747,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       operators.TextAnalysis.lmCoverage(
         docs, operators.TextAnalysis.ngramLm(docs, "text"), "doc_id", "text")
+    }),
+
+    // Vocabulary-coverage table: top-K tokens with rank, exact cumulative
+    // count, and floor-6dp cumulative corpus share — the vocab-sizing
+    // artifact a tokenizer trainer reads.
+    "t_vocab_coverage" -> ((s, dir) => {
+      operators.TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text")
     }),
 
     // Deterministic pre-training shuffle: md5-ordered shard + position
@@ -1666,6 +1695,58 @@ object SparkEntry {
          | CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS INTEGER) AS rank
          |FROM ad QUALIFY rank <= 3""".stripMargin,
 
+    // Nearest-class-centroid: micro-unit quantization (floor(x·1e6+0.5)),
+    // exact BIGINT sums, ONE floored division per centroid element, exact
+    // integer squared-L2 — every intermediate engine-portable.
+    "e9_centroid_assign" ->
+      """WITH q AS (SELECT vec_id, label,
+        |  list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |x AS (SELECT label AS clabel, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS dim FROM q),
+        |m AS (SELECT clabel, dim, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        |  FROM x GROUP BY clabel, dim),
+        |c AS (SELECT clabel, list(cv ORDER BY dim) AS cvec FROM m GROUP BY clabel),
+        |s AS (SELECT vec_id, label, clabel, CAST(sum((a - b) * (a - b)) AS BIGINT) AS dist
+        |  FROM (SELECT q.vec_id, q.label, c.clabel, unnest(q.qv) AS a, unnest(c.cvec) AS b
+        |        FROM q CROSS JOIN c)
+        |  GROUP BY vec_id, label, clabel)
+        |SELECT vec_id, label, clabel AS pred_label, dist FROM (
+        |  SELECT vec_id, label, clabel, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
+        |  FROM s) WHERE rk = 1""".stripMargin,
+
+    // ANN recall@5: exact side = e1's ranking, approx side = e2's
+    // signature-bucket ranking, both at k=5 over vec_id < 10; recall is
+    // the per-query intersection share, floor-4dp.
+    "e10_ann_recall" -> {
+      val sig = (0 until 4).map { j =>
+        val proj = s"list_reduce(list_transform(generate_series(1, len(e)), i -> CAST(e[i] AS DOUBLE) * " +
+          s"(CASE WHEN ${md5i(s"'${j}_' || CAST(i AS VARCHAR)")} % 2 = 0 THEN 1.0 ELSE -1.0 END)), (a,b) -> a + b)"
+        s"(CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, embedding AS e, CAST($sig AS BIGINT) AS sig FROM embeddings),
+         |q AS (SELECT vec_id, e, sig FROM v WHERE vec_id < 10),
+         |exsc AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |  round(${cosSql("q.e", "v.e")}, 6) AS cos
+         |  FROM q JOIN v ON v.vec_id <> q.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM exsc) WHERE rk <= 5),
+         |apsc AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |  round(${cosSql("q.e", "v.e")}, 6) AS cos
+         |  FROM q JOIN v ON q.sig = v.sig AND v.vec_id <> q.vec_id),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM apsc) WHERE rk <= 5)
+         |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
+         |  floor(CAST(count(ap.neighbor_id) AS DOUBLE) / count(*) * 10000) / 10000 AS recall
+         |FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+         |GROUP BY ex.query_id""".stripMargin
+    },
+
     // Embedding-space dedup clustering: e3's pair join + WITH RECURSIVE
     // closure, canonical = min id over the component (≡ minLabel).
     "d_semantic_dup" ->
@@ -2056,6 +2137,21 @@ object SparkEntry {
          |    THEN floor(CAST(a.n_known AS DOUBLE) / a.n_grams * 10000) / 10000
          |    ELSE 0.0 END AS coverage
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // Vocabulary coverage: exact integer counts → identical rank /
+    // prefix-sum on any engine; cum_share is ONE floored division.
+    "t_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY term),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |r AS (SELECT term, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INTEGER) AS rank
+        |  FROM c QUALIFY rank <= 1000)
+        |SELECT term, cnt, rank,
+        |  CAST(sum(cnt) OVER (ORDER BY rank) AS BIGINT) AS cum_cnt,
+        |  floor(CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / total * 1000000) / 1000000 AS cum_share
+        |FROM r CROSS JOIN tot""".stripMargin,
 
     // Overflow audit: same md5 shard assignment, undersized on purpose.
     "d_shard_overflow" ->

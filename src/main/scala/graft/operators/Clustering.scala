@@ -33,6 +33,58 @@ object Clustering {
       .select(col("vid"), col("vec"), col("cid"))
   }
 
+  /** Exact class-mean centroids in integer micro-units — the supervised
+    * twin of [[kmeansLite]]'s float centroids. Every element is quantized
+    * half-up to `scale` units (`floor(x·scale + 0.5)`), summed exactly as
+    * BIGINTs, and the mean is ONE floored division at the end, so any
+    * engine reproduces each centroid bit for bit (the `pageRankFixed`
+    * micro-unit recipe applied to vectors). Output: (clabel, cvec) with
+    * `cvec: ARRAY<BIGINT>`.
+    *
+    * Scale: posexplode ships (label, dim, long) triples — float arrays
+    * never shuffle; both aggregations combine map-side ((label, dim) keys
+    * are dense, no hot reducer); the result is |labels| rows — broadcast
+    * material for [[nearestCentroid]]. */
+  def labelCentroids(vecs: DataFrame, vecCol: String, labelCol: String,
+                     scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    vecs.select(col(labelCol).as("clabel"),
+        posexplode(transform(col(vecCol), x => floor(x.cast("double") * scale + lit(0.5)))))
+      .groupBy(col("clabel"), col("pos"))
+      .agg(floor(sum(col("col")).cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("clabel"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+  }
+
+  /** Nearest-centroid assignment against a [[labelCentroids]] table — the
+    * label-purity audit an embedding pipeline runs to catch mislabeled or
+    * drifted vectors: each vector is quantized with the same `scale`,
+    * scored by exact integer squared-L2 against every class mean, and
+    * assigned the argmin with a (dist, label) tiebreak. Output one row per
+    * vector: (id, label, pred_label, dist) — all distances exact BIGINTs,
+    * so the assignment is engine-portable with no float caveat.
+    *
+    * Scale: centroids broadcast (|labels| rows); the quantized corpus
+    * meets them map-side, and the argmin window shuffles only
+    * (id, label, clabel, dist) — arrays are projected away before the
+    * exchange. Per-vector window state is |labels| rows. */
+  def nearestCentroid(vecs: DataFrame, centroids: DataFrame, idCol: String,
+                      vecCol: String, labelCol: String,
+                      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("clabel"))
+    vecs.select(col(idCol), col(labelCol),
+        transform(col(vecCol), x => floor(x.cast("double") * scale + lit(0.5))).as("__q"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__d", aggregate(zip_with(col("__q"), col("cvec"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .select(col(idCol), col(labelCol), col("clabel"), col("__d"))
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col(idCol), col(labelCol), col("clabel").as("pred_label"),
+        col("__d").as("dist"))
+  }
+
   /** Returns (assignments(vid, vec, cid), centroids(cid, cvec)). */
   def kmeansLite(vecs: DataFrame, idCol: String, vecCol: String,
                  k: Int, iters: Int = 2): (DataFrame, DataFrame) = {

@@ -314,6 +314,27 @@ object Similarity {
         .as("mvec"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact ranking —
+    * the evaluation every ANN rollout runs before swapping the index in:
+    * both inputs are top-k result tables shaped (query_id, neighbor_id,
+    * ...) (e.g. [[lshTopK]] vs [[bruteForceTopK]] over the same queries);
+    * output is one row per query: (query_id, n_exact, n_hit, recall) with
+    * recall = |approx ∩ exact| / |exact| floor-truncated to 4dp. Queries
+    * whose approximate side returned nothing (empty LSH bucket) still
+    * appear, with n_hit = 0 — silent row loss would overstate recall.
+    *
+    * Scale: both sides are ≤ k·|queries| rows — result-table sized, never
+    * corpus sized; one shuffle each on (query_id, neighbor_id), then a
+    * map-side-combinable per-query count. */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
+      .withColumn("recall",
+        floor(col("n_hit").cast("double") / col("n_exact") * 10000) / 10000)
+
   /** Symmetric per-vector int8 quantization: q_i = floor(x_i · 127 / max|x|),
     * scale = max|x| / 127 (6dp floor-truncated) — the compression pass an
     * embedding store applies before ANN serving (4x smaller, dot products

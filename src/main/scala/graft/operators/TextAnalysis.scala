@@ -280,6 +280,39 @@ object TextAnalysis {
         floor4(col("n_known").cast("double") / col("n_grams"))).otherwise(lit(0.0)))
   }
 
+  /** Corpus vocabulary-coverage table — the tokenizer-training precursor:
+    * the `topK` most frequent whitespace tokens with their exact counts,
+    * frequency rank, cumulative count, and floor-6dp cumulative share of
+    * all token occurrences — the "how many vocab entries cover X% of the
+    * corpus" artifact a BPE/unigram trainer sizes its vocabulary from.
+    * Deterministic: rank ties break on the term string; `cum_cnt` is an
+    * exact BIGINT prefix sum, and `cum_share` is one floored division of
+    * exact integers, so any engine reproduces every row.
+    *
+    * Plan shape: one explode + map-side-combinable count aggregation
+    * (vocab-sized output — text never shuffles, only (term, cnt) pairs
+    * move); global top-K via row_number rank pushdown (per-partition
+    * state ≤ topK rows); the cumulative window then runs over the K
+    * survivors only, so its single partition is bounded by topK at any
+    * corpus size. The corpus-total rides along as a broadcast 1-row
+    * aggregate of the term table — no driver-side action (the term-count
+    * subtree feeds two branches, like [[tfidfTopK]]'s corpus scan; cache
+    * upstream if that second evaluation matters). */
+  def vocabCoverage(docs: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = terms.agg(sum(col("cnt")).cast("long").as("__total"))
+    val rw = Window.orderBy(col("cnt").desc, col("term"))
+    val cw = Window.orderBy(col("rank")).rowsBetween(Window.unboundedPreceding, 0)
+    terms.withColumn("rank", row_number().over(rw)).filter(col("rank") <= topK)
+      .crossJoin(broadcast(total))
+      .withColumn("cum_cnt", sum(col("cnt")).over(cw).cast("long"))
+      .select(col("term"), col("cnt"), col("rank"), col("cum_cnt"),
+        floor6(col("cum_cnt").cast("double") / col("__total")).as("cum_share"))
+  }
+
   /** Gopher-style document quality flags (Rae et al. 2021 §A1.1): word
     * count bounds, mean word length band, symbol-to-char ratio, bullet /
     * ellipsis line ratios, alphabetic-word fraction, and the combined

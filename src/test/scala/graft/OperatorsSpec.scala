@@ -603,6 +603,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("labelCentroids + nearestCentroid: exact micro-unit means, argmin with tiebreak") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f), 0),
+      (2L, Array(0.2f, 0.0f), 0),  // class 0 mean = (0.1, 0) -> (100000, 0)
+      (3L, Array(1.0f, 1.0f), 1),
+      (4L, Array(1.0f, 0.8f), 1))  // class 1 mean = (1.0, 0.9) -> (1000000, 900000)
+      .toDF("vec_id", "embedding", "label")
+    val cents = graft.operators.Clustering.labelCentroids(vecs, "embedding", "label")
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(cents(0) == Seq(100000L, 0L))
+    assert(cents(1) == Seq(1000000L, 900000L))
+    val asg = graft.operators.Clustering.nearestCentroid(
+      vecs, graft.operators.Clustering.labelCentroids(vecs, "embedding", "label"),
+      "vec_id", "embedding", "label")
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    // vec 1 at origin: dist to c0 = 100000², to c1 = 1e6² + 9e5² -> pred 0.
+    assert(asg(1L) == ((1L, 0, 0, 100000L * 100000L)))
+    assert(asg(3L)._3 == 1) // (1,1) is nearest its own class mean
+    // A vector equidistant to both centroids takes the lower label.
+    val tie = Seq((1L, Array(0.0f), 7), (2L, Array(2.0f), 3)).toDF("vec_id", "embedding", "label")
+    val tieAsg = graft.operators.Clustering.nearestCentroid(
+      tie.select(col("vec_id"), array(lit(1.0f)).as("embedding"), col("label")),
+      graft.operators.Clustering.labelCentroids(tie, "embedding", "label"),
+      "vec_id", "embedding", "label").select("pred_label").distinct()
+      .as[Int].collect().toSeq
+    assert(tieAsg == Seq(3)) // dist 1e12 to both; label 3 < 7 wins
+  }
+
+  test("vocabCoverage: rank by frequency, exact cumulative counts and shares") {
+    val corpus = docs((1L, "a a a b b c"), (2L, "a b x"))
+    val out = TextAnalysis.vocabCoverage(corpus, "text", topK = 3)
+      .as[(String, Long, Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // counts: a=4, b=3, c=1, x=1 over 9 tokens; topK=3 keeps a, b, c.
+    assert(out("a") == (("a", 4L, 1, 4L, math.floor(4.0 / 9 * 1e6) / 1e6)))
+    assert(out("b") == (("b", 3L, 2, 7L, math.floor(7.0 / 9 * 1e6) / 1e6)))
+    assert(out("c") == (("c", 1L, 3, 8L, math.floor(8.0 / 9 * 1e6) / 1e6)))
+    assert(!out.contains("x")) // rank 4 (tie with c broken by term) is cut
+  }
+
+  test("annRecall: per-query intersection share; empty approx side keeps the query") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L)).toDF("query_id", "neighbor_id")
+    val out = Similarity.annRecall(exact, approx)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 2L, math.floor(2.0 / 3 * 10000) / 10000)))
+    assert(out(2L) == ((2L, 2L, 0L, 0.0))) // no approx rows at all for query 2
+  }
+
   test("quantizeInt8: max element maps to 127; zero vector guarded") {
     val vecs = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f)),
