@@ -1152,6 +1152,12 @@ object SparkEntry {
       operators.Dedup.contamination(train, bench, "doc_id", "text")
     }),
 
+    // Exact substring-duplication spans (Lee et al. 2021 shape): 8-token
+    // windows whose hash recurs in >= 2 docs, one row per flagged span.
+    "d_substring_spans" -> ((s, dir) => {
+      operators.Dedup.substringSpans(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // Symmetric int8 embedding quantization (q vector + 6dp scale).
     // The gate projects the int8 vector to a CSV string: the driver's
     // comparator canonicalizes by lexsorting column values, which crashes
@@ -2217,6 +2223,20 @@ object SparkEntry {
          |SELECT tr.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS n_shared
          |FROM tr JOIN b ON tr.h = b.h
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    // Substring-duplication spans: 8-token windows, 1-based starts, md5
+    // span hashes; df = distinct docs per hash, flagged at df >= 2.
+    "d_substring_spans" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+         |s AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i, w FROM w),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+         |  ${md5i("w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]")} AS span_hash
+         |  FROM s),
+         |f AS (SELECT span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM g GROUP BY span_hash)
+         |SELECT g.doc_id, g.start, g.span_hash, f.df
+         |FROM g JOIN f ON g.span_hash = f.span_hash WHERE f.df >= 2""".stripMargin,
 
     "x6_bfs_depth" ->
       """WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM (

@@ -202,6 +202,37 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Exact substring-duplication spans — the distributed re-expression of
+    * suffix-array exact-substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": mask any ≥k-token span
+    * that recurs verbatim in the corpus). Every k-token window is hashed
+    * at its position; windows whose hash occurs in ≥ `minDocs` distinct
+    * documents are flagged. Output one row per flagged span:
+    * (id, start, span_hash, df) with `start` the 1-based token offset —
+    * the span list a dedup pass masks or cuts before training.
+    *
+    * Scale: window strings hash map-side from the let-bound token array
+    * (O(tokens) regex work per doc); the document-frequency count moves
+    * only (span_hash, id) longs through a two-level aggregation (distinct
+    * pairs, then counts — no count-distinct single-reducer); the flag
+    * join re-shuffles (id, start, span_hash) triples on the hash key —
+    * document text never crosses an exchange. Unlike pair enumeration
+    * (LSH/Jaccard), flagging is linear in posting-list size — no O(df²)
+    * hot-bucket blowup, so no cap is needed. */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val spans = docs.select(col(idCol), posexplode(shingles(col(textCol), k)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("start"),
+        md5Long(col("col")).as("span_hash"))
+    val dfreq = spans.select(col("span_hash"), col(idCol)).distinct()
+      .groupBy(col("span_hash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+    spans.join(dfreq, Seq("span_hash"))
+      .select(col(idCol), col("start"), col("span_hash"), col("df"))
+  }
+
   /** Deterministic hash sampling: keep rows whose md5 key-bucket (0..99)
     * falls below `pct`. Unlike `rand()`-based sampling this is
     * reproducible across engines, runs, retries, and partitionings — the

@@ -603,6 +603,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("substringSpans flags recurring 8-token windows at their positions; unique docs stay clean") {
+    val corpus = docs(
+      (1L, "one two three four five six seven eight nine"), // windows at 1, 2
+      (2L, "one two three four five six seven eight nine"), // verbatim dup
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")) // unique window
+    val out = Dedup.substringSpans(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).map(_._2).sorted.toSeq == Seq(1L, 2L))
+    assert(byDoc(2L).map(_._2).sorted.toSeq == Seq(1L, 2L))
+    assert(!byDoc.contains(3L))
+    assert(out.forall(_._4 == 2L))
+    // A shared span embedded at different offsets inside otherwise-unique
+    // docs is found at its own start in each.
+    val embedded = Dedup.substringSpans(docs(
+      (1L, "x one two three four five six seven eight y"),
+      (2L, "z q one two three four five six seven eight w")), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(embedded.map(r => (r._1, r._2)).toSet == Set((1L, 2L), (2L, 3L)))
+  }
+
   test("labelCentroids + nearestCentroid: exact micro-unit means, argmin with tiebreak") {
     val vecs = Seq(
       (1L, Array(0.0f, 0.0f), 0),
