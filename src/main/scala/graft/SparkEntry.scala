@@ -1158,6 +1158,14 @@ object SparkEntry {
       operators.Dedup.substringSpans(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Merged duplicated-span cut list: gaps-and-islands union of the
+    // flagged 8-token windows into maximal per-doc token intervals.
+    "d_span_intervals" -> ((s, dir) => {
+      operators.Dedup.spanIntervals(
+        operators.Dedup.substringSpans(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", k = 8)
+    }),
+
     // Symmetric int8 embedding quantization (q vector + 6dp scale).
     // The gate projects the int8 vector to a CSV string: the driver's
     // comparator canonicalizes by lexsorting column values, which crashes
@@ -2237,6 +2245,28 @@ object SparkEntry {
          |  FROM g GROUP BY span_hash)
          |SELECT g.doc_id, g.start, g.span_hash, f.df
          |FROM g JOIN f ON g.span_hash = f.span_hash WHERE f.df >= 2""".stripMargin,
+
+    // Interval union of the flagged spans: same window CTEs, then
+    // gaps-and-islands (break where the start gap exceeds k=8).
+    "d_span_intervals" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+         |s AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i, w FROM w),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+         |  ${md5i("w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]")} AS span_hash
+         |  FROM s),
+         |f AS (SELECT span_hash FROM g GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2),
+         |fl AS (SELECT g.doc_id, g.start FROM g JOIN f ON g.span_hash = f.span_hash),
+         |br AS (SELECT doc_id, start,
+         |  CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+         |    OR start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
+         |    THEN 1 ELSE 0 END AS brk FROM fl),
+         |isl AS (SELECT doc_id, start,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM br)
+         |SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+         |  CAST(max(start) + 7 AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM isl GROUP BY doc_id, island""".stripMargin,
 
     "x6_bfs_depth" ->
       """WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM (

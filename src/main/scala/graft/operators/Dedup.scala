@@ -233,6 +233,35 @@ object Dedup {
       .select(col(idCol), col("start"), col("span_hash"), col("df"))
   }
 
+  /** Maximal duplicated intervals per document — the apply half of
+    * exact-substring dedup: merges [[substringSpans]]' overlapping or
+    * adjacent k-token windows into (id, span_start, span_end, n_windows)
+    * token intervals, the actual cut list (Lee et al. cut the UNION of
+    * recurring spans, not each window separately). Classic
+    * gaps-and-islands: with equal-length windows sorted by start, a new
+    * island begins where the gap to the previous start exceeds k; island
+    * bounds are min(start) / max(start)+k-1. All-integer arithmetic.
+    *
+    * Scale: ONE window pass partitioned by document over the flagged
+    * spans only (already orders smaller than the corpus); per-document
+    * state is the spans of that document, bounded by its token count. */
+  def spanIntervals(spans: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    spans.select(col(idCol), col("start"))
+      .withColumn("__brk",
+        when(col("start") - lag(col("start"), 1).over(byDoc) > k || lag(col("start"), 1).over(byDoc).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   /** Deterministic hash sampling: keep rows whose md5 key-bucket (0..99)
     * falls below `pct`. Unlike `rand()`-based sampling this is
     * reproducible across engines, runs, retries, and partitionings — the

@@ -624,6 +624,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(embedded.map(r => (r._1, r._2)).toSet == Set((1L, 2L), (2L, 3L)))
   }
 
+  test("spanIntervals merges overlapping/adjacent windows; gaps > k stay separate") {
+    // k=3: windows [s, s+2]; starts 1,2,5 chain (each gap <= 3 — overlap
+    // or adjacency), start 10 is 5 past 5 -> its own island.
+    val spans = Seq((1L, 1L), (1L, 2L), (1L, 5L), (1L, 10L), (2L, 4L))
+      .toDF("doc_id", "start")
+    val out = Dedup.spanIntervals(spans, "doc_id", k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 7L, 3L), (1L, 10L, 12L, 1L), (2L, 4L, 6L, 1L)))
+  }
+
   test("labelCentroids + nearestCentroid: exact micro-unit means, argmin with tiebreak") {
     val vecs = Seq(
       (1L, Array(0.0f, 0.0f), 0),
