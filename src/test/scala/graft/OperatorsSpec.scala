@@ -634,6 +634,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Set((1L, 1L, 7L, 3L), (1L, 10L, 12L, 1L), (2L, 4L, 6L, 1L)))
   }
 
+  test("substring family property: spans and intervals equal a JVM replica on a deterministic corpus") {
+    // Deterministic small-vocab corpus (no RNG — seeded by index): dense
+    // cross-document gram collisions at k=3.
+    val vocab = Vector("a", "b", "c", "d")
+    val k = 3
+    val data = (1L to 30L).map { i =>
+      val len = ((i * 13) % 10).toInt
+      i -> (0 until len).map(j => vocab(((i * 31 + j * 7) % 4).toInt)).mkString(" ")
+    }
+    val df = data.toDF("doc_id", "text")
+    val windows = data.flatMap { case (id, text) =>
+      val w = text.split("\\s+").filter(_.nonEmpty)
+      (0 to w.length - k).map(s => (id, s + 1L, w.slice(s, s + k).mkString(" ")))
+    }
+    val dfreq = windows.groupBy(_._3).map { case (g, ws) => g -> ws.map(_._1).distinct.size }
+    val flagged = windows.filter(w => dfreq(w._3) >= 2)
+      .map(w => (w._1, w._2, md5long(w._3), dfreq(w._3).toLong))
+    val got = Dedup.substringSpans(df, "doc_id", "text", k = k)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == flagged.toSet)
+    val intervals = flagged.groupBy(_._1).flatMap { case (id, spans) =>
+      val starts = spans.map(_._2).distinct.sorted
+      val islands = starts.foldLeft(List.empty[List[Long]]) { (acc, s) =>
+        acc match {
+          case cur :: rest if s - cur.last <= k => (cur :+ s) :: rest
+          case _ => List(s) :: acc
+        }
+      }
+      islands.map(is => (id, is.head, is.last + (k - 1), is.size.toLong))
+    }.toSet
+    val gotI = Dedup.spanIntervals(
+      Dedup.substringSpans(df, "doc_id", "text", k = k), "doc_id", k = k)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(gotI == intervals)
+  }
+
   test("labelCentroids + nearestCentroid: exact micro-unit means, argmin with tiebreak") {
     val vecs = Seq(
       (1L, Array(0.0f, 0.0f), 0),
