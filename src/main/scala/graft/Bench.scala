@@ -18,7 +18,8 @@ object Bench {
     "e2_lsh_ann", "e3_cosine_neardup", "e8_ivfpq_ann",
     "t_quality_score", "sw1_tumbling_window", "sw3_session_window",
     "z1_asof_join", "x1_connected_components", "x3_triangle_count",
-    "a18b_groovy_load", "a19_bucketed_layout")
+    "a18b_groovy_load", "a19_bucketed_layout",
+    "d_substring_spans", "e9_centroid_assign")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
