@@ -223,9 +223,15 @@ object Dedup {
                      k: Int = 8, minDocs: Int = 2): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // Persist the hashed windows (the [[lshCandidates]] raw-bucket
+    // pattern): both the df branch and the flag join read them, and
+    // recomputing would re-tokenize and re-hash every window of the
+    // corpus per branch. Three longs per window — negligible next to the
+    // text it replaces at any scale.
     val spans = docs.select(col(idCol), posexplode(shingles(col(textCol), k)))
       .select(col(idCol), (col("pos") + 1).cast("long").as("start"),
         md5Long(col("col")).as("span_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = spans.select(col("span_hash"), col(idCol)).distinct()
       .groupBy(col("span_hash")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
