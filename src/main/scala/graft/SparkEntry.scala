@@ -756,6 +756,17 @@ object SparkEntry {
       operators.TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text")
     }),
 
+    // Percentile-based dynamic quality cutoff: drop the bottom quintile
+    // by blended quality score — exact percentile (the oracle-able twin
+    // of the production approx_percentile path), threshold broadcast, no
+    // global sort.
+    "t_quality_cut" -> ((s, dir) => {
+      val q = operators.TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      operators.Dedup.percentileCut(q, "quality", 0.2, exact = true)
+        .select(col("doc_id"), col("quality"), col("threshold"), col("kept"))
+    }),
+
     // Deterministic pre-training shuffle: md5-ordered shard + position
     // assignment (reproducible on any engine/partitioning — no rand()).
     "d_shuffle_shard" -> ((s, dir) => {
@@ -1826,6 +1837,28 @@ object SparkEntry {
          | floor(least(greatest(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct)
          |   + 0.3 * least(meanlen / 8.0, 1.0), 0.0), 1.0) * 10000) / 10000 AS quality
          |FROM m""".stripMargin,
+
+    // Dynamic quality cutoff: the same quality formula as t_quality_score
+    // (only the terms quality uses), exact interpolated p20 via
+    // quantile_cont (== Spark's exact percentile — the f5 recipe),
+    // threshold identical-IEEE on both engines.
+    "t_quality_cut" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         |    / CAST(length(text) AS DOUBLE) AS punct,
+         |  CAST(list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)), (a,b) -> a + b) AS DOUBLE)
+         |    / greatest(len(w), 1) AS meanlen
+         | FROM t),
+         |q AS (SELECT doc_id,
+         |  floor(least(greatest(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct)
+         |    + 0.3 * least(meanlen / 8.0, 1.0), 0.0), 1.0) * 10000) / 10000 AS quality
+         |  FROM m),
+         |th AS (SELECT quantile_cont(quality, 0.2) AS threshold FROM q)
+         |SELECT doc_id, quality, threshold, quality >= threshold AS kept
+         |FROM q CROSS JOIN th""".stripMargin,
 
     "t_bpe_token_count" ->
       """SELECT doc_id,

@@ -268,6 +268,34 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** Percentile-threshold selection — "keep the top (1-p) share by
+    * score" without a global sort: the corpus-wide p-quantile of
+    * `valueCol` is ONE aggregate, broadcast back over the corpus as a
+    * 1-row cross join inside the same lazy plan (no driver action), and
+    * every row is flagged `kept` = value >= `threshold` — the dynamic
+    * cutoff a quality-filtering pipeline applies ("drop the bottom
+    * quintile") when a fixed threshold would drift with the corpus.
+    *
+    * Scale: the default `approx_percentile` path carries bounded sketch
+    * state per partition — the production setting at any corpus size.
+    * `exact = true` switches to Spark's exact `percentile`, whose
+    * aggregation state is the value multiset (fine to ~1e8 rows) and
+    * which is REQUIRED for cross-engine verification — approx sketches
+    * differ across engines, exact interpolation does not (the f5 /
+    * e4-vs-e4b deterministic-twin pattern). Either way the corpus is
+    * never sorted or shuffled: only the aggregate's partial states
+    * move. */
+  def percentileCut(df: DataFrame, valueCol: String, p: Double,
+                    exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    val fn = if (exact) s"percentile(`$valueCol`, $p)"
+             else s"approx_percentile(`$valueCol`, $p, $accuracy)"
+    val th = df.agg(expr(fn).cast("double").as("threshold"))
+    df.crossJoin(broadcast(th))
+      .withColumn("kept", col(valueCol) >= col("threshold"))
+  }
+
   /** Deterministic hash sampling: keep rows whose md5 key-bucket (0..99)
     * falls below `pct`. Unlike `rand()`-based sampling this is
     * reproducible across engines, runs, retries, and partitionings — the

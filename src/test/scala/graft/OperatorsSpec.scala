@@ -634,6 +634,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Set((1L, 1L, 7L, 3L), (1L, 10L, 12L, 1L), (2L, 4L, 6L, 1L)))
   }
 
+  test("percentileCut: exact threshold interpolates; approx picks a real element; kept matches") {
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val ex = Dedup.percentileCut(df, "v", 0.5, exact = true)
+      .select("id", "threshold", "kept").as[(Long, Double, Boolean)].collect()
+    assert(ex.forall(_._2 == 5.5)) // exact interpolated median of 1..10
+    assert(ex.filter(_._3).map(_._1).sorted.toSeq == (6L to 10L))
+    val ap = Dedup.percentileCut(df, "v", 0.5)
+      .select("v", "threshold", "kept").as[(Double, Double, Boolean)].collect()
+    val th = ap.head._2
+    assert((1 to 10).map(_.toDouble).contains(th)) // approx returns a real element
+    assert(ap.forall(r => r._3 == (r._1 >= th)))
+  }
+
   test("substring family property: spans and intervals equal a JVM replica on a deterministic corpus") {
     // Deterministic small-vocab corpus (no RNG — seeded by index): dense
     // cross-document gram collisions at k=3.
