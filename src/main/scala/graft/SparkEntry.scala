@@ -756,6 +756,26 @@ object SparkEntry {
       operators.TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text")
     }),
 
+    // Round-8 quality pipeline, composed in ONE plan: corpus LM ->
+    // per-doc coverage -> percentile cutoff (drop the bottom quintile by
+    // coverage) -> exclude docs carrying any cross-document duplicated
+    // 8-token span. Every stage is separately oracled (t_lm_coverage,
+    // t_quality_cut shape, d_substring_spans); this gate verifies the
+    // CHAIN, one row per document.
+    "d_pipeline_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = operators.TextAnalysis.ngramLm(docs, "text")
+      val cov = operators.TextAnalysis.lmCoverage(docs, lm, "doc_id", "text")
+        .select(col("doc_id"), col("coverage"))
+      val cut = operators.Dedup.percentileCut(cov, "coverage", 0.2, exact = true)
+      val dup = operators.Dedup.substringSpans(docs, "doc_id", "text")
+        .select(col("doc_id")).distinct().withColumn("__dup", lit(true))
+      cut.join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("coverage"), col("kept"),
+          coalesce(col("__dup"), lit(false)).as("dup_doc"),
+          (col("kept") && !coalesce(col("__dup"), lit(false))).as("final_keep"))
+    }),
+
     // Percentile-based dynamic quality cutoff: drop the bottom quintile
     // by blended quality score — exact percentile (the oracle-able twin
     // of the production approx_percentile path), threshold broadcast, no
@@ -1837,6 +1857,39 @@ object SparkEntry {
          | floor(least(greatest(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct)
          |   + 0.3 * least(meanlen / 8.0, 1.0), 0.0), 1.0) * 10000) / 10000 AS quality
          |FROM m""".stripMargin,
+
+    // Composed quality pipeline: the t_lm_coverage CTEs (coverage per
+    // doc), quantile_cont p20 threshold, and the d_substring_spans CTEs
+    // (dup-doc set) stitched exactly as the Spark chain composes them.
+    "d_pipeline_quality" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+         |  FROM documents),
+         |s AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+         |  i -> w[i] || ' ' || w[i+1]) AS sh FROM t),
+         |g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+         |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+         |r AS (SELECT gram, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS INTEGER) AS rank FROM c),
+         |lm AS (SELECT gram, cnt FROM r WHERE rank <= 1000),
+         |a AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(lm.cnt) AS BIGINT) AS n_known
+         |  FROM g LEFT JOIN lm USING (gram) GROUP BY 1),
+         |cov AS (SELECT d.doc_id,
+         |  CASE WHEN coalesce(a.n_grams, 0) > 0
+         |    THEN floor(CAST(a.n_known AS DOUBLE) / a.n_grams * 10000) / 10000
+         |    ELSE 0.0 END AS coverage
+         |  FROM documents d LEFT JOIN a USING (doc_id)),
+         |th AS (SELECT quantile_cont(coverage, 0.2) AS threshold FROM cov),
+         |w8 AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i, w FROM t),
+         |g8 AS (SELECT doc_id,
+         |  ${md5i("w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]")} AS span_hash
+         |  FROM w8),
+         |f8 AS (SELECT span_hash FROM g8 GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2),
+         |dup AS (SELECT DISTINCT g8.doc_id FROM g8 JOIN f8 ON g8.span_hash = f8.span_hash)
+         |SELECT cov.doc_id, cov.coverage, cov.coverage >= th.threshold AS kept,
+         |  dup.doc_id IS NOT NULL AS dup_doc,
+         |  (cov.coverage >= th.threshold AND dup.doc_id IS NULL) AS final_keep
+         |FROM cov CROSS JOIN th LEFT JOIN dup ON dup.doc_id = cov.doc_id""".stripMargin,
 
     // Dynamic quality cutoff: the same quality formula as t_quality_score
     // (only the terms quality uses), exact interpolated p20 via
