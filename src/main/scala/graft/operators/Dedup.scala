@@ -296,6 +296,40 @@ object Dedup {
       .withColumn("kept", col(valueCol) >= col("threshold"))
   }
 
+  /** Quality-aware canonical selection: within each dup cluster keep the
+    * HIGHEST-scoring member, not the smallest id — the representative rule
+    * production dedup actually wants ("of these 40 near-identical pages,
+    * keep the cleanest one"), applied after [[lshCandidates]] +
+    * `Traversal.minLabel` have labeled the clusters. Ties (common when the
+    * score is quantized) break to the smallest id, so the choice is total
+    * and deterministic. Emits every member as
+    * (id, canonical, score, keep) — keep marks the chosen representative,
+    * exactly one true per cluster.
+    *
+    * Scale: NO per-cluster sort window. A web corpus has boilerplate
+    * clusters of 10⁵-10⁶ near-identical docs; `row_number over (partition
+    * by label order by score)` would hand one task the whole mega-cluster
+    * to sort, while the argmax here is two hash AGGREGATES (max score per
+    * label, then min id among the maximal members) — both with map-side
+    * partial combine, one row per cluster out, skew-proof. The score
+    * equality in step two compares a value against a max OF the same
+    * values, so it is bit-exact even for floating-point scores. Ids are
+    * never cast or negated (no `max_by` struct trick), so string and
+    * numeric keys order the same way here as in `minLabel` — the whole
+    * cluster→canonical chain is type-generic. */
+  def keepBest(members: DataFrame, scores: DataFrame, idCol: String,
+               labelCol: String, scoreCol: String): DataFrame = {
+    val m = members.select(col(idCol), col(labelCol))
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val best = m.groupBy(col(labelCol)).agg(max(col(scoreCol)).as("__best"))
+    val winner = m.join(best, Seq(labelCol))
+      .filter(col(scoreCol) === col("__best"))
+      .groupBy(col(labelCol)).agg(min(col(idCol)).as("__keep_id"))
+    m.join(winner, Seq(labelCol))
+      .select(col(idCol), col(labelCol).as("canonical"), col(scoreCol),
+        (col(idCol) === col("__keep_id")).as("keep"))
+  }
+
   /** Deterministic hash sampling: keep rows whose md5 key-bucket (0..99)
     * falls below `pct`. Unlike `rand()`-based sampling this is
     * reproducible across engines, runs, retries, and partitionings — the

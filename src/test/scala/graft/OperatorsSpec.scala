@@ -647,6 +647,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ap.forall(r => r._3 == (r._1 >= th)))
   }
 
+  test("keepBest: max score wins, ties break to min id, one keeper per cluster") {
+    // Cluster 10: clear max at id 3. Cluster 20: tie 0.5/0.5 -> id 4 keeps.
+    // Cluster 30: singleton keeps itself.
+    val members = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L), (6L, 30L))
+      .toDF("id", "cluster")
+    val scores = Seq((1L, 0.1), (2L, 0.3), (3L, 0.9), (4L, 0.5), (5L, 0.5), (6L, 0.2))
+      .toDF("id", "score")
+    val out = Dedup.keepBest(members, scores, "id", "cluster", "score")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.length == 6)
+    assert(out.filter(_._4).map(r => (r._2, r._1)).toSet == Set((10L, 3L), (20L, 4L), (30L, 6L)))
+    assert(out.groupBy(_._2).forall { case (_, rows) => rows.count(_._4) == 1 })
+    // Type-generic ids: the same selection on string keys (no casts anywhere).
+    val sm = Seq(("a", "g1"), ("b", "g1"), ("c", "g2")).toDF("id", "cluster")
+    val ss = Seq(("a", 2.0), ("b", 2.0), ("c", 1.0)).toDF("id", "score")
+    val sOut = Dedup.keepBest(sm, ss, "id", "cluster", "score")
+      .as[(String, String, Double, Boolean)].collect()
+    assert(sOut.filter(_._4).map(r => (r._2, r._1)).toSet == Set(("g1", "a"), ("g2", "c")))
+  }
+
   test("substring family property: spans and intervals equal a JVM replica on a deterministic corpus") {
     // Deterministic small-vocab corpus (no RNG — seeded by index): dense
     // cross-document gram collisions at k=3.
