@@ -1212,6 +1212,18 @@ object SparkEntry {
       operators.Dedup.substringSpans(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Span-level decontamination: 8-token windows of the train split
+    // (doc_id % 10 != 0) that appear verbatim anywhere in the held-out
+    // probe split (doc_id % 10 = 0) — the cross-corpus twin of
+    // d_substring_spans, finding the LEAKED SPAN at its position where
+    // d_contamination can only flag the whole document.
+    "d_cross_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Dedup.crossSpans(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    }),
+
     // Merged duplicated-span cut list: gaps-and-islands union of the
     // flagged 8-token windows into maximal per-doc token intervals.
     "d_span_intervals" -> ((s, dir) => {
@@ -2398,6 +2410,21 @@ object SparkEntry {
          |  FROM g GROUP BY span_hash)
          |SELECT g.doc_id, g.start, g.span_hash, f.df
          |FROM g JOIN f ON g.span_hash = f.span_hash WHERE f.df >= 2""".stripMargin,
+
+    // Same window CTEs; probe-side distinct-doc counts from the held-out
+    // split, train-side windows joined against them.
+    "d_cross_spans" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+         |s AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i, w FROM w),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+         |  ${md5i("w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]")} AS span_hash
+         |  FROM s),
+         |p AS (SELECT span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_probe_docs
+         |  FROM g WHERE doc_id % 10 = 0 GROUP BY span_hash)
+         |SELECT g.doc_id, g.start, g.span_hash, p.n_probe_docs
+         |FROM g JOIN p ON g.span_hash = p.span_hash
+         |WHERE g.doc_id % 10 <> 0""".stripMargin,
 
     // Interval union of the flagged spans: same window CTEs, then
     // gaps-and-islands (break where the start gap exceeds k=8).

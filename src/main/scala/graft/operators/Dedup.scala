@@ -239,6 +239,35 @@ object Dedup {
       .select(col(idCol), col("start"), col("span_hash"), col("df"))
   }
 
+  /** Cross-corpus exact-substring decontamination — the probe half of
+    * [[substringSpans]]: flags each k-token window of `corpus` whose hash
+    * occurs ANYWHERE in `probe` ("this training span appears verbatim in
+    * the benchmark"), at its position. Span-level, so a single leaked
+    * question inside an otherwise-clean document is found and cuttable —
+    * [[contamination]]'s doc-level verdict can only drop the whole doc.
+    * Returns (id, start, span_hash, n_probe_docs); compose with
+    * [[spanIntervals]] for the maximal per-doc cut list.
+    *
+    * Scale: text never shuffles — only (id, pos, hash) triples move. The
+    * probe side reduces to DISTINCT span hashes with a per-hash probe-doc
+    * count (benchmark-sized, orders smaller than the corpus), so AQE
+    * broadcasts the join whenever the benchmark fits an executor; the
+    * corpus side streams map-side with no self-join anywhere — linear in
+    * corpus postings, no pair enumeration, no hot-bucket cap needed. */
+  def crossSpans(corpus: DataFrame, probe: DataFrame, idCol: String,
+                 textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def windows(df: DataFrame) =
+      df.select(col(idCol), posexplode(shingles(col(textCol), k)))
+        .select(col(idCol), (col("pos") + 1).cast("long").as("start"),
+          md5Long(col("col")).as("span_hash"))
+    val probeHashes = windows(probe)
+      .select(col("span_hash"), col(idCol)).distinct()
+      .groupBy(col("span_hash")).agg(count(lit(1)).as("n_probe_docs"))
+    windows(corpus).join(probeHashes, Seq("span_hash"))
+      .select(col(idCol), col("start"), col("span_hash"), col("n_probe_docs"))
+  }
+
   /** Maximal duplicated intervals per document — the apply half of
     * exact-substring dedup: merges [[substringSpans]]' overlapping or
     * adjacent k-token windows into (id, span_start, span_end, n_windows)

@@ -624,6 +624,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(embedded.map(r => (r._1, r._2)).toSet == Set((1L, 2L), (2L, 3L)))
   }
 
+  test("crossSpans: train spans present in probe flag at position; train-only dups stay clean") {
+    // Probe doc 100 contains "one two three"; train doc 1 embeds it at
+    // token 3, doc 2 at token 1. Docs 1 and 2 also SHARE "p q r" with
+    // each other but not with the probe — cross-corpus must NOT flag it.
+    val train = docs(
+      (1L, "a b one two three p q r"),
+      (2L, "one two three x p q r y"))
+    val probe = docs((100L, "zz one two three zz"))
+    val out = Dedup.crossSpans(train, probe, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 3L), (2L, 1L)))
+    assert(out.forall(_._4 == 1L)) // one probe doc holds the span
+    // A span in two probe docs counts both.
+    val probe2 = probe.union(docs((200L, "one two three tail tail")))
+    val out2 = Dedup.crossSpans(train, probe2, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out2.forall(_._4 == 2L))
+  }
+
   test("spanIntervals merges overlapping/adjacent windows; gaps > k stay separate") {
     // k=3: windows [s, s+2]; starts 1,2,5 chain (each gap <= 3 — overlap
     // or adjacency), start 10 is 5 past 5 -> its own island.
