@@ -348,8 +348,14 @@ object Dedup {
     * cluster→canonical chain is type-generic. */
   def keepBest(members: DataFrame, scores: DataFrame, idCol: String,
                labelCol: String, scoreCol: String): DataFrame = {
+    // Persist the (id, label, score) triple (the [[substringSpans]]
+    // hashed-window pattern): all three argmax branches read it, and
+    // without the persist each branch re-runs the members⋈scores join —
+    // at corpus scale that is three reads of the scoring pipeline for
+    // one. Three narrow columns, negligible next to the text upstream.
     val m = members.select(col(idCol), col(labelCol))
       .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val best = m.groupBy(col(labelCol)).agg(max(col(scoreCol)).as("__best"))
     val winner = m.join(best, Seq(labelCol))
       .filter(col(scoreCol) === col("__best"))
