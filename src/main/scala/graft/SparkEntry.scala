@@ -1232,6 +1232,17 @@ object SparkEntry {
         "doc_id", k = 8)
     }),
 
+    // The apply half of substring dedup end-to-end: recurring 8-token
+    // windows → merged intervals → documents rebuilt with the intervals
+    // cut out (clean_text + removed-token count, uncut docs unchanged).
+    "d_apply_cuts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Dedup.applyCuts(docs,
+        operators.Dedup.spanIntervals(
+          operators.Dedup.substringSpans(docs, "doc_id", "text"), "doc_id", k = 8),
+        "doc_id", "text")
+    }),
+
     // Symmetric int8 embedding quantization (q vector + 6dp scale).
     // The gate projects the int8 vector to a CSV string: the driver's
     // comparator canonicalizes by lexsorting column values, which crashes
@@ -2447,6 +2458,35 @@ object SparkEntry {
          |  CAST(max(start) + 7 AS BIGINT) AS span_end,
          |  CAST(count(*) AS BIGINT) AS n_windows
          |FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    // d_span_intervals' island CTEs, then per-doc cut positions flattened
+    // and the token list filtered by 1-based index (DuckDB index lambda),
+    // re-joined with single spaces exactly as the Spark side does.
+    "d_apply_cuts" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+         |s AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i, w FROM w),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+         |  ${md5i("w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]")} AS span_hash
+         |  FROM s),
+         |f AS (SELECT span_hash FROM g GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2),
+         |fl AS (SELECT g.doc_id, g.start FROM g JOIN f ON g.span_hash = f.span_hash),
+         |br AS (SELECT doc_id, start,
+         |  CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+         |    OR start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
+         |    THEN 1 ELSE 0 END AS brk FROM fl),
+         |isl AS (SELECT doc_id, start,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM br),
+         |iv AS (SELECT doc_id, min(start) AS s, max(start) + 7 AS e
+         |  FROM isl GROUP BY doc_id, island),
+         |cuts AS (SELECT doc_id,
+         |  flatten(list(generate_series(s, e))) AS cut FROM iv GROUP BY doc_id)
+         |SELECT w.doc_id,
+         |  coalesce(array_to_string(list_filter(w.w,
+         |    (x, i) -> NOT list_contains(coalesce(cuts.cut, []), i)), ' '), '') AS clean_text,
+         |  CAST(len(w.w) - len(list_filter(w.w,
+         |    (x, i) -> NOT list_contains(coalesce(cuts.cut, []), i))) AS BIGINT) AS n_removed
+         |FROM w LEFT JOIN cuts ON w.doc_id = cuts.doc_id""".stripMargin,
 
     "x6_bfs_depth" ->
       """WITH RECURSIVE e AS (SELECT DISTINCT src, dst FROM (

@@ -297,6 +297,37 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** The final apply step of exact-substring dedup: rebuild each document
+    * with the cut-list token intervals REMOVED — [[substringSpans]] finds
+    * the recurring windows, [[spanIntervals]] merges them into maximal
+    * intervals, and this cuts them out of the text (Lee et al. 2021 drop
+    * the duplicated span, not the document). Output is
+    * (id, clean_text, n_removed): surviving tokens re-joined with single
+    * spaces (tokenization is the canonical form — original inter-token
+    * whitespace is not preserved), plus the removed-token count.
+    * Documents with no intervals pass through with n_removed = 0.
+    *
+    * Scale: intervals aggregate to one row per CUT document (orders
+    * smaller than the corpus — per-doc state is bounded by the doc's own
+    * token count), so AQE broadcasts the left join and the text column
+    * itself never shuffles; the token filter is one map-side pass per
+    * row. No UDF — positions come from `sequence`/`flatten`, the keep
+    * decision is an index-lambda `filter`. */
+  def applyCuts(docs: DataFrame, intervals: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val cuts = intervals
+      .select(col(idCol),
+        sequence(col("span_start"), col("span_end")).as("__pos"))
+      .groupBy(col(idCol)).agg(flatten(collect_list(col("__pos"))).as("__cut"))
+    val cut = coalesce(col("__cut"), array().cast("array<long>"))
+    docs.join(cuts, Seq(idCol), "left")
+      .withColumn("__w", tokens(col(textCol)))
+      .withColumn("__kept",
+        filter(col("__w"), (_, i) => !array_contains(cut, (i + 1).cast("long"))))
+      .select(col(idCol), array_join(col("__kept"), " ").as("clean_text"),
+        (size(col("__w")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** Percentile-threshold selection — "keep the top (1-p) share by
     * score" without a global sort: the corpus-wide p-quantile of
     * `valueCol` is ONE aggregate, broadcast back over the corpus as a

@@ -666,6 +666,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ap.forall(r => r._3 == (r._1 >= th)))
   }
 
+  test("applyCuts: flagged intervals drop out, uncut docs pass through, counts match") {
+    val d = docs((1L, "a b c d e f"), (2L, "x y z"))
+    val iv = Seq((1L, 2L, 3L), (1L, 5L, 5L)).toDF("doc_id", "span_start", "span_end")
+    val out = Dedup.applyCuts(d, iv, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ("a d f", 3L)) // tokens 2,3,5 removed
+    assert(out(2L) == ("x y z", 0L)) // no intervals -> unchanged
+    // End-to-end with the find half: two docs sharing a 3-token run both
+    // lose exactly that run.
+    val shared = docs((1L, "one two three tail1 tail2"), (2L, "head one two three end"))
+    val cut = Dedup.applyCuts(shared,
+      Dedup.spanIntervals(Dedup.substringSpans(shared, "doc_id", "text", k = 3), "doc_id", k = 3),
+      "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(cut(1L) == ("tail1 tail2", 3L))
+    assert(cut(2L) == ("head end", 3L))
+  }
+
   test("keepBest: max score wins, ties break to min id, one keeper per cluster") {
     // Cluster 10: clear max at id 3. Cluster 20: tie 0.5/0.5 -> id 4 keeps.
     // Cluster 30: singleton keeps itself.
