@@ -1232,6 +1232,21 @@ object SparkEntry {
         "doc_id", k = 8)
     }),
 
+    // Cross-corpus decontamination END-TO-END in one plan: train spans
+    // that leak from the probe split (crossSpans) → merged intervals
+    // (spanIntervals) → train docs rebuilt with the leaked spans cut out
+    // (applyCuts). Each stage is separately oracled (d_cross_spans,
+    // d_span_intervals, d_apply_cuts); this gate verifies the CHAIN —
+    // the decontamination twin of d_pipeline_quality's composition.
+    "d_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val leaks = operators.Dedup.crossSpans(
+        train, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      operators.Dedup.applyCuts(train,
+        operators.Dedup.spanIntervals(leaks, "doc_id", k = 8), "doc_id", "text")
+    }),
+
     // The apply half of substring dedup end-to-end: recurring 8-token
     // windows → merged intervals → documents rebuilt with the intervals
     // cut out (clean_text + removed-token count, uncut docs unchanged).
@@ -2458,6 +2473,37 @@ object SparkEntry {
          |  CAST(max(start) + 7 AS BIGINT) AS span_end,
          |  CAST(count(*) AS BIGINT) AS n_windows
          |FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    // The d_cross_spans probe join, then the island/cut/rebuild CTEs of
+    // d_apply_cuts over the train split only — the chain stitched exactly
+    // as the Spark composition runs it.
+    "d_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+         |s AS (SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i, w FROM w),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS start,
+         |  ${md5i("w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]")} AS span_hash
+         |  FROM s),
+         |p AS (SELECT DISTINCT span_hash FROM g WHERE doc_id % 10 = 0),
+         |fl AS (SELECT g.doc_id, g.start FROM g JOIN p ON g.span_hash = p.span_hash
+         |  WHERE g.doc_id % 10 <> 0),
+         |br AS (SELECT doc_id, start,
+         |  CASE WHEN lag(start) OVER (PARTITION BY doc_id ORDER BY start) IS NULL
+         |    OR start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
+         |    THEN 1 ELSE 0 END AS brk FROM fl),
+         |isl AS (SELECT doc_id, start,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY start) AS island FROM br),
+         |iv AS (SELECT doc_id, min(start) AS s, max(start) + 7 AS e
+         |  FROM isl GROUP BY doc_id, island),
+         |cuts AS (SELECT doc_id,
+         |  flatten(list(generate_series(s, e))) AS cut FROM iv GROUP BY doc_id)
+         |SELECT w.doc_id,
+         |  coalesce(array_to_string(list_filter(w.w,
+         |    (x, i) -> NOT list_contains(coalesce(cuts.cut, []), i)), ' '), '') AS clean_text,
+         |  CAST(len(w.w) - len(list_filter(w.w,
+         |    (x, i) -> NOT list_contains(coalesce(cuts.cut, []), i))) AS BIGINT) AS n_removed
+         |FROM w LEFT JOIN cuts ON w.doc_id = cuts.doc_id
+         |WHERE w.doc_id % 10 <> 0""".stripMargin,
 
     // d_span_intervals' island CTEs, then per-doc cut positions flattened
     // and the token list filtered by 1-based index (DuckDB index lambda),

@@ -248,6 +248,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("crossSpans decontaminates a stream against a static probe, equals the batch twin") {
+    // The corpus side of crossSpans is stateless map-side window hashing
+    // joined to a probe that reduces to a static (hash, count) table — a
+    // stream-static equi-join, so the SAME operator decontaminates a
+    // live ingest feed with no watermark or state.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val probe = Seq((100L, "zz one two three zz")).toDF("doc_id", "text")
+    val flagged = operators.Dedup.crossSpans(
+      mem.toDF().toDF("doc_id", "text"), probe, "doc_id", "text", k = 3)
+    val q = flagged.writeStream.format("memory").queryName("leaks")
+      .outputMode(OutputMode.Append()).start()
+    val rows = Seq((1L, "a b one two three p q r"), (2L, "clean doc here"))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("leaks").as[(Long, Long, Long, Long)].collect().toSet
+    q.stop()
+    val batch = operators.Dedup.crossSpans(
+        rows.toDF("doc_id", "text"), probe, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.map(_._1) == Set(1L)) // the clean doc emits nothing
+  }
+
   test("streaming sessionize equals the batch gaps-and-islands twin on real events") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
