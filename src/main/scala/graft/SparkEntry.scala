@@ -696,6 +696,14 @@ object SparkEntry {
       operators.TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Language-ID eval against the labeled lang column: (labeled,
+    // predicted, count) confusion cells — the t_langid heuristic scored
+    // against ground truth (zh has no marker list, so its row shows
+    // where unsupported languages land).
+    "t_lang_confusion" -> ((s, dir) => {
+      operators.TextAnalysis.langConfusion(t(s, dir, "documents"), "doc_id", "text", "lang")
+    }),
+
     // Quality signals + blended score.
     "t_quality_score" -> ((s, dir) => {
       operators.TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
@@ -1941,6 +1949,33 @@ object SparkEntry {
          |      WHEN s_fr > 0 THEN 'fr'
          |      ELSE 'und' END AS pred_lang
          |FROM sc""".stripMargin
+    },
+
+    // The t_langid prediction joined back to the labeled column,
+    // aggregated to confusion cells.
+    "t_lang_confusion" -> {
+      val scores = Seq(
+        "en" -> Seq("the", "and", "of", "a", "is"),
+        "de" -> Seq("der", "die", "und", "das", "ist"),
+        "es" -> Seq("el", "la", "de", "y", "es"),
+        "fr" -> Seq("le", "la", "et", "les", "est")).map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"CAST(len(list_filter(w, x -> x IN ($inList))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n ")
+      s"""$WORDS_CTE,
+         |sc AS (SELECT doc_id,
+         | $scores
+         | FROM t),
+         |pr AS (SELECT doc_id,
+         | CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |      WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |      WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+         |      WHEN s_fr > 0 THEN 'fr'
+         |      ELSE 'und' END AS pred_lang
+         |FROM sc)
+         |SELECT d.lang, pr.pred_lang, CAST(count(*) AS BIGINT) AS cnt
+         |FROM pr JOIN documents d ON pr.doc_id = d.doc_id
+         |GROUP BY d.lang, pr.pred_lang""".stripMargin
     },
 
     "t_quality_score" ->

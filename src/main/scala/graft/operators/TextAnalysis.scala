@@ -44,6 +44,24 @@ object TextAnalysis {
     scored.select(col(idCol), pred.as("pred_lang"))
   }
 
+  /** Classifier-evaluation confusion table for [[languageId]] against a
+    * labeled-language column: one row per (labeled, predicted) pair with
+    * its document count — the eval artifact that tells you WHERE the
+    * heuristic fails (e.g. every `zh` doc lands in `und` because the
+    * marker lists carry no zh evidence), the language-ID twin of
+    * `Similarity.annRecall`'s retrieval eval.
+    *
+    * Scale: the label join is id-to-id with the label side pruned to two
+    * columns at the parquet scan (text is read once, on the scoring
+    * side), and the output aggregate is |langs|² rows at most — the
+    * exchange after scoring carries (id, pred) pairs only. */
+  def langConfusion(docs: DataFrame, idCol: String, textCol: String,
+                    labelCol: String): DataFrame =
+    languageId(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(labelCol)), Seq(idCol))
+      .groupBy(col(labelCol), col("pred_lang"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** floor(x·10⁴)/10⁴ — engine-portable 4-decimal truncation. Plain
     * `round` differs across engines on exact .xxxx5 ties (Spark rounds the
     * decimal rendering half-up; DuckDB rounds the binary double), and

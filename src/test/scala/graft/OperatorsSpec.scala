@@ -166,6 +166,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) == "und")
   }
 
+  test("langConfusion: cells count labeled vs predicted; unsupported labels land in und") {
+    val d = Seq(
+      (1L, "the cat and the dog is a pet", "en"),
+      (2L, "the big and small ones are here", "en"),
+      (3L, "der hund und die katze ist das", "de"),
+      (4L, "xyzzy qwerty plugh", "zh")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langConfusion(d, "doc_id", "text", "lang")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("en", "en", 2L), ("de", "de", 1L), ("zh", "und", 1L)))
+  }
+
   test("qualityScore stays in [0,1] and counts tokens") {
     val out = TextAnalysis.qualityScore(
       docs((1L, "the quick brown fox, and a lazy dog!")), "doc_id", "text").collect()(0)
