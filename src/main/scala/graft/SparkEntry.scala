@@ -604,6 +604,13 @@ object SparkEntry {
       operators.Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // LSH candidate-quality audit: exact Jaccard over every d_minhash_lsh
+    // pair, reduced to one (n_candidates, n_true, precision) row at
+    // threshold 0.5 — the number the band/row configuration is tuned by.
+    "d_lsh_precision" -> ((s, dir) => {
+      operators.Dedup.lshPrecision(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // Brute-force exact cosine top-5 for a small query set (ANN baseline).
     "e1_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -755,6 +762,19 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       operators.TextAnalysis.lmCoverage(
         docs, operators.TextAnalysis.ngramLm(docs, "text"), "doc_id", "text")
+    }),
+
+    // DSIR-style importance weight: every document scored by the ratio of
+    // its bigram hit mass against a TARGET-domain LM (the lang='en'
+    // slice) vs the whole-corpus background LM — the domain-adaptation
+    // resampling signal. Both LMs broadcast; text never shuffles.
+    "t_dsir_weight" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.TextAnalysis.dsirWeight(
+        docs,
+        operators.TextAnalysis.ngramLm(docs.filter(col("lang") === "en"), "text"),
+        operators.TextAnalysis.ngramLm(docs, "text"),
+        "doc_id", "text")
     }),
 
     // Vocabulary-coverage table: top-K tokens with rank, exact cumulative
@@ -1752,6 +1772,33 @@ object SparkEntry {
          |   / len(list_distinct(a.shd || b.shd)) * 10000) / 10000 AS jaccard
          |FROM base a JOIN base b ON a.h1 = b.h1 AND a.doc_id < b.doc_id""".stripMargin,
 
+    // d_minhash_lsh's candidate pairs + d_ngram_jaccard's exact floored
+    // Jaccard, reduced to one audit row at threshold 0.5.
+    "d_lsh_precision" -> {
+      val hs = (1 to 8).map(i =>
+        s"list_min(list_transform(sh, x -> ${md5i(s"x || '|$i'")})) AS h$i").mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val (l, r) = (s"h${2 * b + 1}", s"h${2 * b + 2}")
+        s"SELECT doc_id, $b AS band, ${md5i(s"CAST($l AS VARCHAR) || '_' || CAST($r AS VARCHAR)")} AS bucket FROM sig"
+      }.mkString("\nUNION ALL ")
+      s"""$SHINGLE_CTES,
+         |sig AS (SELECT doc_id, $hs FROM s),
+         |b AS ($bands),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+         |base AS (SELECT doc_id, list_distinct(sh) AS shd FROM s),
+         |j AS (SELECT floor(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
+         |    / len(list_distinct(a.shd || b.shd)) * 10000) / 10000 AS jaccard
+         |  FROM p JOIN base a ON p.id_a = a.doc_id JOIN base b ON p.id_b = b.doc_id),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true FROM j)
+         |SELECT n_candidates, n_true,
+         |  CASE WHEN n_candidates > 0
+         |    THEN floor(CAST(n_true AS DOUBLE) / n_candidates * 10000) / 10000
+         |    ELSE 0.0 END AS "precision"
+         |FROM agg""".stripMargin
+    },
+
     "e1_cosine_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
          |q AS (SELECT vec_id, e FROM v WHERE vec_id < 10),
@@ -2376,6 +2423,35 @@ object SparkEntry {
          |  CASE WHEN coalesce(a.n_grams, 0) > 0
          |    THEN floor(CAST(a.n_known AS DOUBLE) / a.n_grams * 10000) / 10000
          |    ELSE 0.0 END AS coverage
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    // DSIR weight: the t_ngram_lm table twice — once over the lang='en'
+    // slice (target), once over the corpus (background); integer hit
+    // masses, add-one smoothing, ONE floored division (both engines
+    // divide the same BIGINTs, so the 6dp floor is identical).
+    "t_dsir_weight" ->
+      s"""$WORDS_CTE,
+         |s AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+         |  i -> w[i] || ' ' || w[i+1]) AS sh FROM t),
+         |g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+         |tc AS (SELECT gram, count(*) AS cnt
+         |  FROM g JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+         |tr AS (SELECT gram, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS INTEGER) AS rank FROM tc),
+         |tlm AS (SELECT gram, cnt FROM tr WHERE rank <= 1000),
+         |bc AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+         |br AS (SELECT gram, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS INTEGER) AS rank FROM bc),
+         |blm AS (SELECT gram, cnt FROM br WHERE rank <= 1000),
+         |a AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(sum(tlm.cnt), 0) AS BIGINT) AS target_mass,
+         |  CAST(coalesce(sum(blm.cnt), 0) AS BIGINT) AS background_mass
+         |  FROM g LEFT JOIN tlm USING (gram) LEFT JOIN blm USING (gram) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+         |  coalesce(a.target_mass, 0) AS target_mass,
+         |  coalesce(a.background_mass, 0) AS background_mass,
+         |  floor(CAST(coalesce(a.target_mass, 0) + 1 AS DOUBLE)
+         |    / (coalesce(a.background_mass, 0) + 1) * 1000000) / 1000000 AS weight
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
 
     // Vocabulary coverage: exact integer counts → identical rank /

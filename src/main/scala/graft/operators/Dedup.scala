@@ -112,6 +112,39 @@ object Dedup {
       Seq("band", "bucket"), maxBucket)
   }
 
+  /** LSH candidate-quality evaluation: exact n-gram Jaccard computed for
+    * every [[lshCandidates]] pair, reduced to ONE audit row —
+    * (n_candidates, n_true, precision) at the given Jaccard threshold.
+    * The dedup-tuning twin of `Similarity.annRecall`'s retrieval eval:
+    * it answers "how many of the pairs my band/row configuration
+    * surfaces are real near-dups", the number you turn `bands` ×
+    * `rowsPerBand` against before a full-corpus run. Both sides compare
+    * the SAME floor-4dp Jaccard (the [[ngramJaccard]] quantization), so
+    * the verdict is engine-portable.
+    *
+    * Scale: the pair table is hot-bucket capped (candidate-sized, never
+    * corpus²); the distinct-shingle sets join it by id twice — shingle
+    * arrays shuffle once per side, text never does; the final agg is a
+    * 1-row map-side-combinable reduction. */
+  def lshPrecision(docs: DataFrame, idCol: String, textCol: String,
+                   bands: Int = 4, rowsPerBand: Int = 2, n: Int = 3,
+                   threshold: Double = 0.5, maxBucket: Int = 8192): DataFrame = {
+    val pairs = lshCandidates(docs, idCol, textCol, bands, rowsPerBand, n, maxBucket)
+    val sets = docs.select(col(idCol), array_distinct(shingles(col(textCol), n)).as("sh"))
+    val jac = floor(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))) * 10000) / 10000
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(jac.as("jaccard"))
+      .agg(count(lit(1)).cast("long").as("n_candidates"),
+        coalesce(sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_true"))
+      .withColumn("precision", when(col("n_candidates") > 0,
+        floor(col("n_true").cast("double") / col("n_candidates") * 10000) / 10000)
+        .otherwise(lit(0.0)))
+  }
+
   /** 16-bit SimHash over word unigrams (bit-vote fingerprint).
     * Single map pass: 16 array folds per doc, no shuffle. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {

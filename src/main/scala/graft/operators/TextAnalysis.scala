@@ -298,6 +298,44 @@ object TextAnalysis {
         floor4(col("n_known").cast("double") / col("n_grams"))).otherwise(lit(0.0)))
   }
 
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): each document scored by
+    * how much more its n-gram mass resembles a TARGET domain's LM than
+    * the BACKGROUND corpus's — the select-data-like-the-target signal a
+    * domain-adaptation pipeline resamples by. DSIR's log-likelihood
+    * ratio is not engine-portable (libm `log` rounding differs), so the
+    * weight is the raw frequency-mass ratio built from exact pieces:
+    * integer hit masses against both [[ngramLm]] tables, add-one
+    * smoothing on each side, ONE correctly-rounded IEEE division, 6dp
+    * floor. Rank order matches the log form (log is monotone); a
+    * resampler thresholds or samples ∝ weight either way.
+    *
+    * Output: (id, n_grams, target_mass, background_mass, weight) — one
+    * row per document; docs shorter than `n` words carry zero masses and
+    * weight 1.0 (= the smoothed neutral ratio).
+    *
+    * Scale: both LM tables are top-K (≤ topK rows each) and broadcast;
+    * grams explode map-side from the text and meet both LMs before the
+    * single per-doc aggregation exchange, which carries (id, three
+    * longs) per document — the corpus text never shuffles, exactly
+    * [[lmCoverage]]'s plan with a second broadcast hash join in the
+    * same stage. */
+  def dsirWeight(docs: DataFrame, targetLm: DataFrame, backgroundLm: DataFrame,
+                 idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    require(n >= 2, s"n must be >= 2 to match ngramLm grams, got $n")
+    docs.select(col(idCol), explode_outer(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(targetLm.select(col("gram"), col("cnt").as("t_cnt"))),
+        Seq("gram"), "left")
+      .join(broadcast(backgroundLm.select(col("gram"), col("cnt").as("b_cnt"))),
+        Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("gram")).as("n_grams"),
+        coalesce(sum(col("t_cnt")), lit(0L)).cast("long").as("target_mass"),
+        coalesce(sum(col("b_cnt")), lit(0L)).cast("long").as("background_mass"))
+      .withColumn("weight", floor6(
+        (col("target_mass") + lit(1L)).cast("double") / (col("background_mass") + lit(1L))))
+  }
+
   /** Corpus vocabulary-coverage table — the tokenizer-training precursor:
     * the `topK` most frequent whitespace tokens with their exact counts,
     * frequency rank, cumulative count, and floor-6dp cumulative share of

@@ -92,6 +92,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 1.0))
   }
 
+  test("lshPrecision: exact-Jaccard audit of the candidate pairs, empty-safe") {
+    // One exact-dup pair + one unrelated doc: the only candidate is
+    // (1,2) with Jaccard 1.0 >= 0.5, so precision is 1.0.
+    val out = Dedup.lshPrecision(docs(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().head
+    assert(out == ((1L, 1L, 1.0)))
+    // No candidates at all -> one zero row, precision 0.0 (not NaN/empty).
+    val none = Dedup.lshPrecision(docs(
+      (1L, "one two three four five six seven eight"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().head
+    assert(none == ((0L, 0L, 0.0)))
+  }
+
   test("cosine: identical vectors 1.0, orthogonal 0.0") {
     val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 2.0f)))
       .toDF("vec_id", "embedding")
@@ -612,6 +629,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L) == ((1L, 4L, 2L, 6L, 0.5)))
     assert(out(2L) == ((2L, 1L, 1L, 3L, 1.0)))
     assert(out(3L) == ((3L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("dsirWeight: target-vs-background mass ratio with add-one smoothing") {
+    val corpus = docs(
+      (1L, "a b a b c"), // bigrams: "a b","b a","a b","b c"
+      (2L, "x y"),       // "x y" — absent from the target slice
+      (3L, "z"))         // no bigrams
+    val target = TextAnalysis.ngramLm(corpus.filter($"doc_id" === 1L), "text")
+    val background = TextAnalysis.ngramLm(corpus, "text")
+    val out = TextAnalysis.dsirWeight(corpus, target, background, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 4 grams, target mass 2+1+2+1=6 == background mass -> 7/7 = 1.0
+    assert(out(1L) == ((1L, 4L, 6L, 6L, 1.0)))
+    // doc 2: "x y" unknown to target (mass 0), background mass 1 -> 1/2 = 0.5
+    assert(out(2L) == ((2L, 1L, 0L, 1L, 0.5)))
+    // doc 3: no grams -> zero masses, neutral smoothed weight 1.0
+    assert(out(3L) == ((3L, 0L, 0L, 0L, 1.0)))
   }
 
   test("substringSpans flags recurring 8-token windows at their positions; unique docs stay clean") {
