@@ -55,6 +55,38 @@ object Probe {
         .groupBy(col("key")).agg(count(lit(1)).as("n_customers"))
         .explain("formatted")
     }
+    // Dev-only repro of the closureDoubling union/constraint analysis trap.
+    if (args.contains("dbg")) {
+      val chain = (0L until 63L).map(i => (i, i + 1))
+      val e = chain.toDF("src", "dst")
+      try {
+        val n = Traversal.closureDoubling(e, maxIter = 8).count()
+        println(s"[probe] closureDoubling chain count=$n (expect ${64 * 63 / 2})")
+      } catch {
+        case t: Throwable =>
+          println(s"[probe] FAILED: ${t.getClass.getName}: ${t.getMessage}")
+          t.printStackTrace()
+      }
+      spark.stop(); return
+    }
+
+    // Dev-only breakdown of the a14 gate: store load vs closure vs count.
+    if (args.contains("a14")) {
+      sys.props("graft.verbose") = "1"
+      val dir = "/root/testdata/sf0.1"
+      val s2 = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      def t[A](l: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[probe] $l%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+      }
+      val gs = t("GraphStore.get")(graph.GraphStore.get(s2, dir))
+      (1 to 3).foreach { i =>
+        val c = t(s"closure() build $i")(gs.closure())
+        t(s"count $i")(c.count())
+      }
+    }
     spark.stop()
   }
 }

@@ -141,10 +141,12 @@ object SparkEntry {
     // A13 — bounded k-hop: customers reaching regions in ≤2 hops.
     "a13_khop2_regions" -> ((s, dir) => khop2Regions(s, dir)),
 
-    // A14 — cycle-safe transitive closure over the full graph.
+    // A14 — cycle-safe transitive closure over the full graph, via
+    // recursive doubling (log-diameter rounds; ≡ reachFix(V) — the
+    // frontier form stays exercised by TraversalSpec + khop gates).
     "a14_reach_fixpoint" -> ((s, dir) => {
       val g = GraphStore.get(s, dir)
-      g.reachFix(g.V, dedupStart = false)
+      g.closure()
     }),
 
     // A6 — vertex upsert idempotence: re-upserting existing customers is a

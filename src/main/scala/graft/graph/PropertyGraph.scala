@@ -240,6 +240,14 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     Traversal.reachFix(edges.filter(col("label") === edgeLabel), start, maxIter,
       prepEdges = !edgesCached, dedupStart = dedupStart)
 
+  /** A14, whole-graph form — transitive closure of the edge relation by
+    * recursive doubling (see [[Traversal.closureDoubling]]): identical
+    * output to `reachFix(V, dedupStart = false)` (every edge src IS a
+    * vertex) in O(log diameter) rounds. Use for full-graph closures;
+    * [[reachFix]] remains the sparse-origin path. */
+  def closure(edgeLabel: String = "in", maxIter: Int = 20): DataFrame =
+    Traversal.closureDoubling(edges.filter(col("label") === edgeLabel), maxIter)
+
   /** Multi-source BFS min-hop depth (see [[Traversal.bfsDepth]]). */
   def bfsDepth(start: DataFrame, edgeLabel: String = "in", maxIter: Int = 64): DataFrame =
     Traversal.bfsDepth(edges.filter(col("label") === edgeLabel), start, maxIter,

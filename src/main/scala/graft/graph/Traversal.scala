@@ -130,9 +130,12 @@ object Traversal {
     * frontier-only movement with a visited-set anti-join per level, so a
     * level costs one join however many seeds there are. Cycle-safe by the
     * visited set; levels beyond the first reach of a vertex never revisit
-    * it (that first reach IS the minimum — BFS invariant). Converges in
-    * graph-diameter rounds; throws if `maxIter` is hit first (a truncated
-    * depth map is a wrong answer, not a partial one). */
+    * it (that first reach IS the minimum — BFS invariant). Expands TWO
+    * levels per round so one convergence-probe job covers both (per-round
+    * job latency, not data, dominates shallow-diameter graphs locally and
+    * small frontiers at scale); converges in ceil(diameter/2) jobs; throws
+    * if `maxIter` levels are exceeded first (a truncated depth map is a
+    * wrong answer, not a partial one). */
   def bfsDepth(edges: DataFrame, start: DataFrame, maxIter: Int = 64,
                prepEdges: Boolean = true): DataFrame = {
     val e = prep(edges, prepEdges)
@@ -143,23 +146,44 @@ object Traversal {
     var live = List(visited)
     var depth = 1L
     var done = false
+    // one BFS level: the unvisited neighbors of `f`, stamped with depth `d`
+    def level(f: DataFrame, seen: DataFrame, d: Long): DataFrame = {
+      val fi = f.select(col("id"))
+      fi.join(e, fi("id") === e("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(seen.hint("shuffle_hash"), Seq("id"), "left_anti")
+        .withColumn("depth", lit(d))
+    }
     while (!done) {
       require(depth <= maxIter,
         s"bfsDepth did not converge in $maxIter levels — raise maxIter")
-      val next = frontier.join(e, frontier("id") === e("src"))
-        .select(col("dst").as("id")).distinct()
-        .join(visited.select("id").hint("shuffle_hash"), Seq("id"), "left_anti")
-        .withColumn("depth", lit(depth))
+      val seen = visited.select(col("id"))
+      val n1 = level(frontier, seen, depth)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // convergence probe doubles as the cache fill
-      done = next.count() == 0
-      if (!done) {
-        visited = visited.unionByName(next).localCheckpoint()
+      // level d+1 anti-joins against visited ∪ n1 (its `visited` is one
+      // round stale otherwise); n2 ⊆ neighbors(n1), so n2 empty is the
+      // whole BFS's termination condition — n1 is then the last level.
+      val n2 = level(n1, seen.unionByName(n1.select(col("id"))), depth + 1L)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // ONE probe job per two levels: computing n2 runs through n1's
+      // distinct shuffle, so the count fills both caches.
+      if (n2.count() > 0) {
+        visited = visited.unionByName(n1).unionByName(n2).localCheckpoint()
         live.foreach(_.unpersist(false))
-        live = List(next)
-        frontier = next
-        depth += 1
-      } else next.unpersist(false)
+        n1.unpersist(false)
+        live = List(n2)
+        frontier = n2
+        depth += 2
+      } else {
+        n2.unpersist(false)
+        if (n1.isEmpty) n1.unpersist(false)
+        else {
+          visited = visited.unionByName(n1).localCheckpoint()
+          live.foreach(_.unpersist(false))
+          live = List(n1)
+        }
+        done = true
+      }
     }
     val out = visited
     // A seed set with no out-edges converges on round 1 with `live` still
@@ -229,6 +253,98 @@ object Traversal {
     if (prepEdges) e.unpersist(false)
     zeroHop.unpersist(false)
     out
+  }
+
+  /** Transitive closure by recursive doubling ("squaring"): maintains the
+    * pair set P = all (origin, node) with a directed path of length
+    * 1..2^(k-1) after k rounds, and each round unions P∘P into P —
+    * ceil(log2(diameter)) + 1 rounds instead of [[reachFix]]'s diameter
+    * rounds. Output and semantics match `reachFix(edges, allVertices)`:
+    * set semantics, cycle pairs (a, a) included, throws rather than
+    * silently truncating.
+    *
+    * Tradeoff vs [[reachFix]] — and when to use which at 100 TB:
+    * each doubling round self-joins the FULL closure-so-far (O(closure)
+    * rows move per round) where a reachFix round moves only the frontier
+    * against the co-partitioned edge set. For a whole-graph closure
+    * (the a14 workload: start = V, the result IS the full closure) the
+    * accumulated pair set is the same size either way, so trading
+    * O(diameter) rounds of per-round job latency for O(log diameter)
+    * bigger rounds wins — deep chains (ownership hierarchies, nested
+    * groups) make it decisive. For SPARSE-origin traversals keep
+    * reachFix: doubling materializes pairs between non-origin vertices
+    * that a frontier walk never touches.
+    *
+    * Semi-naive rounds: the naive square P∘P re-derives (and the eager
+    * checkpoint re-writes) every already-known pair every round. Instead
+    * each round composes only the LAST round's delta against the full
+    * set. That is sufficient: a pair whose shortest path is
+    * m ∈ (2^k, 2^(k+1)] split at the vertex w exactly 2^k hops from the
+    * origin has shortest(o→w) = 2^k (any shorter o→w plus the ≤ m−2^k
+    * remainder would beat m) — so o→w sits in Δ_k = shortest ∈
+    * (2^(k−1), 2^k], and w→v (length ≤ 2^k) in P_k. Hence
+    * new_{k+1} ⊆ Δ_k ∘ P_k, and only deltas are checkpointed — the
+    * closure is written ONCE across the whole run (as the disjoint union
+    * of cached deltas, the reachFix result shape), not once per round.
+    *
+    * Convergence witness: empty delta — exact, type-agnostic, and the
+    * delta's eager checkpoint doubles as the cache fill. */
+  def closureDoubling(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Seed with TWO levels (E ∪ E∘E) in one job: a doubling round costs a
+    // full compose-distinct-anti cycle whatever its size, so folding the
+    // first compose into the seed drops one round from every run. Using
+    // the whole seed as Δ_0 (a superset of the required shortest ∈ (1, 2]
+    // slice) only re-derives known pairs, which the anti-join removes.
+    // NOT a union of the 1-hop and 2-hop branches: a Union whose second
+    // branch joins the first branch's lineage trips Union's constraint
+    // rewrite (key-not-found during analysis — the minLabel neighbor-min
+    // comment documents the same trap). A left join + explode emits the
+    // edge's own endpoint and its continuations from ONE plan instead;
+    // the seed's distinct dedups the per-continuation repeats.
+    // Each checkpointed delta is rebuilt constraint-free (same cached
+    // blocks): localCheckpoint's constraint rewrite can leave dangling
+    // attribute refs that kill any Join-over-Union of these frames — see
+    // [[org.apache.spark.sql.graft.CheckpointUtil]].
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graft.CheckpointUtil.dropConstraints(df.localCheckpoint())
+    val lhs = edges.select(col("src").as("o1"), col("dst").as("n1"))
+    val rhs = edges.select(col("src").as("o2"), col("dst").as("n2"))
+    var delta = timed("doubling seed")(
+      ckpt(lhs.join(rhs.hint("shuffle_hash"), col("n1") === col("o2"), "left")
+        .select(col("o1").as("origin"),
+          explode(array(col("n1"), col("n2"))).as("node"))
+        .where(col("node").isNotNull)
+        .distinct()))
+    var deltas = List(delta)
+    // The closure is the union of the checkpointed deltas, rebuilt per use
+    // (each round's tree references it on both the compose side and the
+    // anti probe).
+    def full(): DataFrame = deltas.reduce(_.unionByName(_))
+    var iter = 1
+    var done = delta.isEmpty
+    while (!done) {
+      if (iter > maxIter)
+        throw new IllegalStateException(
+          s"closureDoubling did not converge within $maxIter rounds " +
+            s"(path length 2^${iter - 1}) — the closure would be silently " +
+            "truncated; raise maxIter")
+      // anti-join then distinct: both hash on (origin, node), so the
+      // distinct reuses the anti's exchange — one shuffle of the composed
+      // pairs — and the checkpointed delta's plan tops with an Aggregate,
+      // which (unlike a Join top) propagates only output-attribute
+      // constraints into the checkpoint (the union trap again).
+      val comp = delta.as("a")
+        .join(full().as("b").hint("shuffle_hash"), col("a.node") === col("b.origin"))
+        .select(col("a.origin").as("origin"), col("b.node").as("node"))
+      val next = timed(s"doubling round $iter")(
+        ckpt(comp.join(full().hint("shuffle_hash"), Seq("origin", "node"), "left_anti")
+          .distinct()))
+      done = next.isEmpty
+      if (!done) deltas = next :: deltas
+      delta = next
+      iter += 1
+    }
+    full()
   }
 
   /** Default driver union-find cutoff, sized to the JVM actually running:

@@ -166,4 +166,27 @@ class TraversalSpec extends AnyFunSuite {
       assert(got == naiveClosure(es, nodes.toSet), s"edges=$es")
     }
   }
+
+  test("property: closureDoubling equals naive closure on 15 seeded random graphs") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 15).foreach { _ =>
+      val n = 2 + rnd.nextInt(10)
+      val m = 1 + rnd.nextInt(28)
+      val es = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val got = Traversal.closureDoubling(edgesDF(es))
+        .as[(Long, Long)].collect().toSet
+      assert(got == naiveClosure(es, nodes.toSet), s"edges=$es")
+    }
+  }
+
+  test("closureDoubling: deep chain converges in log rounds; maxIter guard throws") {
+    // 64-vertex chain: diameter 63 — reachFix needs 64 rounds, doubling 7.
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val out = Traversal.closureDoubling(edgesDF(chain), maxIter = 8)
+    assert(out.count() == 64L * 63L / 2) // all (i, j) with i < j
+    assertThrows[IllegalStateException] {
+      Traversal.closureDoubling(edgesDF(chain), maxIter = 3).count()
+    }
+  }
 }
