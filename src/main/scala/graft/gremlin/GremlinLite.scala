@@ -15,6 +15,12 @@ import graft.graph.PropertyGraph
   * produced plan is identical to the fluent API's (Catalyst sees filters
   * and joins, never the query string). Traverser semantics follow Gremlin:
   * `out()` multiplies per path (no implicit dedup) — use `dedup()`.
+  * One declared divergence: with live `as()`/`path()` tags, `dedup()`
+  * dedups on the full path signature (current id + labeled ids), not on
+  * the current element alone as TinkerPop does — TinkerPop keeps ONE
+  * arbitrary path per element, which is nondeterministic; the set
+  * semantics here are deterministic but can emit more rows (one per
+  * distinct tagged path). Untagged traversals match TinkerPop exactly.
   *
   * Supported steps: `V([id|var])`, `E()`, `hasLabel(l[,l…])`, `has(k,v)`,
   * `hasId(x)`, `out([l])`, `in([l])`, `both([l])`, `outE([l])`,

@@ -91,7 +91,11 @@ object Dedup {
     // self-join, read it — recomputing would re-hash every shingle of the
     // corpus per consumer. One row per (doc, band) — negligible next to
     // the corpus at any scale. The capped view stays derived (a cheap join
-    // against the cached table + cached sizes).
+    // against the cached table + cached sizes). The cache lives until LRU
+    // eviction — the returned frame still reads it lazily, so this
+    // function cannot unpersist; a long-lived session composing many of
+    // these calls reclaims them with spark.catalog.clearCache() (same
+    // contract at the substringSpans and keepBest persists).
     val raw = lshBuckets(sig, idCol, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = Skew.capBuckets(raw, Seq("band", "bucket"), idCol, maxBucket)
@@ -260,7 +264,10 @@ object Dedup {
     // pattern): both the df branch and the flag join read them, and
     // recomputing would re-tokenize and re-hash every window of the
     // corpus per branch. Three longs per window — negligible next to the
-    // text it replaces at any scale.
+    // text it replaces at any scale. Cache lifetime is the session's (LRU
+    // evictable; the lazy return means no in-function unpersist is
+    // possible) — reclaim with spark.catalog.clearCache(), as at the
+    // lshCandidates persist.
     val spans = docs.select(col(idCol), posexplode(shingles(col(textCol), k)))
       .select(col(idCol), (col("pos") + 1).cast("long").as("start"),
         md5Long(col("col")).as("span_hash"))
@@ -417,6 +424,9 @@ object Dedup {
     // without the persist each branch re-runs the members⋈scores join —
     // at corpus scale that is three reads of the scoring pipeline for
     // one. Three narrow columns, negligible next to the text upstream.
+    // Cache lifetime is the session's (LRU evictable; the lazy return
+    // means no in-function unpersist is possible) — reclaim with
+    // spark.catalog.clearCache(), as at the lshCandidates persist.
     val m = members.select(col(idCol), col(labelCol))
       .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -469,12 +479,21 @@ object Dedup {
     * serialize into a handful of giant sorts — this keeps per-shard rows
     * near `maxShardRows` (a TARGET, not a bound: md5 splits shards evenly
     * in expectation, so a shard can exceed it by the usual hash variance).
-    * Audit the realized sizes with [[shardOverflow]]. */
+    * Audit the realized sizes with [[shardOverflow]].
+    *
+    * Unlike the rest of this file, the sizing count() is EAGER and the
+    * input plan evaluates twice (once counted, once sharded) — persist
+    * `df` around the call if its upstream is expensive. */
   def shuffleShardAuto(df: DataFrame, keyCol: String,
                        maxShardRows: Long = 1000000L, minShards: Int = 8): DataFrame = {
     require(maxShardRows >= 1, s"maxShardRows must be >= 1, got $maxShardRows")
     val n = df.count()
     val derived = math.max(minShards.toLong, (n + maxShardRows - 1) / maxShardRows)
+    // A shard is one window-sort task, so > Int.MaxValue shards is a
+    // mis-sized maxShardRows, not something to clamp silently past the
+    // Int cast.
+    require(derived <= Int.MaxValue.toLong,
+      s"derived shard count $derived exceeds Int.MaxValue — raise maxShardRows")
     shuffleShard(df, keyCol, derived.toInt)
   }
 

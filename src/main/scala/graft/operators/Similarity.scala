@@ -323,12 +323,21 @@ object Similarity {
     * whose approximate side returned nothing (empty LSH bucket) still
     * appear, with n_hit = 0 — silent row loss would overstate recall.
     *
+    * Both sides are deduped on (query_id, neighbor_id) first: ranked
+    * top-k tables are already distinct, but a caller passing a table with
+    * repeats would otherwise inflate n_exact or n_hit (and recall past
+    * 1.0) — the dedup is free at this size and makes the contract hold
+    * for any input.
+    *
     * Scale: both sides are ≤ k·|queries| rows — result-table sized, never
-    * corpus sized; one shuffle each on (query_id, neighbor_id), then a
-    * map-side-combinable per-query count. */
+    * corpus sized; one shuffle each on (query_id, neighbor_id) (the
+    * dedup's exchange, reused by the join), then a map-side-combinable
+    * per-query count. */
   def annRecall(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .join(approx.select(col("query_id"), col("neighbor_id"))
+        .dropDuplicates("query_id", "neighbor_id")
         .withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
