@@ -1197,6 +1197,33 @@ object SparkEntry {
       operators.Dedup.keepBest(members, q, "doc_id", "cluster", "quality")
     }),
 
+    // The dedup pipeline END-TO-END, one plan: LSH candidate pairs →
+    // min-label clustering → quality-aware keep-best → the CANONICAL
+    // CORPUS itself — one row per surviving document with the cluster it
+    // represents, how many members it absorbed, and its token count (the
+    // numbers a corpus card reports after dedup). The dedup twin of
+    // d_pipeline_quality's chain gate: every stage is separately oracled
+    // (d_minhash_lsh, d_dup_clusters, d_keep_best); this verifies the
+    // composition. Same uncapped-oracle parity note as d_dup_clusters.
+    "d_pipeline_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = operators.TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      val pairs = operators.Dedup.lshCandidates(docs, "doc_id", "text")
+      val clusters = graph.Traversal.minLabel(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val members = docs.select(col("doc_id"))
+        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+      val kb = operators.Dedup.keepBest(members, q, "doc_id", "cluster", "quality")
+      val sizes = kb.groupBy(col("canonical")).agg(count(lit(1)).as("n_members"))
+      kb.filter(col("keep"))
+        .join(sizes, Seq("canonical"))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"), col("canonical"), col("quality"), col("n_members"),
+          size(operators.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    }),
+
     // SEMANTIC dedup end-to-end: embedding-cosine near-dup pairs (e3's
     // IVF-style label blocking) → min-id label propagation → canonical
     // representative per embedding-similarity cluster — the
@@ -1750,6 +1777,53 @@ object SparkEntry {
          |  GROUP BY 1)
          |SELECT m.doc_id, m.canonical, m.quality, m.doc_id = w2.keep_id AS keep
          |FROM m JOIN w2 ON m.canonical = w2.canonical""".stripMargin
+    },
+
+    // d_keep_best's WITH RECURSIVE closure + argmax, then the canonical
+    // corpus: winners only, cluster sizes, whitespace token counts.
+    "d_pipeline_dedup" -> {
+      val hs = (1 to 8).map(i =>
+        s"list_min(list_transform(sh, x -> ${md5i(s"x || '|$i'")})) AS h$i").mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val (l, r) = (s"h${2 * b + 1}", s"h${2 * b + 2}")
+        s"SELECT doc_id, $b AS band, ${md5i(s"CAST($l AS VARCHAR) || '_' || CAST($r AS VARCHAR)")} AS bucket FROM sig"
+      }.mkString("\nUNION ALL ")
+      s"""WITH RECURSIVE ${SHINGLE_CTES.stripPrefix("WITH ")},
+         |sig AS (SELECT doc_id, $hs FROM s),
+         |b AS ($bands),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(origin, node) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.origin, e2.dst FROM reach r JOIN e e2 ON r.node = e2.src
+         |),
+         |cl AS (SELECT origin AS doc_id, least(min(node), origin) AS canonical
+         |  FROM reach GROUP BY origin),
+         |q0 AS (SELECT doc_id, text,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+         |q AS (SELECT doc_id,
+         |  floor(least(greatest(0.4 * least(CAST(len(w) AS BIGINT) / 100.0, 1.0)
+         |    + 0.3 * (1.0 - (CAST(length(text) AS DOUBLE)
+         |        - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / CAST(length(text) AS DOUBLE))
+         |    + 0.3 * least((CAST(list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)),
+         |        (a,b) -> a + b) AS DOUBLE) / greatest(len(w), 1)) / 8.0, 1.0), 0.0), 1.0)
+         |    * 10000) / 10000 AS quality
+         |  FROM q0),
+         |m AS (SELECT d.doc_id, coalesce(cl.canonical, d.doc_id) AS canonical, q.quality
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |  JOIN q ON d.doc_id = q.doc_id),
+         |best AS (SELECT canonical, max(quality) AS bq FROM m GROUP BY 1),
+         |w2 AS (SELECT m.canonical, min(m.doc_id) AS keep_id
+         |  FROM m JOIN best ON m.canonical = best.canonical AND m.quality = best.bq
+         |  GROUP BY 1),
+         |sz AS (SELECT canonical, CAST(count(*) AS BIGINT) AS n_members FROM m GROUP BY 1)
+         |SELECT m.doc_id, m.canonical, m.quality, sz.n_members,
+         |  CAST(len(q0.w) AS BIGINT) AS n_tokens
+         |FROM m JOIN w2 ON m.canonical = w2.canonical AND m.doc_id = w2.keep_id
+         |JOIN sz ON m.canonical = sz.canonical
+         |JOIN q0 ON m.doc_id = q0.doc_id""".stripMargin
     },
 
     "d_simhash" -> {
