@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import graft.operators.Dedup
+
+/** Plan-shape regression tests for the exact-substring dedup family's
+  * scale claims (the StorageAndExportSpec zero-Exchange pattern): the
+  * text column must never cross a shuffle in [[Dedup.substringSpans]] /
+  * [[Dedup.crossSpans]] (only (id, start, hash) triples move — the
+  * property that makes span-level dedup affordable at corpus scale), and
+  * [[Dedup.crossSpans]]' probe side must reach the corpus join as a
+  * broadcast (benchmark-sized by contract). A future edit that
+  * reintroduces a text shuffle fails here, not at 100 TB. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+
+  /** Every node of the FINAL physical plan, descending through adaptive
+    * re-plans, materialized query stages, and exchange reuse. */
+  private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val nested = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => Seq.empty
+    }
+    p +: (nested ++ p.children).flatMap(collectNodes)
+  }
+
+  /** Materialize (so AQE settles) and return the final plan's nodes. */
+  private def finalNodes(df: DataFrame): Seq[SparkPlan] = {
+    df.collect()
+    collectNodes(df.queryExecution.executedPlan)
+  }
+
+  private def shuffledColumns(nodes: Seq[SparkPlan]): Set[String] =
+    nodes.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+      .flatten.toSet
+
+  // Shared corpus: recurring 3-token spans across docs so every stage of
+  // the substring family does real work.
+  private def corpus = docs(
+    (1L, "one two three four five six seven eight nine"),
+    (2L, "one two three four five six seven eight nine"),
+    (3L, "alpha beta one two three four gamma delta"),
+    (4L, "p q r s t u v w"),
+    (5L, "p q r s t zeta eta theta"))
+
+  test("substringSpans: shuffles move (id, start, hash) triples, never the text") {
+    val nodes = finalNodes(Dedup.substringSpans(corpus, "doc_id", "text", k = 3))
+    val cols = shuffledColumns(nodes)
+    assert(cols.nonEmpty, "collector found no shuffles — traversal broken?")
+    assert(!cols.contains("text"),
+      s"text column crossed an exchange; shuffled columns: $cols")
+  }
+
+  test("crossSpans: probe side broadcasts; text never crosses an exchange") {
+    val probe = docs((100L, "zz one two three zz"), (200L, "p q r s tail"))
+    val df = Dedup.crossSpans(corpus, probe, "doc_id", "text", k = 3)
+    val nodes = finalNodes(df)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"probe-side join is not a broadcast:\n${df.queryExecution.executedPlan}")
+    val cols = shuffledColumns(nodes)
+    assert(!cols.contains("text"),
+      s"text column crossed an exchange; shuffled columns: $cols")
+  }
+
+  test("applyCuts: cut-list join broadcasts; clean_text is built after it") {
+    val iv = Dedup.spanIntervals(
+      Dedup.substringSpans(corpus, "doc_id", "text", k = 3), "doc_id", k = 3)
+    val df = Dedup.applyCuts(corpus, iv, "doc_id", "text")
+    val nodes = finalNodes(df)
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"cut-list join is not a broadcast:\n${df.queryExecution.executedPlan}")
+    val cols = shuffledColumns(nodes)
+    assert(!cols.contains("clean_text"),
+      s"rebuilt text crossed an exchange; shuffled columns: $cols")
+    assert(!cols.contains("text"),
+      s"text column crossed an exchange; shuffled columns: $cols")
+  }
+}
