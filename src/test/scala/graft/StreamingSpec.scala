@@ -248,6 +248,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("foreachBatch quality gate: gopher + approx percentile cut equals the batch composition") {
+    // percentileCut is a corpus-wide aggregate broadcast back over the
+    // corpus — not expressible as an append streaming query — so the
+    // composition runs under foreachBatch: each micro-batch is a plain
+    // DataFrame and the WHOLE batch chain (gopher gate -> approx
+    // percentile threshold -> keep flags) applies verbatim, threshold
+    // scoped per micro-batch (the honest semantics for a rolling ingest
+    // cut). Streamed output must equal the batch chain applied to the
+    // same micro-batch slices.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    def gate(df: DataFrame): DataFrame = {
+      val passing = operators.TextAnalysis.gopherQuality(df, "doc_id", "text")
+        .filter(col("passes"))
+        .select(col("doc_id"), col("n_words").cast("double").as("v"))
+      operators.Dedup.percentileCut(passing, "v", 0.3, exact = false)
+        .select(col("doc_id"), col("v"), col("threshold"), col("kept"))
+    }
+    def doc(id: Long, n: Int) = (id, Seq.tabulate(n)(i => s"alpha$i").mkString(" "))
+    val batch1 = Seq(doc(1L, 60), doc(2L, 80), doc(3L, 100), doc(4L, 120),
+      doc(5L, 140), (6L, "too short"))
+    val batch2 = Seq(doc(7L, 70), doc(8L, 90), doc(9L, 110), doc(10L, 130))
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Boolean)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val out = gate(batch).as[(Long, Double, Double, Boolean)].collect()
+        results.synchronized { results ++= out }
+        ()
+      }
+      .start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = (gate(batch1.toDF("doc_id", "text"))
+        .as[(Long, Double, Double, Boolean)].collect() ++
+      gate(batch2.toDF("doc_id", "text"))
+        .as[(Long, Double, Double, Boolean)].collect()).toSet
+    assert(results.toSet == expected)
+    // The cut did real work: the gopher gate dropped doc 6, and each
+    // micro-batch's bottom-decile-ish doc (p=0.3 over 4-5 docs ->
+    // the second-smallest value) flags its minimum doc kept = false.
+    assert(!results.exists(_._1 == 6L))
+    assert(results.filterNot(_._4).map(_._1).toSet == Set(1L, 7L))
+  }
+
   test("crossSpans decontaminates a stream against a static probe, equals the batch twin") {
     // The corpus side of crossSpans is stateless map-side window hashing
     // joined to a probe that reduces to a static (hash, count) table — a
