@@ -601,6 +601,17 @@ object SparkEntry {
       operators.Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // SimHash hamming-ball near-dup join (Manku et al. WWW'07): 60-bit
+    // fingerprints, 4 pigeonhole bands of 15 bits (lossless blocking —
+    // a pair within Hamming 3 agrees exactly on some band), popcount
+    // exact filter. The bitwise sibling of d_minhash_lsh's probabilistic
+    // banding. 60 bits, not the operator's 48 default: the low-entropy
+    // word-salad corpus clusters fingerprints, and wider bands keep the
+    // band buckets thin (the cap stays as the backstop).
+    "d_simhash_neardup" -> ((s, dir) => {
+      operators.Dedup.simhashNearDup(t(s, dir, "documents"), "doc_id", "text", bits = 60)
+    }),
+
     // Exact 3-gram Jaccard on 1-hash-prefiltered candidate pairs.
     "d_ngram_jaccard" -> ((s, dir) => {
       operators.Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text")
@@ -1837,6 +1848,28 @@ object SparkEntry {
          | $votes
          | FROM hh GROUP BY doc_id)
          |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v""".stripMargin
+    },
+
+    // d_simhash's vote fold at 60 bits, then the pigeonhole band join +
+    // exact popcount filter (DuckDB xor/bit_count on the same BIGINT fp).
+    "d_simhash_neardup" -> {
+      val votes = (0 until 60).map(b =>
+        s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n ")
+      val fp = (0 until 60).map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      val bands = (0 to 3).map(b =>
+        s"SELECT doc_id, fp, $b AS band, (fp >> ${b * 15}) & 32767 AS bval FROM f").mkString("\nUNION ALL ")
+      s"""$WORDS_CTE,
+         |u AS (SELECT doc_id, unnest(w) AS word FROM t),
+         |hh AS (SELECT doc_id, ${md5i(s"word")} AS hv FROM u),
+         |v AS (SELECT doc_id,
+         | $votes
+         | FROM hh GROUP BY doc_id),
+         |f AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM v),
+         |b AS ($bands)
+         |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.fp, b2.fp)) AS BIGINT) AS hamming
+         |FROM b a JOIN b b2 ON a.band = b2.band AND a.bval = b2.bval AND a.doc_id < b2.doc_id
+         |WHERE bit_count(xor(a.fp, b2.fp)) <= 3""".stripMargin
     },
 
     "d_ngram_jaccard" ->

@@ -171,6 +171,53 @@ object Dedup {
     docs.select(col(idCol), fp.as("simhash"))
   }
 
+  /** SimHash near-duplicate join (the Manku–Jain–Sarma WWW'07 web-crawl
+    * dedup): all pairs whose [[simhash]] fingerprints differ in at most
+    * `maxHamming` bits. The fingerprint splits into `maxHamming + 1`
+    * equal bit-bands; by pigeonhole a pair inside the Hamming ball agrees
+    * EXACTLY on at least one band, so candidates come from per-band
+    * equi-joins on the band value — never an all-pairs scan — deduped and
+    * exact-filtered by the popcount of the XOR. Unlike MinHash banding
+    * the blocking is lossless: recall within the Hamming radius is 1.
+    * Output: (id_a, id_b, hamming) with id_a < id_b.
+    *
+    * Defaults are sized for the banding to discriminate: 48-bit
+    * fingerprints give 4 bands of 12 bits (4096 values per band), so
+    * bucket population stays ~|corpus|/4096 per band and the pair join is
+    * candidate-sized. 16-bit fingerprints (the [[simhash]] gate default)
+    * would put a whole corpus into 16 buckets per band — fine for a
+    * fingerprint COLUMN, useless as a blocking key. Hot bands (boilerplate
+    * fingerprints) are capped via [[Skew.capBuckets]] like every blocking
+    * join here — exact below the cap, audited above it. Only (id,
+    * fingerprint, band) rows ever shuffle; the text is consumed map-side
+    * by the fingerprint fold. */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     bits: Int = 48, maxHamming: Int = 3,
+                     maxBucket: Int = 8192): DataFrame = {
+    require(bits >= 2 && bits <= 63, s"bits must be in 2..63, got $bits")
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(bits % (maxHamming + 1) == 0,
+      s"bits ($bits) must divide into maxHamming + 1 (${maxHamming + 1}) equal bands")
+    val bandBits = bits / (maxHamming + 1)
+    val mask = (1L << bandBits) - 1
+    val fp = simhash(docs, idCol, textCol, bits)
+    val bandVals = array((0 to maxHamming).map(b =>
+      shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)
+    val banded = fp.select(col(idCol), col("simhash"),
+        posexplode(bandVals).as(Seq("band", "bval")))
+    val b = Skew.capBuckets(banded, Seq("band", "bval"), idCol, maxBucket)
+    val l = b.select(col("band"), col("bval"), col(idCol).as("id_a"),
+      col("simhash").as("fp_a"))
+    val r = b.select(col("band"), col("bval"), col(idCol).as("id_b"),
+      col("simhash").as("fp_b"))
+    l.join(r, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share the
     * first minhash (a 1-hash LSH prefilter), rounded to 4 decimals.
     * The prefilter bucket is capped like [[lshCandidates]]'s (same hot-key

@@ -85,6 +85,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fp(1L) != fp(3L))
   }
 
+  test("simhashNearDup equals the brute-force hamming join (pigeonhole blocking is lossless)") {
+    // 20 docs drifting a seeded vocabulary one word at a time: adjacent
+    // docs land within the Hamming ball, distant ones outside it — both
+    // populations exercised, and the banded join must reproduce the
+    // all-pairs popcount join EXACTLY.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    var words = Vector.tabulate(12)(i => vocab(i))
+    val rows = (1L to 20L).map { id =>
+      words = words.updated(rnd.nextInt(words.size), vocab(rnd.nextInt(vocab.size)))
+      id -> words.mkString(" ")
+    }
+    val corpus = docs(rows: _*)
+    val got = Dedup.simhashNearDup(corpus, "doc_id", "text", bits = 48, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val fps = Dedup.simhash(corpus, "doc_id", "text", bits = 48)
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)).toLong if h <= 3L
+    } yield (a, b, h)).toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "drift corpus produced no near-dup pairs — weaken the drift")
+    assert(got.size < 190, "everything matched everything — the ball is too wide to test blocking")
+  }
+
   test("ngramJaccard: identical docs score 1.0") {
     val j = Dedup.ngramJaccard(
       docs((1L, "a b c d e f"), (2L, "a b c d e f")), "doc_id", "text")
