@@ -58,18 +58,26 @@ object Bench {
     val wanted =
       if (args.nonEmpty) SparkEntry.queries.keys.filter(args.toSet).toSeq
       else SparkEntry.queries.keys.toSeq
-    val firstPass = wanted.map(n => n -> run(n)).toMap
-    // This host shows multi-x run-to-run noise (BASELINE.md documents
-    // 2-5x spread within one process); re-time the slowest tail and keep
-    // the per-query minimum — best-of-3 for the top 5, best-of-2 for the
-    // next 3. A failure in any run keeps the -1 sentinel.
-    val tail8 = firstPass.toSeq.sortBy(-_._2).take(8)
-    val retimed = tail8.zipWithIndex.map { case ((n, t), i) =>
-      val reruns = if (i < 5) Seq(run(n), run(n)) else Seq(run(n))
-      val all = t +: reruns
-      n -> (if (all.exists(_ < 0)) -1.0 else all.min)
-    }.toMap
-    val results = firstPass ++ retimed
+    // Multi-pass protocol: this host shows multi-x run-to-run noise
+    // (BASELINE.md documents 2-5x spread within one process), which cost
+    // three rounds of manual adjudication (r3/r5/r7). So the RECORDED
+    // artifact is the per-query minimum over N full passes (default 2,
+    // SPARK_GRAFT_BENCH_PASSES to change) plus one extra pass for the
+    // slowest 8 — min-of-3 where noise hurts most — with the per-query
+    // median alongside so a reader can see the spread without rerunning.
+    // A failure in any pass keeps the -1 sentinel for that query.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+    for (_ <- 1 to passes; n <- wanted)
+      samples(n) = run(n) :: samples.getOrElse(n, Nil)
+    def minOf(ts: List[Double]): Double = if (ts.exists(_ < 0)) -1.0 else ts.min
+    for ((n, _) <- samples.toSeq.sortBy { case (n, ts) => -minOf(ts) }.take(8))
+      samples(n) = run(n) :: samples(n)
+    def medOf(ts: List[Double]): Double =
+      if (ts.exists(_ < 0)) -1.0
+      else { val s = ts.sorted; (s((s.length - 1) / 2) + s(s.length / 2)) / 2 }
+    val results = samples.map { case (n, ts) => n -> minOf(ts) }.toMap
+    val medians = samples.map { case (n, ts) => n -> medOf(ts) }.toMap
     val failed = results.filter(_._2 < 0).keys.toSeq.sorted
     def fmt(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
@@ -77,8 +85,8 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val totalR = math.rint(total * 1000) / 1000
-    // Full map first (for humans/logs)...
-    println(s"""{"metric":"total_full","value":$totalR,"unit":"sec","queries":${fmt(results.toSeq.sortBy(_._1))},"failed":$failedJson,"sf":"$sfDir"}""")
+    // Full min + median maps first (for humans/logs)...
+    println(s"""{"metric":"total_full","value":$totalR,"unit":"sec","passes":$passes,"queries":${fmt(results.toSeq.sortBy(_._1))},"median":${fmt(medians.toSeq.sortBy(_._1))},"failed":$failedJson,"sf":"$sfDir"}""")
     // ...then the compact headline line LAST so a tail-window parser
     // always sees one complete JSON object.
     val head = headline.flatMap(n => results.get(n).map(n -> _))

@@ -869,6 +869,58 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    // Temperature-scaled mixture weights (UniMax τ=1/2): w_d ∝ √n_d,
+    // normalized — micro-unit integer sum so the normalization is exact
+    // and order-independent; one tiny agg, corpus never re-shuffles.
+    "d_temperature_mix" -> ((s, dir) => {
+      operators.Dedup.temperatureWeights(t(s, dir, "documents"), "source")
+    }),
+
+    // Bloom-bitset decontamination screen: 1024-bit filter, 3 md5 hashes,
+    // benchmark = every 25th doc's text. bloom_hit is the constant-space
+    // map-side flag; exact_hit the ground truth — the result exhibits the
+    // no-false-negative invariant and the tunable false positives.
+    "d_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Dedup.bloomDecontaminate(
+        docs, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text",
+        mBits = 1024, kHashes = 3)
+    }),
+
+    // Per-LANGUAGE quality cut: each language's bottom quintile dropped
+    // against its OWN exact-percentile bar (the fairness fix over the
+    // corpus-wide t_quality_cut; thresholds broadcast back per group).
+    "t_quality_cut_by_lang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = operators.TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      operators.Dedup.groupPercentileCut(q, "quality", "lang", 0.2, exact = true)
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("threshold"), col("kept"))
+    }),
+
+    // CCNet-style head/middle/tail bucketing: per-language exact coverage
+    // terciles over the corpus's own bigram LM — the language-fair
+    // keep/demote/drop partition a CCNet pipeline trains from.
+    "t_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.TextAnalysis.coverageBuckets(
+        docs, operators.TextAnalysis.ngramLm(docs, "text"),
+        "doc_id", "text", "lang")
+    }),
+
+    // Matryoshka funnel ANN: coarse top-20 on the first 8 dims, exact
+    // full-dim rescore to top-5 — the MRL coarse-to-fine serving shape
+    // (prefix pass broadcast-joined, survivors-only full scoring).
+    "e11_mrl_funnel" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.mrlFunnel(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dims = 8, coarseK = 20, k = 5, native = true)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }),
+
     // End-to-end pipeline composition: Gopher quality gate → exact-dup
     // canonicalization → 90/5/5 split → per-split doc/token totals.
     // Each stage is an already-oracled operator; this verifies the CHAIN.
@@ -2627,6 +2679,99 @@ object SparkEntry {
          |  SELECT doc_id, source,
          |    row_number() OVER (PARTITION BY source ORDER BY ${md5i("CAST(doc_id AS VARCHAR)")}, doc_id) AS r
          |  FROM documents) WHERE r <= 5""".stripMargin,
+
+    // Temperature weights: micro-unit-quantized sqrt BEFORE the integer
+    // normalization sum (order-independent), then one IEEE division —
+    // sqrt is correctly rounded per IEEE 754 in both engines (pow isn't,
+    // which is why τ is pinned to 1/2).
+    "d_temperature_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |q AS (SELECT source, n_docs,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS qu FROM c),
+        |t AS (SELECT CAST(sum(qu) AS DOUBLE) AS tot FROM q)
+        |SELECT source, n_docs,
+        |  floor(CAST(qu AS DOUBLE) / tot * 1000000) / 1000000 AS weight
+        |FROM q CROSS JOIN t""".stripMargin,
+
+    // Bloom probe: identical md5-seeded bit positions on both engines;
+    // bloom_hit = all 3 positions set, exact_hit = the equi-join truth.
+    "d_bloom_decontaminate" ->
+      s"""WITH bench AS (SELECT DISTINCT text FROM documents WHERE doc_id % 25 = 0),
+         |seeds AS (SELECT unnest(generate_series(0, 2)) AS i),
+         |bits AS (SELECT DISTINCT ${md5i("text || '|' || CAST(i AS VARCHAR)")} % 1024 AS bit
+         |  FROM bench CROSS JOIN seeds),
+         |p AS (SELECT doc_id, text,
+         |  ${md5i("text || '|0'")} % 1024 AS p0,
+         |  ${md5i("text || '|1'")} % 1024 AS p1,
+         |  ${md5i("text || '|2'")} % 1024 AS p2 FROM documents)
+         |SELECT doc_id,
+         |  (p0 IN (SELECT bit FROM bits) AND p1 IN (SELECT bit FROM bits)
+         |    AND p2 IN (SELECT bit FROM bits)) AS bloom_hit,
+         |  (text IN (SELECT text FROM bench)) AS exact_hit
+         |FROM p""".stripMargin,
+
+    // Per-language quintile cut: the t_quality_cut quality formula with
+    // quantile_cont PER LANG (== Spark's exact percentile, the f5 recipe).
+    "t_quality_cut_by_lang" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |m AS (SELECT doc_id, lang,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        |    / CAST(length(text) AS DOUBLE) AS punct,
+        |  CAST(list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)), (a,b) -> a + b) AS DOUBLE)
+        |    / greatest(len(w), 1) AS meanlen
+        | FROM t),
+        |q AS (SELECT doc_id, lang,
+        |  floor(least(greatest(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct)
+        |    + 0.3 * least(meanlen / 8.0, 1.0), 0.0), 1.0) * 10000) / 10000 AS quality
+        |  FROM m),
+        |th AS (SELECT lang, quantile_cont(quality, 0.2) AS threshold FROM q GROUP BY 1)
+        |SELECT doc_id, q.lang AS lang, quality, threshold, quality >= threshold AS kept
+        |FROM q JOIN th ON q.lang = th.lang""".stripMargin,
+
+    // CCNet buckets: the t_lm_coverage coverage computation + per-lang
+    // quantile_cont terciles and the head/middle/tail case.
+    "t_ccnet_buckets" ->
+      s"""$WORDS_CTE,
+         |s AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+         |  i -> w[i] || ' ' || w[i+1]) AS sh FROM t),
+         |g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+         |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1),
+         |r AS (SELECT gram, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS INTEGER) AS rank FROM c),
+         |lm AS (SELECT gram, cnt FROM r WHERE rank <= 1000),
+         |a AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(lm.cnt) AS BIGINT) AS n_known
+         |  FROM g LEFT JOIN lm USING (gram) GROUP BY 1),
+         |cov AS (SELECT d.doc_id, d.lang,
+         |  CASE WHEN coalesce(a.n_grams, 0) > 0
+         |    THEN floor(CAST(a.n_known AS DOUBLE) / a.n_grams * 10000) / 10000
+         |    ELSE 0.0 END AS coverage
+         |  FROM documents d LEFT JOIN a USING (doc_id)),
+         |th AS (SELECT lang, quantile_cont(coverage, 0.33) AS th_low,
+         |  quantile_cont(coverage, 0.67) AS th_high FROM cov GROUP BY 1)
+         |SELECT cov.doc_id, cov.lang AS lang, coverage, th_low, th_high,
+         |  CASE WHEN coverage >= th_high THEN 'head'
+         |    WHEN coverage >= th_low THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM cov JOIN th ON cov.lang = th.lang""".stripMargin,
+
+    // MRL funnel: coarse rank on the 8-dim prefix slice (rounded 6dp,
+    // ties by neighbor_id), full-dim rescore of the top-20 survivors.
+    "e11_mrl_funnel" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |q AS (SELECT vec_id, e FROM v WHERE vec_id < 10),
+         |co AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, q.e AS qe, v.e AS ne,
+         | round(${cosSql("q.e[1:8]", "v.e[1:8]")}, 6) AS ccos
+         | FROM q JOIN v ON v.vec_id <> q.vec_id),
+         |sv AS (SELECT query_id, neighbor_id, qe, ne FROM (
+         |  SELECT query_id, neighbor_id, qe, ne,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, neighbor_id) AS cr
+         |  FROM co) WHERE cr <= 20),
+         |sc AS (SELECT query_id, neighbor_id, round(${cosSql("qe", "ne")}, 6) AS cos FROM sv)
+         |SELECT query_id, neighbor_id, cos,
+         | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |FROM sc QUALIFY rank <= 5""".stripMargin,
 
     "d_contamination" ->
       s"""WITH w AS (SELECT doc_id,

@@ -286,6 +286,49 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Bloom-filter decontamination probe: flag corpus rows whose `keyCol`
+    * (e.g. a text fingerprint) MAY be in the benchmark set, using a
+    * Bloom bitset instead of a corpus×benchmark join — the constant-space
+    * membership screen a 100 TB pipeline runs map-side before (or instead
+    * of) the exact pass. Each benchmark key sets `kHashes` md5-seeded bit
+    * positions in an `mBits`-slot bitset; a corpus row is flagged iff ALL
+    * of its positions are set (classic Bloom semantics: no false
+    * negatives, tunable false positives). Output: one row per corpus row,
+    * (id, bloom_hit, exact_hit) — exact_hit is the ground-truth equi-join
+    * flag, so the false-positive rows are exactly bloom_hit ∧ ¬exact_hit
+    * and the no-false-negative invariant (exact_hit → bloom_hit) is
+    * visible in the result.
+    *
+    * Scale: the bitset is ≤ min(mBits, kHashes·|bench|) distinct set
+    * positions, collected to ONE array row and broadcast — benchmark
+    * sets are eval-suite sized, so this is kilobytes where a distributed
+    * anti-join would shuffle the corpus's key column; the probe is then a
+    * pure map-side `forall(array_contains)` over the broadcast array
+    * (O(kHashes · log |bits|) per row, no exchange). The exact_hit join
+    * broadcasts the same benchmark-sized key list. The corpus is never
+    * shuffled and text never moves. Everything is md5-derived —
+    * bit-reproducible in any engine. */
+  def bloomDecontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         keyCol: String, mBits: Int = 1 << 20,
+                         kHashes: Int = 3): DataFrame = {
+    require(mBits >= 2, s"mBits must be >= 2, got $mBits")
+    require(kHashes >= 1 && kHashes <= 16, s"kHashes must be 1..16, got $kHashes")
+    def positions(c: Column): Column =
+      array((0 until kHashes).map(i => pmod(md5Long(c, i), lit(mBits.toLong))): _*)
+    val bits = bench
+      .select(explode(positions(col(keyCol))).as("bit")).distinct()
+      .agg(sort_array(collect_list(col("bit"))).as("__bits"))
+    val exactKeys = bench.select(col(keyCol)).distinct()
+      .withColumn("__exact", lit(true))
+    corpus.select(col(idCol), col(keyCol))
+      .crossJoin(broadcast(bits))
+      .withColumn("bloom_hit",
+        forall(positions(col(keyCol)), p => array_contains(col("__bits"), p)))
+      .join(broadcast(exactKeys), Seq(keyCol), "left")
+      .select(col(idCol), col("bloom_hit"),
+        coalesce(col("__exact"), lit(false)).as("exact_hit"))
+  }
+
   /** Exact substring-duplication spans — the distributed re-expression of
     * suffix-array exact-substring dedup (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better": mask any ≥k-token span
@@ -443,6 +486,35 @@ object Dedup {
       .withColumn("kept", col(valueCol) >= col("threshold"))
   }
 
+  /** Per-GROUP percentile cutoff — [[percentileCut]] partitioned by a
+    * domain column (language, source): each group gets its OWN threshold,
+    * the fairness fix for corpus-wide cuts (a global quality bar silently
+    * deletes whole low-resourced languages; CCNet cuts per language for
+    * exactly this reason). Adds (threshold, kept) — kept means the row
+    * clears ITS group's bar.
+    *
+    * Scale: the threshold table is one row per group (languages/domains —
+    * tens, not millions, by construction) and is broadcast back, so the
+    * corpus never re-shuffles: the only exchange is the per-group
+    * aggregation, which moves (group, value) pairs — never text. The
+    * production path is approx_percentile (a mergeable sketch with
+    * map-side partial state, bounded by `accuracy`); `exact = true` is
+    * the oracle-able twin (exact percentile collects per-group values —
+    * fine at gate scale, sketch at corpus scale). */
+  def groupPercentileCut(df: DataFrame, valueCol: String, groupCol: String,
+                         p: Double, exact: Boolean = false,
+                         accuracy: Int = 10000): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    require(!df.columns.exists(Set("threshold", "kept")),
+      "groupPercentileCut adds threshold/kept columns; input already has one — rename it first")
+    val fn = if (exact) s"percentile(`$valueCol`, $p)"
+             else s"approx_percentile(`$valueCol`, $p, $accuracy)"
+    val th = df.groupBy(col(groupCol)).agg(expr(fn).cast("double").as("threshold"))
+    df.join(broadcast(th), Seq(groupCol))
+      .withColumn("kept", col(valueCol) >= col("threshold"))
+  }
+
   /** Quality-aware canonical selection: within each dup cluster keep the
     * HIGHEST-scoring member, not the smallest id — the representative rule
     * production dedup actually wants ("of these 40 near-identical pages,
@@ -555,6 +627,39 @@ object Dedup {
     df.select(pmod(md5Long(col(keyCol)), lit(nShards.toLong)).as("shard"))
       .groupBy(col("shard")).agg(count(lit(1)).as("sz"))
       .filter(col("sz") > maxShardRows)
+  }
+
+  /** Temperature-scaled domain sampling weights (the UniMax / multilingual
+    * mixing rule: w_d ∝ n_d^τ, here at τ = 1/2): square-root scaling
+    * upweights small domains relative to proportional sampling without
+    * letting a giant domain drown the mixture — the standard fix for
+    * long-tailed source/language distributions. Emits one row per domain:
+    * (domain, n_docs, weight), Σ weight ≈ 1 (6dp floors).
+    *
+    * τ is fixed at 1/2 because sqrt is the one power IEEE 754 requires to
+    * be CORRECTLY rounded — `pow(x, τ)` for general τ is libm-dependent
+    * and differs across engines, which would break cross-engine
+    * reproducibility. Each sqrt is quantized to micro-units
+    * (`floor(sqrt(n)·10⁶)`, a long) BEFORE the normalization sum, so the
+    * sum is integer arithmetic — exact and order-independent, immune to
+    * float-summation reorder across partitions — and the weight is then
+    * ONE correctly-rounded IEEE division, floor-truncated to 6dp.
+    * Feed the weights to [[mixtureSample]] as rates (scaled by the epoch
+    * budget) to realize the mixture.
+    *
+    * Scale: one map-side-combinable count per domain (rows out = number
+    * of domains — tens), one broadcast 1-row total; the corpus itself is
+    * never re-shuffled and text never moves. */
+  def temperatureWeights(df: DataFrame, domainCol: String): DataFrame = {
+    require(!df.columns.exists(Set("n_docs", "weight")),
+      "temperatureWeights emits n_docs/weight columns; input already has one — rename it first")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__q", floor(sqrt(col("n_docs").cast("double")) * 1000000).cast("long"))
+    val tot = counts.agg(sum(col("__q")).as("__tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        floor(col("__q").cast("double") / col("__tot").cast("double") * 1000000) / 1000000)
+      .select(col(domainCol), col("n_docs"), col("weight"))
   }
 
   /** Deterministic domain-mixture realization (the DoReMi/data-mixing

@@ -314,6 +314,49 @@ object Similarity {
         .as("mvec"))
   }
 
+  /** Matryoshka funnel search (the MRL coarse-to-fine serving pattern,
+    * Kusupati et al. 2022): stage 1 scores every query-corpus pair on the
+    * FIRST `dims` dimensions only — valid because matryoshka-trained
+    * embeddings pack most of the signal into the prefix — and keeps the
+    * top `coarseK` per query; stage 2 rescores only those survivors with
+    * the full-dimension cosine and emits the exact top `k` among them.
+    * Returns (query_id, neighbor_id, cos, rank) with `cos` the FULL-dim
+    * score, directly comparable to [[bruteForceTopK]] for recall evals.
+    *
+    * Scale: stage 1 is one corpus pass with the query set broadcast —
+    * dims/D of the brute-force multiply work, and in a real deployment
+    * the prefix lives in its own (narrower) column/file so the scan
+    * shrinks by the same factor; the coarse top-k window shuffles only
+    * (query_id, neighbor_id, ccos) triples, never vectors. Stage 2
+    * broadcasts the coarseK·|queries| survivor list back against the
+    * corpus — full vectors are read map-side a second time but never
+    * shuffled. Both stages round to 6dp before ranking (ties broken by
+    * neighbor_id), so the result is bit-reproducible cross-engine. */
+  def mrlFunnel(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, dims: Int, coarseK: Int, k: Int,
+                native: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    require(k >= 1 && coarseK >= k, s"need coarseK >= k >= 1, got coarseK=$coarseK k=$k")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val coarse = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineBy(native)(slice(col("qv"), 1, dims), slice(col("nv"), 1, dims)), 6)
+          .as("ccos"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("neighbor_id"))
+    val survivors = coarse.withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= coarseK)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = c.join(
+        broadcast(survivors.join(q, Seq("query_id"))), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineBy(native)(col("qv"), col("nv")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Recall@k of an approximate ANN result against the exact ranking —
     * the evaluation every ANN rollout runs before swapping the index in:
     * both inputs are top-k result tables shaped (query_id, neighbor_id,

@@ -298,6 +298,45 @@ object TextAnalysis {
         floor4(col("n_known").cast("double") / col("n_grams"))).otherwise(lit(0.0)))
   }
 
+  /** CCNet-style coverage bucketing (Wenzek et al. 2020): split each
+    * language's documents into head / middle / tail by how well a
+    * reference LM covers them — CCNet cuts on per-language perplexity
+    * terciles; the portable analogue here cuts on [[lmCoverage]] (higher
+    * coverage = more in-domain = head), per `groupCol`, at the exact
+    * `pLow`/`pHigh` percentiles. Per-GROUP thresholds are the point: a
+    * corpus-wide bar would grade low-resourced languages against the
+    * dominant one's distribution. Output: one row per document,
+    * (id, group, coverage, th_low, th_high, bucket).
+    *
+    * Scale: the LM is broadcast and coverage aggregates (id, counts) only
+    * — text never shuffles ([[lmCoverage]]'s plan); the threshold table
+    * is two doubles per group (languages — tens) broadcast back, so the
+    * scored corpus is never re-shuffled. `exact = false` swaps in the
+    * approx_percentile sketch (mergeable, bounded state) for corpus
+    * scale; the exact default is the oracle-able twin. */
+  def coverageBuckets(docs: DataFrame, lm: DataFrame, idCol: String,
+                      textCol: String, groupCol: String, n: Int = 2,
+                      pLow: Double = 0.33, pHigh: Double = 0.67,
+                      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(pLow > 0 && pLow < pHigh && pHigh < 1,
+      s"need 0 < pLow < pHigh < 1, got pLow=$pLow pHigh=$pHigh")
+    val cov = lmCoverage(docs, lm, idCol, textCol, n)
+      .select(col(idCol), col("coverage"))
+    val grouped = cov.join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+    def fn(p: Double) = if (exact) s"percentile(coverage, $p)"
+                        else s"approx_percentile(coverage, $p, $accuracy)"
+    val th = grouped.groupBy(col(groupCol)).agg(
+      expr(fn(pLow)).cast("double").as("th_low"),
+      expr(fn(pHigh)).cast("double").as("th_high"))
+    grouped.join(broadcast(th), Seq(groupCol))
+      .withColumn("bucket",
+        when(col("coverage") >= col("th_high"), lit("head"))
+          .when(col("coverage") >= col("th_low"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(groupCol), col("coverage"),
+        col("th_low"), col("th_high"), col("bucket"))
+  }
+
   /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): each document scored by
     * how much more its n-gram mass resembles a TARGET domain's LM than

@@ -870,4 +870,92 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L)._2 == math.floor(1.0 / 127.0 * 1e6) / 1e6)
     assert(out(2L) == ((Seq(0, 0, 0), 0.0)))
   }
+
+  test("temperatureWeights: sqrt-scaled micro-unit weights, exact for perfect squares") {
+    // counts 1/4/9 -> sqrt 1/2/3 -> quantized 1e6/2e6/3e6 -> weights 1/6, 2/6, 3/6 floored to 6dp
+    val rows = (1 to 1).map(i => (s"a$i", "a")) ++
+      (1 to 4).map(i => (s"b$i", "b")) ++ (1 to 9).map(i => (s"c$i", "c"))
+    val out = Dedup.temperatureWeights(rows.toDF("doc_id", "source"), "source")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("a") == ((1L, math.floor(1.0 / 6 * 1e6) / 1e6)))
+    assert(out("b") == ((4L, math.floor(2.0 / 6 * 1e6) / 1e6)))
+    assert(out("c") == ((9L, 0.5)))
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 2e-6) // floors lose < 1 micro-unit each
+  }
+
+  test("groupPercentileCut: each group gets its own interpolated bar; kept is per-group") {
+    val df = Seq(
+      ("en", 1.0), ("en", 2.0), ("en", 3.0), ("en", 4.0), ("en", 5.0),
+      ("fr", 10.0), ("fr", 20.0)).toDF("lang", "quality")
+    val out = Dedup.groupPercentileCut(df, "quality", "lang", 0.2, exact = true)
+      .as[(String, Double, Double, Boolean)].collect()
+    // exact percentile(1..5, .2) = 1.8; percentile((10,20), .2) = 12
+    assert(out.filter(_._1 == "en").forall(_._3 == 1.8))
+    assert(out.filter(_._1 == "fr").forall(_._3 == 12.0))
+    assert(out.filter(_._1 == "en").map(r => r._2 -> r._4).toMap ==
+      Map(1.0 -> false, 2.0 -> true, 3.0 -> true, 4.0 -> true, 5.0 -> true))
+    assert(out.filter(_._1 == "fr").map(r => r._2 -> r._4).toMap ==
+      Map(10.0 -> false, 20.0 -> true))
+  }
+
+  test("bloomDecontaminate: exact hits are never missed; non-members may only false-positive") {
+    val corpus = docs(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"), (3L, "eta theta iota"),
+      (4L, "kappa lambda mu"), (5L, "alpha beta gamma"), (6L, "nu xi omicron"))
+    val bench = docs((10L, "alpha beta gamma"), (11L, "eta theta iota"))
+    val out = Dedup.bloomDecontaminate(corpus, bench, "doc_id", "text",
+        mBits = 1024, kHashes = 3)
+      .as[(Long, Boolean, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // ground truth: docs 1, 3, 5 share text with the benchmark
+    assert(out.filter(_._2._2).keySet == Set(1L, 3L, 5L))
+    // Bloom invariant: no false negatives (exact_hit -> bloom_hit)
+    assert(out.values.forall { case (bloom, exact) => !exact || bloom })
+  }
+
+  test("mrlFunnel: full-width prefix or all-survivor coarseK reproduces brute force exactly") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.2f, 0.1f)), (2L, Array(0.9f, 0.1f, 0.0f, 0.3f)),
+      (3L, Array(0.0f, 1.0f, 0.5f, 0.0f)), (4L, Array(0.1f, 0.9f, 0.2f, 0.7f)),
+      (5L, Array(0.5f, 0.5f, 0.9f, 0.4f)), (6L, Array(0.3f, 0.2f, 0.1f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // dims = full width: coarse scores ARE the full scores, so top-k survives
+    val full = Similarity.mrlFunnel(vecs, queries, "vec_id", "embedding",
+        dims = 4, coarseK = 3, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full == exact)
+    // prefix dims but every candidate survives the coarse stage
+    val wide = Similarity.mrlFunnel(vecs, queries, "vec_id", "embedding",
+        dims = 2, coarseK = 5, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(wide == exact)
+    // narrow funnel still emits exactly k full-dim-scored rows per query
+    val narrow = Similarity.mrlFunnel(vecs, queries, "vec_id", "embedding",
+        dims = 2, coarseK = 3, k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(narrow.groupBy(_._1).forall(_._2.length == 3))
+    val fullCos = exact.map(r => (r._1, r._2) -> r._3).toMap
+    assert(narrow.filter(r => fullCos.contains((r._1, r._2)))
+      .forall(r => r._3 == fullCos((r._1, r._2)))) // rescore = full-dim cosine
+  }
+
+  test("coverageBuckets: per-language terciles order docs head/middle/tail by LM coverage") {
+    val ref = docs((100L, "w x y z"))                  // LM grams: "w x", "x y", "y z"
+    val corpus = Seq(
+      (1L, "w x y z", "en"),  // 3/3 known -> head
+      (2L, "w x q r", "en"),  // 1/3       -> tail
+      (3L, "w x y q", "en"),  // 2/3       -> middle
+      (4L, "q r s t", "fr"),  // 0/3       -> tail
+      (5L, "w x r s", "fr"),  // 1/3       -> middle
+      (6L, "w x y r", "fr"))  // 2/3       -> head
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.coverageBuckets(
+        corpus, TextAnalysis.ngramLm(ref, "text"), "doc_id", "text", "lang")
+      .select(col("doc_id"), col("bucket")).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "head", 2L -> "tail", 3L -> "middle",
+      4L -> "tail", 5L -> "middle", 6L -> "head"))
+  }
 }
