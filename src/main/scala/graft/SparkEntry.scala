@@ -199,6 +199,13 @@ object SparkEntry {
         size(filter(split(col("text"), "\\s+"), x => x =!= lit(""))).cast("long").as("n_tokens"))
     }),
 
+    // Lexical diversity per document: type-token ratio, Simpson index,
+    // top-token dominance — the exact-arithmetic entropy surrogates (see
+    // TextAnalysis.wordDiversity for why entropy itself is a libm trap).
+    "t_word_diversity" -> ((s, dir) => {
+      operators.TextAnalysis.wordDiversity(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // M6 — document fingerprint (md5) + exact-dup group size.
     "d_exact_dup_fingerprint" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("h"))
@@ -500,6 +507,18 @@ object SparkEntry {
       ck("nation", Seq("n_nationkey", "n_name", "n_regionkey"))
         .unionByName(ck("region", Seq("r_regionkey", "r_name")))
         .unionByName(ck("part", Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size")))
+    }),
+
+    // Count-min-sketch heavy hitters over the corpus word stream: depth=4
+    // x width=16 cells (width deliberately smaller than the vocabulary so
+    // collisions — the sketch's one-sided error — are visible), words
+    // whose estimate reaches 1000 occurrences, exact count joined in.
+    // md5-celled, so the whole sketch hash-matches cross-engine.
+    "cd5_countmin_heavy" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(operators.Dedup.tokens(col("text"))).as("word"))
+      operators.Sketch.countMinHeavy(words, "word", threshold = 1000L,
+        depth = 4, width = 16)
     }),
 
     // Q4-style EXISTS: orders with a returned lineitem, by priority.
@@ -1190,6 +1209,20 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"))
     }),
 
+    // Incremental snapshot dedup: a deterministic 20% hash-slice of the
+    // corpus plays the "new crawl snapshot", the other 80% the existing
+    // corpus; each delta doc keeps only if no verified (Jaccard >= 0.5)
+    // near-dup already exists in base. The per-ingest production pattern
+    // — the delta probes the corpus's band-bucket index, never self-joins
+    // the corpus (see Dedup.incrementalDedup).
+    "d_incremental_dedup" -> ((s, dir) => {
+      val slice = graft.functions.Hashing.md5Long(col("doc_id")) % 100
+      val docs = t(s, dir, "documents")
+      operators.Dedup.incrementalDedup(
+        docs.filter(slice >= 20), docs.filter(slice < 20),
+        "doc_id", "text", tau = 0.5)
+    }),
+
     // Deterministic 90/5/5 train/val/test split (same shard anywhere).
     "d_train_split" -> ((s, dir) => {
       operators.Dedup.trainValTestSplit(t(s, dir, "documents"), "doc_id")
@@ -1508,6 +1541,16 @@ object SparkEntry {
       """SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
         |FROM documents""".stripMargin,
 
+    "t_word_diversity" ->
+      s"""$WORDS_CTE,
+         |u AS (SELECT doc_id, unnest(w) AS word FROM t),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM u GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words, count(*) AS n_unique,
+         |  floor(CAST(count(*) AS DOUBLE) / sum(tf) * 10000) / 10000 AS ttr,
+         |  floor((1.0 - CAST(sum(tf * tf) AS DOUBLE) / (sum(tf) * sum(tf))) * 10000) / 10000 AS simpson,
+         |  floor(CAST(max(tf) AS DOUBLE) / sum(tf) * 10000) / 10000 AS top_share
+         |FROM tf GROUP BY doc_id""".stripMargin,
+
     "d_exact_dup_fingerprint" ->
       """SELECT doc_id, md5(text) AS h,
         |count(*) OVER (PARTITION BY md5(text)) AS dup_count FROM documents""".stripMargin,
@@ -1702,6 +1745,26 @@ object SparkEntry {
         ck("region", Seq("r_regionkey", "r_name")),
         ck("part", Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size")))
         .mkString("\nUNION ALL ")
+    },
+
+    // mirrors Sketch.countMinHeavy: seeded-md5 cells, min-of-depth
+    // estimate, exact count only for sketch-flagged candidates.
+    "cd5_countmin_heavy" -> {
+      def cellOf(k: String) = s"${md5i(s"$k || '|cms|' || CAST(r AS VARCHAR)")} % 16"
+      s"""WITH u AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS k
+         |  FROM documents),
+         |cells AS (SELECT k, r, ${cellOf("k")} AS b
+         |  FROM u CROSS JOIN generate_series(0, 3) g(r)),
+         |sk AS (SELECT r, b, count(*) AS c FROM cells GROUP BY r, b),
+         |probe AS (SELECT DISTINCT k, r, ${cellOf("k")} AS b
+         |  FROM u CROSS JOIN generate_series(0, 3) g(r)),
+         |est AS (SELECT probe.k, min(sk.c) AS est_count FROM probe
+         |  JOIN sk ON probe.r = sk.r AND probe.b = sk.b GROUP BY probe.k),
+         |cand AS (SELECT k, est_count FROM est WHERE est_count >= 1000),
+         |ex AS (SELECT u.k, count(*) AS exact_count FROM u
+         |  JOIN cand ON u.k = cand.k GROUP BY u.k)
+         |SELECT cand.k AS word, est_count, exact_count
+         |FROM cand JOIN ex ON cand.k = ex.k""".stripMargin
     },
 
     "q4_exists_agg" ->
@@ -2434,6 +2497,37 @@ object SparkEntry {
       s"""SELECT doc_id, bucket FROM (
          |  SELECT doc_id, ${md5i("CAST(doc_id AS VARCHAR)")} % 100 AS bucket FROM documents)
          |WHERE bucket < 10""".stripMargin,
+
+    // mirrors Dedup.incrementalDedup over the 20/80 hash slice: delta
+    // band-buckets probe base band-buckets, collisions verified by exact
+    // floored n-gram Jaccard, verdict per delta doc.
+    "d_incremental_dedup" -> {
+      val hs = (1 to 8).map(i =>
+        s"list_min(list_transform(sh, x -> ${md5i(s"x || '|$i'")})) AS h$i").mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val (l, r) = (s"h${2 * b + 1}", s"h${2 * b + 2}")
+        s"SELECT doc_id, slice, $b AS band, ${md5i(s"CAST($l AS VARCHAR) || '_' || CAST($r AS VARCHAR)")} AS bucket FROM sig"
+      }.mkString("\nUNION ALL ")
+      s"""$SHINGLE_CTES,
+         |sp AS (SELECT doc_id, sh, ${md5i("CAST(doc_id AS VARCHAR)")} % 100 AS slice FROM s),
+         |sig AS (SELECT doc_id, slice, list_distinct(sh) AS shd, $hs FROM sp),
+         |b AS ($bands),
+         |cand AS (SELECT DISTINCT d.doc_id AS delta_id, e.doc_id AS base_id
+         |  FROM b d JOIN b e ON d.band = e.band AND d.bucket = e.bucket
+         |  WHERE d.slice < 20 AND e.slice >= 20),
+         |ver AS (SELECT delta_id, base_id,
+         |    floor(CAST(len(list_intersect(sd.shd, sb.shd)) AS DOUBLE)
+         |      / len(list_distinct(sd.shd || sb.shd)) * 10000) / 10000 AS j
+         |  FROM cand
+         |  JOIN sig sd ON sd.doc_id = cand.delta_id
+         |  JOIN sig sb ON sb.doc_id = cand.base_id),
+         |dup AS (SELECT delta_id, min(base_id) AS dup_of, max(j) AS max_jaccard
+         |  FROM ver WHERE j >= 0.5 GROUP BY delta_id)
+         |SELECT d.doc_id AS doc_id, dup.dup_of, dup.max_jaccard,
+         |  dup.dup_of IS NULL AS keep
+         |FROM (SELECT doc_id FROM sp WHERE slice < 20) d
+         |LEFT JOIN dup ON d.doc_id = dup.delta_id""".stripMargin
+    },
 
     "d_train_split" ->
       s"""SELECT doc_id,

@@ -106,6 +106,66 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Incremental snapshot dedup: screen a `delta` batch (a new crawl
+    * snapshot / ingest increment) against an existing `base` corpus and
+    * keep only delta docs with no verified near-duplicate already in
+    * base. THE production dedup pattern at 100 TB — a full-corpus
+    * self-join per ingest is unpayable, so each increment probes the
+    * corpus's LSH band-bucket index instead:
+    *
+    *   1. PROBE: delta band-buckets join base band-buckets. In
+    *      production the base side is the PERSISTED index (written
+    *      bucketed on (band, bucket) by the previous run — the
+    *      [[GraphStorage]] layout trick); only the delta (snapshot-sized,
+    *      not corpus-sized) is hashed fresh, and the join touches just
+    *      the index partitions delta's buckets land in. Hot boilerplate
+    *      buckets on the base side are capped at `maxBucket` exactly like
+    *      [[lshCandidates]]'s self-join.
+    *   2. VERIFY: exact n-gram Jaccard, but only for colliding pairs —
+    *      base text is semi-join-pruned to the hit ids BEFORE shingling,
+    *      so corpus text is neither re-shingled nor shuffled for the
+    *      non-colliding overwhelming majority.
+    *   3. VERDICT: per delta doc, `keep` = no verified match at
+    *      `tau`; `dup_of` = the smallest matching base id (the canonical
+    *      pointer), `max_jaccard` = the strongest evidence. Jaccard is
+    *      floor-4dp ([[ngramJaccard]]'s quantization), so verdicts are
+    *      engine-portable.
+    *
+    * Returns one row per delta doc: (id, dup_of, max_jaccard, keep). */
+  def incrementalDedup(base: DataFrame, delta: DataFrame, idCol: String,
+                       textCol: String, tau: Double = 0.5,
+                       bands: Int = 4, rowsPerBand: Int = 2, n: Int = 3,
+                       maxBucket: Int = 8192): DataFrame = {
+    val k = bands * rowsPerBand
+    val baseBuckets = Skew.capBuckets(
+      lshBuckets(minhashSignature(base, textCol, k, n), idCol, bands, rowsPerBand),
+      Seq("band", "bucket"), idCol, maxBucket)
+      .select(col("band"), col("bucket"), col(idCol).as("base_id"))
+    val deltaBuckets =
+      lshBuckets(minhashSignature(delta, textCol, k, n), idCol, bands, rowsPerBand)
+        .select(col("band"), col("bucket"), col(idCol).as("delta_id"))
+    val cand = deltaBuckets.join(baseBuckets, Seq("band", "bucket"))
+      .select(col("delta_id"), col("base_id")).distinct()
+    val deltaSh = delta.select(col(idCol).as("delta_id"),
+      array_distinct(shingles(col(textCol), n)).as("sh_d"))
+    // Prune base to the colliding ids BEFORE computing shingles: the
+    // shingle+md5 work and the text shuffle happen only for actual hits.
+    val baseHit = base.select(col(idCol).as("base_id"), col(textCol))
+      .join(cand.select(col("base_id")).distinct(), Seq("base_id"), "left_semi")
+      .select(col("base_id"), array_distinct(shingles(col(textCol), n)).as("sh_b"))
+    val verified = cand.join(deltaSh, Seq("delta_id")).join(baseHit, Seq("base_id"))
+      .select(col("delta_id"), col("base_id"),
+        (floor(size(array_intersect(col("sh_d"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_d"), col("sh_b"))) * 10000) / 10000).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+    val dup = verified.groupBy(col("delta_id"))
+      .agg(min(col("base_id")).as("dup_of"), max(col("jaccard")).as("max_jaccard"))
+    delta.select(col(idCol).as("delta_id"))
+      .join(dup, Seq("delta_id"), "left")
+      .select(col("delta_id").as(idCol), col("dup_of"), col("max_jaccard"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   /** LSH buckets exceeding `maxBucket`, with estimated dropped pairs —
     * the audit twin of [[lshCandidates]]'s cap. */
   def lshOverflow(docs: DataFrame, idCol: String, textCol: String,

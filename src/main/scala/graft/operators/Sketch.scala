@@ -96,6 +96,56 @@ object Sketch {
         .as("checksum"))
   }
 
+  /** Count-min-sketch heavy hitters: keys whose CMS count estimate meets
+    * `threshold`, with the exact count joined in so the sketch's
+    * one-sided error (est >= exact, always) is visible in the output.
+    *
+    * The sketch is `depth` hash rows of `width` counters; a key's
+    * estimate is the MIN of its `depth` counter cells. All hashing is
+    * seeded md5 (`key|cms|row`), so the entire sketch — cell layout,
+    * collisions, estimates — reproduces bit-for-bit in any engine with
+    * md5: unusually for a sketch, this one takes a full hash oracle, not
+    * a rows-only check.
+    *
+    * Scale shape (the reason a 100 TB pipeline carries a CMS at all):
+    *   - BUILD: one groupBy on (row, cell). Partial aggregation collapses
+    *     each task's contribution to <= depth x width cells map-side, so
+    *     the exchange carries O(tasks x depth x width) longs no matter how
+    *     many key occurrences stream through — the input itself never
+    *     re-shuffles, and the finished sketch is depth x width rows
+    *     (a few KB) that broadcast anywhere.
+    *   - PROBE: candidate keys join the broadcast sketch (no exchange of
+    *     the sketch) and take min over their depth cells. Here the probe
+    *     set is the input's distinct keys (the eval wants every heavy
+    *     hitter surfaced); in production the probe is whatever watchlist /
+    *     query set you care about — the sketch answers any of them without
+    *     touching the raw data again.
+    *   - EXACT: counted only for the few keys the sketch already flagged
+    *     (filter on a broadcast candidate list, then count) — the full
+    *     per-key exact aggregation the sketch exists to avoid never runs
+    *     over the whole key space.
+    */
+  def countMinHeavy(df: DataFrame, keyCol: String, threshold: Long,
+                    depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1, s"need depth/width >= 1, got $depth/$width")
+    val keys = df.select(col(keyCol).cast("string").as("k"))
+    def cell(k: Column, r: Column): Column =
+      pmod(md5Long(concat(k, lit("|cms|"), r.cast("string"))), lit(width.toLong))
+    val rows = explode(sequence(lit(0), lit(depth - 1))).as("r")
+    val sketch = keys.select(col("k"), rows)
+      .groupBy(col("r"), cell(col("k"), col("r")).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val probe = keys.distinct().select(col("k"), rows)
+      .select(col("k"), col("r"), cell(col("k"), col("r")).as("b"))
+    val est = probe.join(broadcast(sketch), Seq("r", "b"))
+      .groupBy(col("k")).agg(min(col("c")).as("est_count"))
+    val cand = est.filter(col("est_count") >= threshold)
+    val exact = keys.join(broadcast(cand.select(col("k"))), Seq("k"), "left_semi")
+      .groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
+    cand.join(exact, Seq("k"))
+      .select(col("k").as(keyCol), col("est_count"), col("exact_count"))
+  }
+
   /** [[kmvDistinct]] via the bounded-state [[KMinDistinct]] Aggregator —
     * identical output (same k-min set ⇒ same estimate), but shuffle volume
     * is O(groups · k) instead of all distinct hashes: the form to run at

@@ -408,6 +408,42 @@ object TextAnalysis {
         floor6(col("cum_cnt").cast("double") / col("__total")).as("cum_share"))
   }
 
+  /** Per-document lexical-diversity stats — the "compressibility" quality
+    * signal (low diversity = a few tokens repeated = boilerplate / keyword
+    * stuffing). Shannon entropy is the textbook form, but a cross-engine
+    * entropy is a libm trap (Σ tf·ln(tf) accumulates per-engine `log`
+    * rounding — the same reason [[ngramLm]] scores coverage, not
+    * log-prob). These three carry the same signal in EXACT arithmetic:
+    *   - `ttr`      type-token ratio  n_unique / n_words;
+    *   - `simpson`  Simpson diversity 1 − Σ tf² / n² (the collision
+    *                probability complement — entropy's exact-arithmetic
+    *                sibling, = 2nd-order Rényi modulo a log);
+    *   - `top_share` max tf / n — dominance of the single most repeated
+    *                token (the keyword-stuffing tell).
+    * Each is integer sums + ONE IEEE division (+ floor-4dp display
+    * truncation), so every engine reproduces them bit-for-bit.
+    *
+    * Scale shape: explode + two hash aggregations keyed by (doc, word)
+    * then (doc). The exchange carries (id, word, count) — never the full
+    * text — and partial aggregation collapses repeated words map-side.
+    * The alternative (per-row higher-order-function counting) is
+    * O(words²) per document — fine at 300 words, fatal on a 1M-word
+    * document; the aggregate form is O(words) regardless. */
+  def wordDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_words"),
+        count(lit(1)).as("n_unique"),
+        sum(col("tf") * col("tf")).as("__sq"),
+        max(col("tf")).as("__top"))
+      .select(col(idCol), col("n_words"), col("n_unique"),
+        floor4(col("n_unique").cast("double") / col("n_words")).as("ttr"),
+        floor4(lit(1.0) - col("__sq").cast("double") /
+          (col("n_words") * col("n_words"))).as("simpson"),
+        floor4(col("__top").cast("double") / col("n_words")).as("top_share"))
+  }
+
   /** Gopher-style document quality flags (Rae et al. 2021 §A1.1): word
     * count bounds, mean word length band, symbol-to-char ratio, bullet /
     * ellipsis line ratios, alphabetic-word fraction, and the combined

@@ -110,6 +110,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size == 1, plan.take(500))
   }
 
+  test("countMinHeavy: heavy keys surface, estimate is one-sided (est >= exact)") {
+    val keys = (Seq.fill(50)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 40).map(i => s"cold$i")).zipWithIndex.map(_.swap).toDF("i", "key")
+    val out = operators.Sketch.countMinHeavy(keys, "key", threshold = 30L,
+        depth = 4, width = 8) // width << vocab so collisions are in play
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.contains("hot") && out.contains("warm"))
+    assert(out("hot")._2 == 50L && out("warm")._2 == 30L) // exact counts exact
+    assert(out.values.forall { case (est, exact) => est >= exact }) // one-sided
+    assert(out.values.forall(_._1 >= 30L)) // everything emitted met the bar
+  }
+
+  test("countMinHeavy estimate is invariant to input partitioning") {
+    val keys = (Seq.fill(40)("x") ++ (1 to 25).map(i => s"y$i"))
+      .zipWithIndex.map(_.swap).toDF("i", "key")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      operators.Sketch.countMinHeavy(df, "key", threshold = 20L, depth = 3, width = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(keys) == run(keys.repartition(13)))
+  }
+
   test("pageRankFixed: higher in-degree earns higher rank") {
     // many sources point at 10; one source points at 20
     val edges = ((1L to 5L).map(i => (i, 10L)) :+ ((6L, 20L))).toDF("src", "dst")

@@ -942,6 +942,29 @@ class OperatorsSpec extends AnyFunSuite {
       .forall(r => r._3 == fullCos((r._1, r._2)))) // rescore = full-dim cosine
   }
 
+  test("wordDiversity: ttr/simpson/top_share are the exact hand values") {
+    // "a a a b": n=4, unique=2, ttr=0.5, simpson=1-(9+1)/16=0.375, top=3/4
+    val out = TextAnalysis.wordDiversity(docs((1L, "a a a b")), "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().head
+    assert(out == ((1L, 4L, 2L, 0.5, 0.375, 0.75)))
+  }
+
+  test("incrementalDedup: delta near-dups of base are flagged, fresh docs kept") {
+    val base = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"))
+    val delta = docs(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (11L, "nothing like anything else at all ever seen"))   // fresh
+    val out = Dedup.incrementalDedup(base, delta, "doc_id", "text", tau = 0.5)
+      .select(col("doc_id"), col("dup_of"), col("keep"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getBoolean(2))).toMap
+    assert(out(10L) == ((Some(1L), false)))
+    assert(out(11L) == ((None, true)))
+    assert(out.size == 2) // one verdict row per delta doc, base never emitted
+  }
+
   test("coverageBuckets: per-language terciles order docs head/middle/tail by LM coverage") {
     val ref = docs((100L, "w x y z"))                  // LM grams: "w x", "x y", "y z"
     val corpus = Seq(
