@@ -29,6 +29,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // The events reader's NTZ→timestamp cast is instant-preserving only
+      // under a UTC session zone; pin it here, not just in sbt javaOptions,
+      // so a bare spark-submit of the jar times the same queries.
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Load the graph store once before timing queries — the analogue of the
@@ -85,12 +89,23 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val totalR = math.rint(total * 1000) / 1000
-    // Full min + median maps first (for humans/logs)...
-    println(s"""{"metric":"total_full","value":$totalR,"unit":"sec","passes":$passes,"queries":${fmt(results.toSeq.sortBy(_._1))},"median":${fmt(medians.toSeq.sortBy(_._1))},"failed":$failedJson,"sf":"$sfDir"}""")
-    // ...then the compact headline line LAST so a tail-window parser
-    // always sees one complete JSON object.
+    val medTotal = medians.values.filter(_ >= 0).sum
+    val medTotalR = math.rint(medTotal * 1000) / 1000
+    // Complete LABELED per-query maps — too big for a tail-window parser
+    // (136 entries ≈ 3.5 KB vs the consumer's ~2 KB buffer), so they go to
+    // a file the compact line points at, plus a log line for humans.
+    val fullJson =
+      s"""{"metric":"total_full","value_min":$totalR,"value_median":$medTotalR,"unit":"sec","passes":$passes,"queries_min":${fmt(results.toSeq.sortBy(_._1))},"queries_median":${fmt(medians.toSeq.sortBy(_._1))},"failed":$failedJson,"sf":"$sfDir"}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case t: Throwable => Console.err.println(s"bench_full write failed: $t") }
+    println(fullJson)
+    // The compact headline line LAST so a tail-window parser always sees
+    // one complete JSON object; its `queries` subset is the per-query MIN
+    // (queries_kind labels it; the complete maps live at `full`).
     val head = headline.flatMap(n => results.get(n).map(n -> _))
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":${fmt(head)},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalR,"value_median":$medTotalR,"unit":"sec","n_queries":${results.size},"queries_kind":"min","full":"$fullPath","queries":${fmt(head)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

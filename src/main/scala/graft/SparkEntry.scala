@@ -19,12 +19,27 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraphBuilder.table(s, dir, name)
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read nanos as long and rebuild a (microsecond) timestamp —
-    * matching DuckDB's own ns→us truncation. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events.parquet stores parquet TIMESTAMP(NANOS), which Spark reads
+    * differently across versions: ≤4.0 rejects it unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (then yields LongType
+    * nanos), while 4.1+ reads it natively as TIMESTAMP_NTZ (µs-truncated)
+    * and silently ignores that legacy conf. Branch on the schema actually
+    * read so the same code is correct on both runtimes; every branch lands
+    * on a µs-precision TIMESTAMP in the UTC session zone — matching
+    * DuckDB's own ns→µs truncation in the oracle. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true") // honored ≤4.0 only
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType       => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType  => raw
+      // TIMESTAMP_NTZ wall-clock == the stored UTC instant (session tz is
+      // pinned UTC everywhere), so the cast is instant-preserving.
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts read as unexpected type $other — new Spark parquet NANOS behavior?")
+    }
   }
 
   /** Flagship query on /root/testdata/sf0.001: which customers reach which

@@ -322,12 +322,10 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming sessionize equals the batch gaps-and-islands twin on real events") {
     implicit val sqlCtx = spark.sqlContext
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapMs = 30 * 60 * 1000L
     // ms precision on both sides: sessionize state runs on Timestamp.getTime
     // (epoch millis), so sub-ms digits would differ only in rendering
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = SparkEntry.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
     // batch twin: lag/gap islands, same 30min gap
@@ -368,12 +366,12 @@ class StreamingSpec extends AnyFunSuite {
 
   test("end-to-end: readStream over events parquet -> foreachBatch graph merge") {
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types._
+    // Schema-on-read for streams is stricter than batch: take the schema the
+    // batch reader actually produces on this runtime (LongType nanos on
+    // Spark ≤4.0 with the legacy conf, TIMESTAMP_NTZ on 4.1+) so the file
+    // stream source agrees with the footer on any Spark version.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
     // the file stream source wants a directory; stage the table file into one
     val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-in")
     java.nio.file.Files.copy(
