@@ -651,6 +651,13 @@ object SparkEntry {
       operators.Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Asymmetric containment (|A∩B|/|A|, |A∩B|/|B|) over the same
+    // candidate pairs — the quote/excerpt detector symmetric Jaccard
+    // systematically under-scores.
+    "d_ngram_containment" -> ((s, dir) => {
+      operators.Dedup.ngramContainment(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // LSH candidate-quality audit: exact Jaccard over every d_minhash_lsh
     // pair, reduced to one (n_candidates, n_true, precision) row at
     // threshold 0.5 — the number the band/row configuration is tuned by.
@@ -723,6 +730,14 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val cents = operators.Clustering.labelCentroids(emb, "embedding", "label")
       operators.Clustering.nearestCentroid(emb, cents, "vec_id", "embedding", "label")
+    }),
+
+    // One deterministic Lloyd update step (integer micro-units): seed from
+    // class means, re-assign, emit each predicted cluster's re-computed
+    // centroid as (clabel, dim, cv) — the oracle-able core of IVF codebook
+    // training (kmeansLite is the float production twin).
+    "e12_lloyd_step" -> ((s, dir) => {
+      operators.Clustering.lloydStep(t(s, dir, "embeddings"), "vec_id", "embedding", "label")
     }),
 
     // ANN recall@5: LSH (bits=4) top-5 measured against the exact
@@ -1206,6 +1221,18 @@ object SparkEntry {
       val nr = t(s, dir, "nation").select(
         (lit(2L * B) + col("n_nationkey")).as("src"), (lit(1L * B) + col("n_regionkey")).as("dst"))
       graph.GraphXBridge.pageRankFixed(sn.unionByName(nr), iters = 3)
+    }),
+
+    // Personalized PageRank (same integer fixed-point recipe), teleport
+    // mass pinned to the region vertices: rank = proximity to the regions
+    // through the containment chain, not global importance.
+    "x7_ppr_regions" -> ((s, dir) => {
+      val sn = t(s, dir, "supplier").select(
+        (lit(4L * B) + col("s_suppkey")).as("src"), (lit(2L * B) + col("s_nationkey")).as("dst"))
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"), (lit(1L * B) + col("n_regionkey")).as("dst"))
+      val seeds = t(s, dir, "region").select((lit(1L * B) + col("r_regionkey")).as("id"))
+      graph.GraphXBridge.pageRankPersonalized(sn.unionByName(nr), seeds, iters = 3)
     }),
 
     // TF-IDF: top-3 terms per document.
@@ -2011,6 +2038,18 @@ object SparkEntry {
          |   / len(list_distinct(a.shd || b.shd)) * 10000) / 10000 AS jaccard
          |FROM base a JOIN base b ON a.h1 = b.h1 AND a.doc_id < b.doc_id""".stripMargin,
 
+    // same candidate pairs, asymmetric containment normalizations.
+    "d_ngram_containment" ->
+      s"""$SHINGLE_CTES,
+         |base AS (SELECT doc_id, list_distinct(sh) AS shd,
+         |  list_min(list_transform(sh, x -> ${md5i(s"x || '|1'")})) AS h1 FROM s)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         | floor(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
+         |   / len(a.shd) * 10000) / 10000 AS cont_ab,
+         | floor(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
+         |   / len(b.shd) * 10000) / 10000 AS cont_ba
+         |FROM base a JOIN base b ON a.h1 = b.h1 AND a.doc_id < b.doc_id""".stripMargin,
+
     // d_minhash_lsh's candidate pairs + d_ngram_jaccard's exact floored
     // Jaccard, reduced to one audit row at threshold 0.5.
     "d_lsh_precision" -> {
@@ -2158,6 +2197,29 @@ object SparkEntry {
         |  SELECT vec_id, label, clabel, dist,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
         |  FROM s) WHERE rk = 1""".stripMargin,
+
+    // e9's assignment chain + one Lloyd update: the predicted clusters'
+    // re-computed integer centroids, (clabel, dim, cv) rows.
+    "e12_lloyd_step" ->
+      """WITH q AS (SELECT vec_id, label,
+        |  list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |x AS (SELECT label AS clabel, unnest(qv) AS v, unnest(range(1, len(qv) + 1)) AS dim FROM q),
+        |m AS (SELECT clabel, dim, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        |  FROM x GROUP BY clabel, dim),
+        |c AS (SELECT clabel, list(cv ORDER BY dim) AS cvec FROM m GROUP BY clabel),
+        |s AS (SELECT vec_id, label, clabel, CAST(sum((a - b) * (a - b)) AS BIGINT) AS dist
+        |  FROM (SELECT q.vec_id, q.label, c.clabel, unnest(q.qv) AS a, unnest(c.cvec) AS b
+        |        FROM q CROSS JOIN c)
+        |  GROUP BY vec_id, label, clabel),
+        |asg AS (SELECT vec_id, clabel FROM (
+        |  SELECT vec_id, clabel, row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rk
+        |  FROM s) WHERE rk = 1),
+        |u AS (SELECT asg.clabel, unnest(q.qv) AS v, unnest(range(1, len(q.qv) + 1)) AS dim
+        |  FROM q JOIN asg ON q.vec_id = asg.vec_id)
+        |SELECT clabel, CAST(dim AS BIGINT) AS dim,
+        |  CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        |FROM u GROUP BY clabel, dim""".stripMargin,
 
     // ANN recall@5: exact side = e1's ranking, approx side = e2's
     // signature-bucket ranking, both at k=5 over vec_id < 10; recall is
@@ -2484,6 +2546,28 @@ object SparkEntry {
          |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
          |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
          |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_micro FROM v),
+         |$iters
+         |SELECT id, CAST(rank_micro AS BIGINT) AS rank_micro FROM p3""".stripMargin
+    },
+
+    "x7_ppr_regions" -> {
+      // x4's unrolled integer recurrence, reset mass pinned to the seeds.
+      val iters = (1 to 3).map { i =>
+        s"""p$i AS (
+           |  SELECT v.id, v.is_seed * 150000 + (17 * coalesce(c.m, 0)) // 20 AS rank_micro
+           |  FROM v LEFT JOIN (
+           |    SELECT e.dst AS id, sum(p${i - 1}.rank_micro // d.outdeg) AS m
+           |    FROM e JOIN p${i - 1} ON e.src = p${i - 1}.id JOIN d ON d.src = e.src
+           |    GROUP BY e.dst) c ON v.id = c.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier
+         |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation)),
+         |d AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |sd AS (SELECT 1*72057594037927936 + r_regionkey AS id FROM region),
+         |v AS (SELECT id, CAST(CASE WHEN id IN (SELECT id FROM sd) THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+         |  FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+         |p0 AS (SELECT id, is_seed * 1000000 AS rank_micro FROM v),
          |$iters
          |SELECT id, CAST(rank_micro AS BIGINT) AS rank_micro FROM p3""".stripMargin
     },

@@ -109,4 +109,40 @@ object GraphXBridge {
     }
     ranks
   }
+
+  /** Personalized PageRank in the same integer fixed-point arithmetic as
+    * [[pageRankFixed]]: the teleport/reset mass lands ONLY on the `seeds`
+    * vertex set (initial rank 10⁶ on seeds, 0 elsewhere; per step
+    * `next = (seed ? 150000 : 0) + (17·Σcontrib) div 20`) — rank measures
+    * proximity to the seeds rather than global importance, the
+    * "what does THIS team/region touch" query a containment graph exists
+    * to answer. Bit-identical in any engine (integer div, no float sums);
+    * sinks lose mass exactly like the global twin.
+    *
+    * `seeds` needs an `id` column; seed membership joins as a broadcast
+    * flag (seed sets are small by construction — a user, a team, one
+    * region). Returns (id, rank_micro). */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"pageRankPersonalized needs iters >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val seedSet = broadcast(seeds.select(col("id")).distinct()
+      .withColumn("__seed", lit(1L)))
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(seedSet, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__seed"), lit(0L)).as("is_seed"))
+    var ranks = verts.select(col("id"), (col("is_seed") * 1000000L).as("rank_micro"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("rank_micro div outdeg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("m"))
+      ranks = verts.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (col("is_seed") * 150000L + expr("17 * coalesce(m, 0L) div 20")).as("rank_micro"))
+    }
+    ranks
+  }
 }

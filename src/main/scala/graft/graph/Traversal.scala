@@ -494,4 +494,39 @@ object Traversal {
     und.unpersist(false)
     labels
   }
+
+  /** Exactly-n-step reachability pairs by binary relation exponentiation:
+    * R^n under set-semantics composition — ⌈log₂ n⌉ squarings plus at most
+    * that many bit-composes (≤ 2·log₂ n joins total) instead of n
+    * sequential hop joins. The SET lowering of `repeat(out()).times(n)
+    * .dedup()` (Gremlin's bag semantics collapse under the dedup, and
+    * boolean matrix power ≡ walk-existence), and the same log-round
+    * scheduler math as [[closureDoubling]]: a 64-hop walk costs ~12
+    * composes, not 64 frontier jobs.
+    *
+    * Each compose is distinct-deduped (semi-naive: pair sets, never walk
+    * multiplicities — a dense level can't blow up into walk-count rows)
+    * and eagerly localCheckpoint'ed so the self-composed plan stays two
+    * joins deep instead of doubling per level. Same dense-graph caveat as
+    * [[closureDoubling]]: R^k row count is bounded by V², not by E.
+    *
+    * Input needs (src, dst) columns; output is the distinct (src, dst)
+    * pairs connected by a directed walk of length exactly n. */
+  def hopPower(pairs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"hopPower needs n >= 1, got $n")
+    def compose(a: DataFrame, b: DataFrame): DataFrame =
+      a.select(col("src"), col("dst").as("__mid"))
+        .join(b.select(col("src").as("__mid"), col("dst")).hint("shuffle_hash"), "__mid")
+        .select(col("src"), col("dst")).distinct()
+        .localCheckpoint()
+    var pow = pairs.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var acc: DataFrame = null
+    var k = n
+    while (k > 0) {
+      if ((k & 1) == 1) acc = if (acc == null) pow else compose(acc, pow)
+      k >>= 1
+      if (k > 0) pow = compose(pow, pow)
+    }
+    acc
+  }
 }

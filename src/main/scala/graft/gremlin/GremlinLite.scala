@@ -2,7 +2,7 @@ package graft.gremlin
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.graph.PropertyGraph
+import graft.graph.{PropertyGraph, Traversal}
 
 /** Text-level compatibility with the reference's console workflow: run the
   * read-only Gremlin traversals its README actually types
@@ -50,6 +50,11 @@ import graft.graph.PropertyGraph
   * [[graft.sources.GroovyLoader]] rather than replaying per statement.
   */
 object GremlinLite {
+
+  /** Below this `times(n)`, the sequential hop fold stays cheaper than
+    * hopPower's per-compose checkpoint materializations (2·log₂ n joins +
+    * log₂ n cache writes vs n straight hop joins). */
+  private val RepeatDoublingMin = 8
 
   /** Apply a typed mutation script — the reference's console statement
     * shapes (`g.addV('l').property(...)`, lookup-bind + `addE`,
@@ -309,7 +314,33 @@ object GremlinLite {
           val (times, timesArgs) = if (rest.hasNext) rest.next() else ("", Nil)
           require(times == "times" && timesArgs.length == 1,
             s"repeat(...) must be followed by .times(n)")
-          cur = (1 to timesArgs.head.toInt).foldLeft(cur)((d, _) => ptag(hop(body, bodyArgs)(d)))
+          val nTimes = timesArgs.head.toInt
+          // Log-round lowering: `repeat(out(l)).times(n).dedup()` with no
+          // live path()/as() tags asks for the exactly-n-hop vertex SET —
+          // Gremlin's per-walk bag multiplicity collapses under the dedup,
+          // so the whole phrase is Traversal.hopPower's relation power:
+          // ≤ 2·log₂(n) composes instead of n sequential hop joins (the
+          // closureDoubling scheduler math, now reachable from text).
+          // Bag semantics (no immediate dedup) or live tags keep the
+          // walk-multiplicity-preserving sequential path below.
+          if (nTimes >= RepeatDoublingMin && !wantsPath && tagCols(cur).isEmpty &&
+              rest.hasNext && rest.head._1 == "dedup" && rest.head._2.isEmpty) {
+            rest.next() // the dedup() IS this lowering's set semantics
+            val e0 = edgeLabel(bodyArgs) match {
+              case Some(l) => g.edges.filter(col("label") === l)
+              case None    => g.edges
+            }
+            val step = if (body == "out") e0.select(col("src"), col("dst"))
+                       else e0.select(col("dst").as("src"), col("src").as("dst"))
+            val pn = Traversal.hopPower(step, nTimes).as("p")
+            val ends = cur.select(col("id").as("__start")).distinct()
+              .join(pn, col("__start") === col("p.src"))
+              .select(col("p.dst").as("__end")).distinct()
+            cur = ends.join(g.vertices.as("v"), col("__end") === col("v.id"))
+              .select(col("v.id").as("id"), col("v.label").as("label"),
+                col("v.key").as("key"), col("v.props").as("props"))
+          } else
+            cur = (1 to nTimes).foldLeft(cur)((d, _) => ptag(hop(body, bodyArgs)(d)))
         case ("hasLabel", _) =>
           // Gremlin hasLabel is variadic: hasLabel('a','b') = label ∈ {a,b}.
           require(args.nonEmpty, s"hasLabel() needs at least 1 label in: $query")

@@ -85,6 +85,38 @@ object Clustering {
         col("__d").as("dist"))
   }
 
+  /** One deterministic Lloyd UPDATE step in integer micro-units — the
+    * k-means training move that [[nearestCentroid]] (the assignment gate)
+    * stops short of: seed centroids from the class means, re-assign every
+    * vector to its nearest centroid, then emit the re-computed centroid of
+    * each PREDICTED cluster. All arithmetic follows the [[labelCentroids]]
+    * recipe (half-up quantization to `scale`, exact BIGINT sums, one
+    * floored division), so the step is bit-identical in any engine — the
+    * oracle-able core of IVF codebook training ([[kmeansLite]] is the
+    * float production twin).
+    *
+    * Scale: centroids broadcast twice (seed + assignment, |labels| rows);
+    * the corpus-sized join carries only (id, pred_label) against the raw
+    * vectors (co-partitionable on id), and the update exchange ships
+    * (cluster, dim, long) triples collapsed map-side to ≤ clusters·dims
+    * rows per partition — vectors never cross an exchange un-collapsed.
+    * Output: (clabel, dim, cv) with 1-based dim — array-free, so the
+    * result is directly hash-comparable. */
+  def lloydStep(vecs: DataFrame, idCol: String, vecCol: String,
+                labelCol: String, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val cents = labelCentroids(vecs, vecCol, labelCol, scale)
+    val assigned = nearestCentroid(vecs, cents, idCol, vecCol, labelCol, scale)
+      .select(col(idCol), col("pred_label").as("__c"))
+    vecs.select(col(idCol), col(vecCol))
+      .join(assigned, Seq(idCol))
+      .select(col("__c"),
+        posexplode(transform(col(vecCol), x => floor(x.cast("double") * scale + lit(0.5)))))
+      .groupBy(col("__c"), col("pos"))
+      .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .select(col("__c").as("clabel"), (col("pos") + 1).cast("long").as("dim"), col("cv"))
+  }
+
   /** Returns (assignments(vid, vec, cid), centroids(cid, cvec)). */
   def kmeansLite(vecs: DataFrame, idCol: String, vecCol: String,
                  k: Int, iters: Int = 2): (DataFrame, DataFrame) = {

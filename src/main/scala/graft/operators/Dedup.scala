@@ -303,6 +303,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Asymmetric n-gram CONTAINMENT for the same 1-hash-prefilter candidate
+    * pairs as [[ngramJaccard]]: cont_ab = |A∩B|/|A| and cont_ba = |A∩B|/|B|
+    * (Broder's containment, the quote/subset detector). A short doc quoted
+    * wholly inside a much larger one scores cont≈1.0 while its Jaccard
+    * dilutes toward |A|/|B| — symmetric scores systematically miss
+    * boilerplate-inclusion and excerpt duplicates, which is why dedup
+    * stacks track both. Same skew bound and floor-4dp engine-portable
+    * quantization as [[ngramJaccard]]; one exchange on h1, text never
+    * shuffles past the shingle projection. */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                       maxBucket: Int = 8192): DataFrame = {
+    val pre = docs.select(col(idCol), array_distinct(shingles(col(textCol), n)).as("sh"),
+      array_min(transform(shingles(col(textCol), n), s => md5Long(s, 1))).as("h1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = Skew.capBuckets(pre, Seq("h1"), idCol, maxBucket)
+    val l = base.select(col("h1"), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val r = base.select(col("h1"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    l.join(r, Seq("h1")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (floor(inter / size(col("sh_a")) * 10000) / 10000).as("cont_ab"),
+        (floor(inter / size(col("sh_b")) * 10000) / 10000).as("cont_ba"))
+      .distinct()
+  }
+
   /** Train↔benchmark contamination scan: for every (train doc, bench
     * doc) pair sharing at least `minShared` distinct word n-grams,
     * the count of shared n-grams — the decontamination pass run before

@@ -48,6 +48,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("pageRankPersonalized: reset mass lands only on seeds; hand-check on a chain") {
+    // 1 -> 2 -> 3, seed {1}: rank decays with distance from the seed.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val out = GraphXBridge.pageRankPersonalized(edges, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // p0: (1e6, 0, 0)
+    // i1: 1=150000, 2=0+(17*1000000)div20=850000, 3=0
+    // i2: 1=150000, 2=(17*150000)div20=127500, 3=(17*850000)div20=722500
+    // i3: 1=150000, 2=127500, 3=(17*127500)div20=108375
+    assert(out == Map(1L -> 150000L, 2L -> 127500L, 3L -> 108375L))
+    // seed-proximity: non-seed vertices rank strictly below the seed here
+    assert(out(1L) > out(2L) && out(2L) > out(3L))
+  }
+
+  test("pageRankPersonalized is deterministic across partitionings") {
+    val edges = (1L to 40L).map(i => (i, i % 7 + 100L)).toDF("src", "dst")
+    val seeds = Seq(100L, 101L).toDF("id")
+    val a = GraphXBridge.pageRankPersonalized(edges.repartition(1), seeds, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = GraphXBridge.pageRankPersonalized(edges.repartition(13), seeds, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+
   test("kmvDistinct: exact below k, within 25% above k, partitioning-invariant") {
     val d = (1L to 5000L).map(i => (s"g${i % 3}", i)).toDF("grp", "key")
     val est = operators.Sketch.kmvDistinct(d, "grp", "key", k = 256)

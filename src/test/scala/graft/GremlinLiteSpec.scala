@@ -331,6 +331,34 @@ class GremlinLiteSpec extends AnyFunSuite {
     assert(err.getMessage.contains("times"))
   }
 
+  test("repeat().times(n>=8).dedup() takes the hopPower path and matches sequential hops") {
+    // Ring 1→2→3→1 with a branch 1→4: cycles + fan-out, so exactly-n
+    // semantics (not closure) are observable. n=9 ≡ 0 (mod 3) on the ring.
+    val ring = PropertyGraph(
+      (1L to 4L).map(i => (i, "n", i.toString, Map.empty[String, String]))
+        .toDF("id", "label", "key", "props"),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+        .map { case (s, d) => (s, d, "in", 1) }.toDF("src", "dst", "label", "weight"))
+    for (n <- Seq(8, 9, 12)) {
+      val doubled = GremlinLite.run(ring, s"g.V(1).repeat(out('in')).times($n).dedup().id()")
+        .as[Long].collect().toSet
+      // sequential twin: the fluent API's hop fold + distinct (bag→set)
+      val seq = (1 to n).foldLeft(ring.hasLabel("n").filter(col("id") === 1): org.apache.spark.sql.DataFrame)(
+        (d, _) => ring.valueMap(ring.out(d, None))).select("id").distinct()
+        .as[Long].collect().toSet
+      assert(doubled == seq, s"n=$n: doubling $doubled != sequential $seq")
+    }
+    // multiplicity-sensitive spellings stay on the sequential path:
+    // without dedup() the walk bag (here: a count) must be preserved.
+    val bag = GremlinLite.run(ring, "g.V(1).repeat(out('in')).times(9).count()")
+      .as[Long].head()
+    assert(bag == 1L) // exactly one 9-walk from 1 survives (the pure ring walk)
+    // and below the threshold the dedup'd result is identical anyway
+    val small = GremlinLite.run(ring, "g.V(1).repeat(out('in')).times(2).dedup().id()")
+      .as[Long].collect().toSet
+    assert(small == Set(3L))
+  }
+
   test("limit and dedup; unsupported steps fail loudly") {
     assert(GremlinLite.run(g, "g.V().hasLabel('user').dedup().limit(1).id()")
       .as[Long].collect().length == 1)

@@ -118,6 +118,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 1.0))
   }
 
+  test("ngramContainment: subset doc scores cont 1.0 while Jaccard dilutes") {
+    // B = A + suffix, chosen so A's min-shingle-hash stays B's min (the
+    // h1 prefilter pairs them): shingles(A) = {abc,bcd,cde} all inside
+    // B's 5 -> cont_ab = 3/3 = 1.0, cont_ba = floor(3/5*1e4)/1e4 = 0.6.
+    val out = Dedup.ngramContainment(
+      docs((1L, "a b c d e"), (2L, "a b c d e f g")), "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0, 0.6)))
+    // the symmetric twin under-scores the same inclusion
+    val j = Dedup.ngramJaccard(
+      docs((1L, "a b c d e"), (2L, "a b c d e f g")), "doc_id", "text")
+      .as[(Long, Long, Double)].collect().head._3
+    assert(j == 0.6)
+  }
+
   test("lshPrecision: exact-Jaccard audit of the candidate pairs, empty-safe") {
     // One exact-dup pair + one unrelated doc: the only candidate is
     // (1,2) with Jaccard 1.0 >= 0.5, so precision is 1.0.
@@ -837,6 +852,24 @@ class OperatorsSpec extends AnyFunSuite {
       "vec_id", "embedding", "label").select("pred_label").distinct()
       .as[Int].collect().toSeq
     assert(tieAsg == Seq(3)) // dist 1e12 to both; label 3 < 7 wins
+  }
+
+  test("lloydStep: update centroids follow the PREDICTED clusters, not the labels") {
+    // vec 5 is labeled 0 but sits on class 1's mean: the assignment moves
+    // it, so cluster 0's update = mean(vec1, vec2) and cluster 1's =
+    // mean(vec3, vec4, vec5) — exact integer micro-unit arithmetic.
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f), 0),
+      (2L, Array(0.2f, 0.0f), 0),
+      (3L, Array(1.0f, 1.0f), 1),
+      (4L, Array(1.0f, 0.8f), 1),
+      (5L, Array(1.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Clustering.lloydStep(vecs, "vec_id", "embedding", "label")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0, 1L, 100000L), (0, 2L, 0L),
+      (1, 1L, 1000000L), (1, 2L, (1000000L + 800000L + 1000000L) / 3)))
   }
 
   test("vocabCoverage: rank by frequency, exact cumulative counts and shares") {

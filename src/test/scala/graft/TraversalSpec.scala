@@ -167,6 +167,24 @@ class TraversalSpec extends AnyFunSuite {
     }
   }
 
+  test("property: hopPower equals the n-fold naive compose on seeded random graphs") {
+    val rnd = new scala.util.Random(777)
+    (1 to 8).foreach { _ =>
+      val n = 2 + rnd.nextInt(8)
+      val m = 1 + rnd.nextInt(20)
+      val es = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+      // naive R^k: k-1 set-composes of the pair relation
+      val r1 = es.toSet
+      def comp(a: Set[(Long, Long)], b: Set[(Long, Long)]) =
+        for { (s, x) <- a; (y, d) <- b if x == y } yield (s, d)
+      for (k <- Seq(1, 2, 3, 5, 9)) {
+        val want = (2 to k).foldLeft(r1)((acc, _) => comp(acc, r1))
+        val got = Traversal.hopPower(edgesDF(es), k).as[(Long, Long)].collect().toSet
+        assert(got == want, s"k=$k edges=$es")
+      }
+    }
+  }
+
   test("property: closureDoubling equals naive closure on 15 seeded random graphs") {
     val rnd = new scala.util.Random(1234)
     (1 to 15).foreach { _ =>
