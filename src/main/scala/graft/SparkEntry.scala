@@ -1223,6 +1223,22 @@ object SparkEntry {
       graph.GraphXBridge.pageRankFixed(sn.unionByName(nr), iters = 3)
     }),
 
+    // REAL media decode, hash-verified end-to-end: text → valid 24-bit BMP
+    // bytes → pure-JVM decoder (magic/offset/bpp parse, bottom-up un-flip)
+    // → exact per-channel sums. The oracle recomputes the sums straight
+    // from the text, so the byte-level encode∘decode must invert exactly.
+    "m4_bmp_roundtrip" -> ((s, dir) => {
+      val media = operators.Multimodal.encodeBmp(s, t(s, dir, "documents"), "doc_id", "text")
+      operators.Multimodal.decodeBmp(s, media).toDF()
+    }),
+
+    // Audio twin: text → valid RIFF/WAVE PCM16 → chunk-walking decoder →
+    // exact sample count + energy sum.
+    "m5_wav_roundtrip" -> ((s, dir) => {
+      val media = operators.Multimodal.encodeWav(s, t(s, dir, "documents"), "doc_id", "text")
+      operators.Multimodal.decodeWav(s, media).toDF()
+    }),
+
     // Personalized PageRank (same integer fixed-point recipe), teleport
     // mass pinned to the region vertices: rank = proximity to the regions
     // through the containment chain, not global importance.
@@ -2432,6 +2448,36 @@ object SparkEntry {
         | CAST(len(list_filter(codes, c -> c >= 128 AND c < 192)) AS BIGINT) AS h2,
         | CAST(len(list_filter(codes, c -> c >= 192 AND c < 256)) AS BIGINT) AS h3
         |FROM c""".stripMargin,
+
+    // the round-trip invariant straight from the text: byte p of the
+    // payload lands in BMP channel p%3 (0=B,1=G,2=R); height =
+    // ceil(len/48) with stride 48 (width 16), n_px counts padding.
+    "m4_bmp_roundtrip" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |g AS (SELECT doc_id, text, len, unnest(generate_series(1, greatest(len, 1))) AS i FROM t),
+        |c AS (SELECT doc_id, i - 1 AS p,
+        |  CASE WHEN i <= len THEN unicode(substr(text, CAST(i AS INTEGER), 1)) ELSE 0 END AS code
+        |  FROM g),
+        |sums AS (SELECT doc_id,
+        |  CAST(coalesce(sum(CASE WHEN p % 3 = 0 THEN code END), 0) AS BIGINT) AS sum_b,
+        |  CAST(coalesce(sum(CASE WHEN p % 3 = 1 THEN code END), 0) AS BIGINT) AS sum_g,
+        |  CAST(coalesce(sum(CASE WHEN p % 3 = 2 THEN code END), 0) AS BIGINT) AS sum_r
+        |  FROM c GROUP BY doc_id),
+        |dims AS (SELECT doc_id, greatest(1, CAST(ceil(len / 48.0) AS BIGINT)) AS h FROM t)
+        |SELECT d.doc_id AS id, 16 AS width, CAST(d.h AS INTEGER) AS height,
+        |  16 * d.h AS n_px, s.sum_b, s.sum_g, s.sum_r
+        |FROM dims d JOIN sums s ON d.doc_id = s.doc_id""".stripMargin,
+
+    // PCM16 energy: sample = (code-64)*256, so sum_sq = 65536 * Σ(code-64)².
+    "m5_wav_roundtrip" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |g AS (SELECT doc_id, text, unnest(generate_series(1, len)) AS i FROM t),
+        |c AS (SELECT doc_id, unicode(substr(text, CAST(i AS INTEGER), 1)) - 64 AS d FROM g)
+        |SELECT t.doc_id AS id, 16000 AS sample_rate, 1 AS n_channels,
+        |  CAST(t.len AS BIGINT) AS n_samples,
+        |  CAST(coalesce(sum(CAST(c.d AS BIGINT) * c.d * 65536), 0) AS BIGINT) AS sum_sq
+        |FROM t LEFT JOIN c ON t.doc_id = c.doc_id
+        |GROUP BY t.doc_id, t.len""".stripMargin,
 
     "x1_connected_components" ->
       """WITH RECURSIVE e AS (

@@ -261,6 +261,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dec(0) == again(0)) // deterministic fake
   }
 
+  test("BMP round trip: encoder emits a valid 24-bit BMP, decoder inverts it exactly") {
+    // "ABC" -> payload bytes 65,66,67: B=65, G=66, R=67; h=1, n_px=16.
+    val media = Multimodal.encodeBmp(spark, docs((7L, "ABC")), "doc_id", "text")
+    val blob = media.collect().head.blob
+    assert(blob(0) == 'B'.toByte && blob(1) == 'M'.toByte)
+    assert(blob.length == 54 + 48) // header + one aligned 16px row
+    val dec = Multimodal.decodeBmp(spark, media).collect().head
+    assert(dec == Multimodal.BmpDecoded(7L, 16, 1, 16L, 65L, 66L, 67L))
+    // multi-row: 100 chars -> h = ceil(100/48) = 3 rows; the bottom-up
+    // storage must un-flip, so channel sums equal the direct byte sums
+    val text = ("a" * 47) + "Z" + ("b" * 52) // byte 47 = 'Z' lands in row 0 end
+    val dec2 = Multimodal.decodeBmp(spark,
+      Multimodal.encodeBmp(spark, docs((8L, text)), "doc_id", "text")).collect().head
+    val bytes = text.getBytes("UTF-8")
+    def chan(c: Int) = bytes.zipWithIndex.filter(_._2 % 3 == c).map(_._1.toLong).sum
+    assert(dec2 == Multimodal.BmpDecoded(8L, 16, 3, 48L, chan(0), chan(1), chan(2)))
+    // corrupt magic fails loudly, not silently
+    val bad = media.map(r => Multimodal.MediaRow(r.id, "XX".getBytes ++ r.blob.drop(2), r.mime))
+    assertThrows[org.apache.spark.SparkException](Multimodal.decodeBmp(spark, bad).collect())
+  }
+
+  test("WAV round trip: valid RIFF/WAVE PCM16, chunk walk, exact energy sum") {
+    val media = Multimodal.encodeWav(spark, docs((9L, "AB")), "doc_id", "text")
+    val blob = media.collect().head.blob
+    assert(new String(blob.take(4), "US-ASCII") == "RIFF")
+    assert(new String(blob.slice(8, 12), "US-ASCII") == "WAVE")
+    val dec = Multimodal.decodeWav(spark, media).collect().head
+    // samples: (65-64)*256=256, (66-64)*256=512 -> sum_sq = 256² + 512²
+    assert(dec == Multimodal.WavDecoded(9L, 16000, 1, 2L, 256L * 256 + 512L * 512))
+    // negative samples square positively: space (32) -> (32-64)*256 = -8192
+    val dec2 = Multimodal.decodeWav(spark,
+      Multimodal.encodeWav(spark, docs((10L, " ")), "doc_id", "text")).collect().head
+    assert(dec2.sum_sq == 8192L * 8192L && dec2.n_samples == 1L)
+  }
+
   test("property: B9 map inversion round-trips on seeded random role->permission maps") {
     val rnd = new scala.util.Random(11)
     (1 to 5).foreach { _ =>
