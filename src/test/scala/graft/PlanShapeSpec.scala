@@ -85,4 +85,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!cols.contains("text"),
       s"text column crossed an exchange; shuffled columns: $cols")
   }
+
+  test("lloydStep: no array column ever crosses a shuffle (vectors collapse first)") {
+    // The scale claim behind e12: quantized vectors posexplode and
+    // partially aggregate BEFORE every exchange — only (cluster, dim,
+    // long) triples and scalar argmin rows move. An ArrayType attribute
+    // in any ShuffleExchange means raw vectors started shuffling.
+    val vecs = (1L to 40L).map(i =>
+      (i, Array.tabulate(8)(d => (i % 5 + d).toFloat / 10f), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val df = graft.operators.Clustering.lloydStep(vecs, "vec_id", "embedding", "label")
+    val nodes = finalNodes(df)
+    val arrayShuffled = nodes.collect { case s: ShuffleExchangeExec =>
+      s.output.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        .map(_.name)
+    }.flatten
+    assert(arrayShuffled.isEmpty,
+      s"array columns crossed an exchange: $arrayShuffled")
+  }
+
+  test("ngramContainment: text never crosses an exchange (same bound as jaccard)") {
+    val nodes = finalNodes(
+      Dedup.ngramContainment(corpus, "doc_id", "text"))
+    val cols = shuffledColumns(nodes)
+    assert(!cols.contains("text"),
+      s"text column crossed an exchange; shuffled columns: $cols")
+  }
 }
