@@ -658,6 +658,13 @@ object SparkEntry {
       operators.Dedup.ngramContainment(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // The 100 TB containment path: signature-only estimate (k longs + one
+    // set-size scalar per doc cross the verification join, never the
+    // shingle sets) — m/k agreement inverted through inclusion-exclusion.
+    "d_containment_est" -> ((s, dir) => {
+      operators.Dedup.containmentEstimate(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // LSH candidate-quality audit: exact Jaccard over every d_minhash_lsh
     // pair, reduced to one (n_candidates, n_true, precision) row at
     // threshold 0.5 — the number the band/row configuration is tuned by.
@@ -1237,6 +1244,20 @@ object SparkEntry {
     "m5_wav_roundtrip" -> ((s, dir) => {
       val media = operators.Multimodal.encodeWav(s, t(s, dir, "documents"), "doc_id", "text")
       operators.Multimodal.decodeWav(s, media).toDF()
+    }),
+
+    // Exactly-8-step reachability by binary relation exponentiation
+    // (Traversal.hopPower: 3 squarings instead of 8 sequential hops) over
+    // the symmetrized supplier–nation–region graph — the log-round
+    // traversal primitive behind repeat().times(n).dedup(), gated.
+    "a21_hop_power" -> ((s, dir) => {
+      val sn = t(s, dir, "supplier").select(
+        (lit(4L * B) + col("s_suppkey")).as("src"), (lit(2L * B) + col("s_nationkey")).as("dst"))
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"), (lit(1L * B) + col("n_regionkey")).as("dst"))
+      val e = sn.unionByName(nr)
+      val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      graph.Traversal.hopPower(und, 8)
     }),
 
     // Personalized PageRank (same integer fixed-point recipe), teleport
@@ -2066,6 +2087,31 @@ object SparkEntry {
          |   / len(b.shd) * 10000) / 10000 AS cont_ba
          |FROM base a JOIN base b ON a.h1 = b.h1 AND a.doc_id < b.doc_id""".stripMargin,
 
+    // signature agreement m of 8, inverted to an intersection estimate in
+    // exact integer division, normalized by the exact per-doc set sizes.
+    "d_containment_est" -> {
+      val k = 8
+      val hs = (1 to k).map(i =>
+        s"list_min(list_transform(sh, x -> ${md5i(s"x || '|$i'")})) AS h$i").mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val (l, r) = (s"h${2 * b + 1}", s"h${2 * b + 2}")
+        s"SELECT doc_id, $b AS band, ${md5i(s"CAST($l AS VARCHAR) || '_' || CAST($r AS VARCHAR)")} AS bucket FROM sig"
+      }.mkString("\nUNION ALL ")
+      val m = (1 to k).map(i => s"CASE WHEN a.h$i = b2.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""$SHINGLE_CTES,
+         |sig AS (SELECT doc_id, $hs, len(list_distinct(sh)) AS sz FROM s),
+         |b AS ($bands),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+         |j AS (SELECT p.id_a, p.id_b, CAST($m AS BIGINT) AS matches,
+         |  CAST(a.sz AS BIGINT) AS sa, CAST(b2.sz AS BIGINT) AS sb
+         |  FROM p JOIN sig a ON p.id_a = a.doc_id JOIN sig b2 ON p.id_b = b2.doc_id)
+         |SELECT id_a, id_b, matches,
+         |  floor(CAST(matches * (sa + sb) // ($k + matches) AS DOUBLE) / sa * 10000) / 10000 AS cont_ab_est,
+         |  floor(CAST(matches * (sa + sb) // ($k + matches) AS DOUBLE) / sb * 10000) / 10000 AS cont_ba_est
+         |FROM j""".stripMargin
+    },
+
     // d_minhash_lsh's candidate pairs + d_ngram_jaccard's exact floored
     // Jaccard, reduced to one audit row at threshold 0.5.
     "d_lsh_precision" -> {
@@ -2595,6 +2641,18 @@ object SparkEntry {
          |$iters
          |SELECT id, CAST(rank_micro AS BIGINT) AS rank_micro FROM p3""".stripMargin
     },
+
+    // R^8 as three set-compose squarings — the same exponentiation the
+    // Spark side runs, spelled in SQL.
+    "a21_hop_power" ->
+      """WITH e0 AS (
+        |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+        |u AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |r2 AS (SELECT DISTINCT a.src, b.dst FROM u a JOIN u b ON a.dst = b.src),
+        |r4 AS (SELECT DISTINCT a.src, b.dst FROM r2 a JOIN r2 b ON a.dst = b.src),
+        |r8 AS (SELECT DISTINCT a.src, b.dst FROM r4 a JOIN r4 b ON a.dst = b.src)
+        |SELECT src, dst FROM r8""".stripMargin,
 
     "x7_ppr_regions" -> {
       // x4's unrolled integer recurrence, reset mass pinned to the seeds.

@@ -328,6 +328,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Signature-only containment ESTIMATE over LSH candidate pairs — the
+    * 100 TB twin of [[ngramContainment]]: the verification join ships k
+    * signature longs and ONE exact set-size scalar per doc, never the
+    * shingle sets (which are document-sized — at corpus scale the exact
+    * verifier's exchange is the corpus again; this one's is k+1 longs).
+    *
+    * Math, all engine-portable integers until the final floor-4dp:
+    * positional agreement m of k minhashes estimates Ĵ = m/k, and the
+    * inclusion–exclusion identity J = I/(|A|+|B|−I) inverts to
+    * I_est = m·(|A|+|B|) div (k+m); containments divide I_est by the
+    * exact |A| / |B|. Output: (id_a, id_b, matches, cont_ab_est,
+    * cont_ba_est). Same cap + NULL-signature (<n-word docs) exclusions
+    * as [[lshCandidates]]. */
+  def containmentEstimate(docs: DataFrame, idCol: String, textCol: String,
+                          bands: Int = 4, rowsPerBand: Int = 2, n: Int = 3,
+                          maxBucket: Int = 8192): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = minhashSignature(docs, textCol, k, n)
+      .withColumn("__sz", size(array_distinct(shingles(col(textCol), n))).cast("long"))
+      .select(col(idCol) +: (1 to k).map(i => col(s"h$i")) :+ col("__sz"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = Skew.capBuckets(
+      lshBuckets(sig, idCol, bands, rowsPerBand), Seq("band", "bucket"), idCol, maxBucket)
+    val cand = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      .join(buckets.select(col("band"), col("bucket"), col(idCol).as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    def side(as: String) = sig.select(
+      col(idCol).as(as),
+      array((1 to k).map(i => col(s"h$i")): _*).as(s"sig_$as"),
+      col("__sz").as(s"sz_$as"))
+    cand.join(side("id_a"), Seq("id_a")).join(side("id_b"), Seq("id_b"))
+      .withColumn("matches", aggregate(
+        zip_with(col("sig_id_a"), col("sig_id_b"),
+          (x, y) => when(x.isNotNull && x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("__i", expr(s"matches * (sz_id_a + sz_id_b) div ($k + matches)"))
+      .select(col("id_a"), col("id_b"), col("matches"),
+        (floor(col("__i").cast("double") / col("sz_id_a") * 10000) / 10000).as("cont_ab_est"),
+        (floor(col("__i").cast("double") / col("sz_id_b") * 10000) / 10000).as("cont_ba_est"))
+  }
+
   /** Train↔benchmark contamination scan: for every (train doc, bench
     * doc) pair sharing at least `minShared` distinct word n-grams,
     * the count of shared n-grams — the decontamination pass run before

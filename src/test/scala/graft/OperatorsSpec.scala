@@ -133,6 +133,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j == 0.6)
   }
 
+  test("containmentEstimate: identical docs estimate 1.0; unrelated docs pair nothing") {
+    val out = Dedup.containmentEstimate(docs(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")), "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    // identical signatures: m=8, I_est = 8*(s+s)/16 = s -> both sides 1.0
+    assert(out.toSeq == Seq((1L, 2L, 8L, 1.0, 1.0)))
+    // estimator agrees with the exact verifier on the same pair
+    val exact = Dedup.ngramContainment(docs(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight")), "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert((exact._3, exact._4) == ((1.0, 1.0)))
+  }
+
   test("lshPrecision: exact-Jaccard audit of the candidate pairs, empty-safe") {
     // One exact-dup pair + one unrelated doc: the only candidate is
     // (1,2) with Jaccard 1.0 >= 0.5, so precision is 1.0.
