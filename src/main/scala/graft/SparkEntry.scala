@@ -1829,14 +1829,17 @@ object SparkEntry {
     // mirrors Sketch.countMinHeavy: seeded-md5 cells, min-of-depth
     // estimate, exact count only for sketch-flagged candidates.
     "cd5_countmin_heavy" -> {
-      def cellOf(k: String) = s"${md5i(s"$k || '|cms|' || CAST(r AS VARCHAR)")} % 16"
+      // Kirsch–Mitzenmacher cells from ONE md5 per key: (h1 + r·h2) % 16
+      // with h1 = h mod 2^30 and h2 = (h >> 30) | 1 — mirrors Sketch.
+      val cellOf = s"(hh % 1073741824 + r * ((hh // 1073741824) | 1)) % 16"
       s"""WITH u AS (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS k
          |  FROM documents),
-         |cells AS (SELECT k, r, ${cellOf("k")} AS b
-         |  FROM u CROSS JOIN generate_series(0, 3) g(r)),
+         |hh0 AS (SELECT k, ${md5i("k")} AS hh FROM u),
+         |cells AS (SELECT k, r, $cellOf AS b
+         |  FROM hh0 CROSS JOIN generate_series(0, 3) g(r)),
          |sk AS (SELECT r, b, count(*) AS c FROM cells GROUP BY r, b),
-         |probe AS (SELECT DISTINCT k, r, ${cellOf("k")} AS b
-         |  FROM u CROSS JOIN generate_series(0, 3) g(r)),
+         |probe AS (SELECT DISTINCT k, r, $cellOf AS b
+         |  FROM hh0 CROSS JOIN generate_series(0, 3) g(r)),
          |est AS (SELECT probe.k, min(sk.c) AS est_count FROM probe
          |  JOIN sk ON probe.r = sk.r AND probe.b = sk.b GROUP BY probe.k),
          |cand AS (SELECT k, est_count FROM est WHERE est_count >= 1000),

@@ -263,8 +263,14 @@ object Dedup {
     val fp = simhash(docs, idCol, textCol, bits)
     val bandVals = array((0 to maxHamming).map(b =>
       shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)
+    // Persist the banded table (the lshCandidates pattern): the cap's
+    // size count and BOTH self-join sides scan it, and each uncached scan
+    // re-runs the `bits` vote folds over the whole corpus — the dominant
+    // cost of this operator (measured 3× fingerprint recompute ≈ 5 s vs
+    // ~1.5 s cached at sf0.1). (id, fingerprint, band) longs only.
     val banded = fp.select(col(idCol), col("simhash"),
         posexplode(bandVals).as(Seq("band", "bval")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = Skew.capBuckets(banded, Seq("band", "bval"), idCol, maxBucket)
     val l = b.select(col("band"), col("bval"), col(idCol).as("id_a"),
       col("simhash").as("fp_a"))

@@ -128,15 +128,31 @@ object Sketch {
   def countMinHeavy(df: DataFrame, keyCol: String, threshold: Long,
                     depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && width >= 1, s"need depth/width >= 1, got $depth/$width")
+    // Persist the key projection: BUILD, PROBE, and EXACT each scan it,
+    // and the upstream is typically an explode over text (re-tokenizing
+    // the corpus 3x). One string column — far smaller than the source;
+    // MEMORY_AND_DISK spills rather than OOMs at scale (the ngramJaccard
+    // persist contract: reclaimed by LRU / spark.catalog.clearCache).
     val keys = df.select(col(keyCol).cast("string").as("k"))
-    def cell(k: Column, r: Column): Column =
-      pmod(md5Long(concat(k, lit("|cms|"), r.cast("string"))), lit(width.toLong))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Kirsch–Mitzenmacher double hashing: ONE md5 per key occurrence
+    // (projected BEFORE the depth explode, so codegen evaluates it once,
+    // not per row), the depth cells derived as (h1 + r·h2) mod width with
+    // h1/h2 split from the 60-bit hash (h2 forced odd). Independent-enough
+    // for CMS guarantees (K–M 2006), 1/depth the string-hash work of
+    // salting md5 per row, and still exactly reproducible in any engine
+    // with md5.
+    def cell(r: Column): Column = pmod(
+      pmod(col("__h"), lit(1L << 30)) + r * shiftright(col("__h"), 30).bitwiseOR(lit(1L)),
+      lit(width.toLong))
     val rows = explode(sequence(lit(0), lit(depth - 1))).as("r")
-    val sketch = keys.select(col("k"), rows)
-      .groupBy(col("r"), cell(col("k"), col("r")).as("b"))
+    val sketch = keys.select(md5Long(col("k")).as("__h"))
+      .select(col("__h"), rows)
+      .groupBy(col("r"), cell(col("r")).as("b"))
       .agg(count(lit(1)).as("c"))
-    val probe = keys.distinct().select(col("k"), rows)
-      .select(col("k"), col("r"), cell(col("k"), col("r")).as("b"))
+    val probe = keys.distinct().select(col("k"), md5Long(col("k")).as("__h"))
+      .select(col("k"), col("__h"), rows)
+      .select(col("k"), col("r"), cell(col("r")).as("b"))
     val est = probe.join(broadcast(sketch), Seq("r", "b"))
       .groupBy(col("k")).agg(min(col("c")).as("est_count"))
     val cand = est.filter(col("est_count") >= threshold)
