@@ -1192,6 +1192,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // Interval × interval overlap join with BOTH sides data-sized (what
+    // z2's broadcast cannot cover): per-user daily activity intervals ×
+    // per-event-type daily intervals, bin-blocked on the hour so the
+    // overlap predicate runs as a hash equi-join, never a nested loop.
+    "z3_interval_overlap" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val a = ev.groupBy(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+        .agg(min(unix_micros(col("ts"))).as("start"), max(unix_micros(col("ts"))).as("end"))
+      val b = ev.groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day2"))
+        .agg(min(unix_micros(col("ts"))).as("start2"), max(unix_micros(col("ts"))).as("end2"))
+      operators.IntervalJoin.overlapJoin(a, b, binWidth = 3600L * 1000000L)
+        .select(col("user_id"), col("day"), col("event_type"),
+          (least(col("end"), col("end2")) - greatest(col("start"), col("start2")))
+            .as("overlap_micros"))
+    }),
+
     // Exact interpolated percentiles per group (sort-based, so no
     // float-summation order issues — deterministic across engines).
     "f5_percentiles" -> ((s, dir) => {
@@ -1270,6 +1286,14 @@ object SparkEntry {
         (lit(2L * B) + col("n_nationkey")).as("src"), (lit(1L * B) + col("n_regionkey")).as("dst"))
       val seeds = t(s, dir, "region").select((lit(1L * B) + col("r_regionkey")).as("id"))
       graph.GraphXBridge.pageRankPersonalized(sn.unionByName(nr), seeds, iters = 3)
+    }),
+
+    // BPE tokenizer-training inner loop: top-20 adjacent char pairs
+    // weighted by word frequency, computed over the VOCABULARY (corpus
+    // collapses to (word, n) first — the explode never touches corpus
+    // scale).
+    "t_bpe_pair_freq" -> ((s, dir) => {
+      operators.TextAnalysis.bpePairFreq(t(s, dir, "documents"), "text", topK = 20)
     }),
 
     // TF-IDF: top-3 terms per document.
@@ -2590,6 +2614,15 @@ object SparkEntry {
         |   WHERE event_type = 'purchase' GROUP BY user_id, ts) r
         |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
 
+    "z3_interval_overlap" ->
+      """WITH a AS (SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day2,
+        |  epoch_us(min(ts)) AS s2, epoch_us(max(ts)) AS e2 FROM events GROUP BY 1, 2)
+        |SELECT a.user_id, a.day, b.event_type,
+        |  least(a.e, b.e2) - greatest(a.s, b.s2) AS overlap_micros
+        |FROM a JOIN b ON a.s <= b.e2 AND b.s2 <= a.e""".stripMargin,
+
     "z2_range_join" ->
       """WITH b(band_id, lo, hi) AS (VALUES
         |  (0, 0.0, 100.0), (1, 100.0, 200.0), (2, 200.0, 300.0),
@@ -2678,6 +2711,17 @@ object SparkEntry {
          |$iters
          |SELECT id, CAST(rank_micro AS BIGINT) AS rank_micro FROM p3""".stripMargin
     },
+
+    "t_bpe_pair_freq" ->
+      """WITH v AS (SELECT w, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS w
+        |  FROM documents) GROUP BY w),
+        |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, n
+        |  FROM v, unnest(generate_series(1, length(w) - 1)) AS g(i)
+        |  WHERE length(w) >= 2),
+        |c AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM p GROUP BY pair)
+        |SELECT pair, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INTEGER) AS rank
+        |FROM c QUALIFY rank <= 20""".stripMargin,
 
     "t_tfidf" ->
       s"""$WORDS_CTE,

@@ -96,6 +96,35 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
 
+  /** The inner loop of BPE TOKENIZER TRAINING at corpus scale: the
+    * top-K most frequent adjacent character pairs, weighted by word
+    * frequency — what a Sennrich-style trainer computes once per merge.
+    *
+    * The scale trick is the two-level aggregation: the corpus collapses
+    * to a (word, n) VOCABULARY first (one hash agg — corpus-sized
+    * exchange of word strings with map-side combine), and the pair
+    * explode runs over the vocabulary only, weighted by n. A 100 TB
+    * corpus has a ~10⁷-word vocabulary: the expensive explode touches
+    * 10⁷ rows, not 10¹³. Output: (pair, cnt, rank), rank 1..topK with
+    * (count desc, pair) determinism. */
+  def bpePairFreq(docs: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val vocab = docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val pairs = vocab
+      .select(col("n"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      // 1-char words hit Spark's descending sequence(1,0) quirk and emit
+      // sub-2-char slices; the exact-length filter drops them.
+      .filter(length(col("pair")) === 2)
+      .groupBy("pair").agg(sum(col("n")).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("pair"))
+    pairs.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+  }
+
   private def floor6(c: Column): Column = floor(c * 1000000) / 1000000
 
   /** TF-IDF top-k terms per document: score = tf · ln((N+1)/(df+1)),

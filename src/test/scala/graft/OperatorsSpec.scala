@@ -277,6 +277,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dec(0) == again(0)) // deterministic fake
   }
 
+  test("bpePairFreq: vocabulary-weighted adjacent pair counts with deterministic ranks") {
+    // vocab: aaa×2, bb×1, c×1 -> pairs: "aa" appears twice PER "aaa" word
+    // (weighted by its frequency 2 -> cnt 4), "bb" once; "c" emits none.
+    val out = TextAnalysis.bpePairFreq(
+      docs((1L, "aaa bb aaa"), (2L, "aaa c")), "text", topK = 10)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(out == Seq(("aa", 6L, 1), ("bb", 1L, 2)))
+    // aaa total count 3 (two in doc 1, one in doc 2): 2 pairs × 3 = 6
+  }
+
+  test("IntervalJoin.overlapJoin: bin blocking finds exactly the overlapping pairs") {
+    val a = Seq((1L, 0L, 10L), (2L, 20L, 30L)).toDF("id_a", "start", "end")
+    val b = Seq(("x", 5L, 7L), ("y", 9L, 21L), ("z", 40L, 50L))
+      .toDF("id_b", "start2", "end2")
+    // binWidth 4 forces multi-bin intervals (pair 1-y shares bins 2 only;
+    // 1-x shares bin 1; the distinct must collapse shared-bin duplicates)
+    val got = operators.IntervalJoin.overlapJoin(a, b, binWidth = 4)
+      .select("id_a", "id_b").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "x"), (1L, "y"), (2L, "y")))
+    // inclusive endpoints: touching intervals overlap
+    val touch = operators.IntervalJoin.overlapJoin(
+      Seq((1L, 0L, 5L)).toDF("id_a", "start", "end"),
+      Seq(("t", 5L, 9L)).toDF("id_b", "start2", "end2"), binWidth = 100)
+      .count()
+    assert(touch == 1L)
+    // disjoint column names are enforced loudly
+    assertThrows[IllegalArgumentException](operators.IntervalJoin.overlapJoin(
+      Seq((1L, 0L, 5L)).toDF("id", "start", "end"),
+      Seq((2L, 5L, 9L)).toDF("id", "start2", "end2"), binWidth = 10))
+  }
+
   test("BMP round trip: encoder emits a valid 24-bit BMP, decoder inverts it exactly") {
     // "ABC" -> payload bytes 65,66,67: B=65, G=66, R=67; h=1, n_px=16.
     val media = Multimodal.encodeBmp(spark, docs((7L, "ABC")), "doc_id", "text")
