@@ -47,6 +47,8 @@ object Verify {
         "uncapped oracles; shrink the corpus or mirror the cap in SQL"
       val audits = Seq(
         ("lsh band buckets", operators.Dedup.lshOverflow(docs, "doc_id", "text"), capMsg),
+        ("simhash band buckets",
+          operators.Dedup.simhashOverflow(docs, "doc_id", "text", bits = 60), capMsg),
         ("ngram h1 prefilter", operators.Skew.bucketOverflow(pre, Seq("h1"), 8192), capMsg),
         ("cosine label blocks", operators.Skew.bucketOverflow(embs, Seq("label"), 8192), capMsg),
         // d_shuffle_shard has NO cap and still matches its oracle when a

@@ -35,7 +35,10 @@ import graft.graph.{PropertyGraph, Traversal}
   * vertex-hop traversals only, and only queries containing path() pay
   * the per-hop history tagging),
   * `repeat(out([l])|in([l])).times(n)` — the canonical spelling of
-  * the reference's k-hop walk (README.md:20-33 repeated `.out()`) — and
+  * the reference's k-hop walk (README.md:20-33 repeated `.out()`;
+  * `times(n ≥ 8)` followed immediately by `dedup()` with no live tags
+  * lowers to [[graft.graph.Traversal.hopPower]]'s ≤ 2·log₂ n relation
+  * squarings instead of n sequential hop joins) — and
   * `subgraph('sg')...cap('sg')[.next()]`, so the reference's Cytoscape
   * export session (`sg = g.V().outE().subgraph('sg').cap('sg').next()`,
   * README.md:369-380) runs verbatim: a leading `name =` assignment is

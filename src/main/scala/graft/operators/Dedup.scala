@@ -284,6 +284,22 @@ object Dedup {
       .distinct()
   }
 
+  /** Cap-precondition audit for [[simhashNearDup]]: the (band, band-value)
+    * buckets whose membership exceeds `maxBucket` — non-empty means the
+    * capped join is sampling and the uncapped oracle would diverge. */
+  def simhashOverflow(docs: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 48, maxHamming: Int = 3,
+                      maxBucket: Int = 8192): DataFrame = {
+    val bandBits = bits / (maxHamming + 1)
+    val mask = (1L << bandBits) - 1
+    val fp = simhash(docs, idCol, textCol, bits)
+    val bandVals = array((0 to maxHamming).map(b =>
+      shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)
+    Skew.bucketOverflow(
+      fp.select(col(idCol), posexplode(bandVals).as(Seq("band", "bval"))),
+      Seq("band", "bval"), maxBucket)
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share the
     * first minhash (a 1-hash LSH prefilter), rounded to 4 decimals.
     * The prefilter bucket is capped like [[lshCandidates]]'s (same hot-key

@@ -118,6 +118,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 1.0))
   }
 
+  test("simhashOverflow: identical-fingerprint floods surface, clean corpora are silent") {
+    // 5 identical docs all share every band value; cap 3 -> 4 overflowing
+    // band buckets (one per band), each of size 5.
+    val flood = docs((1L to 5L).map(i => (i, "same words every time here")): _*)
+    val over = Dedup.simhashOverflow(flood, "doc_id", "text", bits = 60, maxBucket = 3)
+    assert(over.count() == 4L)
+    assert(over.agg(max(col("sz"))).as[Long].head() == 5L)
+    val clean = Dedup.simhashOverflow(
+      docs((1L, "alpha beta gamma"), (2L, "delta epsilon zeta")),
+      "doc_id", "text", bits = 60, maxBucket = 3)
+    assert(clean.isEmpty)
+  }
+
   test("ngramContainment: subset doc scores cont 1.0 while Jaccard dilutes") {
     // B = A + suffix, chosen so A's min-shingle-hash stays B's min (the
     // h1 prefilter pairs them): shingles(A) = {abc,bcd,cde} all inside
