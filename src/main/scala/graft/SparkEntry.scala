@@ -665,6 +665,23 @@ object SparkEntry {
       operators.Dedup.containmentEstimate(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Estimator-quality audit (the e10 pattern for containment): the
+    // signature estimate against the exact verifier on the pairs both
+    // surface, reduced to one (n_pairs, mae, max-error) row in exact
+    // 1e-4 integer units — the number that says whether the scale path
+    // is trustworthy.
+    "d_containment_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val est = operators.Dedup.containmentEstimate(docs, "doc_id", "text")
+      val exact = operators.Dedup.ngramContainment(docs, "doc_id", "text")
+      est.join(exact, Seq("id_a", "id_b"))
+        .select(round(col("cont_ab_est") * 10000).cast("long").as("eu"),
+          round(col("cont_ab") * 10000).cast("long").as("xu"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(abs(eu - xu)) div count(1)").as("mae_x10000"),
+          max(abs(col("eu") - col("xu"))).as("max_x10000"))
+    }),
+
     // LSH candidate-quality audit: exact Jaccard over every d_minhash_lsh
     // pair, reduced to one (n_candidates, n_true, precision) row at
     // threshold 0.5 — the number the band/row configuration is tuned by.
@@ -2137,6 +2154,40 @@ object SparkEntry {
          |  floor(CAST(matches * (sa + sb) // ($k + matches) AS DOUBLE) / sa * 10000) / 10000 AS cont_ab_est,
          |  floor(CAST(matches * (sa + sb) // ($k + matches) AS DOUBLE) / sb * 10000) / 10000 AS cont_ba_est
          |FROM j""".stripMargin
+    },
+
+    // est-vs-exact containment on the pairs both candidate generators
+    // surface; errors in exact 1e-4 integer units.
+    "d_containment_eval" -> {
+      val k = 8
+      val hs = (1 to k).map(i =>
+        s"list_min(list_transform(sh, x -> ${md5i(s"x || '|$i'")})) AS h$i").mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val (l, r) = (s"h${2 * b + 1}", s"h${2 * b + 2}")
+        s"SELECT doc_id, $b AS band, ${md5i(s"CAST($l AS VARCHAR) || '_' || CAST($r AS VARCHAR)")} AS bucket FROM sig"
+      }.mkString("\nUNION ALL ")
+      val m = (1 to k).map(i => s"CASE WHEN a.h$i = b2.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""$SHINGLE_CTES,
+         |sig AS (SELECT doc_id, $hs, len(list_distinct(sh)) AS sz FROM s),
+         |b AS ($bands),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+         |je0 AS (SELECT p.id_a, p.id_b, CAST($m AS BIGINT) AS mm,
+         |  CAST(a.sz AS BIGINT) AS sa, CAST(b2.sz AS BIGINT) AS sb
+         |  FROM p JOIN sig a ON p.id_a = a.doc_id JOIN sig b2 ON p.id_b = b2.doc_id),
+         |je AS (SELECT id_a, id_b,
+         |  CAST(floor(CAST(mm * (sa + sb) // ($k + mm) AS DOUBLE) / sa * 10000) AS BIGINT) AS eu
+         |  FROM je0),
+         |base AS (SELECT doc_id, list_distinct(sh) AS shd,
+         |  list_min(list_transform(sh, x -> ${md5i(s"x || '|1'")})) AS h1 FROM s),
+         |jx AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(floor(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
+         |    / len(a.shd) * 10000) AS BIGINT) AS xu
+         |  FROM base a JOIN base b ON a.h1 = b.h1 AND a.doc_id < b.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(abs(eu - xu)) // count(*) AS BIGINT) AS mae_x10000,
+         |  CAST(max(abs(eu - xu)) AS BIGINT) AS max_x10000
+         |FROM je JOIN jx USING (id_a, id_b)""".stripMargin
     },
 
     // d_minhash_lsh's candidate pairs + d_ngram_jaccard's exact floored

@@ -321,6 +321,40 @@ class OperatorsSpec extends AnyFunSuite {
       Seq((2L, 5L, 9L)).toDF("id", "start2", "end2"), binWidth = 10))
   }
 
+  test("property: overlapJoin equals brute-force overlap on seeded random intervals") {
+    val rnd = new scala.util.Random(314)
+    (1 to 5).foreach { _ =>
+      val as = (1L to 30L).map { i =>
+        val s = rnd.nextInt(500).toLong; (i, s, s + rnd.nextInt(60))
+      }
+      val bs = (1L to 30L).map { i =>
+        val s = rnd.nextInt(500).toLong; (i, s, s + rnd.nextInt(60))
+      }
+      val width = 1 + rnd.nextInt(80) // exercise tiny and wide bins
+      val got = operators.IntervalJoin.overlapJoin(
+        as.toDF("id_a", "start", "end"), bs.toDF("id_b", "start2", "end2"),
+        binWidth = width)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val brute = (for {
+        (ia, sa, ea) <- as; (ib, sb, eb) <- bs if sa <= eb && sb <= ea
+      } yield (ia, ib)).toSet
+      assert(got == brute, s"binWidth=$width")
+    }
+  }
+
+  test("property: bpePairFreq equals brute-force weighted pair counts") {
+    val rnd = new scala.util.Random(99)
+    val words = Seq("ab", "abc", "x", "aab", "bba", "cc")
+    val corpus = (1L to 6L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(5))(words(rnd.nextInt(words.length))).mkString(" ")))
+    val got = TextAnalysis.bpePairFreq(corpus.toDF("doc_id", "text"), "text", topK = 100)
+      .as[(String, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    val brute = corpus.flatMap(_._2.split("\\s+")).filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    assert(got == brute)
+  }
+
   test("BMP round trip: encoder emits a valid 24-bit BMP, decoder inverts it exactly") {
     // "ABC" -> payload bytes 65,66,67: B=65, G=66, R=67; h=1, n_px=16.
     val media = Multimodal.encodeBmp(spark, docs((7L, "ABC")), "doc_id", "text")
