@@ -125,6 +125,28 @@ object Sketch {
     *     per-key exact aggregation the sketch exists to avoid never runs
     *     over the whole key space.
     */
+  /** The CMS cell coordinates of every input row: (key, r, b) for r in
+    * 0..depth-1. Kirsch–Mitzenmacher double hashing — ONE md5 per key
+    * occurrence (projected BEFORE the depth explode, so codegen evaluates
+    * it once, not per row), the depth cells derived as (h1 + r·h2) mod
+    * width with h1/h2 split from the 60-bit hash (h2 forced odd).
+    * Independent-enough for CMS guarantees (K–M 2006), 1/depth the
+    * string-hash work of salting md5 per row, and exactly reproducible in
+    * any engine with md5. Shared by the batch sketch ([[countMinHeavy]])
+    * and the streaming build (`groupBy(r, b).count` over these cells IS
+    * the sketch, batch or micro-batch — counts are algebraic, so
+    * Structured Streaming's partial-state aggregation maintains it
+    * incrementally). */
+  def cmsCells(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"need depth/width >= 1, got $depth/$width")
+    def cell(r: Column): Column = pmod(
+      pmod(col("__h"), lit(1L << 30)) + r * shiftright(col("__h"), 30).bitwiseOR(lit(1L)),
+      lit(width.toLong))
+    df.select(col(keyCol).cast("string").as("k"), md5Long(col(keyCol).cast("string")).as("__h"))
+      .select(col("k"), col("__h"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("k"), col("r"), cell(col("r")).as("b"))
+  }
+
   def countMinHeavy(df: DataFrame, keyCol: String, threshold: Long,
                     depth: Int = 4, width: Int = 256): DataFrame = {
     require(depth >= 1 && width >= 1, s"need depth/width >= 1, got $depth/$width")
@@ -135,24 +157,10 @@ object Sketch {
     // persist contract: reclaimed by LRU / spark.catalog.clearCache).
     val keys = df.select(col(keyCol).cast("string").as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Kirsch–Mitzenmacher double hashing: ONE md5 per key occurrence
-    // (projected BEFORE the depth explode, so codegen evaluates it once,
-    // not per row), the depth cells derived as (h1 + r·h2) mod width with
-    // h1/h2 split from the 60-bit hash (h2 forced odd). Independent-enough
-    // for CMS guarantees (K–M 2006), 1/depth the string-hash work of
-    // salting md5 per row, and still exactly reproducible in any engine
-    // with md5.
-    def cell(r: Column): Column = pmod(
-      pmod(col("__h"), lit(1L << 30)) + r * shiftright(col("__h"), 30).bitwiseOR(lit(1L)),
-      lit(width.toLong))
-    val rows = explode(sequence(lit(0), lit(depth - 1))).as("r")
-    val sketch = keys.select(md5Long(col("k")).as("__h"))
-      .select(col("__h"), rows)
-      .groupBy(col("r"), cell(col("r")).as("b"))
+    val sketch = cmsCells(keys, "k", depth, width)
+      .groupBy(col("r"), col("b"))
       .agg(count(lit(1)).as("c"))
-    val probe = keys.distinct().select(col("k"), md5Long(col("k")).as("__h"))
-      .select(col("k"), col("__h"), rows)
-      .select(col("k"), col("r"), cell(col("r")).as("b"))
+    val probe = cmsCells(keys.distinct(), "k", depth, width)
     val est = probe.join(broadcast(sketch), Seq("r", "b"))
       .groupBy(col("k")).agg(min(col("c")).as("est_count"))
     val cand = est.filter(col("est_count") >= threshold)

@@ -320,6 +320,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._1) == Set(1L)) // the clean doc emits nothing
   }
 
+  test("streaming count-min sketch build equals the batch sketch cell-for-cell") {
+    // The sketch's BUILD aggregation is algebraic (counts over the
+    // Kirsch–Mitzenmacher cells), so Structured Streaming maintains it
+    // incrementally — the live heavy-hitter monitor. Two micro-batches,
+    // then the accumulated sketch must equal the batch build over the
+    // concatenated input.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val cells = operators.Sketch.cmsCells(
+      mem.toDF().withColumnRenamed("value", "word"), "word", depth = 4, width = 16)
+    val q = cells.groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete()).start()
+    val batch1 = Seq("alpha", "beta", "alpha", "gamma", "alpha")
+    val batch2 = Seq("beta", "beta", "delta", "alpha")
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    val streamed = spark.table("cms_stream").as[(Int, Long, Long)].collect().toSet
+    q.stop()
+    val batch = operators.Sketch.cmsCells(
+        (batch1 ++ batch2).toDF("word"), "word", depth = 4, width = 16)
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming sessionize equals the batch gaps-and-islands twin on real events") {
     implicit val sqlCtx = spark.sqlContext
     val gapMs = 30 * 60 * 1000L
