@@ -19,7 +19,9 @@ object Bench {
     "t_quality_score", "sw1_tumbling_window", "sw3_session_window",
     "z1_asof_join", "x1_connected_components", "x3_triangle_count",
     "a18b_groovy_load", "a19_bucketed_layout",
-    "d_substring_spans", "e9_centroid_assign")
+    "d_substring_spans", "e9_centroid_assign",
+    "d_containment_est", "e12_lloyd_step", "z3_interval_overlap",
+    "m4_bmp_roundtrip", "a21_hop_power")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
