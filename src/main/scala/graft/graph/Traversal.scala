@@ -47,6 +47,27 @@ object Traversal {
 
   private val checkpointEvery = 8
 
+  /** Eager lineage cut for the iterative loops. Default `localCheckpoint`:
+    * blocks live on executors — the right latency locally and on healthy
+    * clusters, but a LOST executor loses its blocks and fails the job. For
+    * long multi-hour iterative jobs at cluster scale, opt into RELIABLE
+    * checkpoints (survive executor loss) by setting BOTH
+    * `spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)` and the session
+    * conf `graft.checkpoint.reliable=true` — every lineage cut in khop /
+    * bfsDepth / reachFix / minLabel / closureDoubling / hopPower then
+    * writes to the checkpoint dir instead of executor storage. Both forms
+    * are eager and return a frame reading from materialized blocks, so
+    * loop structure and results are identical either way. */
+  private[graft] def cut(df: DataFrame): DataFrame = {
+    val reliable =
+      df.sparkSession.conf.get("graft.checkpoint.reliable", "false") == "true"
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "graft.checkpoint.reliable=true needs sparkContext.setCheckpointDir first")
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+
   @inline private def timed[A](label: String)(f: => A): A =
     if (!sys.props.contains("graft.verbose")) f
     else {
@@ -108,7 +129,7 @@ object Traversal {
       // checkpoint job has just filled its cache.
       fresh = hop % checkpointEvery == 0
       if (fresh) {
-        result = result.map(_.localCheckpoint())
+        result = result.map(cut)
         live.foreach(_.unpersist(false))
         live = Nil
       }
@@ -118,7 +139,7 @@ object Traversal {
     }
     // Eager final checkpoint = the one traversal job — unless the loop
     // ended exactly on a checkpoint (re-checkpointing would copy blocks).
-    val out = if (fresh) result.get else result.get.localCheckpoint()
+    val out = if (fresh) result.get else cut(result.get)
     live.foreach(_.unpersist(false))
     if (prepEdges) e.unpersist(false)
     out
@@ -168,7 +189,7 @@ object Traversal {
       // ONE probe job per two levels: computing n2 runs through n1's
       // distinct shuffle, so the count fills both caches.
       if (n2.count() > 0) {
-        visited = visited.unionByName(n1).unionByName(n2).localCheckpoint()
+        visited = cut(visited.unionByName(n1).unionByName(n2))
         live.foreach(_.unpersist(false))
         n1.unpersist(false)
         live = List(n2)
@@ -178,7 +199,7 @@ object Traversal {
         n2.unpersist(false)
         if (n1.isEmpty) n1.unpersist(false)
         else {
-          visited = visited.unionByName(n1).localCheckpoint()
+          visited = cut(visited.unionByName(n1))
           live.foreach(_.unpersist(false))
           live = List(n1)
         }
@@ -231,7 +252,7 @@ object Traversal {
         frontier = next
         if (iter % checkpointEvery == 0) {
           val prev = result
-          result = timed(s"iter $iter checkpoint")(result.map(_.localCheckpoint()))
+          result = timed(s"iter $iter checkpoint")(result.map(cut))
           prev.foreach(p => if (p ne result.orNull) p.unpersist(false))
           live.foreach(_.unpersist(false))
           live = Nil
@@ -306,7 +327,7 @@ object Traversal {
     // attribute refs that kill any Join-over-Union of these frames — see
     // [[org.apache.spark.sql.graft.CheckpointUtil]].
     def ckpt(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graft.CheckpointUtil.dropConstraints(df.localCheckpoint())
+      org.apache.spark.sql.graft.CheckpointUtil.dropConstraints(cut(df))
     val lhs = edges.select(col("src").as("o1"), col("dst").as("n1"))
     val rhs = edges.select(col("src").as("o2"), col("dst").as("n2"))
     var delta = timed("doubling seed")(
@@ -472,10 +493,9 @@ object Traversal {
       // stalls the driver long before the data is the bottleneck. The
       // checkpoint materializes the one-row-per-vertex state (cheap) and
       // keeps every round's plan three joins deep.
-      val next = l1.as("a")
+      val next = cut(l1.as("a")
         .join(l1.as("b").hint("shuffle_hash"), col("a.label") === col("b.id"))
-        .select(col("a.id").as("id"), least(col("a.label"), col("b.label")).as("label"))
-        .localCheckpoint()
+        .select(col("a.id").as("id"), least(col("a.label"), col("b.label")).as("label")))
       // Type-agnostic convergence witness: the round is a fixed point iff
       // no vertex changed label. Works for any orderable id type (numeric
       // OR string) — no cast — and is exact, unlike a hashed-sum witness.
@@ -515,11 +535,10 @@ object Traversal {
   def hopPower(pairs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"hopPower needs n >= 1, got $n")
     def compose(a: DataFrame, b: DataFrame): DataFrame =
-      a.select(col("src"), col("dst").as("__mid"))
+      cut(a.select(col("src"), col("dst").as("__mid"))
         .join(b.select(col("src").as("__mid"), col("dst")).hint("shuffle_hash"), "__mid")
-        .select(col("src"), col("dst")).distinct()
-        .localCheckpoint()
-    var pow = pairs.select(col("src"), col("dst")).distinct().localCheckpoint()
+        .select(col("src"), col("dst")).distinct())
+    var pow = cut(pairs.select(col("src"), col("dst")).distinct())
     var acc: DataFrame = null
     var k = n
     while (k > 0) {
