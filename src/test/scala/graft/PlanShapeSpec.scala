@@ -111,4 +111,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!cols.contains("text"),
       s"text column crossed an exchange; shuffled columns: $cols")
   }
+
+  test("containmentEstimate: no string-array (shingle set) ever crosses a shuffle") {
+    // The operator's reason to exist: the verification join ships k
+    // signature longs + a size scalar. A shingle-set (ARRAY<STRING>)
+    // attribute in any exchange means the estimate silently degraded to
+    // the exact verifier's shuffle volume.
+    val nodes = finalNodes(Dedup.containmentEstimate(corpus, "doc_id", "text"))
+    val leaked = nodes.collect { case s: ShuffleExchangeExec =>
+      s.output.filter(_.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, _) => true
+        case _ => false
+      }).map(_.name)
+    }.flatten
+    assert(leaked.isEmpty, s"shingle arrays crossed an exchange: $leaked")
+  }
+
+  test("overlapJoin: bin equi-join, never a nested-loop join") {
+    val a = (1L to 50L).map(i => (i, i * 7L, i * 7L + 20L)).toDF("id_a", "start", "end")
+    val b = (1L to 50L).map(i => (i, i * 5L, i * 5L + 15L)).toDF("id_b", "start2", "end2")
+    val df = graft.operators.IntervalJoin.overlapJoin(a, b, binWidth = 16)
+    val nodes = finalNodes(df)
+    val nested = nodes.filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(nested.isEmpty,
+      s"interval join planned a nested loop:\n${df.queryExecution.executedPlan}")
+  }
 }
