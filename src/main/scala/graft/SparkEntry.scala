@@ -1305,6 +1305,29 @@ object SparkEntry {
       graph.GraphXBridge.pageRankPersonalized(sn.unionByName(nr), seeds, iters = 3)
     }),
 
+    // The dataset card: per-source corpus report (docs, tokens, mean
+    // quality, Gopher pass rate, language count) — one grouped agg over
+    // the composed scoring operators, means in exact 1e-4 integer units
+    // so no float-summation order can flip a digit.
+    "t_corpus_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = operators.TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("quality") * 10000).cast("long").as("__qu"))
+      val g = operators.TextAnalysis.gopherQuality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("passes").cast("long").as("__gp"))
+      val l = operators.TextAnalysis.languageId(docs, "doc_id", "text")
+        .select(col("doc_id"), col("pred_lang"))
+      docs.select(col("doc_id"), col("source"))
+        .join(q, Seq("doc_id")).join(g, Seq("doc_id")).join(l, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          expr("sum(__qu) div count(1)").as("mean_quality_x10000"),
+          expr("sum(__gp) * 10000 div count(1)").as("gopher_pass_x10000"),
+          countDistinct(col("pred_lang")).as("n_langs"))
+    }),
+
     // BPE tokenizer-training inner loop: top-20 adjacent char pairs
     // weighted by word frequency, computed over the VOCABULARY (corpus
     // collapses to (word, n) first — the explode never touches corpus
@@ -2762,6 +2785,59 @@ object SparkEntry {
          |$iters
          |SELECT id, CAST(rank_micro AS BIGINT) AS rank_micro FROM p3""".stripMargin
     },
+
+    // the three scoring formulae verbatim (each pinned by its own gate),
+    // rolled up per source with integer-unit means.
+    "t_corpus_card" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
+        |  string_split_regex(text, '\r?\n') AS ln FROM documents),
+        |q AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(floor(least(greatest(
+        |    0.4 * least(len(w) / 100.0, 1.0)
+        |    + 0.3 * (1.0 - (CAST(length(text) AS DOUBLE)
+        |        - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / CAST(length(text) AS DOUBLE))
+        |    + 0.3 * least((CAST(list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)),
+        |        (a, b) -> a + b) AS DOUBLE) / greatest(len(w), 1)) / 8.0, 1.0),
+        |    0.0), 1.0) * 10000) AS BIGINT) AS qu
+        |  FROM t),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 50 AND len(w) <= 100000
+        |    AND (CAST(list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)),
+        |        (a, b) -> a + b) AS DOUBLE) / len(w)) >= 3.0
+        |    AND (CAST(list_reduce(list_transform(w, x -> CAST(length(x) AS BIGINT)),
+        |        (a, b) -> a + b) AS DOUBLE) / len(w)) <= 10.0
+        |    AND (CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g'))
+        |        + 3 * len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |        / greatest(length(text), 1)) < 0.1
+        |    AND (CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+        |        / greatest(len(ln), 1)) <= 0.9
+        |    AND (CAST(len(list_filter(ln, l -> regexp_matches(trim(l), '\.\.\.$'))) AS DOUBLE)
+        |        / greatest(len(ln), 1)) <= 0.3
+        |    AND (CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |        / len(w)) >= 0.8
+        |  THEN 1 ELSE 0 END AS gp FROM t WHERE len(w) > 0
+        |  UNION ALL SELECT doc_id, 0 FROM t WHERE len(w) = 0),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(list_filter(w, x -> x IN ('the', 'and', 'of', 'a', 'is'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(w, x -> x IN ('der', 'die', 'und', 'das', 'ist'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(w, x -> x IN ('el', 'la', 'de', 'y', 'es'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(w, x -> x IN ('le', 'la', 'et', 'les', 'est'))) AS BIGINT) AS s_fr
+        |  FROM t),
+        |l AS (SELECT doc_id,
+        |  CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+        |       WHEN s_fr > 0 THEN 'fr'
+        |       ELSE 'und' END AS pred_lang FROM sc)
+        |SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(q.qu) // count(*) AS BIGINT) AS mean_quality_x10000,
+        |  CAST(sum(g.gp) * 10000 // count(*) AS BIGINT) AS gopher_pass_x10000,
+        |  CAST(count(DISTINCT l.pred_lang) AS BIGINT) AS n_langs
+        |FROM t JOIN q USING (doc_id) JOIN g USING (doc_id) JOIN l USING (doc_id)
+        |GROUP BY t.source""".stripMargin,
 
     "t_bpe_pair_freq" ->
       """WITH v AS (SELECT w, count(*) AS n FROM (
