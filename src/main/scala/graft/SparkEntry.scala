@@ -1293,6 +1293,23 @@ object SparkEntry {
       graph.Traversal.hopPower(und, 8)
     }),
 
+    // Weighted shortest paths (Bellman-Ford, exact BIGINT distances) from
+    // the region vertices over the REVERSED containment graph, with
+    // deterministic synthetic weights — the weight property the reference
+    // writes on every edge (main.go:321), finally traversed as a weight.
+    "x8_weighted_sssp" -> ((s, dir) => {
+      val ns = t(s, dir, "nation").select(
+        (lit(1L * B) + col("n_regionkey")).as("src"),
+        (lit(2L * B) + col("n_nationkey")).as("dst"),
+        (col("n_nationkey") % 3 + 1).cast("long").as("w"))
+      val sp = t(s, dir, "supplier").select(
+        (lit(2L * B) + col("s_nationkey")).as("src"),
+        (lit(4L * B) + col("s_suppkey")).as("dst"),
+        (col("s_suppkey") % 5 + 1).cast("long").as("w"))
+      val seeds = t(s, dir, "region").select((lit(1L * B) + col("r_regionkey")).as("id"))
+      graph.Traversal.sssp(ns.unionByName(sp), seeds)
+    }),
+
     // Personalized PageRank (same integer fixed-point recipe), teleport
     // mass pinned to the region vertices: rank = proximity to the regions
     // through the containment chain, not global importance.
@@ -2763,6 +2780,28 @@ object SparkEntry {
         |r4 AS (SELECT DISTINCT a.src, b.dst FROM r2 a JOIN r2 b ON a.dst = b.src),
         |r8 AS (SELECT DISTINCT a.src, b.dst FROM r4 a JOIN r4 b ON a.dst = b.src)
         |SELECT src, dst FROM r8""".stripMargin,
+
+    // Bellman-Ford unrolled: the graph is 2 levels deep, so two relax
+    // rounds reach the fixpoint; a third would be identity.
+    "x8_weighted_sssp" ->
+      """WITH e AS (
+        |  SELECT 1*72057594037927936 + n_regionkey AS src,
+        |         2*72057594037927936 + n_nationkey AS dst,
+        |         CAST(n_nationkey % 3 + 1 AS BIGINT) AS w FROM nation
+        |  UNION ALL
+        |  SELECT 2*72057594037927936 + s_nationkey,
+        |         4*72057594037927936 + s_suppkey,
+        |         CAST(s_suppkey % 5 + 1 AS BIGINT) FROM supplier),
+        |d0 AS (SELECT 1*72057594037927936 + r_regionkey AS id, CAST(0 AS BIGINT) AS dist FROM region),
+        |r1 AS (SELECT e.dst AS id, min(d0.dist + e.w) AS d FROM e JOIN d0 ON e.src = d0.id GROUP BY e.dst),
+        |d1 AS (SELECT coalesce(d0.id, r1.id) AS id,
+        |  least(coalesce(d0.dist, 9223372036854775807), coalesce(r1.d, 9223372036854775807)) AS dist
+        |  FROM d0 FULL OUTER JOIN r1 ON d0.id = r1.id),
+        |r2 AS (SELECT e.dst AS id, min(d1.dist + e.w) AS d FROM e JOIN d1 ON e.src = d1.id GROUP BY e.dst),
+        |d2 AS (SELECT coalesce(d1.id, r2.id) AS id,
+        |  least(coalesce(d1.dist, 9223372036854775807), coalesce(r2.d, 9223372036854775807)) AS dist
+        |  FROM d1 FULL OUTER JOIN r2 ON d1.id = r2.id)
+        |SELECT id, dist FROM d2""".stripMargin,
 
     "x7_ppr_regions" -> {
       // x4's unrolled integer recurrence, reset mass pinned to the seeds.

@@ -515,6 +515,55 @@ object Traversal {
     labels
   }
 
+  /** Weighted single-source(-set) shortest paths — distributed
+    * Bellman–Ford over integer edge weights (the `weight` property the
+    * reference sets on every edge, main.go:321, which the unweighted
+    * traversals ignore). Per round: one join (edges ⋈ current distances)
+    * + one min-aggregation = the relax step over EVERY edge, then a merge
+    * with the previous distances; converges when no distance improves
+    * (probe join, limit-1 early exit like [[minLabel]]'s witness).
+    * Distances are exact BIGINTs — deterministic in any engine, no float
+    * min-plus caveats. Negative weights are rejected (a negative cycle
+    * has no shortest path; nonnegative BF needs no cycle detection).
+    *
+    * State is O(vertices) like [[bfsDepth]]; each round's exchange
+    * carries (id, dist) longs. Rounds ≤ the longest shortest path's hop
+    * count ≤ V-1; throws past `maxIter` instead of returning truncated
+    * distances. Lineage is [[cut]] per round (reliable-checkpoint opt-in
+    * applies). `edges` needs (src, dst, w); `sources` needs `id`.
+    * Returns (id, dist) for every vertex reachable from the source set. */
+  def sssp(edges: DataFrame, sources: DataFrame, maxIter: Int = 64): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    require(e.filter(col("w") < 0).isEmpty,
+      "sssp requires nonnegative weights (negative cycles have no shortest path)")
+    var dist = cut(sources.select(col("id")).distinct().withColumn("dist", lit(0L)))
+    var iter = 1
+    var done = false
+    while (!done) {
+      if (iter > maxIter)
+        throw new IllegalStateException(
+          s"sssp did not converge within $maxIter rounds — negative weights, " +
+            "or a longest shortest path beyond the bound; raise maxIter")
+      val relaxed = e.join(dist.hint("shuffle_hash"), e("src") === dist("id"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("d"))
+        .groupBy("id").agg(min(col("d")).as("d"))
+      val next = cut(dist.as("a")
+        .join(relaxed.as("b"), Seq("id"), "full_outer")
+        .select(col("id"), least(
+          coalesce(col("a.dist"), lit(Long.MaxValue)),
+          coalesce(col("b.d"), lit(Long.MaxValue))).as("dist")))
+      done = next.as("n")
+        .join(dist.as("o").hint("shuffle_hash"), Seq("id"), "left")
+        .where(col("o.dist").isNull || col("n.dist") < col("o.dist"))
+        .isEmpty
+      dist = next
+      iter += 1
+    }
+    e.unpersist(false)
+    dist
+  }
+
   /** Exactly-n-step reachability pairs by binary relation exponentiation:
     * R^n under set-semantics composition — ⌈log₂ n⌉ squarings plus at most
     * that many bit-composes (≤ 2·log₂ n joins total) instead of n

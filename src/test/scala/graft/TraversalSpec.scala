@@ -167,6 +167,26 @@ class TraversalSpec extends AnyFunSuite {
     }
   }
 
+  test("sssp: weighted shortest paths beat hop-count paths; cycles converge; guards fire") {
+    // cheapest route to 2 takes MORE hops (1->3->2 costs 2 vs direct 10):
+    // weighted relaxation must disagree with BFS here. Cycle 2->1 included.
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 1L, 1L), (4L, 5L, 2L))
+      .toDF("src", "dst", "w")
+    val got = Traversal.sssp(e, Seq(1L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 1L)) // 4,5 unreachable
+    // multi-source: min over seeds
+    val multi = Traversal.sssp(e, Seq(1L, 4L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(multi == Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 0L, 5L -> 2L))
+    // a seed reached cheaper through the graph keeps distance 0 (it's a source)
+    val seeded = Traversal.sssp(e, Seq(2L).toDF("id")).as[(Long, Long)].collect().toMap
+    assert(seeded(2L) == 0L && seeded(1L) == 1L && seeded(3L) == 2L)
+    // negative weights rejected loudly
+    assertThrows[IllegalArgumentException](
+      Traversal.sssp(Seq((1L, 2L, -1L)).toDF("src", "dst", "w"), Seq(1L).toDF("id")))
+  }
+
   test("reliable-checkpoint mode yields identical results across the iterative family") {
     // Opt-in path for cluster-scale executor-loss survival: same loops,
     // same answers, lineage cuts write to the checkpoint dir instead of
