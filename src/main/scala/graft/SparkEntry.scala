@@ -1310,6 +1310,42 @@ object SparkEntry {
       graph.Traversal.sssp(ns.unionByName(sp), seeds)
     }),
 
+    // k-core decomposition (k=3): iterative peel of the full containment
+    // graph to its maximal min-undirected-degree-3 subgraph — the
+    // periphery-stripping sanitation pass (converges in ≤5 rounds here;
+    // the oracle unrolls 10 idempotent peel rounds). Output: each core
+    // vertex with its degree inside the core.
+    "x9_kcore" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      graph.Traversal.kCore(g.E, k = 3)
+    }),
+
+    // BM25 lexical retrieval: global top-20 documents for a fixed query
+    // over the corpus, integer micro-unit scores (see TextAnalysis.bm25TopK
+    // — exact, addition-order-invariant). Query mixes the one rare term
+    // ('dup', df≈25/500) with two stop-ish terms, so idf does real work.
+    "t_bm25" -> ((s, dir) => {
+      operators.TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        query = Seq("dup", "query", "data"), k = 20)
+    }),
+
+    // Sparse-vector nearest neighbors: TF-IDF cosine top-3 per document
+    // via an inverted-index self-join on term — the lexical candidate
+    // generator (vs e1's dense brute-force and e2's LSH).
+    "d_sparse_neighbors" -> ((s, dir) => {
+      operators.TextAnalysis.sparseCosineTopK(
+        t(s, dir, "documents"), "doc_id", "text", r = 5, k = 3)
+    }),
+
+    // Z-order layout audit over part(p_size, floor(p_retailprice)):
+    // Morton-code cells (low 6 bits dropped ≈ one file each under a
+    // zval-sorted write) with per-cell min/max of BOTH dimensions — the
+    // parquet-footer stats that make either predicate column prunable.
+    "y1_zorder_cells" -> ((s, dir) => {
+      operators.Layout.zOrderCells(t(s, dir, "part"),
+        col("p_size"), floor(col("p_retailprice")).cast("long"), cellBits = 6)
+    }),
+
     // Personalized PageRank (same integer fixed-point recipe), teleport
     // mass pinned to the region vertices: rank = proximity to the regions
     // through the containment chain, not global importance.
@@ -1585,9 +1621,99 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- oracles
 
+  /** Unrolled peel SQL for the x9_kcore oracle. ANSI SQL cannot loop to a
+    * fixpoint (recursive CTEs forbid aggregation in the recursive term),
+    * so the peel is UNROLLED: each round keeps edges whose endpoints both
+    * hold degree ≥ k. Peeling is idempotent past the fixpoint, so the
+    * unroll only needs to be ≥ the true peel depth — measured 5 rounds at
+    * every SF (k=3); 10 leaves margin, and the Spark side throws if its
+    * own fixpoint loop ever exceeds maxIter rather than under-peel. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val edges =
+      """WITH e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT 3*72057594037927936 + c_custkey AS src, 2*72057594037927936 + c_nationkey AS dst FROM customer
+        |  UNION ALL SELECT 4*72057594037927936 + s_suppkey, 2*72057594037927936 + s_nationkey FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation
+        |  UNION ALL SELECT 6*72057594037927936 + o_orderkey, 3*72057594037927936 + o_custkey FROM orders
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 6*72057594037927936 + l_orderkey FROM lineitem
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 5*72057594037927936 + l_partkey FROM lineitem
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 4*72057594037927936 + l_suppkey FROM lineitem))""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s"u$i AS MATERIALIZED (SELECT a, b FROM u${i - 1} " +
+        s"WHERE a IN (SELECT a FROM u${i - 1} GROUP BY a HAVING count(*) >= $k) " +
+        s"AND b IN (SELECT a FROM u${i - 1} GROUP BY a HAVING count(*) >= $k))"
+    }.mkString(",\n")
+    s"""$edges,
+       |u0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+       |$peels
+       |SELECT a AS id, count(*) AS deg FROM u$rounds GROUP BY a""".stripMargin
+  }
+
   /** DuckDB-runnable ANSI SQL over the same parquet tables, same column
     * names/aliases as the Spark results. */
   def oracleSql: Map[String, String] = Map(
+
+    "x9_kcore" -> kcoreOracleSql(k = 3, rounds = 10),
+
+    "t_bm25" ->
+      s"""$WORDS_CTE,
+         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |u AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM u
+         |  WHERE term IN ('dup', 'query', 'data') GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |  CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+         |    * 1000000) AS BIGINT) AS m
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+         |agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS score_micro FROM sc GROUP BY doc_id)
+         |SELECT doc_id, score_micro,
+         |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+         |FROM agg QUALIFY rank <= 20""".stripMargin,
+
+    "d_sparse_neighbors" ->
+      s"""$WORDS_CTE,
+         |u AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         |wt AS (SELECT doc_id, term,
+         |  CAST(floor(tf * ln((n + 1.0) / (df + 1.0)) * 1000000) AS BIGINT) AS w
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+         |pr AS (SELECT doc_id, term, w FROM (
+         |  SELECT doc_id, term, w,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS r FROM wt)
+         |  WHERE r <= 5 AND w > 0),
+         |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nn2 FROM pr GROUP BY doc_id),
+         |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(sum(a.w * b.w) AS BIGINT) AS num
+         |  FROM pr a JOIN pr b USING (term) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+         |sc AS (SELECT doc_a, doc_b,
+         |  CAST(floor(CAST(num AS DOUBLE)
+         |    / (sqrt(CAST(na.nn2 AS DOUBLE)) * sqrt(CAST(nb.nn2 AS DOUBLE)))
+         |    * 1000000) AS BIGINT) AS cos_micro
+         |  FROM dots JOIN nrm na ON dots.doc_a = na.doc_id
+         |            JOIN nrm nb ON dots.doc_b = nb.doc_id)
+         |SELECT doc_a, doc_b, cos_micro,
+         |  CAST(row_number() OVER (PARTITION BY doc_a ORDER BY cos_micro DESC, doc_b) AS INTEGER) AS rank
+         |FROM sc QUALIFY rank <= 3""".stripMargin,
+
+    "y1_zorder_cells" ->
+      """WITH d AS (SELECT CAST(p_size AS BIGINT) AS a,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS b FROM part),
+        |cl AS (SELECT a, b, greatest(0, least(a, 65535)) AS a0,
+        |  greatest(0, least(b, 65535)) AS b0 FROM d),
+        |s1 AS (SELECT a, b, (a0 | (a0 << 8)) & 16711935 AS sa, (b0 | (b0 << 8)) & 16711935 AS sb FROM cl),
+        |s2 AS (SELECT a, b, (sa | (sa << 4)) & 252645135 AS sa, (sb | (sb << 4)) & 252645135 AS sb FROM s1),
+        |s3 AS (SELECT a, b, (sa | (sa << 2)) & 858993459 AS sa, (sb | (sb << 2)) & 858993459 AS sb FROM s2),
+        |s4 AS (SELECT a, b, (sa | (sa << 1)) & 1431655765 AS sa, (sb | (sb << 1)) & 1431655765 AS sb FROM s3),
+        |z AS (SELECT a, b, (sa | (sb << 1)) >> 6 AS zcell FROM s4)
+        |SELECT zcell, count(*) AS n_rows, min(a) AS min_a, max(a) AS max_a,
+        |  min(b) AS min_b, max(b) AS max_b
+        |FROM z GROUP BY zcell""".stripMargin,
 
     "a01_vertex_count_by_label" ->
       """SELECT 'region' AS label, count(*) AS cnt FROM region

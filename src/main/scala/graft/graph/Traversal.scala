@@ -564,6 +564,51 @@ object Traversal {
     dist
   }
 
+  /** k-core decomposition (fixed k): the maximal subgraph in which every
+    * vertex keeps undirected degree ≥ k, by iterative peel — delete
+    * under-degree vertices, recompute degrees, repeat to fixpoint. The
+    * graph-sanitation pass a web-scale dedup/link pipeline runs to strip
+    * the low-connectivity periphery (leaf chains, orphan pairs) before
+    * expensive whole-graph analytics; peeling is the textbook algorithm
+    * and is inherently iterative — no single SQL expression computes it.
+    *
+    * Per round: one degree hash-aggregate over the surviving edge set +
+    * two anti-joins (src side, dst side) against the under-degree vertex
+    * set, then an eager lineage [[cut]]. The convergence witness is the
+    * under-degree set's `isEmpty` (limit-1 early exit). State is the
+    * surviving edge set itself — monotonically shrinking, so each round
+    * costs less than the last; rounds are bounded by the peel depth
+    * (typically ≪ diameter; measured 2-5 on the testdata graph at every
+    * SF), with `maxIter` as the loud failure bound. Edges are
+    * symmetrized + distinct'd here; input needs (src, dst).
+    *
+    * Returns (id, deg): every vertex of the k-core with its degree
+    * INSIDE the core — exact BIGINTs, engine-independent. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 64): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    var cur = cut(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    var iter = 1
+    var done = false
+    while (!done) {
+      if (iter > maxIter)
+        throw new IllegalStateException(
+          s"kCore did not reach a fixpoint within $maxIter peel rounds — " +
+            "a truncated peel overstates the core; raise maxIter")
+      val deg = cur.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val under = deg.filter(col("deg") < k).select(col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (under.isEmpty) done = true
+      else cur = cut(cur
+        .join(under.hint("shuffle_hash"), cur("src") === under("id"), "left_anti")
+        .join(under.hint("shuffle_hash"), cur("dst") === under("id"), "left_anti"))
+      under.unpersist(false)
+      iter += 1
+    }
+    cur.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Exactly-n-step reachability pairs by binary relation exponentiation:
     * R^n under set-semantics composition — ⌈log₂ n⌉ squarings plus at most
     * that many bit-composes (≤ 2·log₂ n joins total) instead of n

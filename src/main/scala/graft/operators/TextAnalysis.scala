@@ -151,6 +151,117 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("score"), col("rank"))
   }
 
+  /** BM25 lexical retrieval: score every document against a fixed query
+    * term set and keep the global top-k. Per query term,
+    * `idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))` with the Robertson
+    * `idf = ln((N−df+0.5)/(df+0.5)+1)` floor-truncated to integer
+    * micro-units BEFORE the per-document sum — the sum is then BIGINT
+    * arithmetic, exact and addition-order-invariant in any engine (a
+    * double sum would be partial-aggregation-order-dependent at the
+    * rank boundary).
+    *
+    * Plan shape: the exploded token stream is filtered to the query
+    * terms BEFORE the (doc,term) aggregate, so only query-term hits
+    * survive the first exchange; document length and the corpus (N,
+    * avgdl) scalar ride along as one more hash aggregate + a broadcast
+    * 1-row cross join; df over query terms is ≤|query| rows, joined
+    * broadcast. Nothing larger than (matching doc, query term) rows
+    * ever shuffles — at 100 TB the cost is the scan plus an exchange
+    * proportional to query-term postings, the inverted-index access
+    * pattern without materializing an index. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               query: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty && k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+    val dl = toks.select(col(idCol), size(col("__w")).cast("long").as("dl"))
+    // One-row corpus stats: exact integer sum/count, divided once — the
+    // same double both here and in any replica engine.
+    val stats = dl.agg(count(lit(1)).cast("double").as("__n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val tf = toks.select(col(idCol), explode(col("__w")).as("term"))
+      .filter(col("term").isin(query.map(lit): _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    // k1+1 and 1−b are spelled as runtime double ADDITIONS, not Scala
+    // compile-time constants: an oracle replica writes `(1.2 + 1.0)` and
+    // must land on the bit-identical double (round-to-even ties differ
+    // between a folded literal and an IEEE add for some k1).
+    val tfc = col("tf") * (lit(k1) + lit(1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("__avgdl")))
+    val w = Window.orderBy(col("score_micro").desc, col(idCol))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), floor(idf * tfc * lit(1000000)).cast("long").as("m"))
+      .groupBy(col(idCol)).agg(sum(col("m")).as("score_micro"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sparse-vector nearest neighbors by TF-IDF cosine, via an inverted
+    * index — the lexical twin of [[Similarity]]'s dense ANN family and
+    * the candidate generator classic near-dup pipelines run before an
+    * expensive verify. Each document keeps its top-`r` terms by TF-IDF
+    * weight (deterministic tiebreak: weight desc, term asc) — the
+    * sparsification that bounds postings per document; pairs sharing ≥1
+    * surviving term get `cos = Σw₁w₂ / (‖w₁‖‖w₂‖)` over the PRUNED
+    * vectors, and each document keeps its `k` nearest (cos desc, id asc).
+    *
+    * Exactness: weights are floor-truncated to BIGINT micro-units, so
+    * dot products and squared norms are exact integer sums; the final
+    * cosine touches doubles only through IEEE-correctly-rounded sqrt /
+    * multiply / divide — bit-identical in any engine — and is truncated
+    * to micro-units in the output.
+    *
+    * Plan shape: tf → df (broadcast back) → per-doc top-r window →
+    * self-join ON TERM (the inverted index: only docs sharing a term
+    * ever meet — never an all-pairs product) → pair aggregate → top-k
+    * window. Per-term join buckets are df², the classic posting-list
+    * hot spot: at corpus scale you df-prune stop terms first (they
+    * carry ~zero TF-IDF weight and dominate bucket size); here the
+    * synthetic 31-word vocab makes every term a stop term, so the
+    * per-doc top-r pruning is what bounds the join (≤ r·N postings). */
+  def sparseCosineTopK(docs: DataFrame, idCol: String, textCol: String,
+                       r: Int = 5, k: Int = 3): DataFrame = {
+    require(r >= 1 && k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val total = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col(idCol)).orderBy(col("w").desc, col("term"))
+    val pruned = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("term"),
+        floor(col("tf") * log((col("__n") + lit(1.0)) / (col("df") + lit(1.0)))
+          * lit(1000000)).cast("long").as("w"))
+      .withColumn("__r", row_number().over(wRank))
+      .filter(col("__r") <= r && col("w") > 0)
+      .select(col(idCol), col("term"), col("w"))
+    val norms = pruned.groupBy(col(idCol))
+      .agg(sum(col("w") * col("w")).as("nn"))
+    val a = pruned.select(col(idCol).as("doc_a"), col("term"), col("w").as("wa"))
+    val bb = pruned.select(col(idCol).as("doc_b"), col("term"), col("w").as("wb"))
+    val dots = a.join(bb, "term")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("num"))
+    val wTop = Window.partitionBy(col("doc_a"))
+      .orderBy(col("cos_micro").desc, col("doc_b"))
+    dots
+      .join(norms.select(col(idCol).as("doc_a"), col("nn").as("nna")), "doc_a")
+      .join(norms.select(col(idCol).as("doc_b"), col("nn").as("nnb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("num").cast("double") /
+          (sqrt(col("nna").cast("double")) * sqrt(col("nnb").cast("double")))
+          * lit(1000000)).cast("long").as("cos_micro"))
+      .withColumn("rank", row_number().over(wTop).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** PII-style redaction: emails → `<EMAIL>`, 4+-digit runs → `<NUM>`.
     * Pure codegen'd regexp_replace — the scrub pass a training-data
     * pipeline runs before tokenization. */

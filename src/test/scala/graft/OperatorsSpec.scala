@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 
 /** Unit specs for the M6 pipeline operators (dedup, similarity, text,
   * multimodal) over tiny inline corpora. */
@@ -1142,5 +1142,71 @@ class OperatorsSpec extends AnyFunSuite {
       .select(col("doc_id"), col("bucket")).as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "head", 2L -> "tail", 3L -> "middle",
       4L -> "tail", 5L -> "middle", 6L -> "head"))
+  }
+
+  test("bm25TopK: rare query term dominates; absent-term docs score zero and drop") {
+    // 'dup' appears in one doc, 'the' in three: idf('dup') >> idf('the').
+    val corpus = docs(
+      (1L, "dup alpha beta gamma"),         // rare hit -> far ahead
+      (2L, "the the the alpha beta gamma"), // common hits only
+      (3L, "the alpha beta gamma"),
+      (4L, "the alpha"),                    // shorter doc: length norm boosts vs 3
+      (5L, "alpha beta gamma delta"))       // no query term -> no output row
+    val out = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+        query = Seq("dup", "the"), k = 10)
+      .select("doc_id", "score_micro", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(out.map(_._1).head == 1L, "rare-term doc must rank first")
+    assert(!out.map(_._1).contains(5L), "doc with no query term must not appear")
+    // doc 4 beats doc 3: same single 'the' hit, shorter dl -> larger tf norm.
+    val pos = out.map(_._1).zipWithIndex.toMap
+    assert(pos(4L) < pos(3L), s"length normalization ordering violated: $out")
+    // integer micro scores: exact, monotone with rank
+    assert(out.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("sparseCosineTopK: identical docs are mutual top-1 at cos 1; disjoint docs never pair") {
+    val corpus = docs(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta"),  // shares nothing with 1/2
+      (4L, "alpha delta other"))   // bridges both clusters
+    val out = TextAnalysis.sparseCosineTopK(corpus, "doc_id", "text", r = 5, k = 3)
+      .select("doc_a", "doc_b", "cos_micro", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    val top = out.filter(_._4 == 1).map(r => r._1 -> r._2).toMap
+    assert(top(1L) == 2L && top(2L) == 1L)
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((3L, 1L)),
+      "term-disjoint docs must never meet in the inverted-index join")
+    val cos12 = out.find(r => r._1 == 1L && r._2 == 2L).get._3
+    assert(cos12 == 1000000L, s"identical pruned vectors must hit cos exactly 1, got $cos12")
+  }
+
+  test("spread16/zValue match a bit-by-bit reference interleave") {
+    def refSpread(x: Long): Long =
+      (0 until 16).map(i => ((x >> i) & 1L) << (2 * i)).sum
+    val vals = Seq(0L, 1L, 2L, 3L, 50L, 255L, 999L, 1000L, 65535L)
+    val in = vals.toDF("x")
+    val got = in.select(Layout.spread16(col("x")).as("s")).as[Long].collect()
+    assert(got.toSeq == vals.map(refSpread))
+    val zs = vals.flatMap(a => vals.map(b => (a, b))).toDF("a", "b")
+    val gotZ = zs.select(Layout.zValue(col("a"), col("b")).as("z")).as[Long].collect()
+    val expZ = vals.flatMap(a => vals.map(b => refSpread(a) | (refSpread(b) << 1)))
+    assert(gotZ.toSeq == expZ)
+  }
+
+  test("zOrderCells: cells partition the rows and bound both dimensions' ranges") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(500)((rnd.nextInt(64).toLong, rnd.nextInt(64).toLong)).toDF("a", "b")
+    val cells = Layout.zOrderCells(rows, col("a"), col("b"), cellBits = 6)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(cells.map(_._2).sum == 500L, "cells must partition all rows")
+    // dropping 6 z-bits = a 8x8 rectangle of (a,b) space per cell: both
+    // per-cell ranges must fit inside one such rectangle.
+    cells.foreach { case (cell, _, minA, maxA, minB, maxB) =>
+      assert(maxA - minA < 8 && maxB - minB < 8,
+        s"cell $cell spans a=[$minA,$maxA] b=[$minB,$maxB] — locality broken")
+    }
   }
 }

@@ -256,4 +256,42 @@ class TraversalSpec extends AnyFunSuite {
       Traversal.closureDoubling(edgesDF(chain), maxIter = 3).count()
     }
   }
+
+  /** In-memory reference peel for kCore: symmetrize+distinct, then delete
+    * under-degree vertices until stable; returns (vertex, core degree). */
+  private def naiveKCore(es: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var und = es.flatMap(e => Seq(e, e.swap)).distinct
+    var changed = true
+    while (changed) {
+      val deg = und.groupBy(_._1).map { case (v, l) => v -> l.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = und.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != und.size
+      und = next
+    }
+    und.groupBy(_._1).map { case (v, l) => v -> l.size.toLong }
+  }
+
+  test("kCore: cascade peel — leaf chain hanging off a triangle strips hop by hop") {
+    // triangle 1-2-3 (every vertex undirected degree 2) + tail 3->4->5->6.
+    // k=2: 6 is degree-1 -> removed; then 5, then 4 — the cascade — while
+    // the triangle survives with in-core degree 2 each.
+    val e = edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L)))
+    val out = Traversal.kCore(e, k = 2).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree: the whole graph peels away.
+    assert(Traversal.kCore(e, k = 3).isEmpty)
+  }
+
+  test("property: kCore equals the naive peel on 15 seeded random graphs") {
+    val rnd = new scala.util.Random(2029)
+    (1 to 15).foreach { _ =>
+      val n = 4 + rnd.nextInt(10)
+      val es = Seq.fill(6 + rnd.nextInt(24))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2) // the store has no self-loops; keep parity simple
+      val k = 2 + rnd.nextInt(2)
+      val got = Traversal.kCore(edgesDF(es), k).as[(Long, Long)].collect().toMap
+      assert(got == naiveKCore(es, k), s"kCore mismatch on edges=$es k=$k")
+    }
+  }
 }
