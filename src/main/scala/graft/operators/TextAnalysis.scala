@@ -233,6 +233,12 @@ object TextAnalysis {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col(idCol)).orderBy(col("w").desc, col("term"))
+    // The squared norm rides on each posting row via a SECOND window over
+    // the SAME per-document partitioning as the top-r rank — Catalyst
+    // reuses one exchange+sort for both, so carrying ‖w‖² costs no
+    // shuffle, and the norm joins (plus their whole recomputed postings
+    // subtrees) disappear from the plan.
+    val wNorm = Window.partitionBy(col(idCol))
     val pruned = tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(total))
       .select(col(idCol), col("term"),
@@ -240,20 +246,22 @@ object TextAnalysis {
           * lit(1000000)).cast("long").as("w"))
       .withColumn("__r", row_number().over(wRank))
       .filter(col("__r") <= r && col("w") > 0)
-      .select(col(idCol), col("term"), col("w"))
-    val norms = pruned.groupBy(col(idCol))
-      .agg(sum(col("w") * col("w")).as("nn"))
-    val a = pruned.select(col(idCol).as("doc_a"), col("term"), col("w").as("wa"))
-    val bb = pruned.select(col(idCol).as("doc_b"), col("term"), col("w").as("wb"))
+      .withColumn("nn", sum(col("w") * col("w")).over(wNorm))
+      .select(col(idCol), col("term"), col("w"), col("nn"))
+    val a = pruned.select(col(idCol).as("doc_a"), col("term"),
+      col("w").as("wa"), col("nn").as("nna"))
+    val bb = pruned.select(col(idCol).as("doc_b"), col("term"),
+      col("w").as("wb"), col("nn").as("nnb"))
     val dots = a.join(bb, "term")
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("wa") * col("wb")).as("num"))
+      // nna/nnb are constant within a (doc_a, doc_b) group; min() is the
+      // deterministic way to carry them through the aggregate.
+      .agg(sum(col("wa") * col("wb")).as("num"),
+        min(col("nna")).as("nna"), min(col("nnb")).as("nnb"))
     val wTop = Window.partitionBy(col("doc_a"))
       .orderBy(col("cos_micro").desc, col("doc_b"))
     dots
-      .join(norms.select(col(idCol).as("doc_a"), col("nn").as("nna")), "doc_a")
-      .join(norms.select(col(idCol).as("doc_b"), col("nn").as("nnb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         floor(col("num").cast("double") /
           (sqrt(col("nna").cast("double")) * sqrt(col("nnb").cast("double")))

@@ -128,6 +128,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"shingle arrays crossed an exchange: $leaked")
   }
 
+  test("sparseCosineTopK: text never shuffles; no norms join-back (one window exchange serves rank and norm)") {
+    val df = graft.operators.TextAnalysis.sparseCosineTopK(corpus, "doc_id", "text", r = 3, k = 2)
+    val nodes = finalNodes(df)
+    val cols = shuffledColumns(nodes)
+    assert(!cols.contains("text"),
+      s"text column crossed an exchange; shuffled columns: $cols")
+    // The squared norm must ride the posting rows (second window over the
+    // same per-doc partitioning), not arrive via equi-joins on doc id: a
+    // join keyed on doc_a/doc_b other than the pair aggregate means the
+    // norms join-back crept back in, doubling the postings subtrees.
+    val hashJoinKeys = nodes.collect {
+      case j: BroadcastHashJoinExec => j.leftKeys.map(_.sql)
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys.map(_.sql)
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys.map(_.sql)
+    }.flatten
+    val docKeyJoins = hashJoinKeys.count(k => k.contains("doc_a") || k.contains("doc_b"))
+    assert(docKeyJoins == 0,
+      s"found a join keyed on doc ids — norms join-back returned: $hashJoinKeys")
+  }
+
+  test("bm25TopK: global top-k lowers to TakeOrderedAndProject, not a one-partition sort") {
+    val df = graft.operators.TextAnalysis.bm25TopK(
+      corpus, "doc_id", "text", query = Seq("one", "p"), k = 3)
+    val nodes = finalNodes(df)
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "the rank<=k window did not lower to TakeOrderedAndProject — " +
+        s"every matching doc would funnel through one sort partition:\n${df.queryExecution.executedPlan}")
+    assert(!shuffledColumns(nodes).contains("text"),
+      "text column crossed an exchange")
+  }
+
+  test("zOrderCells: exactly one shuffle (the cell aggregate), all-scalar") {
+    val rows = (1L to 100L).map(i => (i % 50, i % 13)).toDF("a", "b")
+    val nodes = finalNodes(graft.operators.Layout.zOrderCells(
+      rows, org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"), cellBits = 4))
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 1,
+      s"expected the single cell-aggregate exchange, found ${shuffles.size}")
+  }
+
   test("overlapJoin: bin equi-join, never a nested-loop join") {
     val a = (1L to 50L).map(i => (i, i * 7L, i * 7L + 20L)).toDF("id_a", "start", "end")
     val b = (1L to 50L).map(i => (i, i * 5L, i * 5L + 15L)).toDF("id_b", "start2", "end2")
