@@ -697,6 +697,17 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
     }),
 
+    // kNN classifier eval: majority label of the 5 nearest corpus
+    // neighbors vs the true label, per-label accuracy over a
+    // deterministic 20% eval slice — the training-free embedding-quality
+    // probe (see Similarity.knnClassify).
+    "e13_knn_classify" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.knnClassify(
+        emb, emb.filter(col("vec_id") % 10 < 2), "vec_id", "embedding", "label",
+        k = 5, native = true)
+    }),
+
     // Random-hyperplane LSH ANN: bucketed candidates, top-3 per query.
     "e2_lsh_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2392,6 +2403,26 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cos,
          | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          |FROM sc QUALIFY rank <= 5""".stripMargin,
+
+    "e13_knn_classify" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e, label FROM embeddings),
+         |q AS (SELECT vec_id, e, label FROM v WHERE vec_id % 10 < 2),
+         |sc AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, v.label AS nlabel,
+         | round(${cosSql("q.e", "v.e")}, 6) AS cos
+         | FROM q JOIN v ON v.vec_id <> q.vec_id),
+         |top AS (SELECT query_id, nlabel FROM (
+         |  SELECT query_id, nlabel,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r
+         |  FROM sc) WHERE r <= 5),
+         |votes AS (SELECT query_id, nlabel, count(*) AS votes FROM top GROUP BY 1, 2),
+         |pred AS (SELECT query_id, nlabel AS pred FROM (
+         |  SELECT query_id, nlabel,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nlabel) AS r
+         |  FROM votes) WHERE r = 1)
+         |SELECT q.label AS label, count(*) AS n_eval,
+         |  CAST(sum(CASE WHEN q.label = pred.pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |FROM q JOIN pred ON q.vec_id = pred.query_id
+         |GROUP BY q.label""".stripMargin,
 
     "e2_lsh_ann" -> {
       val sig = (0 until 4).map { j =>

@@ -387,6 +387,44 @@ object Similarity {
       .withColumn("recall",
         floor(col("n_hit").cast("double") / col("n_exact") * 10000) / 10000)
 
+  /** kNN classifier evaluation: predict each eval vector's label by the
+    * majority label of its k nearest corpus neighbors (exact cosine,
+    * self excluded) and report per-true-label accuracy — the standard
+    * embedding-quality probe (a good embedding space clusters labels, so
+    * kNN accuracy is a training-free proxy for representation quality).
+    *
+    * Majority vote tiebreak is deterministic: vote count desc, then
+    * smaller label id. Output (label, n_eval, n_correct) — exact BIGINTs.
+    *
+    * Plan shape: the eval set rides [[bruteForceTopK]]'s broadcast (the
+    * corpus is scanned once, map-side, never shuffled); neighbor labels
+    * arrive by an id-equi-join against the 2-column (id, label)
+    * projection of the corpus — broadcast at eval scale, co-partitioned
+    * at 100 TB; votes and accuracy are two small hash aggregates over
+    * k·|eval| rows. Eval sets are sample-sized by design — the operator
+    * never materializes corpus×corpus. */
+  def knnClassify(corpus: DataFrame, eval: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int = 5,
+                  native: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nbrs = bruteForceTopK(corpus, eval, idCol, vecCol, k, native)
+    val nbrLabels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nlabel"))
+    val votes = nbrs.join(nbrLabels, "neighbor_id")
+      .groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nlabel"))
+    val pred = votes.withColumn("__r", row_number().over(wVote))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("nlabel").as("pred"))
+    eval.select(col(idCol).as("query_id"), col(labelCol).as("label"))
+      .join(pred, "query_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("label") === col("pred"), 1L).otherwise(0L)).as("n_correct"))
+  }
+
   /** Symmetric per-vector int8 quantization: q_i = floor(x_i · 127 / max|x|),
     * scale = max|x| / 127 (6dp floor-truncated) — the compression pass an
     * embedding store applies before ANN serving (4x smaller, dot products

@@ -1209,4 +1209,26 @@ class OperatorsSpec extends AnyFunSuite {
         s"cell $cell spans a=[$minA,$maxA] b=[$minB,$maxB] — locality broken")
     }
   }
+
+  test("knnClassify: clean clusters score perfectly; a planted outlier flips to the majority") {
+    // Two tight clusters in 2-D: label 0 near (1, 0), label 1 near (0, 1).
+    // Vector 99 is LABELED 0 but sits in cluster 1 -> its 2 nearest
+    // neighbors vote label 1 and it is counted incorrect for label 0.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0), (3L, Array(1.0f, 0.1f), 0),
+      (11L, Array(0.0f, 1.0f), 1), (12L, Array(0.1f, 0.9f), 1), (13L, Array(0.1f, 1.0f), 1),
+      (99L, Array(0.05f, 0.95f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val evalSet = vecs.filter(col("vec_id").isin(1L, 11L, 99L))
+    val out = Similarity.knnClassify(vecs, evalSet, "vec_id", "embedding", "label", k = 2)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // label 0 evals {1, 99}: id 1 sits in its own cluster (correct); the
+    // planted 99 votes (11, 13) -> label 1 (incorrect).
+    assert(out(0) == (2L, 1L), s"label 0: eval=2, only id 1 correct — got ${out(0)}")
+    // label 1 evals {11}: 99 IS 11's nearest neighbor, so the vote ties
+    // {0: 1, 1: 1} and the deterministic tiebreak (smaller label) picks 0
+    // — the mislabeled point fails itself AND poisons its closest true
+    // neighbor, which is exactly what this eval exists to surface.
+    assert(out(1) == (1L, 0L), s"label 1: id 11 poisoned by the planted 99 — got ${out(1)}")
+  }
 }
