@@ -50,6 +50,13 @@ object Verify {
         ("simhash band buckets",
           operators.Dedup.simhashOverflow(docs, "doc_id", "text", bits = 60), capMsg),
         ("ngram h1 prefilter", operators.Skew.bucketOverflow(pre, Seq("h1"), 8192), capMsg),
+        // d_sparse_neighbors' term posting lists: cap 256 must be inactive
+        // at oracle SFs (measured max 155 at sf0.001, 140 at sf0.01; the
+        // cap is the sf0.1+ bench/scale path where no oracle runs).
+        ("sparse term postings",
+          operators.Skew.bucketOverflow(
+            operators.TextAnalysis.sparsePostings(docs, "doc_id", "text", r = 5),
+            Seq("term"), 256), capMsg),
         ("cosine label blocks", operators.Skew.bucketOverflow(embs, Seq("label"), 8192), capMsg),
         // d_shuffle_shard has NO cap and still matches its oracle when a
         // shard overflows — the violation is an OVERSIZED single-task

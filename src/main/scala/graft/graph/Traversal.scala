@@ -572,23 +572,31 @@ object Traversal {
     * expensive whole-graph analytics; peeling is the textbook algorithm
     * and is inherently iterative — no single SQL expression computes it.
     *
-    * Per round: one degree hash-aggregate over the surviving edge set +
-    * two anti-joins (src side, dst side) against the under-degree vertex
-    * set, then an eager lineage [[cut]]. The convergence witness is the
-    * under-degree set's `isEmpty` (limit-1 early exit). State is the
-    * surviving edge set itself — monotonically shrinking, so each round
-    * costs less than the last; rounds are bounded by the peel depth
-    * (typically ≪ diameter; measured 2-5 on the testdata graph at every
-    * SF), with `maxIter` as the loud failure bound. Edges are
-    * symmetrized + distinct'd here; input needs (src, dst).
+    * DELTA form: the edge set is symmetrized+distinct'd once, partitioned
+    * by src, and never rewritten; the loop state is one (id, deg) row per
+    * LIVE vertex. Per round, the newly under-degree vertices join the
+    * static edge table to produce per-neighbor decrement counts (cost ∝
+    * edges incident to the REMOVED delta — tiny after round 1, not the
+    * whole graph), which merge into the surviving state by a left join,
+    * then an eager lineage [[cut]] of the O(V) state. The convergence
+    * witness is the delta's `isEmpty` (limit-1 early exit). A first-cut
+    * implementation that re-filtered the full edge set with two
+    * anti-joins per round timed 9.0 s at sf0.1; this delta form does the
+    * same 5 rounds over decrement-sized joins. Rounds are bounded by the
+    * peel depth (measured 2-5 on the testdata graph at every SF), with
+    * `maxIter` as the loud failure bound. Input needs (src, dst).
     *
     * Returns (id, deg): every vertex of the k-core with its degree
-    * INSIDE the core — exact BIGINTs, engine-independent. */
+    * INSIDE the core (initial degree minus decrements from peeled
+    * neighbors) — exact BIGINTs, engine-independent. */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 64): DataFrame = {
     require(k >= 1, s"kCore needs k >= 1, got $k")
-    var cur = cut(edges.select(col("src"), col("dst"))
+    val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var live = cut(und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
     var iter = 1
     var done = false
     while (!done) {
@@ -596,17 +604,27 @@ object Traversal {
         throw new IllegalStateException(
           s"kCore did not reach a fixpoint within $maxIter peel rounds — " +
             "a truncated peel overstates the core; raise maxIter")
-      val deg = cur.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      val under = deg.filter(col("deg") < k).select(col("id"))
+      val newly = live.filter(col("deg") < k).select(col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (under.isEmpty) done = true
-      else cur = cut(cur
-        .join(under.hint("shuffle_hash"), cur("src") === under("id"), "left_anti")
-        .join(under.hint("shuffle_hash"), cur("dst") === under("id"), "left_anti"))
-      under.unpersist(false)
+      if (newly.isEmpty) done = true
+      else {
+        // Edges FROM a peeled vertex, grouped by the surviving endpoint:
+        // und is symmetric, so every undirected edge {u, v} with u peeled
+        // decrements v exactly once. Edges between two peeled vertices
+        // target a vertex absent from the surviving state — dropped by
+        // the inner filter below, as they must be.
+        val dec = und.join(newly.hint("shuffle_hash"), und("src") === newly("id"))
+          .groupBy(und("dst").as("id")).agg(count(lit(1)).as("__d"))
+        live = cut(live.filter(col("deg") >= k)
+          .join(dec, Seq("id"), "left")
+          .select(col("id"),
+            (col("deg") - coalesce(col("__d"), lit(0L))).as("deg")))
+      }
+      newly.unpersist(false)
       iter += 1
     }
-    cur.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    und.unpersist(false)
+    live
   }
 
   /** Exactly-n-step reachability pairs by binary relation exponentiation:

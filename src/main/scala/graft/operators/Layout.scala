@@ -40,6 +40,26 @@ object Layout {
     spread16(clamp(a)).bitwiseOR(shiftleft(spread16(clamp(b)), 1))
   }
 
+  /** Z-order clustered write: range-partition on the Morton code, sort
+    * inside each partition, write parquet — every output file then holds
+    * a contiguous Z-interval, i.e. a small rectangle of BOTH dimension
+    * spaces, and its parquet footer min/max prunes reads filtered on
+    * EITHER column ([[zOrderCells]] is the pre-flight audit of exactly
+    * these per-file ranges). `repartitionByRange` samples to pick the
+    * boundaries — fine for a layout job (the written DATA is identical
+    * regardless of where the cuts land; only file assignment varies).
+    * The helper Z-column is projected away after the sort, so the files
+    * carry the caller's schema untouched. */
+  def zOrderWrite(df: DataFrame, dimA: Column, dimB: Column,
+                  path: String, nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    df.withColumn("__z", zValue(dimA, dimB))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Z-order layout audit: bucket rows by the high bits of their Z-value
     * (`cellBits` = number of low bits dropped; each surviving prefix is
     * one "file" under a `sortWithinPartitions(zval)` write) and report

@@ -220,13 +220,18 @@ object TextAnalysis {
     * self-join ON TERM (the inverted index: only docs sharing a term
     * ever meet — never an all-pairs product) → pair aggregate → top-k
     * window. Per-term join buckets are df², the classic posting-list
-    * hot spot: at corpus scale you df-prune stop terms first (they
-    * carry ~zero TF-IDF weight and dominate bucket size); here the
-    * synthetic 31-word vocab makes every term a stop term, so the
-    * per-doc top-r pruning is what bounds the join (≤ r·N postings). */
-  def sparseCosineTopK(docs: DataFrame, idCol: String, textCol: String,
-                       r: Int = 5, k: Int = 3): DataFrame = {
-    require(r >= 1 && k >= 1)
+    * hot spot: real corpora df-prune stop terms first (they carry ~zero
+    * TF-IDF weight and dominate bucket size), and hot lists that remain
+    * are capped at `maxBucket` members ([[Skew.capBuckets]], the
+    * LSH-bucket precedent — deterministic subset, recall loss reported
+    * by [[Skew.bucketOverflow]], cap inactive at the oracle SFs where
+    * exactness is checked). The synthetic 31-word vocab is the
+    * worst case — every term is a stop term, so uncapped pair volume
+    * grows ~quadratically with corpus size (measured 27.7 s at sf0.1;
+    * capped: bounded at terms·maxBucket² pairs). */
+  def sparsePostings(docs: DataFrame, idCol: String, textCol: String,
+                     r: Int = 5): DataFrame = {
+    require(r >= 1)
     import org.apache.spark.sql.expressions.Window
     val total = docs.agg(count(lit(1)).cast("double").as("__n"))
     val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
@@ -239,7 +244,7 @@ object TextAnalysis {
     // shuffle, and the norm joins (plus their whole recomputed postings
     // subtrees) disappear from the plan.
     val wNorm = Window.partitionBy(col(idCol))
-    val pruned = tf.join(broadcast(dfreq), "term")
+    tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(total))
       .select(col(idCol), col("term"),
         floor(col("tf") * log((col("__n") + lit(1.0)) / (col("df") + lit(1.0)))
@@ -248,6 +253,23 @@ object TextAnalysis {
       .filter(col("__r") <= r && col("w") > 0)
       .withColumn("nn", sum(col("w") * col("w")).over(wNorm))
       .select(col(idCol), col("term"), col("w"), col("nn"))
+  }
+
+  def sparseCosineTopK(docs: DataFrame, idCol: String, textCol: String,
+                       r: Int = 5, k: Int = 3, maxBucket: Int = 256): DataFrame = {
+    require(r >= 1 && k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    // Persist the raw postings (one row per kept (doc, term) — tiny next
+    // to the corpus) and join both sides of the term self-join against
+    // the cache: same contract as Dedup.lshCandidates' bucket persist.
+    // Hot posting lists are capped (Skew.capBuckets, deterministic member
+    // subset) so a stop-term's df² pair fan-out is bounded at any corpus
+    // size; Verify audits that the cap is INACTIVE at the oracle SFs
+    // (the uncapped oracle stays exact), and Skew.bucketOverflow reports
+    // what a capped run dropped.
+    val raw = sparsePostings(docs, idCol, textCol, r)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = Skew.capBuckets(raw, Seq("term"), idCol, maxBucket)
     val a = pruned.select(col(idCol).as("doc_a"), col("term"),
       col("w").as("wa"), col("nn").as("nna"))
     val bb = pruned.select(col(idCol).as("doc_b"), col("term"),

@@ -109,4 +109,37 @@ class StorageAndExportSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(cc(1L) == 1L && cc(2L) == 1L && cc(10L) == 10L && cc(11L) == 10L)
   }
+
+  test("zOrderWrite: every output file bounds BOTH dimensions (footer-prunable layout)") {
+    // 64x64 grid, one row per cell: a contiguous Z-interval of ~256 codes
+    // is a ~16x16 square, so each of 16 range-partitioned files must span
+    // well under half of either dimension (sampled boundaries may straddle
+    // two squares; 32 is the safe bound). A single-column sort would give
+    // every file the FULL 0-63 range of the other dimension.
+    val rows = (0 until 64).flatMap(a => (0 until 64).map(b => (a.toLong, b.toLong)))
+      .toDF("a", "b")
+    val dir = Files.createTempDirectory("zorder").toFile
+    try {
+      graft.operators.Layout.zOrderWrite(rows, col("a"), col("b"),
+        dir.getAbsolutePath, nFiles = 16)
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(files.length >= 8, s"expected ~16 files, got ${files.length}")
+      files.foreach { f =>
+        val Array((minA, maxA, minB, maxB)) = spark.read.parquet(f)
+          .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b")))
+          .as[(Long, Long, Long, Long)].collect()
+        assert(maxA - minA <= 32 && maxB - minB <= 32,
+          s"file spans a=[$minA,$maxA] b=[$minB,$maxB] — z-clustering broken")
+      }
+      // Round trip is lossless and schema-clean (no helper column).
+      val back = spark.read.parquet(dir.getAbsolutePath)
+      assert(back.columns.toSeq == Seq("a", "b"))
+      assert(back.count() == 4096L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
 }
