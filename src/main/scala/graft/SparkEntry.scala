@@ -1178,6 +1178,15 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    // Earliest-entry conversion funnel view → click → purchase, whole
+    // funnel within 1 hour of the user's first view (greedy ClickHouse
+    // windowFunnel semantics; see EventPipeline.funnel). One exchange on
+    // user_id serves the chained step windows AND the depth aggregate.
+    "sw4_funnel" -> ((s, dir) => {
+      streaming.EventPipeline.funnel(events(s, dir),
+        Seq("view", "click", "purchase"), windowMicros = 3600L * 1000000L)
+    }),
+
     // As-of join: for each click, the most recent purchase at-or-before it
     // by the same user. Spark-first plan: union both sides and take the
     // last non-null purchase in one event-time window pass — ONE shuffle
@@ -2825,6 +2834,19 @@ object SparkEntry {
     "a19_bucketed_layout" ->
       """SELECT CAST(c_nationkey AS VARCHAR) AS nation_key,
         |count(*) AS n_customers FROM customer GROUP BY 1""".stripMargin,
+
+    "sw4_funnel" ->
+      """WITH f AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM f WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT f.user_id, min(us) AS t2 FROM f JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 AND us <= t1 + 3600000000 GROUP BY f.user_id),
+        |s3 AS (SELECT f.user_id, min(us) AS t3 FROM f JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 AND us <= t1 + 3600000000 GROUP BY f.user_id),
+        |d AS (SELECT s1.user_id,
+        |        CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth
+        |      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_users FROM d GROUP BY depth""".stripMargin,
 
     "sw1_tumbling_window" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.graph.PropertyGraph
@@ -130,6 +130,54 @@ object EventPipeline {
         && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $joinWindow"))
       .select(col("l_user").as("user_id"), col("click_ts"),
         col("purchase_ts"), col("value"))
+  }
+
+  /** Earliest-entry conversion funnel over a batch event log: how many
+    * users progressed through the ordered `steps` (e.g. view → click →
+    * purchase), where step i+1 must occur strictly AFTER the user's
+    * step-i time and the WHOLE funnel must fit inside `windowMicros` of
+    * the user's first step-1 event. Greedy first-occurrence semantics
+    * (the ClickHouse `windowFunnel` convention): each step binds to the
+    * EARLIEST qualifying event — deterministic and single-pass, at the
+    * cost of not searching later entries that might have converted
+    * deeper; a funnel metric wants the convention, not the maximal
+    * matching.
+    *
+    * Plan shape: events filter to the |steps| funnel types at the scan
+    * (pushed predicate), then ONE exchange on user_id serves a chain of
+    * |steps| Window operators (each step's conditional min references
+    * the previous step's column — same partitioning, no new shuffle)
+    * AND the per-user depth aggregate (groupBy user reuses the window
+    * partitioning); the final depth histogram is a |steps|-row
+    * aggregate. All event-time math is integer microseconds — exact in
+    * any engine.
+    *
+    * Returns (depth, n_users) for depth ≥ 1 (users who never fired
+    * step 1 are not in the funnel). */
+  def funnel(events: DataFrame, steps: Seq[String],
+             windowMicros: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(windowMicros > 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    var df = events
+      .filter(col("event_type").isin(steps.map(lit): _*))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1",
+        min(when(col("event_type") === steps.head, col("us"))).over(w))
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      df = df.withColumn(s"t${i + 1}",
+        min(when(col("event_type") === s
+          && col("us") > col(s"t$i")
+          && col("us") <= col("t1") + lit(windowMicros), col("us"))).over(w))
+    }
+    var depth: Column = lit(0L)
+    (1 to steps.size).foreach { d =>
+      depth = when(col(s"t$d").isNotNull, lit(d.toLong)).otherwise(depth)
+    }
+    df.groupBy(col("user_id")).agg(max(depth).as("depth"))
+      .filter(col("depth") >= 1)
+      .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
   }
 
   /** Streaming exact dedup with bounded state: at-least-once sources

@@ -441,4 +441,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.graph.vertices.count() == 4)
     assert(state.graph.edges.count() == 3) // new user->type edge only
   }
+
+  test("funnel: greedy earliest-entry depth with a whole-funnel window bound") {
+    // user 1: view 10:00 -> click 10:10 -> purchase 10:30  => depth 3
+    // user 2: view 10:00 -> click 10:20 -> purchase 11:30  => depth 2 (purchase outside 1h of view)
+    // user 3: view 10:00 only                              => depth 1
+    // user 4: click 09:50, view 10:00 (click BEFORE view)  => depth 1
+    // user 5: purchase 10:00 only (never entered)          => absent
+    // user 6: view 10:00, click 10:01, purchase 10:00:30   => depth 2 (purchase before click binds)
+    val rows = Seq(
+      (1L, "10:00", "view"), (1L, "10:10", "click"), (1L, "10:30", "purchase"),
+      (2L, "10:00", "view"), (2L, "10:20", "click"), (2L, "11:30", "purchase"),
+      (3L, "10:00", "view"),
+      (4L, "09:50", "click"), (4L, "10:00", "view"),
+      (5L, "10:00", "purchase"),
+      (6L, "10:00", "view"), (6L, "10:01", "click"), (6L, "10:00:30", "purchase"))
+      .map { case (u, t, e) =>
+        val full = if (t.count(_ == ':') == 1) t + ":00" else t
+        (u, java.sql.Timestamp.valueOf(s"2024-01-01 $full"), e)
+      }
+      .toDF("user_id", "ts", "event_type")
+    val out = EventPipeline.funnel(rows, Seq("view", "click", "purchase"),
+        windowMicros = 3600L * 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(3L -> 1L, 2L -> 2L, 1L -> 2L),
+      s"expected depth histogram {3 -> user 1; 2 -> users 2, 6; 1 -> users 3, 4} got $out")
+  }
 }
