@@ -1178,6 +1178,13 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    // Cohort retention triangle: users cohorted by first-seen day, one
+    // row per (cohort, day-offset) with its active-user count — the
+    // funnel's longitudinal sibling (see EventPipeline.retentionCohorts).
+    "sw5_retention" -> ((s, dir) => {
+      streaming.EventPipeline.retentionCohorts(events(s, dir))
+    }),
+
     // Earliest-entry conversion funnel view → click → purchase, whole
     // funnel within 1 hour of the user's first view (greedy ClickHouse
     // windowFunnel semantics; see EventPipeline.funnel). One exchange on
@@ -2834,6 +2841,13 @@ object SparkEntry {
     "a19_bucketed_layout" ->
       """SELECT CAST(c_nationkey AS VARCHAR) AS nation_key,
         |count(*) AS n_customers FROM customer GROUP BY 1""".stripMargin,
+
+    "sw5_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id)
+        |SELECT cohort, CAST(date_diff('day', cohort, day) AS INTEGER) AS offset,
+        |  count(*) AS n_users
+        |FROM d JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
 
     "sw4_funnel" ->
       """WITH f AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events

@@ -180,6 +180,31 @@ object EventPipeline {
       .groupBy(col("depth")).agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort retention table over a batch event log: users are cohorted by
+    * their first-seen calendar day, and each (cohort, day-offset) cell
+    * counts the cohort's users active on cohort+offset — the
+    * product-analytics retention triangle, and the funnel's longitudinal
+    * sibling.
+    *
+    * Plan shape: the log collapses to distinct (user, day) pairs FIRST
+    * (the only corpus-sized aggregate — one exchange on user_id, which
+    * the per-(user, day) dedup, the first-seen window, and the offset
+    * projection all reuse: hash-partitioning by user satisfies the
+    * (user, day) clustering requirement), then a tiny (cohort, offset)
+    * histogram aggregate. All date math is calendar-day integers under
+    * the pinned-UTC session — exact in any engine. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .repartition(col("user_id"))
+      .dropDuplicates("user_id", "day")
+      .withColumn("cohort", min(col("day")).over(w))
+      .select(col("cohort"), datediff(col("day"), col("cohort")).as("offset"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Streaming exact dedup with bounded state: at-least-once sources
     * replay records, and `dropDuplicatesWithinWatermark` holds each key
     * only until the watermark passes its event time — unlike plain

@@ -467,4 +467,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map(3L -> 1L, 2L -> 2L, 1L -> 2L),
       s"expected depth histogram {3 -> user 1; 2 -> users 2, 6; 1 -> users 3, 4} got $out")
   }
+
+  test("retentionCohorts: first-seen cohorts, offset cells count active users") {
+    val rows = Seq(
+      (1L, "2024-01-01 09:00:00"), (1L, "2024-01-01 17:00:00"), // same day counts once
+      (1L, "2024-01-02 10:00:00"),                              // returns day+1
+      (2L, "2024-01-01 11:00:00"),                              // never returns
+      (3L, "2024-01-02 12:00:00"), (3L, "2024-01-04 12:00:00")) // cohort 01-02, back at +2
+      .map { case (u, t) => (u, java.sql.Timestamp.valueOf(t)) }
+      .toDF("user_id", "ts")
+    val out = EventPipeline.retentionCohorts(rows)
+      .select(col("cohort").cast("string"), col("offset"), col("n_users"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(out == Set(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L),
+      ("2024-01-02", 0, 1L), ("2024-01-02", 2, 1L)))
+  }
+
+  test("retentionCohorts plan: one user exchange serves dedup, window, and cohort — two shuffles total") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (nested ++ p.children).flatMap(nodes)
+    }
+    val rows = (1L to 200L).map(i =>
+      (i % 40, java.sql.Timestamp.valueOf(f"2024-01-${i % 9 + 1}%02d 10:00:00")))
+      .toDF("user_id", "ts")
+    val df = EventPipeline.retentionCohorts(rows)
+    df.collect()
+    val shuffles = nodes(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 2,
+      s"expected 2 exchanges (user_id + final histogram), got ${shuffles.size}")
+  }
 }
