@@ -1178,6 +1178,13 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    // First-order event-transition matrix with integer-micro conditional
+    // probabilities — the behavioral bigram table (see
+    // EventPipeline.transitionMatrix).
+    "sw6_transitions" -> ((s, dir) => {
+      streaming.EventPipeline.transitionMatrix(events(s, dir))
+    }),
+
     // Cohort retention triangle: users cohorted by first-seen day, one
     // row per (cohort, day-offset) with its active-user count — the
     // funnel's longitudinal sibling (see EventPipeline.retentionCohorts).
@@ -1344,7 +1351,11 @@ object SparkEntry {
     // vertex with its degree inside the core.
     "x9_kcore" -> ((s, dir) => {
       val g = GraphStore.get(s, dir)
-      graph.Traversal.kCore(g.E, k = 3)
+      // assumeDistinct: the store's edges are distinct (src, dst) pairs
+      // and the FK containment graph is a DAG (strictly layered
+      // lineitem→orders→customer→nation→region), so no reverse pair
+      // exists — the symmetrize-distinct exchange is provably redundant.
+      graph.Traversal.kCore(g.E, k = 3, assumeDistinct = true)
     }),
 
     // BM25 lexical retrieval: global top-20 documents for a fixed query
@@ -2841,6 +2852,16 @@ object SparkEntry {
     "a19_bucketed_layout" ->
       """SELECT CAST(c_nationkey AS VARCHAR) AS nation_key,
         |count(*) AS n_customers FROM customer GROUP BY 1""".stripMargin,
+
+    "sw6_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |b AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS cnt
+        |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(cnt) AS tot FROM b GROUP BY from_type)
+        |SELECT from_type, to_type, cnt, CAST(cnt * 1000000 // tot AS BIGINT) AS p_micro
+        |FROM b JOIN t USING (from_type)""".stripMargin,
 
     "sw5_retention" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -589,11 +589,19 @@ object Traversal {
     * Returns (id, deg): every vertex of the k-core with its degree
     * INSIDE the core (initial degree minus decrements from peeled
     * neighbors) — exact BIGINTs, engine-independent. */
-  def kCore(edges: DataFrame, k: Int, maxIter: Int = 64): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 64,
+            assumeDistinct: Boolean = false): DataFrame = {
     require(k >= 1, s"kCore needs k >= 1, got $k")
-    val und = edges.select(col("src"), col("dst"))
+    // `assumeDistinct = true` skips the symmetrized-distinct exchange (the
+    // single most expensive stage — the edge table is 2|E| rows). Safe
+    // ONLY when the caller guarantees (a) input pairs are distinct and
+    // (b) no reverse pair exists (antisymmetric, e.g. a DAG like the FK
+    // containment graph): then forward ∪ swapped cannot collide and the
+    // degrees are already exact. A violated guarantee double-counts
+    // degrees — callers without the proof keep the default.
+    val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val und = (if (assumeDistinct) sym else sym.distinct())
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var live = cut(und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))

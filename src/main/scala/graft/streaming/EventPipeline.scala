@@ -205,6 +205,33 @@ object EventPipeline {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** First-order event-transition matrix: per user, order events by
+    * (ts, event_id) and count consecutive (from → to) type bigrams, with
+    * each row's conditional transition probability in exact integer
+    * micro-units (`cnt·10⁶ div row_total` — integral division, so any
+    * engine agrees digit-for-digit). The event-stream analog of
+    * [[graft.operators.TextAnalysis.ngramLm]]'s text bigram table: the
+    * behavioral-model ingest artifact (next-event prediction, anomaly
+    * scoring), and a funnel-free view of how users actually move.
+    *
+    * Plan shape: one exchange on user_id for the lead() window (event_id
+    * breaks ts ties — a total order per user, so the lag pairing is
+    * deterministic), then a |types|²-row aggregate; the row-total rides a
+    * second window over the tiny aggregate. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wf = Window.partitionBy(col("from_type"))
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__tot", sum(col("cnt")).over(wf))
+      .withColumn("p_micro", expr("cnt * 1000000 div __tot"))
+      .drop("__tot")
+  }
+
   /** Streaming exact dedup with bounded state: at-least-once sources
     * replay records, and `dropDuplicatesWithinWatermark` holds each key
     * only until the watermark passes its event time — unlike plain

@@ -506,4 +506,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(shuffles.size == 2,
       s"expected 2 exchanges (user_id + final histogram), got ${shuffles.size}")
   }
+
+  test("transitionMatrix: per-user ordered bigrams with exact integer-micro probabilities") {
+    // user 1: A -> B -> A   (bigrams A->B, B->A)
+    // user 2: A -> B        (bigram  A->B)
+    // user 3: C             (no bigram)
+    // Totals: from A: A->B x2 (p=1.0); from B: B->A x1 (p=1.0).
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "A"), (2L, 1L, "2024-01-01 10:05:00", "B"),
+      (3L, 1L, "2024-01-01 10:10:00", "A"),
+      (4L, 2L, "2024-01-01 11:00:00", "A"), (5L, 2L, "2024-01-01 11:30:00", "B"),
+      (6L, 3L, "2024-01-01 12:00:00", "C"))
+      .map { case (e, u, t, typ) => (e, u, java.sql.Timestamp.valueOf(t), typ) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventPipeline.transitionMatrix(rows)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out == Map(("A", "B") -> (2L, 1000000L), ("B", "A") -> (1L, 1000000L)))
+    // split distribution: user 4 goes A -> C, so from-A mass divides 2:1
+    val rows2 = rows.union(Seq(
+      (7L, 4L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), "A"),
+      (8L, 4L, java.sql.Timestamp.valueOf("2024-01-01 13:05:00"), "C"))
+      .toDF("event_id", "user_id", "ts", "event_type"))
+    val out2 = EventPipeline.transitionMatrix(rows2)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out2(("A", "B")) == (2L, 666666L)) // floor(2e6 / 3)
+    assert(out2(("A", "C")) == (1L, 333333L))
+  }
 }

@@ -294,4 +294,12 @@ class TraversalSpec extends AnyFunSuite {
       assert(got == naiveKCore(es, k), s"kCore mismatch on edges=$es k=$k")
     }
   }
+
+  test("kCore assumeDistinct fast path equals the default on an antisymmetric graph") {
+    // DAG (no reverse pairs, distinct rows) — exactly the store's contract.
+    val dag = edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (2L, 4L), (1L, 4L)))
+    val a = Traversal.kCore(dag, k = 2).as[(Long, Long)].collect().toMap
+    val b = Traversal.kCore(dag, k = 2, assumeDistinct = true).as[(Long, Long)].collect().toMap
+    assert(a == b && a.nonEmpty)
+  }
 }
