@@ -534,4 +534,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2(("A", "B")) == (2L, 666666L)) // floor(2e6 / 3)
     assert(out2(("A", "C")) == (1L, 333333L))
   }
+
+  test("property: funnel/retention/transitions equal naive references on seeded random logs") {
+    val rnd = new scala.util.Random(4242)
+    val types = Vector("view", "click", "purchase", "error")
+    (1 to 8).foreach { _ =>
+      val n = 30 + rnd.nextInt(120)
+      val evs = (1L to n.toLong).map { i =>
+        (i, rnd.nextInt(12).toLong,
+          java.sql.Timestamp.valueOf(f"2024-01-${rnd.nextInt(6) + 1}%02d " +
+            f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+          types(rnd.nextInt(types.size)))
+      }
+      val df = evs.toDF("event_id", "user_id", "ts", "event_type")
+
+      // --- funnel reference (greedy earliest-entry, 1h window)
+      val W = 3600L * 1000000L
+      val byUser = evs.groupBy(_._2)
+      val depths = byUser.flatMap { case (_, es) =>
+        def us(t: java.sql.Timestamp) = t.getTime * 1000L
+        val t1 = es.filter(_._4 == "view").map(e => us(e._3)).minOption
+        val t2 = t1.flatMap(a => es.filter(e => e._4 == "click" && us(e._3) > a
+          && us(e._3) <= a + W).map(e => us(e._3)).minOption)
+        val t3 = (t1, t2) match {
+          case (Some(a), Some(b)) => es.filter(e => e._4 == "purchase" && us(e._3) > b
+            && us(e._3) <= a + W).map(e => us(e._3)).minOption
+          case _ => None
+        }
+        if (t3.isDefined) Some(3L) else if (t2.isDefined) Some(2L) else if (t1.isDefined) Some(1L) else None
+      }
+      val expFunnel = depths.groupBy(identity).map { case (d, l) => d -> l.size.toLong }
+      val gotFunnel = EventPipeline.funnel(df, Seq("view", "click", "purchase"), W)
+        .as[(Long, Long)].collect().toMap
+      assert(gotFunnel == expFunnel, s"funnel mismatch: got $gotFunnel exp $expFunnel")
+
+      // --- retention reference
+      val userDays = evs.map(e => (e._2, e._3.toLocalDateTime.toLocalDate)).distinct
+      val cohorts = userDays.groupBy(_._1).map { case (u, l) => u -> l.map(_._2).min }
+      val expRet = userDays.groupBy { case (u, d) =>
+        (cohorts(u), java.time.temporal.ChronoUnit.DAYS.between(cohorts(u), d).toInt)
+      }.map { case (k, l) => k -> l.size.toLong }
+      val gotRet = EventPipeline.retentionCohorts(df)
+        .select(col("cohort").cast("string"), col("offset"), col("n_users"))
+        .as[(String, Int, Long)].collect()
+        .map(r => (java.time.LocalDate.parse(r._1), r._2) -> r._3).toMap
+      assert(gotRet == expRet, s"retention mismatch: got $gotRet exp $expRet")
+
+      // --- transition reference
+      val bigrams = byUser.toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (e._3.getTime, e._1)).map(_._4).sliding(2)
+          .collect { case Seq(a, b) => (a, b) }
+      }
+      val cnts = bigrams.groupBy(identity).map { case (k, l) => k -> l.size.toLong }
+      val tots = cnts.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+      val expTr = cnts.map { case (k, c) => k -> (c, c * 1000000L / tots(k._1)) }
+      val gotTr = EventPipeline.transitionMatrix(df)
+        .as[(String, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(gotTr == expTr, s"transitions mismatch: got $gotTr exp $expTr")
+    }
+  }
 }
