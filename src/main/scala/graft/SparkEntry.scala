@@ -1427,6 +1427,14 @@ object SparkEntry {
       operators.TextAnalysis.bpePairFreq(t(s, dir, "documents"), "text", topK = 20)
     }),
 
+    // BPE merge LEARNING: 5 rounds of the tokenizer-training loop (count
+    // weighted adjacent pairs → adopt argmax merge → rewrite vocabulary),
+    // engine-exact via greedy left-to-right replace semantics. The oracle
+    // unrolls the same 5 rounds in SQL (see bpeLearnOracleSql).
+    "t_bpe_learn" -> ((s, dir) => {
+      operators.TextAnalysis.bpeLearn(t(s, dir, "documents"), "text", rounds = 5)
+    }),
+
     // TF-IDF: top-3 terms per document.
     "t_tfidf" -> ((s, dir) => {
       operators.TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)
@@ -1687,11 +1695,43 @@ object SparkEntry {
        |SELECT a AS id, count(*) AS deg FROM u$rounds GROUP BY a""".stripMargin
   }
 
+  /** Unrolled BPE-learning SQL for the t_bpe_learn oracle: per round, a
+    * MATERIALIZED pair-count CTE, a 1-row argmax CTE, and the rewritten
+    * vocabulary CTE — the same greedy left-to-right `replace` the Spark
+    * loop uses, so the learned merges match string-for-string. */
+  private def bpeLearnOracleSql(rounds: Int): String = {
+    val v0 =
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seg, n FROM (
+        |    SELECT word AS w, count(*) AS n FROM (
+        |      SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS word
+        |      FROM documents) GROUP BY word))""".stripMargin
+    val perRound = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1] AS pair,
+         |    CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT list_filter(string_split(seg, ' '), x -> x <> '') AS t, n FROM v${r - 1}),
+         |       unnest(generate_series(1, len(t) - 1)) AS g(i)
+         |  WHERE len(t) >= 2 GROUP BY 1),
+         |b$r AS MATERIALIZED (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT replace(seg, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seg, n
+         |  FROM v${r - 1}, b$r b)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { r =>
+      s"SELECT $r AS round, split_part(pair, ' ', 1) AS merge_left, " +
+        s"split_part(pair, ' ', 2) AS merge_right, cnt FROM b$r"
+    }.mkString("\nUNION ALL ")
+    s"$v0,\n$perRound\n$out"
+  }
+
   /** DuckDB-runnable ANSI SQL over the same parquet tables, same column
     * names/aliases as the Spark results. */
   def oracleSql: Map[String, String] = Map(
 
     "x9_kcore" -> kcoreOracleSql(k = 3, rounds = 10),
+
+    "t_bpe_learn" -> bpeLearnOracleSql(rounds = 5),
 
     "t_bm25" ->
       s"""$WORDS_CTE,

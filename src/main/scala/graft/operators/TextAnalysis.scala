@@ -125,6 +125,57 @@ object TextAnalysis {
       .filter(col("rank") <= topK)
   }
 
+  /** BPE merge LEARNING — the tokenizer-training loop itself (Sennrich et
+    * al. 2016), of which [[bpePairFreq]] is one round's count table: start
+    * from character-segmented words, and per round (1) count adjacent
+    * symbol pairs weighted by word frequency, (2) adopt the most frequent
+    * pair as a merge (deterministic tiebreak: count desc, pair asc),
+    * (3) rewrite the vocabulary with that merge applied. Merging is the
+    * standard greedy left-to-right non-overlapping string replace — Java,
+    * DuckDB, and every `replace()` implementation agree on those
+    * semantics, so the learned merge table is engine-exact.
+    *
+    * Scale: the corpus collapses to the (word, n) VOCABULARY before the
+    * loop (the one corpus-sized exchange — 10⁷ rows at 100 TB, not 10¹³
+    * tokens); every round then runs vocabulary-sized: one pair-explode
+    * aggregate, a 1-row argmax broadcast back via cross join, one
+    * codegen'd `replace` projection, and an eager `localCheckpoint` that
+    * keeps the per-round plan flat (an uncut chain would nest each
+    * round's argmax subtree inside the next round's scan). Rounds are a
+    * fixed hyperparameter (real tokenizers: 30-50k), not a convergence
+    * loop.
+    *
+    * Returns (round, merge_left, merge_right, cnt) — one row per learned
+    * merge, in learning order. */
+  def bpeLearn(docs: DataFrame, textCol: String, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var vocab = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seg"), col("n"))
+      .localCheckpoint()
+    var merges: Option[DataFrame] = None
+    (1 to rounds).foreach { r =>
+      val t = split(trim(col("seg")), " ")
+      val pairsArr = when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val best = vocab.select(col("n"), explode(pairsArr).as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+      val m = best.select(lit(r).as("round"),
+        expr("split_part(pair, ' ', 1)").as("merge_left"),
+        expr("split_part(pair, ' ', 2)").as("merge_right"), col("cnt"))
+      merges = Some(merges.fold(m)(_.unionByName(m)))
+      vocab = vocab.crossJoin(broadcast(best.select(col("pair").as("__p"))))
+        .select(expr(
+          "replace(seg, ' ' || __p || ' ', ' ' || replace(__p, ' ', '') || ' ')").as("seg"),
+          col("n"))
+        .localCheckpoint()
+    }
+    merges.get
+  }
+
   private def floor6(c: Column): Column = floor(c * 1000000) / 1000000
 
   /** TF-IDF top-k terms per document: score = tf · ln((N+1)/(df+1)),

@@ -1231,4 +1231,15 @@ class OperatorsSpec extends AnyFunSuite {
     // neighbor, which is exactly what this eval exists to surface.
     assert(out(1) == (1L, 0L), s"label 1: id 11 poisoned by the planted 99 — got ${out(1)}")
   }
+
+  test("bpeLearn: classic hug/pug corpus learns u+g, then h+ug, then u+n") {
+    // vocab: hug x4, pug, pun, bun. Round 1 pair counts: 'u g' 5 (hug+pug),
+    // 'h u' 4, 'p u' 2, 'u n' 2, 'b u' 1 -> merge (u, g). Round 2: 'h ug' 4
+    // wins. Round 3: 'u n' 2 wins (tiebreak never needed).
+    val corpus = docs((1L, "hug hug hug pug pun bun hug"))
+    val out = TextAnalysis.bpeLearn(corpus, "text", rounds = 3)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1, "u", "g", 5L), (2, "h", "ug", 4L), (3, "u", "n", 2L)),
+      s"unexpected merge sequence: $out")
+  }
 }
