@@ -1178,6 +1178,13 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
     }),
 
+    // A/B experiment read-out: deterministic md5 arm split, conversion =
+    // any 'purchase', pooled two-proportion z in integer micro-units
+    // (see EventPipeline.abTest).
+    "sw7_abtest" -> ((s, dir) => {
+      streaming.EventPipeline.abTest(events(s, dir))
+    }),
+
     // First-order event-transition matrix with integer-micro conditional
     // probabilities — the behavioral bigram table (see
     // EventPipeline.transitionMatrix).
@@ -1433,6 +1440,15 @@ object SparkEntry {
     // unrolls the same 5 rounds in SQL (see bpeLearnOracleSql).
     "t_bpe_learn" -> ((s, dir) => {
       operators.TextAnalysis.bpeLearn(t(s, dir, "documents"), "text", rounds = 5)
+    }),
+
+    // BPE APPLY — tokenize with the learned merges: per-doc character vs
+    // BPE token counts (the compression-ratio fit signal). Segmentation
+    // runs vocabulary-sized; docs get totals back via one word join.
+    "t_bpe_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.TextAnalysis.bpeApply(docs, "doc_id", "text",
+        operators.TextAnalysis.bpeLearn(docs, "text", rounds = 5), rounds = 5)
     }),
 
     // TF-IDF: top-3 terms per document.
@@ -1699,7 +1715,11 @@ object SparkEntry {
     * MATERIALIZED pair-count CTE, a 1-row argmax CTE, and the rewritten
     * vocabulary CTE — the same greedy left-to-right `replace` the Spark
     * loop uses, so the learned merges match string-for-string. */
-  private def bpeLearnOracleSql(rounds: Int): String = {
+  /** The shared learn-loop CTE chain (v0 seed, then per round pair counts
+    * p_r, argmax b_r, rewritten vocabulary v_r) — used by both the
+    * t_bpe_learn oracle (emits the b_r rows) and the t_bpe_apply oracle
+    * (re-applies the b_r merges to per-word segmentations). */
+  private def bpeRoundsCtes(rounds: Int): String = {
     val v0 =
       """WITH v0 AS MATERIALIZED (
         |  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seg, n FROM (
@@ -1718,11 +1738,33 @@ object SparkEntry {
          |  SELECT replace(seg, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seg, n
          |  FROM v${r - 1}, b$r b)""".stripMargin
     }.mkString(",\n")
+    s"$v0,\n$perRound"
+  }
+
+  private def bpeLearnOracleSql(rounds: Int): String = {
     val out = (1 to rounds).map { r =>
       s"SELECT $r AS round, split_part(pair, ' ', 1) AS merge_left, " +
         s"split_part(pair, ' ', 2) AS merge_right, cnt FROM b$r"
     }.mkString("\nUNION ALL ")
-    s"$v0,\n$perRound\n$out"
+    s"${bpeRoundsCtes(rounds)}\n$out"
+  }
+
+  private def bpeApplyOracleSql(rounds: Int): String = {
+    val sgs = (1 to rounds).map { r =>
+      s"""sg$r AS (SELECT w,
+         |  replace(seg, ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seg
+         |  FROM sg${r - 1}, b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeRoundsCtes(rounds)},
+       |wd AS MATERIALIZED (SELECT doc_id, word AS w, count(*) AS k FROM (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS word
+       |  FROM documents) GROUP BY 1, 2),
+       |sg0 AS (SELECT DISTINCT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg FROM wd),
+       |$sgs,
+       |pw AS (SELECT w, len(list_filter(string_split(seg, ' '), x -> x <> '')) AS toks FROM sg$rounds)
+       |SELECT doc_id, CAST(sum(k * length(w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(k * toks) AS BIGINT) AS n_bpe_tokens
+       |FROM wd JOIN pw USING (w) GROUP BY doc_id""".stripMargin
   }
 
   /** DuckDB-runnable ANSI SQL over the same parquet tables, same column
@@ -1732,6 +1774,8 @@ object SparkEntry {
     "x9_kcore" -> kcoreOracleSql(k = 3, rounds = 10),
 
     "t_bpe_learn" -> bpeLearnOracleSql(rounds = 5),
+
+    "t_bpe_apply" -> bpeApplyOracleSql(rounds = 5),
 
     "t_bm25" ->
       s"""$WORDS_CTE,
@@ -2892,6 +2936,27 @@ object SparkEntry {
     "a19_bucketed_layout" ->
       """SELECT CAST(c_nationkey AS VARCHAR) AS nation_key,
         |count(*) AS n_customers FROM customer GROUP BY 1""".stripMargin,
+
+    "sw7_abtest" -> {
+      val p = "(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+      s"""WITH f AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+         |  WHERE event_type IN ('view', 'purchase')),
+         |e1 AS (SELECT user_id, min(us) AS t1 FROM f WHERE event_type = 'view' GROUP BY user_id),
+         |pu AS (SELECT f.user_id,
+         |  max(CASE WHEN event_type = 'purchase' AND us > t1 AND us <= t1 + 3600000000
+         |      THEN 1 ELSE 0 END) AS conv
+         |  FROM f JOIN e1 USING (user_id) GROUP BY f.user_id),
+         |ar AS (SELECT ${md5i("CAST(user_id AS VARCHAR)")} % 2 AS arm, conv FROM pu),
+         |ag AS (SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS k FROM ar GROUP BY arm),
+         |a AS (SELECT n AS n_a, k AS conv_a FROM ag WHERE arm = 0),
+         |b AS (SELECT n AS n_b, k AS conv_b FROM ag WHERE arm = 1)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |  CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+         |    CAST(floor((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         |      / sqrt($p * (1.0 - $p) * (1.0 / n_a + 1.0 / n_b)) * 1000000) AS BIGINT)
+         |  ELSE NULL END AS z_micro
+         |FROM a, b""".stripMargin
+    },
 
     "sw6_transitions" ->
       """WITH o AS (SELECT user_id, event_type,

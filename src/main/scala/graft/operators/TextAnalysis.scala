@@ -176,6 +176,41 @@ object TextAnalysis {
     merges.get
   }
 
+  /** Apply learned BPE merges — the TOKENIZE half: segment every word by
+    * re-running the merge sequence (greedy left-to-right replace, in
+    * learning order — the same deterministic semantics as [[bpeLearn]]),
+    * then report per-document character vs BPE token counts, the
+    * compression-ratio signal that tells you whether the learned merges
+    * fit the corpus.
+    *
+    * Scale: segmentation runs over the (word, n-per-doc) VOCABULARY — the
+    * merge table arrives as `rounds` chained 1-row broadcast cross joins
+    * (data-dependent replaces without any driver collect) — and docs get
+    * their totals back through one word-equi-join (broadcast at vocab
+    * scale, co-partitioned otherwise). The corpus is scanned once. */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+               merges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
+    var seg = words.select(col("w"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seg"))
+      .dropDuplicates("w")
+    (1 to rounds).foreach { r =>
+      val m = merges.filter(col("round") === r)
+        .select(concat_ws(" ", col("merge_left"), col("merge_right")).as("__p"))
+      seg = seg.crossJoin(broadcast(m))
+        .select(col("w"), expr(
+          "replace(seg, ' ' || __p || ' ', ' ' || replace(__p, ' ', '') || ' ')").as("seg"))
+    }
+    val perWord = seg.select(col("w"),
+      size(filter(split(trim(col("seg")), " "), t => t =!= "")).cast("long").as("toks"))
+    words.join(perWord, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("k") * length(col("w"))).as("n_chars"),
+        sum(col("k") * col("toks")).as("n_bpe_tokens"))
+  }
+
   private def floor6(c: Column): Column = floor(c * 1000000) / 1000000
 
   /** TF-IDF top-k terms per document: score = tf · ln((N+1)/(df+1)),

@@ -232,6 +232,56 @@ object EventPipeline {
       .drop("__tot")
   }
 
+  /** A/B experiment read-out: users split into two arms by a
+    * deterministic hash coin (md5 — the same engine-portable split as
+    * `Dedup.hashSample`, so re-running anywhere assigns identical arms),
+    * converted = fired ≥1 `convType` event, and the two-proportion
+    * pooled z-score reported in floor-truncated integer micro-units.
+    * The z touches doubles only through IEEE division/sqrt/multiply on
+    * exact integer counts — deterministic in any engine; its SIGN
+    * convention is (arm 0 − arm 1).
+    *
+    * Plan shape: one exchange on user_id for the per-user conversion
+    * flag (map-side partial max), then a 2-row arm aggregate and a
+    * 1-row final projection. Output: (n_a, conv_a, n_b, conv_b,
+    * z_micro). */
+  def abTest(events: DataFrame, entryType: String = "view",
+             convType: String = "purchase",
+             windowMicros: Long = 3600L * 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    // Exposure = the user's FIRST entry event; conversion = ≥1 conv event
+    // strictly after it within the window. Users never exposed are
+    // excluded — the standard experiment population.
+    val perUser = events
+      .filter(col("event_type").isin(entryType, convType))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1", min(when(col("event_type") === entryType, col("us"))).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === convType
+        && col("us") > col("t1")
+        && col("us") <= col("t1") + lit(windowMicros), 1L).otherwise(0L)).as("conv"))
+      .select(pmod(graft.functions.Hashing.md5Long(col("user_id")), lit(2L)).as("arm"),
+        col("conv"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("k"))
+    val a = arms.filter(col("arm") === 0).select(col("n").as("n_a"), col("k").as("conv_a"))
+    val b = arms.filter(col("arm") === 1).select(col("n").as("n_b"), col("k").as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val p = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    val z = (pa - pb) /
+      sqrt(p * (lit(1.0) - p) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    // Degenerate pools (everyone or no one converted) have zero pooled
+    // variance — no test statistic exists; NULL, not a division error.
+    val k = col("conv_a") + col("conv_b")
+    a.crossJoin(b)
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        when(k > 0 && k < col("n_a") + col("n_b"),
+          floor(z * lit(1000000)).cast("long")).otherwise(lit(null)).as("z_micro"))
+  }
+
   /** Streaming exact dedup with bounded state: at-least-once sources
     * replay records, and `dropDuplicatesWithinWatermark` holds each key
     * only until the watermark passes its event time — unlike plain

@@ -594,4 +594,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(gotTr == expTr, s"transitions mismatch: got $gotTr exp $expTr")
     }
   }
+
+  test("abTest: windowed exposure->conversion per arm; degenerate pools yield NULL z") {
+    // Arms are md5(user_id) % 2 — recompute them with the same portable
+    // hash so the expected counts do not hardcode hash outputs.
+    val arms = (1L to 6L).map { u =>
+      u -> spark.range(1).select(
+        pmod(graft.functions.Hashing.md5Long(lit(u)), lit(2L))).as[Long].head()
+    }.toMap
+    def t(x: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $x:00")
+    // every user is exposed at 10:00; users 1 and 2 convert inside 1h,
+    // user 3 converts too late, the rest never convert.
+    val rows = (1L to 6L).map(u => (u, t("10:00"), "view")) ++ Seq(
+      (1L, t("10:30"), "purchase"), (2L, t("10:59"), "purchase"),
+      (3L, t("11:30"), "purchase"))
+    val df = rows.toDF("user_id", "ts", "event_type")
+    val Array((na, ca, nb, cb, _)) = EventPipeline.abTest(df)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+    val exp0 = (1L to 6L).count(arms(_) == 0L).toLong
+    val expC0 = Seq(1L, 2L).count(arms(_) == 0L).toLong
+    assert(na == exp0 && nb == 6L - exp0, s"arm sizes ($na, $nb) vs expected ($exp0, ${6 - exp0})")
+    assert(ca == expC0 && cb == 2L - expC0, s"conversions ($ca, $cb) vs expected ($expC0, ${2 - expC0})")
+    // all-convert pool: zero variance -> NULL z, not a division error.
+    val allConv = (1L to 4L).flatMap(u =>
+      Seq((u, t("10:00"), "view"), (u, t("10:10"), "purchase")))
+      .toDF("user_id", "ts", "event_type")
+    val z = EventPipeline.abTest(allConv)
+      .select(col("z_micro")).as[Option[Long]].collect()
+    assert(z.toSeq == Seq(None), s"degenerate pool must yield NULL z, got ${z.toSeq}")
+  }
 }
