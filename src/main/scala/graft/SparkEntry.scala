@@ -578,6 +578,22 @@ object SparkEntry {
         .na.fill(0L)
     }),
 
+    // Unpivot/melt — pivot's inverse: the four lineitem measures reshaped
+    // wide→long to (measure, value) rows. Spark's native `unpivot` lowers
+    // to an Expand projection: zero shuffle, 4× rows, codegen'd — the
+    // reshape an eval/metrics table needs before a generic groupBy(measure).
+    "p2_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("orderkey"),
+          col("l_linenumber").cast("long").as("linenumber"),
+          col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount"), col("l_tax").as("tax"))
+        .unpivot(Array(col("orderkey"), col("linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "measure", "value")
+    }),
+
     // Fuzzy match: region-name pairs by edit distance.
     "f3_fuzzy_levenshtein" -> ((s, dir) => {
       val a = t(s, dir, "region").select(col("r_name").as("name_a"))
@@ -1481,6 +1497,23 @@ object SparkEntry {
         "doc_id", "text", tau = 0.5)
     }),
 
+    // Snapshot change detection (crawl-over-crawl audit): snapshot A is
+    // the corpus minus its top-10% hash slice, snapshot B minus the
+    // bottom-10% with the 40s slice rewritten — so all four verdicts
+    // (added / removed / changed / same) occur deterministically. Only
+    // (key, 60-bit fingerprint) pairs reach the full-outer join; text
+    // never shuffles (Dedup.snapshotDiff).
+    "d_snapshot_diff" -> ((s, dir) => {
+      val slice = graft.functions.Hashing.md5Long(col("doc_id")) % 100
+      val docs = t(s, dir, "documents")
+      val snapA = docs.filter(slice < 90).select(col("doc_id"), col("text"))
+      val snapB = docs.filter(slice >= 10).select(col("doc_id"),
+        when(slice.between(40, 49), concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+      operators.Dedup.snapshotDiff(snapA, snapB, "doc_id", Seq("text"))
+        .select(col("key").as("doc_id"), col("status"), col("old_fp"), col("new_fp"))
+    }),
+
     // Deterministic 90/5/5 train/val/test split (same shard anywhere).
     "d_train_split" -> ((s, dir) => {
       operators.Dedup.trainValTestSplit(t(s, dir, "documents"), "doc_id")
@@ -1497,6 +1530,71 @@ object SparkEntry {
     "x6_bfs_depth" -> ((s, dir) => {
       val g = GraphStore.get(s, dir)
       g.bfsDepth(g.hasLabel("lineitem"))
+    }),
+
+    // Strongly connected components of the above-uniform-transition
+    // graph: edges are event-type bigrams whose conditional probability
+    // exceeds the uniform 20% (sw6's matrix, thresholded — an asymmetric
+    // "more likely than chance" relation), components labeled by min
+    // co-reachable id — directed-cycle structure the plain closure (a14)
+    // can't name. The general Traversal.scc runs on string keys here.
+    "x10_scc" -> ((s, dir) => {
+      val tm = streaming.EventPipeline.transitionMatrix(events(s, dir))
+      val e = tm.filter(col("p_micro") >= 200000L)
+        .select(col("from_type").as("src"), col("to_type").as("dst"))
+      graph.Traversal.scc(e)
+    }),
+
+    // Exact neighborhood function (Palmer's ANF): the hop-distance
+    // distribution of the symmetrized supplier–nation–region graph —
+    // N(h) as cum_pairs per hop, the effective-diameter read-out. Exact
+    // via one all-vertex min-hop sweep (khop) + a tiny per-hop aggregate.
+    "x11_anf" -> ((s, dir) => {
+      val sn = t(s, dir, "supplier").select(
+        (lit(4L * B) + col("s_suppkey")).as("src"),
+        (lit(2L * B) + col("s_nationkey")).as("dst"))
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"),
+        (lit(1L * B) + col("n_regionkey")).as("dst"))
+      val e = sn.unionByName(nr)
+      val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      graph.Traversal.neighborhoodFunction(und, maxHop = 6)
+    }),
+
+    // HyperBall (Boldi–Vigna): the same curve from per-vertex HLL
+    // sketches — O(V) fixed-size state per round, no pair ever
+    // materializes; THE 100 TB path where x11's exact closure cannot fit.
+    // Rows-only gate (HLL registers are engine-specific); x11_anf is the
+    // hash-checked exact twin, and TraversalSpec pins the estimates to
+    // the exact curve in the HLL exact regime.
+    "x11b_hyperball" -> ((s, dir) => {
+      val sn = t(s, dir, "supplier").select(
+        (lit(4L * B) + col("s_suppkey")).as("src"),
+        (lit(2L * B) + col("s_nationkey")).as("dst"))
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"),
+        (lit(1L * B) + col("n_regionkey")).as("dst"))
+      val e = sn.unionByName(nr)
+      val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      graph.Traversal.hyperBall(und, maxHop = 6)
+    }),
+
+    // EXACT percentiles with NO global sort: iterative power-of-two range
+    // refinement (Sketch.exactQuantiles) — each pass is one bucketized
+    // aggregation scan, all five targets ride the same passes. The
+    // orderBy-free answer to "p50/p99 of a 100 TB column".
+    "cd6_quantiles_nosort" -> ((s, dir) => {
+      val cents = t(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      operators.Sketch.exactQuantiles(cents, "cents", Seq(2500, 5000, 7500, 9000, 9900))
+    }),
+
+    // Framed audio features over REAL decoded PCM16: 256-sample frames,
+    // integer-exact energy and zero-crossing counts — the VAD/silence
+    // front-end, computed inside the decode task (samples never shuffle).
+    "m6_audio_features" -> ((s, dir) => {
+      val media = operators.Multimodal.encodeWav(s, t(s, dir, "documents"), "doc_id", "text")
+      operators.Multimodal.decodeWavFrames(s, media, frameLen = 256).toDF()
     }),
 
     // Degree histogram of the whole graph: out-degree -> #vertices,
@@ -1772,6 +1870,94 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "x9_kcore" -> kcoreOracleSql(k = 3, rounds = 10),
+
+    "p2_unpivot" ->
+      """SELECT l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+        |  'quantity' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+        |  'extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+        |  'discount', l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+        |  'tax', l_tax FROM lineitem""".stripMargin,
+
+    "d_snapshot_diff" -> {
+      val fp = md5i("CAST(length(text) AS VARCHAR) || ':' || text")
+      s"""WITH s AS (SELECT doc_id, text,
+         |  ${md5i("CAST(doc_id AS VARCHAR)")} % 100 AS sl FROM documents),
+         |a AS (SELECT doc_id, $fp AS old_fp FROM s WHERE sl < 90),
+         |b0 AS (SELECT doc_id,
+         |  CASE WHEN sl BETWEEN 40 AND 49 THEN text || ' [rev2]' ELSE text END AS text
+         |  FROM s WHERE sl >= 10),
+         |b AS (SELECT doc_id, $fp AS new_fp FROM b0)
+         |SELECT doc_id,
+         |  CASE WHEN old_fp IS NULL THEN 'added'
+         |       WHEN new_fp IS NULL THEN 'removed'
+         |       WHEN old_fp = new_fp THEN 'same'
+         |       ELSE 'changed' END AS status,
+         |  old_fp, new_fp
+         |FROM a FULL JOIN b USING (doc_id)""".stripMargin
+    },
+
+    "x10_scc" ->
+      """WITH RECURSIVE o AS (SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |b AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS cnt
+        |  FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(cnt) AS tot FROM b GROUP BY from_type),
+        |e AS (SELECT from_type AS src, to_type AS dst FROM b JOIN t USING (from_type)
+        |  WHERE cnt * 1000000 // tot >= 200000),
+        |verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |reach(a, z) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON r.z = e.src),
+        |co AS (SELECT r1.a AS id, r1.z AS m FROM reach r1
+        |  JOIN reach r2 ON r1.a = r2.z AND r1.z = r2.a)
+        |SELECT id, min(m) AS component FROM (
+        |  SELECT id, id AS m FROM verts UNION ALL SELECT id, m FROM co)
+        |GROUP BY id""".stripMargin,
+
+    "x11_anf" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS v FROM und),
+        |walk(v, u, hop) AS (
+        |  SELECT v, v, 0 FROM verts
+        |  UNION
+        |  SELECT w.v, und.dst, w.hop + 1 FROM walk w JOIN und ON w.u = und.src
+        |  WHERE w.hop < 6),
+        |md AS (SELECT v, u, min(hop) AS d FROM walk GROUP BY v, u),
+        |h AS (SELECT CAST(d AS BIGINT) AS hop, count(*) AS n_pairs FROM md GROUP BY d)
+        |SELECT hop, n_pairs,
+        |  CAST(sum(n_pairs) OVER (ORDER BY hop) AS BIGINT) AS cum_pairs FROM h""".stripMargin,
+
+    "cd6_quantiles_nosort" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM lineitem),
+        |c AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT CAST(bp AS BIGINT) AS bp,
+        |  CAST((bp * n + 9999) // 10000 AS BIGINT) AS rank
+        |  FROM (VALUES (2500), (5000), (7500), (9000), (9900)) t(bp) CROSS JOIN c),
+        |s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+        |SELECT bp, rank, s.v AS value FROM r JOIN s ON s.rn = r.rank""".stripMargin,
+
+    // Sample i (1-based) is (unicode(char_i) - 64) * 256; frame = (i-1)//256;
+    // a crossing belongs to the frame of its SECOND sample.
+    "m6_audio_features" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |g AS (SELECT doc_id, text, unnest(generate_series(1, len)) AS i FROM t),
+        |c AS (SELECT doc_id, i, unicode(substr(text, CAST(i AS INTEGER), 1)) - 64 AS d FROM g),
+        |l AS (SELECT doc_id, i, d, lag(d) OVER (PARTITION BY doc_id ORDER BY i) AS pd FROM c),
+        |f AS (SELECT doc_id, (i - 1) // 256 AS frame_no, d,
+        |  CASE WHEN pd IS NOT NULL AND pd * d < 0 THEN 1 ELSE 0 END AS x FROM l)
+        |SELECT doc_id AS id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  count(*) AS n_samples,
+        |  CAST(sum(CAST(d AS BIGINT) * d * 65536) AS BIGINT) AS energy,
+        |  CAST(sum(x) AS BIGINT) AS crossings
+        |FROM f GROUP BY doc_id, frame_no""".stripMargin,
 
     "t_bpe_learn" -> bpeLearnOracleSql(rounds = 5),
 

@@ -668,4 +668,96 @@ object Traversal {
     }
     acc
   }
+
+  /** All vertices of the edge set, one `id` column, either endpoint role. */
+  private def vertices(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+
+  /** Strongly connected components: every vertex labeled with the minimum
+    * id among the vertices it can BOTH reach and be reached from (itself
+    * included) — the canonical SCC labeling, directed-cycle detection for
+    * graph sanitation (a14's closure treats cycles as legitimate pairs;
+    * this names them).
+    *
+    * Form: one [[closureDoubling]] closure (log-diameter rounds), then
+    * co-reachability as `closure ∩ closureᵀ` — the intersect hashes on the
+    * full (origin, node) pair, the cheapest possible key — and a min
+    * aggregate seeded with the identity pairs so isolated-in-SCC vertices
+    * label themselves. Works for any id type with a total order (string
+    * event types included).
+    *
+    * Scale: cost is dominated by the closure, O(reachable pairs) — the
+    * right trade for the bounded-diameter, bounded-fanout graphs this
+    * engine stores (same caveat as [[closureDoubling]]: R is bounded by
+    * V², not E; for closures that would not fit, a forward-backward
+    * coloring SCC that materializes only per-round frontiers is the
+    * escape hatch, at O(diameter) rounds per pivot). */
+  def scc(edges: DataFrame): DataFrame = {
+    val closure = closureDoubling(edges)
+    val co = closure.intersect(
+      closure.select(col("node").as("origin"), col("origin").as("node")))
+    vertices(edges).select(col("id"), col("id").as("m"))
+      .unionByName(co.select(col("origin").as("id"), col("node").as("m")))
+      .groupBy("id").agg(min(col("m")).as("component"))
+  }
+
+  /** Exact neighborhood function N(h): for h = 0..maxHop, how many
+    * (origin, node) pairs lie within distance h — the distance
+    * distribution behind effective-diameter and "how connected is this
+    * graph" read-outs (Palmer et al.'s ANF). Output: (hop, n_pairs,
+    * cum_pairs) with `cum_pairs(h)` = N(h); hop 0 contributes the |V|
+    * self-pairs.
+    *
+    * Exact form: one [[khop]] sweep seeded with EVERY vertex (min-hop
+    * semantics give each pair its true distance), self-pairs rediscovered
+    * around cycles dropped (their distance is 0), then a tiny per-hop
+    * aggregate with a running sum. Materializes the distance-bounded
+    * closure — exact but O(pairs); [[hyperBall]] is the sketch form that
+    * scales past it. `maxHop` must be ≥ the graph diameter for the full
+    * curve (beyond it the counts are simply complete). */
+  def neighborhoodFunction(edges: DataFrame, maxHop: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val verts = vertices(edges)
+    val perHop = khop(edges, verts, maxHop, dedupStart = false)
+      .filter(col("origin") =!= col("node"))
+      .groupBy(col("hop").cast("long").as("hop"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val hop0 = verts.agg(count(lit(1)).as("n_pairs"))
+      .select(lit(0L).as("hop"), col("n_pairs"))
+    // The running sum runs over ≤ maxHop+1 rows — the single-partition
+    // window is the point, not an accident.
+    hop0.unionByName(perHop)
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(
+        Window.orderBy(col("hop")).rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** HyperBall (Boldi & Vigna): the approximate neighborhood function by
+    * per-vertex HLL sketches — state is one fixed-size sketch per vertex
+    * (2^lgK registers), a round is one join + register-max merge, so the
+    * full distance distribution of a 100 TB graph costs diameter rounds of
+    * O(V) state and never materializes a pair. Deterministic: HLL register
+    * content depends only on the value set, and the union is a register
+    * max — partitioning and merge order cannot change the estimate.
+    * Output: (hop, est_pairs) — floor-truncated estimates, comparable to
+    * [[neighborhoodFunction]]'s exact `cum_pairs`. */
+  def hyperBall(edges: DataFrame, maxHop: Int, lgK: Int = 12): DataFrame = {
+    require(maxHop >= 0, s"hyperBall needs maxHop >= 0, got $maxHop")
+    val sketchOf = (c: org.apache.spark.sql.Column) =>
+      hll_sketch_agg(c.cast("string"), lit(lgK))
+    var ball = cut(vertices(edges).groupBy("id").agg(sketchOf(col("id")).as("ball")))
+    def estimate(h: Int, b: DataFrame): DataFrame =
+      b.agg(floor(sum(hll_sketch_estimate(col("ball")))).cast("long").as("est_pairs"))
+        .select(lit(h.toLong).as("hop"), col("est_pairs"))
+    var out = estimate(0, ball)
+    for (h <- 1 to maxHop) {
+      val fromNeighbors = edges
+        .join(ball.withColumnRenamed("id", "__nid"), col("dst") === col("__nid"))
+        .select(col("src").as("id"), col("ball"))
+      ball = cut(fromNeighbors.unionByName(ball.select(col("id"), col("ball")))
+        .groupBy("id").agg(hll_union_agg(col("ball")).as("ball")))
+      out = out.unionByName(estimate(h, ball))
+    }
+    out
+  }
 }

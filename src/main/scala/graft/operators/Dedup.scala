@@ -878,4 +878,38 @@ object Dedup {
         .when(bucket < trainPct + valPct, lit("val"))
         .otherwise(lit("test")))
   }
+
+  /** Snapshot change detection: classify every key of two corpus snapshots
+    * as `added` / `removed` / `changed` / `same` — the crawl-over-crawl
+    * audit that decides what an incremental pipeline actually reprocesses
+    * (re-ingest `added` + `changed`, tombstone `removed`, skip `same`).
+    *
+    * The payload columns are reduced to one 60-bit md5 fingerprint per
+    * side BEFORE the join, so the full-outer join shuffles (key, long)
+    * pairs — never the document text. One exchange per side, both hashed
+    * on the key; at 100 TB the fingerprints are ~1% of corpus bytes, and
+    * a bucketed layout on the key makes the join exchange-free.
+    *
+    * Returns (key, status, old_fp, new_fp) with NULL fingerprints on the
+    * absent side. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "snapshotDiff needs at least one payload column")
+    def fp(df: DataFrame, out: String): DataFrame = {
+      // NULL-safe, unambiguous concat: length-prefix each stringified
+      // payload column so ("ab","c") never collides with ("a","bc").
+      val parts = payloadCols.map { c =>
+        val s = coalesce(col(c).cast("string"), lit(" null"))
+        concat(length(s).cast("string"), lit(":"), s)
+      }
+      df.select(col(keyCol).as("key"), md5Long(concat(parts: _*)).as(out))
+    }
+    fp(oldSnap, "old_fp").join(fp(newSnap, "new_fp"), Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp"), lit("same"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_fp"), col("new_fp"))
+  }
 }

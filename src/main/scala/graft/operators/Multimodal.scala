@@ -249,6 +249,67 @@ object Multimodal {
     }
   }
 
+  case class WavFrame(id: Long, frame_no: Long, n_samples: Long,
+                      energy: Long, crossings: Long)
+
+  /** Framed audio features over REAL decoded PCM16 samples: splits each
+    * stream into consecutive `frameLen`-sample frames (last frame ragged)
+    * and reduces every frame to the two classic integer-exact descriptors —
+    * energy (Σ sample², the RMS numerator) and zero-crossing count
+    * (adjacent strict sign flips, a crossing attributed to the frame of
+    * its SECOND sample; zeros never cross). The VAD / silence-trim /
+    * language-vs-music front-end features, computed without a single
+    * float.
+    *
+    * Same honest byte path as [[decodeWav]] (container walk + chunk
+    * skipping), same `mapPartitions` batch shape a real feature extractor
+    * uses; output is one row per FRAME (bounded fan-out ~n_samples /
+    * frameLen), not per sample — samples never leave the task. */
+  def decodeWavFrames(spark: SparkSession, media: Dataset[MediaRow],
+                      frameLen: Int = 256): Dataset[WavFrame] = {
+    require(frameLen >= 2, s"frameLen must be >= 2, got $frameLen")
+    import spark.implicits._
+    media.flatMap { r =>
+      val b = java.nio.ByteBuffer.wrap(r.blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(at: Int) = new String(r.blob, at, 4, "US-ASCII")
+      require(r.blob.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        s"id=${r.id}: not a RIFF/WAVE container")
+      var pos = 12
+      var sawFmt = false
+      val frames = scala.collection.mutable.ArrayBuffer.empty[WavFrame]
+      var i = 0L            // global sample index
+      var prev = 0L         // previous sample (for crossings)
+      var n = 0L; var energy = 0L; var crossings = 0L
+      def flush(): Unit = if (n > 0) {
+        frames += WavFrame(r.id, i / frameLen - (if (i % frameLen == 0) 1 else 0),
+          n, energy, crossings)
+        n = 0; energy = 0; crossings = 0
+      }
+      while (pos + 8 <= r.blob.length) {
+        val id = tag(pos); val size = b.getInt(pos + 4)
+        require(size >= 0 && pos + 8 + size <= r.blob.length,
+          s"id=${r.id}: chunk $id overruns the blob")
+        if (id == "fmt ") {
+          require(b.getShort(pos + 8) == 1 && b.getShort(pos + 22) == 16,
+            s"id=${r.id}: only 16-bit PCM supported")
+          sawFmt = true
+        } else if (id == "data") {
+          require(sawFmt, s"id=${r.id}: data chunk before fmt")
+          var p = pos + 8
+          while (p + 1 < pos + 8 + size) {
+            val s = b.getShort(p).toLong
+            if (i > 0 && i % frameLen == 0) flush()
+            if (i > 0 && prev * s < 0) crossings += 1
+            energy += s * s; n += 1; prev = s; i += 1; p += 2
+          }
+        }
+        pos += 8 + size + (size & 1)
+      }
+      flush()
+      frames
+    }
+  }
+
   /** Frame-sample shape: pick every `stride`-th character code as a fake
     * "frame", exploded to (id, frame_no, frame_code) — the row-multiplying
     * stage a video pipeline needs, as a codegen'd posexplode. A real codec

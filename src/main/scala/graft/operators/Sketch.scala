@@ -216,4 +216,114 @@ object Sketch {
           .otherwise(floor(lit((k - 1).toDouble) * lit(M) / col("hk").cast("double")).cast("long"))
           .as("est_distinct"))
   }
+
+  /** EXACT percentiles of a BIGINT column with NO global sort — iterative
+    * range refinement (the classic distributed selection algorithm): each
+    * pass bucketizes the still-candidate value range into `buckets`
+    * equi-width cells with ONE aggregation scan, the driver descends into
+    * the cell containing each target rank, and the loop ends when a cell
+    * narrows to a single value. All requested percentiles ride the same
+    * passes (their ranges are binned in one job).
+    *
+    * Why it exists: `ORDER BY`+rank shuffles the whole column to sort it —
+    * at 100 TB that is the single most expensive plan Spark can run.
+    * Here a pass moves only O(tasks × buckets) partial counters (map-side
+    * combine collapses everything else), the source re-scan carries a
+    * pushed-down range filter that parquet min/max stats prune to a sliver
+    * after pass 1, and ceil(log_buckets(value range)) passes resolve
+    * exactly — 2 passes for 32-bit-ish ranges at the default 4096.
+    * Deterministic and partition-invariant: counts are exact integers.
+    *
+    * `bps` are basis points (1..10000); each target's rank is
+    * ceil(bp·n/10000) — the "first value with at least bp·n/10000 of the
+    * mass at or below it" discrete percentile. Returns (bp, rank, value),
+    * built on the driver from |bps| resolved scalars (the distributed work
+    * is the passes, not the 5-row result). */
+  def exactQuantiles(df: DataFrame, valueCol: String, bps: Seq[Int],
+                     buckets: Int = 4096, maxPasses: Int = 16): DataFrame = {
+    require(bps.nonEmpty && bps.forall(bp => bp >= 1 && bp <= 10000),
+      s"bps must be within 1..10000, got $bps")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = df.sparkSession
+    val vals = df.select(col(valueCol).cast("long").as("v")).filter(col("v").isNotNull)
+    val Row0 = vals.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    val n = Row0.getLong(2)
+    require(n > 0, s"exactQuantiles needs at least one non-null $valueCol value")
+    val (gmin, gmax) = (Row0.getLong(0), Row0.getLong(1))
+    // target: (bp, global rank, current range [lo, hi], rank within range)
+    case class Target(bp: Int, rank: Long, lo: Long, hi: Long, within: Long,
+                      resolved: Option[Long])
+    var targets = bps.sorted.map { bp =>
+      val rank = (bp.toLong * n + 9999L) / 10000L
+      Target(bp, rank, gmin, gmax, rank, None)
+    }
+    var pass = 0
+    while (targets.exists(_.resolved.isEmpty)) {
+      pass += 1
+      require(pass <= maxPasses,
+        s"exactQuantiles did not resolve within $maxPasses passes — impossible " +
+          "unless ranges stopped shrinking; raise maxPasses")
+      targets = targets.map(t =>
+        if (t.resolved.isEmpty && t.lo == t.hi) t.copy(resolved = Some(t.lo)) else t)
+      val pending = targets.filter(_.resolved.isEmpty)
+      if (pending.nonEmpty) {
+        // Distinct candidate ranges (targets sharing a cell share a range;
+        // different cells are disjoint) and their equi-width bucketing.
+        val ranges = pending.map(t => (t.lo, t.hi)).distinct
+        // Power-of-two cell width so the bucket index is an exact integer
+        // shift (long `/` in Column-land is IEEE double division — lossy
+        // past 2^53; shiftright never is).
+        def shiftOf(lo: Long, hi: Long): Int = {
+          val need = (hi - lo) / buckets + 1 // cells of this width fit in `buckets`
+          64 - java.lang.Long.numberOfLeadingZeros(need - 1) // ceil(log2(need))
+        }
+        def widthOf(lo: Long, hi: Long): Long = 1L << shiftOf(lo, hi)
+        val inAny = ranges.map { case (lo, hi) =>
+          col("v").between(lit(lo), lit(hi)) }.reduce(_ || _)
+        val rangeId = ranges.zipWithIndex.tail.foldLeft(
+          when(col("v").between(lit(ranges.head._1), lit(ranges.head._2)), lit(0))) {
+          case (acc, ((lo, hi), i)) => acc.when(col("v").between(lit(lo), lit(hi)), lit(i))
+        }
+        val bucketCol = ranges.zipWithIndex.tail.foldLeft(
+          when(col("__r") === 0,
+            shiftright(col("v") - lit(ranges.head._1), shiftOf(ranges.head._1, ranges.head._2)))) {
+          case (acc, ((lo, hi), i)) =>
+            acc.when(col("__r") === i, shiftright(col("v") - lit(lo), shiftOf(lo, hi)))
+        }
+        val counts = vals.filter(inAny)
+          .select(rangeId.as("__r"), col("v"))
+          .select(col("__r"), bucketCol.as("__b"))
+          .groupBy(col("__r"), col("__b")).agg(count(lit(1)).as("__c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+        targets = targets.map { t =>
+          if (t.resolved.nonEmpty) t
+          else {
+            val ri = ranges.indexOf((t.lo, t.hi))
+            val w = widthOf(t.lo, t.hi)
+            val maxB = (t.hi - t.lo) >> shiftOf(t.lo, t.hi)
+            var cum = 0L
+            var b = 0L
+            var found = false
+            var (nlo, nhi, nwithin) = (t.lo, t.hi, t.within)
+            while (!found && b <= maxB) {
+              val c = counts.getOrElse((ri, b), 0L)
+              if (cum + c >= t.within) {
+                nlo = t.lo + b * w
+                nhi = math.min(t.hi, t.lo + (b + 1) * w - 1)
+                nwithin = t.within - cum
+                found = true
+              } else { cum += c; b += 1 }
+            }
+            require(found, s"rank ${t.rank} not found in [${t.lo}, ${t.hi}] — " +
+              "the range lost mass between passes (concurrent mutation of the input?)")
+            t.copy(lo = nlo, hi = nhi, within = nwithin)
+          }
+        }
+      }
+    }
+    import spark.implicits._
+    targets.map(t => (t.bp.toLong, t.rank, t.resolved.get))
+      .toDF("bp", "rank", "value")
+  }
 }

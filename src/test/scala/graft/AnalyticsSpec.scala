@@ -102,6 +102,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(small == 7L)
   }
 
+  test("exactQuantiles: equals the sorted reference on skewed/duplicated seeded data") {
+    val rnd = new scala.util.Random(31337)
+    // heavy duplication + heavy tails + negatives: the shapes that break
+    // bucketized selection if width math is off by one anywhere
+    val vals = Seq.fill(4000)(rnd.nextInt(50).toLong) ++
+      Seq.fill(1000)(rnd.nextLong() % 1000000000L) ++ Seq.fill(50)(-7L) ++
+      Seq(Long.MinValue / 4, Long.MaxValue / 4)
+    val bps = Seq(1, 2500, 5000, 7500, 9900, 10000)
+    val got = operators.Sketch.exactQuantiles(
+      vals.toDF("v").repartition(13), "v", bps, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val sorted = vals.sorted
+    val n = vals.length.toLong
+    val want = bps.sorted.map { bp =>
+      val rank = (bp.toLong * n + 9999L) / 10000L
+      (bp.toLong, rank, sorted((rank - 1).toInt))
+    }
+    assert(got.toSeq == want)
+    // single-value column resolves without descending
+    val one = operators.Sketch.exactQuantiles(
+      Seq.fill(9)(42L).toDF("v"), "v", Seq(5000)).collect().head
+    assert((one.getLong(0), one.getLong(1), one.getLong(2)) == ((5000L, 5L, 42L)))
+  }
+
   test("rowChecksum: order/partitioning-invariant, null-sensitive") {
     val d = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String])).toDF("k", "v")
     def sum(df: org.apache.spark.sql.DataFrame) =

@@ -15,7 +15,8 @@ class GateCoverageSpec extends AnyFunSuite {
   private val rowsOnlyAllowlist: Map[String, String] = Map(
     "cd2_approx_distinct" -> "HLL sketch estimate — engine-specific; exact twin cd3_kmv_distinct is hash-checked",
     "x2_pagerank" -> "float PageRank scores — FP-order-dependent; fixed-point twin x4_pagerank_fixed is hash-checked",
-    "e4_ivf_ann" -> "float k-means centroids — FP-order-dependent; integer-centroid twin e4b_ivf_fixed is hash-checked")
+    "e4_ivf_ann" -> "float k-means centroids — FP-order-dependent; integer-centroid twin e4b_ivf_fixed is hash-checked",
+    "x11b_hyperball" -> "HLL (DataSketches) register estimates — engine-specific; exact twin x11_anf is hash-checked, and TraversalSpec pins hyperBall to the exact curve in the HLL exact regime")
 
   test("every gate query has a DuckDB oracle or a documented rows-only reason") {
     val unverified = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyAllowlist.keySet

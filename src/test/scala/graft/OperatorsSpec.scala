@@ -390,6 +390,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dec2.sum_sq == 8192L * 8192L && dec2.n_samples == 1L)
   }
 
+  test("decodeWavFrames: frame boundaries, ragged tail, crossing attribution") {
+    // 5 chars with frameLen=2: samples from codes (c-64)*256.
+    // "A @ B!" without spaces → use explicit chars: A(65)→256, ' '(32)→-8192,
+    // '@'(64)→0, 'B'(66)→512, '!'(33)→-7936.
+    val text = "A @B!"
+    val frames = Multimodal.decodeWavFrames(spark,
+      Multimodal.encodeWav(spark, docs((7L, text)), "doc_id", "text"), frameLen = 2)
+      .collect().sortBy(_.frame_no)
+    // samples: [256, -8192, 0, 512, -7936]
+    // frame 0 = (256, -8192): energy 256²+8192², crossing at i=1 (256→-8192) → 1
+    // frame 1 = (0, 512): zero never crosses (-8192→0 no, 0→512 no) → 0
+    // frame 2 = (-7936): ragged, crossing at i=4 (512→-7936) → 1
+    assert(frames.toSeq == Seq(
+      Multimodal.WavFrame(7L, 0L, 2L, 256L * 256 + 8192L * 8192, 1L),
+      Multimodal.WavFrame(7L, 1L, 2L, 512L * 512, 0L),
+      Multimodal.WavFrame(7L, 2L, 1L, 7936L * 7936, 1L)))
+    // exactly-full final frame: no phantom empty frame behind it
+    val full = Multimodal.decodeWavFrames(spark,
+      Multimodal.encodeWav(spark, docs((8L, "ABCD")), "doc_id", "text"), frameLen = 2)
+      .collect().map(_.frame_no).sorted
+    assert(full.toSeq == Seq(0L, 1L))
+  }
+
+  test("snapshotDiff: added/removed/changed/same, null-safe, length-prefixed") {
+    val a = docs((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+    val b = docs((2L, "beta"), (3L, "gamma v2"), (4L, "delta"))
+    val out = Dedup.snapshotDiff(a, b, "doc_id", Seq("text"))
+      .select("key", "status").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+    // the length prefix keeps multi-column payloads unambiguous:
+    // ("ab","c") vs ("a","bc") must CHANGE, not collide
+    val p1 = Seq((1L, "ab", "c")).toDF("id", "x", "y")
+    val p2 = Seq((1L, "a", "bc")).toDF("id", "x", "y")
+    val st = Dedup.snapshotDiff(p1, p2, "id", Seq("x", "y"))
+      .select("status").collect().head.getString(0)
+    assert(st == "changed")
+    // NULL payload is a value, not an error, and differs from the string "null"
+    val n1 = Seq((1L, null.asInstanceOf[String])).toDF("id", "x")
+    val n2 = Seq((1L, "null")).toDF("id", "x")
+    assert(Dedup.snapshotDiff(n1, n2, "id", Seq("x"))
+      .select("status").collect().head.getString(0) == "changed")
+    assert(Dedup.snapshotDiff(n1, n1, "id", Seq("x"))
+      .select("status").collect().head.getString(0) == "same")
+  }
+
   test("property: B9 map inversion round-trips on seeded random role->permission maps") {
     val rnd = new scala.util.Random(11)
     (1 to 5).foreach { _ =>

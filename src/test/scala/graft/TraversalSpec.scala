@@ -247,6 +247,56 @@ class TraversalSpec extends AnyFunSuite {
     }
   }
 
+  test("scc: two cycles joined by a one-way bridge stay separate components") {
+    // 1↔2↔3 cycle, 4↔5 cycle, bridge 3→4 (one-way), isolated sink 6.
+    val e = edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 4L), (3L, 4L), (5L, 6L)))
+    val out = Traversal.scc(e).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("property: scc equals the naive co-reachability labeling on 15 seeded graphs") {
+    val rnd = new scala.util.Random(4242)
+    (1 to 15).foreach { _ =>
+      val n = 2 + rnd.nextInt(9)
+      val m = 1 + rnd.nextInt(24)
+      val es = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).toSet
+      val closure = naiveClosure(es, nodes)
+      val want = nodes.map { v =>
+        val co = nodes.filter(u => closure((v, u)) && closure((u, v))) + v
+        v -> co.min
+      }.toMap
+      val got = Traversal.scc(edgesDF(es)).as[(Long, Long)].collect().toMap
+      assert(got == want, s"edges=$es")
+    }
+  }
+
+  test("neighborhoodFunction: path graph distance histogram, exact and cumulative") {
+    // Undirected path 1—2—3—4: distances 1:3 pairs×2, 2:2×2, 3:1×2.
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val und = es ++ es.map(_.swap)
+    val out = Traversal.neighborhoodFunction(edgesDF(und), maxHop = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 4L, 4L), (1L, 6L, 10L), (2L, 4L, 14L), (3L, 2L, 16L)))
+  }
+
+  test("hyperBall matches the exact neighborhood function on small graphs (HLL exact regime)") {
+    val rnd = new scala.util.Random(99)
+    val n = 12
+    val es = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .distinct.filter(e => e._1 != e._2)
+    val exact = Traversal.neighborhoodFunction(edgesDF(es), maxHop = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val est = Traversal.hyperBall(edgesDF(es), maxHop = 8)
+      .as[(Long, Long)].collect().toMap
+    // Below the HLL sparse-mode threshold the sketch is exact, so the
+    // curves agree bit-for-bit where the exact one has rows (it stops at
+    // the diameter; hyperBall keeps emitting the converged value).
+    exact.foreach { case (hop, cum) => assert(est(hop) == cum, s"hop=$hop") }
+    val maxExact = exact.keys.max
+    (maxExact to 8L).foreach(h => assert(est(h) == exact(maxExact)))
+  }
+
   test("closureDoubling: deep chain converges in log rounds; maxIter guard throws") {
     // 64-vertex chain: diameter 63 — reachFix needs 64 rounds, doubling 7.
     val chain = (0L until 63L).map(i => (i, i + 1))
