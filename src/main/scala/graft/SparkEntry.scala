@@ -1579,6 +1579,55 @@ object SparkEntry {
       graph.Traversal.hyperBall(und, maxHop = 6)
     }),
 
+    // Luby maximal independent set with deterministic md5 priorities over
+    // the symmetrized supplier–nation–region graph — the symmetry-breaking
+    // primitive (conflict-free parallel work-sets); expected O(log n)
+    // rounds of one join + one min aggregate over O(V) state.
+    "x12_mis" -> ((s, dir) => {
+      val sn = t(s, dir, "supplier").select(
+        (lit(4L * B) + col("s_suppkey")).as("src"),
+        (lit(2L * B) + col("s_nationkey")).as("dst"))
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"),
+        (lit(1L * B) + col("n_regionkey")).as("dst"))
+      graph.Traversal.maximalIndependentSet(sn.unionByName(nr))
+    }),
+
+    // Tiled image statistics over REAL decoded BMP pixels: 8×8 blocks,
+    // exact per-channel sums — patch-level pre-compute; tiles, not
+    // pixels, leave the decode task.
+    "m7_image_tiles" -> ((s, dir) => {
+      val media = operators.Multimodal.encodeBmp(s, t(s, dir, "documents"), "doc_id", "text")
+      operators.Multimodal.decodeBmpTiles(s, media, tile = 8).toDF()
+    }),
+
+    // Deterministic weighted sampling (8 draws, P ∝ token count, exact):
+    // ticket/min-hash form — the per-row ticket minimum folds in codegen,
+    // the global argmin is a struct-min aggregate; no float pow.
+    "d_weighted_sample" -> ((s, dir) => {
+      val weighted = t(s, dir, "documents").select(col("doc_id"),
+        size(operators.Dedup.tokens(col("text"))).cast("long").as("w"))
+      operators.Dedup.weightedSample(weighted, "doc_id", "w", draws = 8)
+    }),
+
+    // Incremental aggregate maintenance: the q1-style summary rebuilt by
+    // MERGING yesterday's partial state with the delta partition's —
+    // sums/counts are algebraic, so the merged result is bit-equal to the
+    // full recompute (the oracle computes the full form). The refresh
+    // pattern that makes a 100 TB daily stats job delta-sized.
+    "r4_incremental_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val slice = graft.functions.Hashing.md5Long(col("l_orderkey")) % 10
+      def partial(df: DataFrame) = df.groupBy(
+          col("l_returnflag").as("returnflag"), col("l_linestatus").as("linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+      partial(li.filter(slice >= 1)).unionByName(partial(li.filter(slice < 1)))
+        .groupBy(col("returnflag"), col("linestatus"))
+        .agg(sum(col("sum_qty")).as("sum_qty"), sum(col("n")).as("n"))
+        .withColumn("avg_qty_micro", expr("sum_qty * 1000000 div n"))
+    }),
+
     // EXACT percentiles with NO global sort: iterative power-of-two range
     // refinement (Sketch.exactQuantiles) — each pass is one bucketized
     // aggregation scan, all five targets ride the same passes. The
@@ -1809,6 +1858,43 @@ object SparkEntry {
        |SELECT a AS id, count(*) AS deg FROM u$rounds GROUP BY a""".stripMargin
   }
 
+  /** Unrolled Luby-MIS SQL for the x12_mis oracle: per round a priority
+    * CTE, a winners CTE (no smaller-(p,id) undecided neighbor), a losers
+    * CTE (undecided neighbors of winners), and the shrunken undecided
+    * set — the same deterministic md5 priorities the Spark loop uses, so
+    * the fixpoint matches row-for-row. Idempotent past the fixpoint
+    * (empty u stays empty); `rounds` must be ≥ the actual convergence
+    * depth or the oracle is missing vertices (visible as a row-count
+    * mismatch, never a silent pass). */
+  private def misOracleSql(rounds: Int): String = {
+    val base =
+      """WITH b AS MATERIALIZED (
+        |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+        |e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b) WHERE src <> dst),
+        |u0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM (
+        |  SELECT src FROM b UNION ALL SELECT dst FROM b))""".stripMargin
+    val perRound = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT id,
+         |  ${md5i(s"CAST(id AS VARCHAR) || '#mis#$r'")} AS p FROM u${r - 1}),
+         |w$r AS MATERIALIZED (SELECT pr.id FROM p$r pr WHERE NOT EXISTS (
+         |  SELECT 1 FROM e0 e JOIN p$r pn ON e.dst = pn.id
+         |  WHERE e.src = pr.id AND (pn.p, pn.id) < (pr.p, pr.id))),
+         |l$r AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM e0 e
+         |  JOIN w$r w ON e.src = w.id
+         |  WHERE e.dst IN (SELECT id FROM u${r - 1})),
+         |u$r AS MATERIALIZED (SELECT id FROM u${r - 1}
+         |  WHERE id NOT IN (SELECT id FROM w$r) AND id NOT IN (SELECT id FROM l$r))""".stripMargin
+    }.mkString(",\n")
+    val winners = (1 to rounds).map(r => s"SELECT id FROM w$r").mkString(" UNION ALL ")
+    val losers = (1 to rounds).map(r => s"SELECT id FROM l$r").mkString(" UNION ALL ")
+    s"""$base,
+       |$perRound
+       |SELECT id, TRUE AS in_mis FROM ($winners)
+       |UNION ALL SELECT id, FALSE AS in_mis FROM ($losers)""".stripMargin
+  }
+
   /** Unrolled BPE-learning SQL for the t_bpe_learn oracle: per round, a
     * MATERIALIZED pair-count CTE, a 1-row argmax CTE, and the rewritten
     * vocabulary CTE — the same greedy left-to-right `replace` the Spark
@@ -1870,6 +1956,48 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "x9_kcore" -> kcoreOracleSql(k = 3, rounds = 10),
+
+    "x12_mis" -> misOracleSql(rounds = 8),
+
+    // pixel i of doc = payload bytes 3i..3i+2 (b,g,r), laid out 16-wide
+    // top-down; the decoder's bottom-up un-flip restores exactly this
+    // order, so tile (x/8, y/8) sums recompute straight from the text.
+    "m7_image_tiles" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+        |  greatest(1, CAST(ceil(length(text) / 48.0) AS BIGINT)) AS h FROM documents),
+        |px AS (SELECT doc_id, text, len, unnest(generate_series(0, 16 * h - 1)) AS i FROM t),
+        |c AS (SELECT doc_id, i,
+        |  CASE WHEN 3*i + 1 <= len THEN unicode(substr(text, CAST(3*i + 1 AS INTEGER), 1)) ELSE 0 END AS b,
+        |  CASE WHEN 3*i + 2 <= len THEN unicode(substr(text, CAST(3*i + 2 AS INTEGER), 1)) ELSE 0 END AS g,
+        |  CASE WHEN 3*i + 3 <= len THEN unicode(substr(text, CAST(3*i + 3 AS INTEGER), 1)) ELSE 0 END AS r
+        |  FROM px)
+        |SELECT doc_id AS id, CAST((i % 16) // 8 AS INTEGER) AS tile_x,
+        |  CAST((i // 16) // 8 AS INTEGER) AS tile_y, count(*) AS n_px,
+        |  CAST(sum(b) AS BIGINT) AS sum_b, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(r) AS BIGINT) AS sum_r
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
+
+    "d_weighted_sample" -> {
+      val tick = md5i("CAST(doc_id AS VARCHAR) || '#t' || CAST(tk AS VARCHAR) || '#d' || CAST(d.draw AS VARCHAR)")
+      s"""WITH t AS (SELECT doc_id,
+         |  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |d AS (SELECT unnest(generate_series(1, 8)) AS draw),
+         |h AS (SELECT CAST(d.draw AS BIGINT) AS draw, t.doc_id,
+         |  min($tick) AS h
+         |  FROM t CROSS JOIN d, unnest(generate_series(1, w)) AS g(tk)
+         |  WHERE w >= 1 GROUP BY 1, 2)
+         |SELECT draw, doc_id FROM (
+         |  SELECT draw, doc_id, row_number() OVER (PARTITION BY draw ORDER BY h, doc_id) AS rn
+         |  FROM h) WHERE rn = 1""".stripMargin
+    },
+
+    "r4_incremental_agg" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) * 1000000 // count(*) AS BIGINT) AS avg_qty_micro
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "p2_unpivot" ->
       """SELECT l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,

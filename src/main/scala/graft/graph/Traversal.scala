@@ -702,6 +702,63 @@ object Traversal {
       .groupBy("id").agg(min(col("m")).as("component"))
   }
 
+  /** Maximal independent set by Luby's algorithm with DETERMINISTIC
+    * priorities: round r gives every undecided vertex the priority
+    * (md5(id·"#mis#r"), id) — a fixed total order any engine reproduces —
+    * and a vertex enters the MIS when it beats every undecided neighbor;
+    * its neighbors drop out. Repeats until no vertex is undecided.
+    * Classic expected O(log n) rounds; each round is one edges⋈state join
+    * + a per-vertex min aggregate over O(V) state — no pair set, no
+    * closure, the canonical symmetry-breaking primitive (independent
+    * work-sets for conflict-free parallel mutation, graph coloring seed).
+    *
+    * Input (src, dst) is symmetrized and self-loops dropped (a self-loop
+    * would exclude its own vertex under independence read literally).
+    * Output: (id, in_mis) for every vertex of the edge set. The result is
+    * a function of the edge SET only — partitioning/merge order cannot
+    * change it, so the DuckDB oracle unrolls the same rounds. */
+  def maximalIndependentSet(edges: DataFrame, maxIter: Int = 40): DataFrame = {
+    import graft.functions.Hashing.md5Long
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var undecided = cut(vertices(edges).filter(col("id").isNotNull))
+    var decided: Option[DataFrame] = None
+    var round = 0
+    var done = undecided.isEmpty
+    while (!done) {
+      round += 1
+      if (round > maxIter)
+        throw new IllegalStateException(
+          s"Luby MIS did not converge within $maxIter rounds — astronomically " +
+            "unlikely under hashed priorities; raise maxIter")
+      val pr = undecided.select(col("id"),
+        md5Long(concat(col("id").cast("string"), lit(s"#mis#$round"))).as("p"))
+      // smallest undecided-neighbor priority per vertex (strict total
+      // order via the (p, id) pair; md5 ties break on id)
+      val nbrMin = und.join(pr.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(struct(col("p"), col("dst"))).as("nmin"))
+      val winners = pr.join(nbrMin, Seq("id"), "left")
+        .filter(col("nmin").isNull ||
+          struct(col("p"), col("id")) < col("nmin"))
+        .select(col("id"))
+      // only still-undecided neighbors drop out (und is the STATIC edge
+      // set — a neighbor decided in an earlier round must not re-settle)
+      val losers = und.join(winners.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(pr.select(col("id")), Seq("id"), "left_semi")
+      val settled = cut(winners.withColumn("in_mis", lit(true))
+        .unionByName(losers.withColumn("in_mis", lit(false))))
+      decided = Some(decided.fold(settled)(d => cut(d.unionByName(settled))))
+      undecided = cut(undecided.join(settled.select(col("id")), Seq("id"), "left_anti"))
+      done = undecided.isEmpty
+    }
+    und.unpersist(false)
+    decided.getOrElse(undecided.withColumn("in_mis", lit(true)))
+  }
+
   /** Exact neighborhood function N(h): for h = 0..maxHop, how many
     * (origin, node) pairs lie within distance h — the distance
     * distribution behind effective-diameter and "how connected is this

@@ -879,6 +879,44 @@ object Dedup {
         .otherwise(lit("test")))
   }
 
+  /** Deterministic weighted sampling: `draws` independent draws WITH
+    * replacement, P(key wins a draw) = weight / Σweights EXACTLY — via
+    * the ticket/min-hash construction: a row of integer weight w holds w
+    * virtual tickets, every ticket gets a seeded md5, and the draw's
+    * winner owns the globally smallest ticket hash. Exchangeable hashes
+    * make each ticket equally likely to be the minimum, so a row's win
+    * probability is exactly its ticket share — no floating-point
+    * exponentiation (the A-ES `u^(1/w)` key), hence bit-reproducible in
+    * any engine with md5.
+    *
+    * The per-row ticket minimum folds INSIDE whole-stage codegen
+    * (`array_min ∘ transform ∘ sequence` — w hashes per row per draw, no
+    * explode, nothing row-multiplying leaves the task), and the global
+    * argmin per draw is a `min(struct)` aggregate whose map-side partial
+    * collapses each task to `draws` rows — the exchange carries
+    * O(tasks × draws) structs however large the corpus. Rows with
+    * weight < 1 hold no tickets and cannot win. Weights are capped only
+    * by compute: w md5 calls per row per draw — cap upstream (e.g.
+    * `least(w, 1024)`) when weights are unbounded.
+    *
+    * Output: (draw, <keyCol>) — the winning key per draw. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     draws: Int): DataFrame = {
+    require(draws >= 1, s"draws must be >= 1, got $draws")
+    val perDraw = df
+      .select(col(keyCol).as("__k"), col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") >= 1)
+      .select(col("__k"), col("__w"),
+        explode(sequence(lit(1L), lit(draws.toLong))).as("draw"))
+      .select(col("draw"), col("__k"),
+        array_min(transform(sequence(lit(1L), col("__w")),
+          tk => md5Long(concat(col("__k").cast("string"), lit("#t"),
+            tk.cast("string"), lit("#d"), col("draw").cast("string"))))).as("__h"))
+    perDraw.groupBy(col("draw"))
+      .agg(min(struct(col("__h"), col("__k"))).as("__m"))
+      .select(col("draw"), col("__m.__k").as(keyCol))
+  }
+
   /** Snapshot change detection: classify every key of two corpus snapshots
     * as `added` / `removed` / `changed` / `same` — the crawl-over-crawl
     * audit that decides what an incremental pipeline actually reprocesses

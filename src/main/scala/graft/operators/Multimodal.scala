@@ -249,6 +249,49 @@ object Multimodal {
     }
   }
 
+  case class BmpTile(id: Long, tile_x: Int, tile_y: Int, n_px: Long,
+                     sum_b: Long, sum_g: Long, sum_r: Long)
+
+  /** Tiled image statistics over REAL decoded 24-bit BMP pixels: the image
+    * split into `tile`×`tile` blocks (ragged at the right/bottom edges),
+    * each reduced to exact per-channel sums — the patch-level pre-compute
+    * behind thumbnailing, patch embeddings, and block-wise quality checks.
+    * One output row per TILE (fan-out ~n_px/tile², not per pixel); the
+    * pixel array never leaves the decode task. Same header walk and
+    * bottom-up un-flip as [[decodeBmp]]; padding pixels count like any
+    * other (they are real bytes of the pixel array). */
+  def decodeBmpTiles(spark: SparkSession, media: Dataset[MediaRow],
+                     tile: Int = 8): Dataset[BmpTile] = {
+    require(tile >= 1, s"tile must be >= 1, got $tile")
+    import spark.implicits._
+    media.flatMap { r =>
+      val b = java.nio.ByteBuffer.wrap(r.blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(b.remaining >= 54 && b.get(0) == 'B'.toByte && b.get(1) == 'M'.toByte,
+        s"id=${r.id}: not a BMP (magic/size)")
+      val off = b.getInt(10); val w = b.getInt(18); val h = b.getInt(22)
+      require(b.getShort(28) == 24 && b.getInt(30) == 0,
+        s"id=${r.id}: only uncompressed 24-bit BMP supported")
+      val stride = ((w * 3 + 3) / 4) * 4
+      require(r.blob.length >= off + stride * h, s"id=${r.id}: truncated pixel array")
+      val tx = (w + tile - 1) / tile
+      val ty = (h + tile - 1) / tile
+      val n = Array.ofDim[Long](tx * ty)
+      val sb = Array.ofDim[Long](tx * ty)
+      val sg = Array.ofDim[Long](tx * ty)
+      val sr = Array.ofDim[Long](tx * ty)
+      for (row <- 0 until h; x <- 0 until w) {
+        val base = off + (h - 1 - row) * stride + x * 3 // un-flip bottom-up
+        val t = (row / tile) * tx + x / tile
+        n(t) += 1
+        sb(t) += r.blob(base) & 0xff
+        sg(t) += r.blob(base + 1) & 0xff
+        sr(t) += r.blob(base + 2) & 0xff
+      }
+      (0 until tx * ty).map(t =>
+        BmpTile(r.id, t % tx, t / tx, n(t), sb(t), sg(t), sr(t)))
+    }
+  }
+
   case class WavFrame(id: Long, frame_no: Long, n_samples: Long,
                       energy: Long, crossings: Long)
 

@@ -390,6 +390,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dec2.sum_sq == 8192L * 8192L && dec2.n_samples == 1L)
   }
 
+  test("decodeBmpTiles: un-flip restores payload order; ragged edge tiles; zero padding") {
+    // 16-wide image, tile=8 → tile_x ∈ {0,1}. 49 chars → h=2 rows, second
+    // row = 1 real char + 47 zero pad bytes.
+    val text = ("A" * 48) + "B" // row 0 all 'A'(65), row 1 starts with 'B'(66)
+    val tiles = Multimodal.decodeBmpTiles(spark,
+      Multimodal.encodeBmp(spark, docs((5L, text)), "doc_id", "text"), tile = 8)
+      .collect().map(t => (t.tile_x, t.tile_y) -> t).toMap
+    // h=2 < tile → one tile row; tile (0,0) holds pixels x=0..7 of both rows:
+    // row 0: 8 px of 'A' per channel; row 1: pixel 16 = bytes 48..50 = ('B',0,0)
+    val t00 = tiles((0, 0))
+    assert(t00.n_px == 16)
+    assert(t00.sum_b == 8L * 65 + 66 && t00.sum_g == 8L * 65 && t00.sum_r == 8L * 65)
+    val t10 = tiles((1, 0))
+    assert(t10.n_px == 16 && t10.sum_b == 8L * 65 && t10.sum_g == 8L * 65 && t10.sum_r == 8L * 65)
+    assert(tiles.size == 2)
+  }
+
+  test("weightedSample: exact ticket-share probabilities, partition-invariant") {
+    val d = Seq((1L, 1L), (2L, 3L), (3L, 6L), (4L, 0L)).toDF("doc_id", "w")
+    val out = Dedup.weightedSample(d, "doc_id", "w", draws = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 50) // every draw resolves
+    assert(!out.values.toSet.contains(4L)) // zero weight never wins
+    // the weight-6 doc should win more often than the weight-1 doc over
+    // 50 independent draws (P(win)=0.6 vs 0.1; this is deterministic data,
+    // not a flaky sample — the hashes are fixed)
+    val byDoc = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byDoc.getOrElse(3L, 0) > byDoc.getOrElse(1L, 0))
+    val re = Dedup.weightedSample(d.repartition(5), "doc_id", "w", draws = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == out)
+    // exact argmin semantics: brute-force replica of draw 1
+    import graft.functions.Hashing.md5Long
+    val brute = d.filter(col("w") >= 1)
+      .select(col("doc_id"), explode(expr("sequence(CAST(1 AS BIGINT), w)")).as("tk"))
+      .select(col("doc_id"),
+        md5Long(concat(col("doc_id").cast("string"), lit("#t"),
+          col("tk").cast("string"), lit("#d1"))).as("h"))
+      .orderBy("h", "doc_id").limit(1).collect().head.getLong(0)
+    assert(out(1L) == brute)
+  }
+
   test("decodeWavFrames: frame boundaries, ragged tail, crossing attribution") {
     // 5 chars with frameLen=2: samples from codes (c-64)*256.
     // "A @ B!" without spaces → use explicit chars: A(65)→256, ' '(32)→-8192,

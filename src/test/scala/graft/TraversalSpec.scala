@@ -271,6 +271,38 @@ class TraversalSpec extends AnyFunSuite {
     }
   }
 
+  test("property: Luby MIS is independent, maximal, partition-invariant on 10 seeded graphs") {
+    val rnd = new scala.util.Random(2026)
+    (1 to 10).foreach { _ =>
+      val n = 2 + rnd.nextInt(10)
+      val m = 1 + rnd.nextInt(26)
+      val es = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
+      val und = (es ++ es.map(_.swap)).filter(e => e._1 != e._2).toSet
+      val out = Traversal.maximalIndependentSet(edgesDF(es))
+        .as[(Long, Boolean)].collect().toMap
+      val verts = es.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(out.keySet == verts, s"edges=$es")
+      val mis = out.filter(_._2).keySet
+      // independent: no edge inside the set
+      assert(!und.exists(e => mis(e._1) && mis(e._2)), s"edges=$es mis=$mis")
+      // maximal: every OUT vertex has an IN neighbor
+      (verts -- mis).foreach { v =>
+        assert(und.exists(e => e._1 == v && mis(e._2)), s"v=$v edges=$es mis=$mis")
+      }
+      // deterministic under repartitioning
+      val re = Traversal.maximalIndependentSet(edgesDF(es).repartition(7))
+        .as[(Long, Boolean)].collect().toMap
+      assert(re == out, s"edges=$es")
+    }
+  }
+
+  test("MIS: self-loop-only vertices count as isolated and join the set") {
+    val out = Traversal.maximalIndependentSet(edgesDF(Seq((1L, 1L), (2L, 3L))))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out(1L)) // isolated after self-loop drop
+    assert(Seq(out(2L), out(3L)).count(identity) == 1) // exactly one of the pair wins
+  }
+
   test("neighborhoodFunction: path graph distance histogram, exact and cumulative") {
     // Undirected path 1—2—3—4: distances 1:3 pairs×2, 2:2×2, 3:1×2.
     val es = Seq((1L, 2L), (2L, 3L), (3L, 4L))
