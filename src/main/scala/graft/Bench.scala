@@ -21,7 +21,8 @@ object Bench {
     "a18b_groovy_load", "a19_bucketed_layout",
     "d_substring_spans", "e9_centroid_assign",
     "d_containment_est", "e12_lloyd_step", "z3_interval_overlap",
-    "m4_bmp_roundtrip", "a21_hop_power")
+    "m4_bmp_roundtrip", "a21_hop_power",
+    "x12_mis", "cd6_quantiles_nosort", "e14_gram", "x11b_hyperball")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

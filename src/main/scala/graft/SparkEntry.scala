@@ -1579,6 +1579,26 @@ object SparkEntry {
       graph.Traversal.hyperBall(und, maxHop = 6)
     }),
 
+    // Heaps'-law vocabulary growth: V(N) at fixed token checkpoints over
+    // the corpus in (doc_id, position) order — the curve that sizes
+    // tokenizer vocabularies and flags template-flooded corpora. Global
+    // positions come from per-doc offsets (only the |docs|-row count
+    // table crosses a single-partition window, never tokens).
+    "t_heaps" -> ((s, dir) => {
+      operators.TextAnalysis.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
+        Seq(1000L, 2000L, 4000L, 8000L, 16000L, 32000L))
+    }),
+
+    // Exact integer Gram matrix XᵀX over int8 codes in ONE aggregation
+    // pass (bounded-state Aggregator: d(d+1)/2 longs per task) — the
+    // sufficient statistic behind PCA/covariance; integer codes make it
+    // order/partitioning-invariant and cross-engine exact.
+    "e14_gram" -> ((s, dir) => {
+      val q = operators.Similarity.quantizeInt8(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      operators.Similarity.gramMatrix(q.select(col("q")), "q", d = 64)
+    }),
+
     // Luby maximal independent set with deterministic md5 priorities over
     // the symmetrized supplier–nation–region graph — the symmetry-breaking
     // primitive (conflict-free parallel work-sets); expected O(log n)
@@ -1958,6 +1978,36 @@ object SparkEntry {
     "x9_kcore" -> kcoreOracleSql(k = 3, rounds = 10),
 
     "x12_mis" -> misOracleSql(rounds = 8),
+
+    "t_heaps" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+        |c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM t),
+        |o AS (SELECT doc_id, coalesce(sum(n) OVER (ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM c),
+        |u AS (SELECT t.doc_id, i, w[CAST(i AS INTEGER)] AS word
+        |  FROM t, unnest(generate_series(1, len(w))) AS g(i)),
+        |p AS (SELECT u.word, o.off + u.i AS pos FROM u JOIN o USING (doc_id)),
+        |f AS (SELECT word, min(pos) AS fp FROM p GROUP BY word),
+        |n AS (SELECT CAST(nt AS BIGINT) AS n_tokens FROM (VALUES
+        |  (1000), (2000), (4000), (8000), (16000), (32000)) v(nt))
+        |SELECT n_tokens, count(*) AS vocab FROM n JOIN f ON f.fp <= n.n_tokens
+        |GROUP BY n_tokens""".stripMargin,
+
+    "e14_gram" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |  CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+        |       ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS INTEGER))
+        |  END AS q FROM m),
+        |u AS (SELECT vec_id, i - 1 AS i, q[CAST(i AS INTEGER)] AS qi
+        |  FROM q, unnest(generate_series(1, len(q))) AS g(i))
+        |SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+        |  CAST(sum(CAST(a.qi AS BIGINT) * b.qi) AS BIGINT) AS dot
+        |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2""".stripMargin,
 
     // pixel i of doc = payload bytes 3i..3i+2 (b,g,r), laid out 16-wide
     // top-down; the decoder's bottom-up un-flip restores exactly this

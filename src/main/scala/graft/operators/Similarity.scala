@@ -441,4 +441,66 @@ object Similarity {
         when(col("__mx") === 0, lit(0.0))
           .otherwise(floor(col("__mx") / lit(127.0) * 1000000) / 1000000).as("scale"))
   }
+
+  /** Upper-triangle accumulator for [[gramMatrix]]: d·(d+1)/2 exact longs
+    * per partition, merged by elementwise add — order-free. */
+  case class GramBuf(sums: Seq[Long])
+
+  private class GramAgg(d: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[Seq[Int], GramBuf, Seq[Long]] {
+    private val size = d * (d + 1) / 2
+    override def zero: GramBuf = GramBuf(Vector.fill(size)(0L))
+    override def reduce(b: GramBuf, q: Seq[Int]): GramBuf = {
+      require(q != null && q.length == d,
+        s"gramMatrix: expected dimension $d, got ${if (q == null) "null" else q.length}")
+      val a = b.sums.toArray
+      var idx = 0
+      var i = 0
+      while (i < d) {
+        val qi = q(i).toLong
+        var j = i
+        while (j < d) { a(idx) += qi * q(j); idx += 1; j += 1 }
+        i += 1
+      }
+      GramBuf(scala.collection.immutable.ArraySeq.unsafeWrapArray(a))
+    }
+    override def merge(x: GramBuf, y: GramBuf): GramBuf = {
+      val a = x.sums.toArray
+      var i = 0
+      while (i < a.length) { a(i) += y.sums(i); i += 1 }
+      GramBuf(scala.collection.immutable.ArraySeq.unsafeWrapArray(a))
+    }
+    override def finish(b: GramBuf): Seq[Long] = b.sums
+    override def bufferEncoder: org.apache.spark.sql.Encoder[GramBuf] =
+      org.apache.spark.sql.Encoders.product[GramBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Exact integer Gram matrix XᵀX over int8 codes in ONE pass — the
+    * d²-sized sufficient statistic behind PCA / covariance / whitening,
+    * computed without ever materializing a vector pair: a typed
+    * Aggregator keeps d·(d+1)/2 exact longs per partition (≤ 17 KB at
+    * d = 64) and the exchange carries one such state per task, however
+    * many vectors stream through. Integer codes (not floats) make the
+    * sums order- and partitioning-invariant — cross-engine exact, where
+    * a float Gram is FP-order-dependent. The driver-side eigensolve on
+    * the returned d×d matrix is O(d³) trivia; THIS pass is the 100 TB
+    * part. Output: (i, j, dot) for the upper triangle i ≤ j. */
+  def gramMatrix(codes: DataFrame, codeCol: String, d: Int): DataFrame = {
+    require(d >= 1, s"gramMatrix needs d >= 1, got $d")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val agg = udaf(new GramAgg(d), implicitly[org.apache.spark.sql.Encoder[Seq[Int]]])
+    val flat = codes.select(agg(col(codeCol)).as("g"))
+      .select(posexplode(col("g")).as(Seq("idx", "dot")))
+    val idxMap = spark.range(d).select(col("id").cast("int").as("i"))
+      .crossJoin(spark.range(d).select(col("id").cast("int").as("j")))
+      .filter(col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        (col("i").cast("long") * d - col("i").cast("long") * (col("i") - 1) / 2
+          + (col("j") - col("i"))).cast("int").as("idx"))
+    flat.join(broadcast(idxMap), Seq("idx"))
+      .select(col("i"), col("j"), col("dot"))
+  }
 }

@@ -748,4 +748,37 @@ object TextAnalysis {
         symRatio < 0.1 && bulletRatio <= 0.9 && ellipsisRatio <= 0.3 &&
         alphaFrac >= 0.8).as("passes"))
   }
+
+  /** Heaps'-law vocabulary growth: V(N) = distinct words among the first N
+    * tokens of the corpus read in (doc_id, in-doc position) order — the
+    * sublinear vocab-vs-corpus curve that sizes tokenizer vocabularies and
+    * detects template-flooded corpora (flat curve = low lexical novelty).
+    * Exact integers; output one (n_tokens, vocab) row per checkpoint.
+    *
+    * Scale shape: global token positions come from PER-DOC offsets — a
+    * running sum windowed over the |docs|-row count table (the only
+    * single-partition step; doc counts, never tokens, cross it) added to
+    * the in-doc position, so the token stream itself never needs a global
+    * sort. First-occurrence is a hash aggregate on the word; the
+    * checkpoint histogram explodes |vocab| × |checkpoints| tiny rows. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints.forall(_ >= 1),
+      s"checkpoints must be >= 1, got $checkpoints")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(col(idCol).as("__id"),
+      size(tokens(col(textCol))).cast("long").as("__n"))
+    val offsets = counts.withColumn("__off",
+      coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__id")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val pos = docs
+      .select(col(idCol).as("__id"),
+        posexplode(tokens(col(textCol))).as(Seq("__p", "__w")))
+      .join(offsets.select(col("__id"), col("__off")), Seq("__id"))
+      .select(col("__w"), (col("__off") + col("__p") + 1).as("__pos"))
+    val first = pos.groupBy(col("__w")).agg(min(col("__pos")).as("__fp"))
+    first.select(explode(array(checkpoints.map(lit(_)): _*)).as("n_tokens"), col("__fp"))
+      .filter(col("__fp") <= col("n_tokens"))
+      .groupBy(col("n_tokens")).agg(count(lit(1)).as("vocab"))
+  }
 }

@@ -390,6 +390,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dec2.sum_sq == 8192L * 8192L && dec2.n_samples == 1L)
   }
 
+  test("vocabGrowth: exact first-occurrence curve in (doc, position) order") {
+    // doc 1: "a b a c" (positions 1-4), doc 2: "c d" (positions 5-6)
+    // firsts: a@1, b@2, c@4, d@6
+    val out = TextAnalysis.vocabGrowth(
+      docs((1L, "a b a c"), (2L, "c d")), "doc_id", "text", Seq(1L, 2L, 3L, 4L, 5L, 6L, 100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L, 5L -> 3L, 6L -> 4L, 100L -> 4L))
+  }
+
+  test("gramMatrix: equals the naive pairwise form, partition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val d = 5
+    val vecs = Seq.fill(40)(Seq.fill(d)(rnd.nextInt(255) - 127)).toDF("q")
+    val got = Similarity.gramMatrix(vecs, "q", d)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val rows = vecs.as[Seq[Int]].collect()
+    val want = (for (i <- 0 until d; j <- i until d)
+      yield (i, j) -> rows.map(q => q(i).toLong * q(j)).sum).toMap
+    assert(got == want)
+    val re = Similarity.gramMatrix(vecs.repartition(7), "q", d)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(re == got)
+    // wrong dimension fails loudly, not with a silent partial sum
+    assertThrows[org.apache.spark.SparkException](
+      Similarity.gramMatrix(vecs, "q", d + 1).collect())
+  }
+
   test("decodeBmpTiles: un-flip restores payload order; ragged edge tiles; zero padding") {
     // 16-wide image, tile=8 → tile_x ∈ {0,1}. 49 chars → h=2 rows, second
     // row = 1 real char + 47 zero pad bytes.
