@@ -1558,7 +1558,9 @@ object SparkEntry {
         (lit(1L * B) + col("n_regionkey")).as("dst"))
       val e = sn.unionByName(nr)
       val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      graph.Traversal.neighborhoodFunction(und, maxHop = 6)
+      // diameter of the containment graph is 4 at every SF (s–n–r–n'–s');
+      // maxHop 5 keeps one empty-level margin as the convergence witness
+      graph.Traversal.neighborhoodFunction(und, maxHop = 5)
     }),
 
     // HyperBall (Boldi–Vigna): the same curve from per-vertex HLL
@@ -1576,7 +1578,14 @@ object SparkEntry {
         (lit(1L * B) + col("n_regionkey")).as("dst"))
       val e = sn.unionByName(nr)
       val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      graph.Traversal.hyperBall(und, maxHop = 6)
+      graph.Traversal.hyperBall(und, maxHop = 5)
+    }),
+
+    // Growth accounting over the events log: per day — DAU, rolling
+    // 7-day actives (range join against the tiny broadcast days table;
+    // the log never self-joins), newly seen users, cumulative users.
+    "sw8_active_users" -> ((s, dir) => {
+      streaming.EventPipeline.activeUsers(events(s, dir), windowDays = 7)
     }),
 
     // Heaps'-law vocabulary growth: V(N) at fixed token checkpoints over
@@ -1979,6 +1988,20 @@ object SparkEntry {
 
     "x12_mis" -> misOracleSql(rounds = 8),
 
+    "sw8_active_users" ->
+      """WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM p GROUP BY day),
+        |days AS (SELECT DISTINCT day FROM p),
+        |r AS (SELECT d.day, count(DISTINCT p.user_id) AS rolling_active
+        |  FROM days d JOIN p ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        |  GROUP BY d.day),
+        |fs AS (SELECT min(day) AS day, user_id FROM p GROUP BY user_id),
+        |nn AS (SELECT day, count(*) AS n_new FROM fs GROUP BY day)
+        |SELECT dau.day, dau.dau, r.rolling_active,
+        |  coalesce(nn.n_new, 0) AS n_new,
+        |  CAST(sum(coalesce(nn.n_new, 0)) OVER (ORDER BY dau.day) AS BIGINT) AS cum_users
+        |FROM dau JOIN r USING (day) LEFT JOIN nn USING (day)""".stripMargin,
+
     "t_heaps" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
@@ -2107,7 +2130,7 @@ object SparkEntry {
         |  SELECT v, v, 0 FROM verts
         |  UNION
         |  SELECT w.v, und.dst, w.hop + 1 FROM walk w JOIN und ON w.u = und.src
-        |  WHERE w.hop < 6),
+        |  WHERE w.hop < 5),
         |md AS (SELECT v, u, min(hop) AS d FROM walk GROUP BY v, u),
         |h AS (SELECT CAST(d AS BIGINT) AS hop, count(*) AS n_pairs FROM md GROUP BY d)
         |SELECT hop, n_pairs,

@@ -232,6 +232,37 @@ object EventPipeline {
       .drop("__tot")
   }
 
+  /** Growth accounting: per calendar day, DAU (distinct actives), rolling
+    * `windowDays`-day actives, newly seen users, and the cumulative user
+    * count — the activation/retention dashboard quartet, all exact
+    * integers under the pinned-UTC calendar.
+    *
+    * Plan shape: the log collapses once to distinct (user, day) pairs
+    * (one user_id exchange with map-side partial dedup); the rolling
+    * count is a range join of those pairs against the tiny distinct-days
+    * table (broadcast — |days| rows by construction), so the log is never
+    * self-joined; first-seen and the two window sums run over |users|-
+    * and |days|-sized aggregates. */
+  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val pairs = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val days = pairs.select(col("day")).distinct()
+    val rolling = broadcast(days)
+      .join(pairs.select(col("user_id"), col("day").as("aday")),
+        col("aday").between(date_sub(col("day"), windowDays - 1), col("day")))
+      .groupBy(col("day")).agg(count_distinct(col("user_id")).as("rolling_active"))
+    val firstSeen = pairs.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    // the cumulative runs over the |days|-row aggregate — tiny by design
+    dau.join(rolling, Seq("day"))
+      .join(firstSeen, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users", sum(col("n_new")).over(
+        Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   /** A/B experiment read-out: users split into two arms by a
     * deterministic hash coin (md5 — the same engine-portable split as
     * `Dedup.hashSample`, so re-running anywhere assigns identical arms),

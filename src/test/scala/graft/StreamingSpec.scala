@@ -595,6 +595,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("property: activeUsers equals a naive reference on seeded random logs") {
+    val rnd = new scala.util.Random(7117)
+    (1 to 6).foreach { _ =>
+      val n = 40 + rnd.nextInt(160)
+      val evs = (1L to n.toLong).map { i =>
+        (i, rnd.nextInt(15).toLong,
+          java.sql.Timestamp.valueOf(f"2024-01-${rnd.nextInt(12) + 1}%02d " +
+            f"${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+          "view")
+      }
+      val df = evs.toDF("event_id", "user_id", "ts", "event_type")
+      val got = EventPipeline.activeUsers(df, windowDays = 3)
+        .collect().map(r => r.getDate(0).toString ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // naive reference
+      val pairs = evs.map(e => (e._2, e._3.toLocalDateTime.toLocalDate)).distinct
+      val days = pairs.map(_._2).distinct.sorted
+      val firstSeen = pairs.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val want = days.map { d =>
+        val dau = pairs.count(_._2 == d).toLong
+        val roll = pairs.filter(p => !p._2.isAfter(d) && !p._2.isBefore(d.minusDays(2)))
+          .map(_._1).distinct.size.toLong
+        val nNew = firstSeen.values.count(_ == d).toLong
+        val cum = firstSeen.values.count(!_.isAfter(d)).toLong
+        d.toString -> ((dau, roll, nNew, cum))
+      }.toMap
+      assert(got == want, s"n=$n")
+    }
+  }
+
   test("abTest: windowed exposure->conversion per arm; degenerate pools yield NULL z") {
     // Arms are md5(user_id) % 2 — recompute them with the same portable
     // hash so the expected counts do not hardcode hash outputs.
