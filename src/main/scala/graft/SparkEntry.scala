@@ -1514,6 +1514,27 @@ object SparkEntry {
         .select(col("key").as("doc_id"), col("status"), col("old_fp"), col("new_fp"))
     }),
 
+    // SCD-2 history: three deterministic snapshot versions (v2 rewrites
+    // the 40s slice and deletes the 95+ slice; v3 also rewrites the 20s
+    // slice and restores the deleted docs) collapsed to per-key validity
+    // intervals — deletion closes a run, reappearance opens a new one.
+    "d_scd2_history" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val slice = graft.functions.Hashing.md5Long(col("doc_id")) % 100
+      def fp(c: Column) = graft.functions.Hashing.md5Long(
+        concat(length(c).cast("string"), lit(":"), c))
+      val t2 = when(slice.between(40, 49), concat(col("text"), lit(" [rev2]")))
+        .otherwise(col("text"))
+      val t3 = when(slice.between(20, 29), concat(col("text"), lit(" [rev3]")))
+        .otherwise(t2)
+      val v1 = docs.select(col("doc_id"), lit(1L).as("version"), fp(col("text")).as("fp"))
+      val v2 = docs.filter(slice < 95)
+        .select(col("doc_id"), lit(2L).as("version"), fp(t2).as("fp"))
+      val v3 = docs.select(col("doc_id"), lit(3L).as("version"), fp(t3).as("fp"))
+      operators.Dedup.scdHistory(
+        v1.unionByName(v2).unionByName(v3), "doc_id", "version", "fp", latest = 3L)
+    }),
+
     // Deterministic 90/5/5 train/val/test split (same shard anywhere).
     "d_train_split" -> ((s, dir) => {
       operators.Dedup.trainValTestSplit(t(s, dir, "documents"), "doc_id")
@@ -1665,6 +1686,23 @@ object SparkEntry {
       val cents = t(s, dir, "lineitem")
         .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       operators.Sketch.exactQuantiles(cents, "cents", Seq(2500, 5000, 7500, 9000, 9900))
+    }),
+
+    // Winsorization at exact p1/p99 (the sort-free quantiles composed
+    // into outlier capping): values clip into [p1, p99], clip counts
+    // audited — the robust-statistics cleaning pass.
+    "f6_winsorize" -> ((s, dir) => {
+      val cents = t(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      val th = operators.Sketch.exactQuantiles(cents, "cents", Seq(100, 9900))
+        .groupBy().agg(
+          min(when(col("bp") === 100, col("value"))).as("lo"),
+          min(when(col("bp") === 9900, col("value"))).as("hi"))
+      cents.crossJoin(broadcast(th)).agg(
+        count(lit(1)).as("n"),
+        sum(greatest(least(col("cents"), col("hi")), col("lo"))).as("sum_winsorized"),
+        sum(when(col("cents") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("cents") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"))
     }),
 
     // Framed audio features over REAL decoded PCM16: 256-sample frames,
@@ -2135,6 +2173,41 @@ object SparkEntry {
         |h AS (SELECT CAST(d AS BIGINT) AS hop, count(*) AS n_pairs FROM md GROUP BY d)
         |SELECT hop, n_pairs,
         |  CAST(sum(n_pairs) OVER (ORDER BY hop) AS BIGINT) AS cum_pairs FROM h""".stripMargin,
+
+    "d_scd2_history" -> {
+      val fp = (arg: String) => md5i(s"CAST(length($arg) AS VARCHAR) || ':' || $arg")
+      s"""WITH s AS (SELECT doc_id, text,
+         |  ${md5i("CAST(doc_id AS VARCHAR)")} % 100 AS sl FROM documents),
+         |v1 AS (SELECT doc_id, 1 AS v, ${fp("text")} AS fp FROM s),
+         |v2 AS (SELECT doc_id, 2 AS v,
+         |  ${fp("(CASE WHEN sl BETWEEN 40 AND 49 THEN text || ' [rev2]' ELSE text END)")} AS fp
+         |  FROM s WHERE sl < 95),
+         |v3 AS (SELECT doc_id, 3 AS v,
+         |  ${fp("(CASE WHEN sl BETWEEN 20 AND 29 THEN text || ' [rev3]' WHEN sl BETWEEN 40 AND 49 THEN text || ' [rev2]' ELSE text END)")} AS fp
+         |  FROM s),
+         |a AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3),
+         |m AS (SELECT doc_id, v, fp,
+         |  CASE WHEN lag(v) OVER w IS NULL THEN 1
+         |       WHEN v <> lag(v) OVER w + 1 THEN 1
+         |       WHEN fp <> lag(fp) OVER w THEN 1 ELSE 0 END AS nr
+         |  FROM a WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
+         |r AS (SELECT doc_id, v, fp,
+         |  sum(nr) OVER (PARTITION BY doc_id ORDER BY v) AS run FROM m)
+         |SELECT doc_id, min(fp) AS fp, CAST(min(v) AS BIGINT) AS valid_from,
+         |  CAST(max(v) AS BIGINT) AS valid_to, max(v) = 3 AS is_current
+         |FROM r GROUP BY doc_id, run""".stripMargin
+    },
+
+    "f6_winsorize" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM lineitem),
+        |c AS (SELECT count(*) AS n FROM v),
+        |s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |lo AS (SELECT v AS lo FROM s, c WHERE rn = (100 * n + 9999) // 10000),
+        |hi AS (SELECT v AS hi FROM s, c WHERE rn = (9900 * n + 9999) // 10000)
+        |SELECT n, CAST(sum(greatest(least(v.v, hi), lo)) AS BIGINT) AS sum_winsorized,
+        |  CAST(sum(CASE WHEN v.v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(sum(CASE WHEN v.v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+        |FROM v, lo, hi, c GROUP BY n""".stripMargin,
 
     "cd6_quantiles_nosort" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM lineitem),

@@ -917,6 +917,44 @@ object Dedup {
       .select(col("draw"), col("__m.__k").as(keyCol))
   }
 
+  /** SCD-2 history build: collapse N tagged snapshot versions of a corpus
+    * into per-key validity intervals — one row per maximal run of
+    * consecutive versions in which the key existed with an unchanged
+    * fingerprint. Deletion (absence in a version) closes the run;
+    * reappearance opens a new one even if the content returns unchanged.
+    * The slowly-changing-dimension record a lakehouse keeps instead of N
+    * full copies.
+    *
+    * Input: (key, version, fp) rows — presence of a row is presence of
+    * the key in that version (build fps with the same length-prefixed
+    * hash as [[snapshotDiff]]). Output: (key, fp, valid_from, valid_to,
+    * is_current) with closed version intervals; `is_current` marks runs
+    * reaching `latest`.
+    *
+    * Plan: one exchange on the key for the lag window; run-ids are a
+    * running sum of change-points over that same window, and the
+    * interval aggregate groups on (key, run) — hash-partitioning by key
+    * already clusters it, no second exchange of the data. */
+  def scdHistory(snaps: DataFrame, keyCol: String, versionCol: String,
+                 fpCol: String, latest: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+    val marked = snaps.select(col(keyCol), col(versionCol).cast("long").as("__v"),
+        col(fpCol).as("__fp"))
+      .withColumn("__newrun",
+        when(lag(col("__v"), 1).over(w).isNull, lit(1L))
+          .when(col("__v") =!= lag(col("__v"), 1).over(w) + 1, lit(1L))
+          .when(!(col("__fp") <=> lag(col("__fp"), 1).over(w)), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("__run", sum(col("__newrun")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    marked.groupBy(col(keyCol), col("__run"))
+      .agg(min(col("__v")).as("valid_from"), max(col("__v")).as("valid_to"),
+        first(col("__fp")).as("fp"))
+      .select(col(keyCol), col("fp"), col("valid_from"), col("valid_to"),
+        (col("valid_to") === latest).as("is_current"))
+  }
+
   /** Snapshot change detection: classify every key of two corpus snapshots
     * as `added` / `removed` / `changed` / `same` — the crawl-over-crawl
     * audit that decides what an incremental pipeline actually reprocesses

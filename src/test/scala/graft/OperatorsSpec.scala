@@ -459,6 +459,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L) == brute)
   }
 
+  test("scdHistory: runs split on change AND on deletion gaps; is_current marks the tip") {
+    // key 1: stable across v1-v3 → one current run
+    // key 2: changes at v2 → two runs, second current
+    // key 3: present v1, absent v2, back at v3 with the SAME fp → the gap
+    //        still splits the run (reappearance is a new record)
+    // key 4: deleted after v1 → one closed, non-current run
+    val snaps = Seq(
+      (1L, 1L, 10L), (1L, 2L, 10L), (1L, 3L, 10L),
+      (2L, 1L, 20L), (2L, 2L, 21L), (2L, 3L, 21L),
+      (3L, 1L, 30L), (3L, 3L, 30L),
+      (4L, 1L, 40L)).toDF("key", "version", "fp")
+    val out = Dedup.scdHistory(snaps, "key", "version", "fp", latest = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(1), r.getBoolean(4)))
+      .toSet
+    assert(out == Set(
+      (1L, 1L, 3L, 10L, true),
+      (2L, 1L, 1L, 20L, false), (2L, 2L, 3L, 21L, true),
+      (3L, 1L, 1L, 30L, false), (3L, 3L, 3L, 30L, true),
+      (4L, 1L, 1L, 40L, false)))
+  }
+
   test("decodeWavFrames: frame boundaries, ragged tail, crossing attribution") {
     // 5 chars with frameLen=2: samples from codes (c-64)*256.
     // "A @ B!" without spaces → use explicit chars: A(65)→256, ' '(32)→-8192,
