@@ -1629,6 +1629,24 @@ object SparkEntry {
       operators.Similarity.gramMatrix(q.select(col("q")), "q", d = 64)
     }),
 
+    // Perceptual average-hash over REAL decoded BMPs: 8×8 luminance grid,
+    // bit = cell brighter than the image (exact integer cross-multiply) —
+    // the image near-dup fingerprint.
+    "m8_ahash" -> ((s, dir) => {
+      val media = operators.Multimodal.encodeBmp(s, t(s, dir, "documents"), "doc_id", "text")
+      operators.Multimodal.decodeBmpAHash(s, media).toDF()
+    }),
+
+    // Image near-dup: the aHash fingerprints through the SAME banded
+    // hamming-ball join the text simhash uses (Dedup.hammingNearDup,
+    // bits=64, radius 3) — recall 1 within the ball, capped hot bands.
+    "m8b_image_neardup" -> ((s, dir) => {
+      val media = operators.Multimodal.encodeBmp(s, t(s, dir, "documents"), "doc_id", "text")
+      val fps = operators.Multimodal.decodeBmpAHash(s, media).toDF()
+        .select(col("id"), col("ahash"))
+      operators.Dedup.hammingNearDup(fps, "id", "ahash", bits = 64, maxHamming = 3)
+    }),
+
     // Luby maximal independent set with deterministic md5 priorities over
     // the symmetrized supplier–nation–region graph — the symmetry-breaking
     // primitive (conflict-free parallel work-sets); expected O(log n)
@@ -2025,6 +2043,15 @@ object SparkEntry {
     "x9_kcore" -> kcoreOracleSql(k = 3, rounds = 10),
 
     "x12_mis" -> misOracleSql(rounds = 8),
+
+    "m8_ahash" -> s"$AHASH_CTES\nSELECT id, ahash, n_px FROM ah",
+
+    "m8b_image_neardup" ->
+      s"""$AHASH_CTES
+         |SELECT x.id AS id_a, y.id AS id_b,
+         |  CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
+         |FROM ah x JOIN ah y ON x.id < y.id
+         |WHERE bit_count(xor(x.ahash, y.ahash)) <= 3""".stripMargin,
 
     "sw8_active_users" ->
       """WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -4222,6 +4249,31 @@ object SparkEntry {
   /** DuckDB replica of [[graft.functions.Hashing.md5Long]]. */
   private def md5i(arg: String): String =
     s"('0x' || substr(md5($arg), 1, 15))::BIGINT"
+
+  /** DuckDB replica of [[graft.operators.Multimodal.decodeBmpAHash]] from
+    * the BMP byte-layout formula (pixel i = payload bytes 3i..3i+2, laid
+    * out 16-wide top-down): 8×8 luminance cells, exact cross-multiplied
+    * threshold, bits packed with bit_or (bit 63 via the min-long literal —
+    * DuckDB refuses the overflowing `1 << 63`). Ends with CTE `ah`
+    * (id, ahash, n_px). */
+  private val AHASH_CTES =
+    """WITH t AS (SELECT doc_id, text, length(text) AS len,
+      |  greatest(1, CAST(ceil(length(text) / 48.0) AS BIGINT)) AS h FROM documents),
+      |px AS (SELECT doc_id, text, len, h, unnest(generate_series(0, 16 * h - 1)) AS i FROM t),
+      |g AS (SELECT doc_id, h, i,
+      |   (CASE WHEN 3*i + 1 <= len THEN unicode(substr(text, CAST(3*i + 1 AS INTEGER), 1)) ELSE 0 END
+      |  + CASE WHEN 3*i + 2 <= len THEN unicode(substr(text, CAST(3*i + 2 AS INTEGER), 1)) ELSE 0 END
+      |  + CASE WHEN 3*i + 3 <= len THEN unicode(substr(text, CAST(3*i + 3 AS INTEGER), 1)) ELSE 0 END) AS gray
+      |  FROM px),
+      |cl AS (SELECT doc_id, (((i // 16) * 8) // h) * 8 + (i % 16) // 2 AS cell,
+      |  CAST(sum(gray) AS BIGINT) AS cs, count(*) AS cn FROM g GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(cs) AS ts, sum(cn) AS tn FROM cl GROUP BY doc_id),
+      |ah AS (SELECT c.doc_id AS id,
+      |  coalesce(bit_or(CASE WHEN cs * tn > ts * cn THEN
+      |    (CASE WHEN cell = 63 THEN -9223372036854775808
+      |          ELSE 1::BIGINT << CAST(cell AS INTEGER) END) END), 0) AS ahash,
+      |  CAST(min(tn) AS BIGINT) AS n_px
+      |  FROM cl c JOIN tot USING (doc_id) GROUP BY c.doc_id)""".stripMargin
 
   private val WORDS_CTE =
     """WITH t AS (SELECT doc_id,

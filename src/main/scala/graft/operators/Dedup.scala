@@ -255,12 +255,29 @@ object Dedup {
                      bits: Int = 48, maxHamming: Int = 3,
                      maxBucket: Int = 8192): DataFrame = {
     require(bits >= 2 && bits <= 63, s"bits must be in 2..63, got $bits")
+    hammingNearDup(simhash(docs, idCol, textCol, bits), idCol, "simhash",
+      bits, maxHamming, maxBucket)
+  }
+
+  /** Banded hamming-ball self-join over ANY precomputed fingerprint
+    * column (text simhash, image aHash, audio fingerprints …): pigeonhole
+    * the `bits` into maxHamming+1 equal bands — a pair within the ball
+    * must agree exactly on at least one band — equi-join per band, then
+    * the exact popcount filter. Recall 1 within the radius; per-task join
+    * input is O(maxBucket²) via [[Skew.capBuckets]]. Only (id,
+    * fingerprint, band-value) longs shuffle. `bits` may be the full 64
+    * (the sign bit participates like any other; band masks strip
+    * arithmetic-shift sign extension). */
+  def hammingNearDup(fps: DataFrame, idCol: String, fpCol: String,
+                     bits: Int = 48, maxHamming: Int = 3,
+                     maxBucket: Int = 8192): DataFrame = {
+    require(bits >= 2 && bits <= 64, s"bits must be in 2..64, got $bits")
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     require(bits % (maxHamming + 1) == 0,
       s"bits ($bits) must divide into maxHamming + 1 (${maxHamming + 1}) equal bands")
     val bandBits = bits / (maxHamming + 1)
-    val mask = (1L << bandBits) - 1
-    val fp = simhash(docs, idCol, textCol, bits)
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val fp = fps.select(col(idCol), col(fpCol).as("simhash"))
     val bandVals = array((0 to maxHamming).map(b =>
       shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)
     // Persist the banded table (the lshCandidates pattern): the cap's

@@ -292,6 +292,54 @@ object Multimodal {
     }
   }
 
+  case class AHashRow(id: Long, ahash: Long, n_px: Long)
+
+  /** Perceptual average-hash (aHash) over REAL decoded BMP pixels: the
+    * image reduced to an 8×8 luminance grid (cell (cx, cy) collects
+    * pixels with cx = x·8/w, cy = y·8/h — image-relative, so any
+    * resolution maps to the same 64 cells), bit i = cell i brighter than
+    * the whole image. The comparison is exact integer cross-multiplication
+    * (cell_sum · n_total > total_sum · cell_n) — no division, no floats —
+    * so the 64-bit fingerprint reproduces bit-for-bit in any engine.
+    * Luminance is the plain channel sum b+g+r (a weighted luma would
+    * drag in rounding; for near-dup detection the unweighted sum ranks
+    * identically). Empty grid cells (short images) stay 0. The image
+    * near-dup front-end: feed the fingerprints to
+    * [[Dedup.hammingNearDup]] for the banded hamming-ball join. */
+  def decodeBmpAHash(spark: SparkSession, media: Dataset[MediaRow]): Dataset[AHashRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = java.nio.ByteBuffer.wrap(r.blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        require(b.remaining >= 54 && b.get(0) == 'B'.toByte && b.get(1) == 'M'.toByte,
+          s"id=${r.id}: not a BMP (magic/size)")
+        val off = b.getInt(10); val w = b.getInt(18); val h = b.getInt(22)
+        require(b.getShort(28) == 24 && b.getInt(30) == 0,
+          s"id=${r.id}: only uncompressed 24-bit BMP supported")
+        val stride = ((w * 3 + 3) / 4) * 4
+        require(r.blob.length >= off + stride * h, s"id=${r.id}: truncated pixel array")
+        val cs = Array.ofDim[Long](64)
+        val cn = Array.ofDim[Long](64)
+        var total = 0L
+        for (row <- 0 until h; x <- 0 until w) {
+          val base = off + (h - 1 - row) * stride + x * 3
+          val gray = (r.blob(base) & 0xff) + (r.blob(base + 1) & 0xff) +
+            (r.blob(base + 2) & 0xff)
+          val cell = (row * 8 / h) * 8 + x * 8 / w
+          cs(cell) += gray; cn(cell) += 1; total += gray
+        }
+        val nTotal = w.toLong * h
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (cs(i) * nTotal > total * cn(i)) hash |= (1L << i)
+          i += 1
+        }
+        AHashRow(r.id, hash, nTotal)
+      }
+    }
+  }
+
   case class WavFrame(id: Long, frame_no: Long, n_samples: Long,
                       energy: Long, crossings: Long)
 

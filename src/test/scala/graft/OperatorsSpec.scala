@@ -459,6 +459,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L) == brute)
   }
 
+  test("decodeBmpAHash: identical images hash equal; brightness split sets grid bits") {
+    // doc 6 and 7 identical → same hash; doc 8 very different
+    val d = docs((6L, "m" * 96), (7L, "m" * 96), (8L, ("A" * 48) + ("z" * 48)))
+    val out = Multimodal.decodeBmpAHash(spark,
+      Multimodal.encodeBmp(spark, d, "doc_id", "text"))
+      .collect().map(r => r.id -> r).toMap
+    assert(out(6L).ahash == out(7L).ahash)
+    assert(out(6L).n_px == 32) // 96 chars / 3 = 32 px (16x2)
+    // uniform image: no cell is strictly brighter than the mean → hash 0
+    assert(out(6L).ahash == 0L)
+    // doc 8: row 0 'A'(65) dim, row 1 'z'(122) bright → bright cells exist
+    assert(out(8L).ahash != 0L)
+  }
+
+  test("hammingNearDup at bits=64 equals brute force; sign bit participates") {
+    // fingerprints straddling the sign bit: Long.MinValue has bit 63 set
+    val fps = Seq((1L, Long.MinValue), (2L, Long.MinValue | 1L), (3L, 0L),
+      (4L, -1L), (5L, Long.MinValue | 3L)).toDF("id", "fp")
+    val got = Dedup.hammingNearDup(fps, "id", "fp", bits = 64, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val raw = Map(1L -> Long.MinValue, 2L -> (Long.MinValue | 1L), 3L -> 0L,
+      4L -> -1L, 5L -> (Long.MinValue | 3L))
+    val want = (for {
+      a <- raw.keys; b <- raw.keys if a < b
+      h = java.lang.Long.bitCount(raw(a) ^ raw(b)) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(got == want)
+    assert(want.contains((1L, 2L)) && want.contains((1L, 5L))) // sanity: ball is non-trivial
+  }
+
   test("scdHistory: runs split on change AND on deletion gaps; is_current marks the tip") {
     // key 1: stable across v1-v3 → one current run
     // key 2: changes at v2 → two runs, second current
