@@ -120,14 +120,22 @@ object EventPipeline {
     * O(stream). Inner join ⇒ rows emit as soon as both sides arrive. */
   def clickAttribution(clicks: DataFrame, purchases: DataFrame,
                        watermark: String = "1 hour",
-                       joinWindow: String = "30 minutes"): DataFrame = {
+                       joinWindow: String = "30 minutes",
+                       joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val l = clicks.withWatermark("ts", watermark)
       .select(col("user_id").as("l_user"), col("ts").as("click_ts"))
     val r = purchases.withWatermark("ts", watermark)
       .select(col("user_id").as("r_user"), col("ts").as("purchase_ts"), col("value"))
+    // left_outer: unconverted clicks ALSO emit (purchase columns NULL) —
+    // but only once the watermark proves no in-window purchase can still
+    // arrive, so unmatched rows trail matched ones by up to
+    // watermark + joinWindow of event time. Same bounded state either way.
     l.join(r, col("l_user") === col("r_user")
         && col("purchase_ts") >= col("click_ts")
-        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $joinWindow"))
+        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $joinWindow"),
+        joinType)
       .select(col("l_user").as("user_id"), col("click_ts"),
         col("purchase_ts"), col("value"))
   }

@@ -183,6 +183,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 9.5)))
   }
 
+  test("clickAttribution left_outer: unconverted clicks emit with NULLs after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventPipeline.clickAttribution(
+        clicks.toDF().toDF("user_id", "ts"),
+        buys.toDF().toDF("user_id", "ts", "value"),
+        watermark = "1 hour", joinWindow = "30 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("attr_lo").outputMode(OutputMode.Append()).start()
+    clicks.addData((1L, ts("10:00")), (2L, ts("10:00")))
+    buys.addData((1L, ts("10:10"), 9.5)) // user 1 converts; user 2 never does
+    q.processAllAvailable()
+    // advance both watermarks far past 10:30 so user 2's click provably
+    // cannot match anymore — only then may the NULL row emit
+    clicks.addData((9L, ts("14:00")))
+    buys.addData((9L, ts("14:00"), 0.0))
+    q.processAllAvailable()
+    // state eviction emits on the batch AFTER the watermark bump — nudge
+    clicks.addData((10L, ts("15:00")))
+    buys.addData((10L, ts("15:00"), 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("attr_lo")
+      .select(col("user_id"), col("click_ts").cast("string"),
+        col("purchase_ts").cast("string"), col("value"))
+      .as[(Long, String, String, Option[Double])].collect().toSet
+    q.stop()
+    assert(rows.contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", Some(9.5))))
+    assert(rows.contains((2L, "2024-01-01 10:00:00", null, None)),
+      s"unmatched click should emit with NULL purchase after the watermark: $rows")
+  }
+
   test("dedupStream drops replayed event ids with watermark-bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
