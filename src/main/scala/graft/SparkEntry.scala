@@ -1629,6 +1629,17 @@ object SparkEntry {
       operators.Similarity.gramMatrix(q.select(col("q")), "q", d = 64)
     }),
 
+    // k-truss of the verified near-dup graph (Jaccard ≥ 0.5 edges): keep
+    // only edges closing ≥1 triangle — the cohesive dup CORES, with the
+    // chain-merge bridge edges LSH clustering is prone to peeled away.
+    "x13_ktruss" -> ((s, dir) => {
+      val pairs = operators.Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      graph.Traversal.kTruss(pairs, k = 3)
+        .select(col("a").as("id_a"), col("b").as("id_b"), col("support"))
+    }),
+
     // Perceptual average-hash over REAL decoded BMPs: 8×8 luminance grid,
     // bit = cell brighter than the image (exact integer cross-multiply) —
     // the image near-dup fingerprint.
@@ -2045,6 +2056,33 @@ object SparkEntry {
     "x12_mis" -> misOracleSql(rounds = 8),
 
     "m8_ahash" -> s"$AHASH_CTES\nSELECT id, ahash, n_px FROM ah",
+
+    // truss peel, 4 unrolled rounds (idempotent past the fixpoint): per
+    // round keep edges with a common neighbor inside the current set.
+    "x13_ktruss" -> {
+      val rounds = 4
+      val per = (1 to rounds).map { r =>
+        s"""u${r - 1} AS (SELECT a AS u, b AS v FROM e${r - 1}
+           |  UNION ALL SELECT b, a FROM e${r - 1}),
+           |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e WHERE EXISTS (
+           |  SELECT 1 FROM u${r - 1} x JOIN u${r - 1} y ON y.v = x.v
+           |  WHERE x.u = e.a AND y.u = e.b AND x.v <> e.a AND x.v <> e.b))""".stripMargin
+      }.mkString(",\n")
+      s"""$SHINGLE_CTES,
+         |base AS (SELECT doc_id, list_distinct(sh) AS shd,
+         |  list_min(list_transform(sh, x -> ${md5i(s"x || '|1'")})) AS h1 FROM s),
+         |e0 AS MATERIALIZED (SELECT a, b FROM (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+         |    floor(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
+         |      / len(list_distinct(a.shd || b.shd)) * 10000) / 10000 AS j
+         |  FROM base a JOIN base b ON a.h1 = b.h1 AND a.doc_id < b.doc_id)
+         |  WHERE j >= 0.5),
+         |$per,
+         |uf AS (SELECT a AS u, b AS v FROM e$rounds UNION ALL SELECT b, a FROM e$rounds)
+         |SELECT e.a AS id_a, e.b AS id_b, CAST(count(*) AS BIGINT) AS support
+         |FROM e$rounds e JOIN uf x ON x.u = e.a JOIN uf y ON y.u = e.b AND y.v = x.v
+         |WHERE x.v <> e.a AND x.v <> e.b GROUP BY e.a, e.b""".stripMargin
+    },
 
     "m8b_image_neardup" ->
       s"""$AHASH_CTES

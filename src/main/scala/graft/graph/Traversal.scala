@@ -702,6 +702,56 @@ object Traversal {
       .groupBy("id").agg(min(col("m")).as("component"))
   }
 
+  /** k-truss: the maximal subgraph in which every edge closes at least
+    * k−2 triangles — the edge-cohesion refinement of [[kCore]] (degree
+    * says "connected a lot", truss support says "connected through
+    * mutual neighbors"). The dedup use: transitive LSH clustering can
+    * chain-merge distinct groups through one bridge document; the truss
+    * keeps the clique-like cores and peels the bridges.
+    *
+    * Iterative peel on an undirected canonical edge set (a < b): per
+    * round, each edge's support = |N(a) ∩ N(b)| via two joins of the
+    * edge list against its own symmetrized form (only (a, b, w) id
+    * triples move — O(Σ common-neighbor pairs) join output, the same
+    * wedge bound as triangle counting), drop edges below k−2, repeat to
+    * fixpoint. Rounds are bounded by the peel depth (shallow in
+    * practice, like [[kCore]]); each round checkpoints the shrinking
+    * edge set. Output: (a, b, support) for surviving edges, support
+    * measured in the final subgraph. */
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    val empty = edges.select(col("src").as("a"), col("dst").as("b"))
+      .limit(0).withColumn("support", lit(0L))
+    var e = cut(edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var n = e.count()
+    var out: DataFrame = empty
+    var iter = 0
+    var done = n == 0
+    while (!done) {
+      iter += 1
+      if (iter > maxIter)
+        throw new IllegalStateException(
+          s"kTruss did not converge within $maxIter rounds — a silently " +
+            "truncated peel is a wrong answer; raise maxIter")
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val sup = e.join(und.select(col("u").as("a"), col("v").as("w")), Seq("a"))
+        .join(und.select(col("u").as("b"), col("v").as("w")), Seq("b", "w"))
+        .filter(col("w") =!= col("a") && col("w") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+        .filter(col("support") >= k - 2)
+      val next = cut(sup)
+      val m = next.count()
+      if (m == n) { out = next; done = true } // unchanged ⇒ supports final
+      else if (m == 0) { out = empty; done = true }
+      else { e = next.select(col("a"), col("b")); n = m }
+    }
+    out
+  }
+
   /** Maximal independent set by Luby's algorithm with DETERMINISTIC
     * priorities: round r gives every undecided vertex the priority
     * (md5(id·"#mis#r"), id) — a fixed total order any engine reproduces —

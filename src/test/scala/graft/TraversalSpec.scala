@@ -271,6 +271,44 @@ class TraversalSpec extends AnyFunSuite {
     }
   }
 
+  test("kTruss: bridge between two triangles peels; supports reflect the final subgraph") {
+    // triangle 1-2-3, triangle 4-5-6, bridge 3-4 (in no triangle)
+    val e = edgesDF(Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)))
+    val out = Traversal.kTruss(e, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L), (4L, 6L, 1L)))
+    // k=4 on a single triangle: every edge has support 1 < 2 → empty
+    assert(Traversal.kTruss(edgesDF(Seq((1L, 2L), (2L, 3L), (1L, 3L))), k = 4).isEmpty)
+  }
+
+  test("property: kTruss equals the naive peel on 12 seeded random graphs") {
+    val rnd = new scala.util.Random(555)
+    (1 to 12).foreach { _ =>
+      val n = 3 + rnd.nextInt(9)
+      val m = 2 + rnd.nextInt(30)
+      val es = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .map { case (a, b) => (a min b, a max b) }.filter(e => e._1 != e._2).distinct
+      val k = 3 + rnd.nextInt(2)
+      // naive peel
+      var cur = es.toSet
+      var changed = true
+      def support(s: Set[(Long, Long)], e: (Long, Long)): Int = {
+        def nbr(v: Long) = s.collect { case (a, b) if a == v => b; case (a, b) if b == v => a }
+        (nbr(e._1) & nbr(e._2)).size
+      }
+      while (changed) {
+        val keep = cur.filter(e => support(cur, e) >= k - 2)
+        changed = keep != cur
+        cur = keep
+      }
+      val want = cur.map(e => (e._1, e._2, support(cur, e).toLong))
+      val got = Traversal.kTruss(edgesDF(es), k)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want, s"k=$k edges=$es")
+    }
+  }
+
   test("property: Luby MIS is independent, maximal, partition-invariant on 10 seeded graphs") {
     val rnd = new scala.util.Random(2026)
     (1 to 10).foreach { _ =>
