@@ -1629,6 +1629,81 @@ object SparkEntry {
       operators.Similarity.gramMatrix(q.select(col("q")), "q", d = 64)
     }),
 
+    // Point-in-time join: every (doc, as-of version) probe fetches the
+    // fingerprint that was valid THEN from the SCD-2 history — the
+    // feature-store lookup that makes training reproducible (no leakage
+    // from later versions). Equi-join on the key, interval filter on the
+    // ≤3-row-per-key history; absent rows = deleted at that version.
+    "z4_pit_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val slice = graft.functions.Hashing.md5Long(col("doc_id")) % 100
+      def fp(c: Column) = graft.functions.Hashing.md5Long(
+        concat(length(c).cast("string"), lit(":"), c))
+      val t2 = when(slice.between(40, 49), concat(col("text"), lit(" [rev2]")))
+        .otherwise(col("text"))
+      val t3 = when(slice.between(20, 29), concat(col("text"), lit(" [rev3]")))
+        .otherwise(t2)
+      val v1 = docs.select(col("doc_id"), lit(1L).as("version"), fp(col("text")).as("fp"))
+      val v2 = docs.filter(slice < 95)
+        .select(col("doc_id"), lit(2L).as("version"), fp(t2).as("fp"))
+      val v3 = docs.select(col("doc_id"), lit(3L).as("version"), fp(t3).as("fp"))
+      val hist = operators.Dedup.scdHistory(
+        v1.unionByName(v2).unionByName(v3), "doc_id", "version", "fp", latest = 3L)
+      // deterministic probes: every doc asked as-of version (hash % 3) + 1;
+      // a probe landing in a deletion gap keeps its row with fp_then NULL
+      // (the entity did not exist then — that IS the answer)
+      val probes = docs.select(col("doc_id"),
+        (graft.functions.Hashing.md5Long(concat(col("doc_id").cast("string"),
+          lit("#asof"))) % 3 + 1).as("as_of"))
+      val h = hist.select(col("doc_id").as("h_id"), col("fp"),
+        col("valid_from"), col("valid_to"))
+      probes.join(h, col("doc_id") === col("h_id") &&
+          col("as_of").between(col("valid_from"), col("valid_to")), "left")
+        .select(col("doc_id"), col("as_of"), col("fp").as("fp_then"))
+    }),
+
+    // Data-quality expectations sweep (Deequ-style, one aggregation
+    // pass): per-rule measured value + pass verdict over lineitem —
+    // completeness, range, uniqueness, set-membership.
+    "dq1_expectations" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val metrics = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_orderkey"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("qty_out_of_range"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)).as("bad_returnflag"),
+        (count(lit(1)) - count_distinct(struct(col("l_orderkey"), col("l_linenumber"))))
+          .as("dup_pk"))
+      metrics.select(explode(array(
+        struct(lit("null_orderkey").as("rule"), col("null_orderkey").as("violations"),
+          (col("null_orderkey") === 0).as("passes")),
+        struct(lit("qty_in_1_50").as("rule"), col("qty_out_of_range").as("violations"),
+          (col("qty_out_of_range") === 0).as("passes")),
+        struct(lit("returnflag_in_set").as("rule"), col("bad_returnflag").as("violations"),
+          (col("bad_returnflag") === 0).as("passes")),
+        struct(lit("pk_unique").as("rule"), col("dup_pk").as("violations"),
+          (col("dup_pk") === 0).as("passes")))).as("r"))
+        .select(col("r.rule").as("rule"), col("r.violations").as("violations"),
+          col("r.passes").as("passes"))
+    }),
+
+    // Referential-integrity audit: orphaned foreign keys counted by
+    // anti-joins along the star schema — the load-validation gate.
+    "dq2_ref_integrity" -> ((s, dir) => {
+      def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String) =
+        fact.select(col(fk)).join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val li = t(s, dir, "lineitem"); val p = t(s, dir, "part"); val su = t(s, dir, "supplier")
+      orphans(o, "o_custkey", c, "c_custkey").select(lit("orders->customer").as("edge"), col("orphans"))
+        .unionByName(orphans(li, "l_orderkey", o, "o_orderkey")
+          .select(lit("lineitem->orders").as("edge"), col("orphans")))
+        .unionByName(orphans(li, "l_partkey", p, "p_partkey")
+          .select(lit("lineitem->part").as("edge"), col("orphans")))
+        .unionByName(orphans(li, "l_suppkey", su, "s_suppkey")
+          .select(lit("lineitem->supplier").as("edge"), col("orphans")))
+    }),
+
     // k-truss of the verified near-dup graph (Jaccard ≥ 0.5 edges): keep
     // only edges closing ≥1 triangle — the cohesive dup CORES, with the
     // chain-merge bridge edges LSH clustering is prone to peeled away.
@@ -2239,29 +2314,40 @@ object SparkEntry {
         |SELECT hop, n_pairs,
         |  CAST(sum(n_pairs) OVER (ORDER BY hop) AS BIGINT) AS cum_pairs FROM h""".stripMargin,
 
-    "d_scd2_history" -> {
-      val fp = (arg: String) => md5i(s"CAST(length($arg) AS VARCHAR) || ':' || $arg")
-      s"""WITH s AS (SELECT doc_id, text,
-         |  ${md5i("CAST(doc_id AS VARCHAR)")} % 100 AS sl FROM documents),
-         |v1 AS (SELECT doc_id, 1 AS v, ${fp("text")} AS fp FROM s),
-         |v2 AS (SELECT doc_id, 2 AS v,
-         |  ${fp("(CASE WHEN sl BETWEEN 40 AND 49 THEN text || ' [rev2]' ELSE text END)")} AS fp
-         |  FROM s WHERE sl < 95),
-         |v3 AS (SELECT doc_id, 3 AS v,
-         |  ${fp("(CASE WHEN sl BETWEEN 20 AND 29 THEN text || ' [rev3]' WHEN sl BETWEEN 40 AND 49 THEN text || ' [rev2]' ELSE text END)")} AS fp
-         |  FROM s),
-         |a AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3),
-         |m AS (SELECT doc_id, v, fp,
-         |  CASE WHEN lag(v) OVER w IS NULL THEN 1
-         |       WHEN v <> lag(v) OVER w + 1 THEN 1
-         |       WHEN fp <> lag(fp) OVER w THEN 1 ELSE 0 END AS nr
-         |  FROM a WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
-         |r AS (SELECT doc_id, v, fp,
-         |  sum(nr) OVER (PARTITION BY doc_id ORDER BY v) AS run FROM m)
-         |SELECT doc_id, min(fp) AS fp, CAST(min(v) AS BIGINT) AS valid_from,
-         |  CAST(max(v) AS BIGINT) AS valid_to, max(v) = 3 AS is_current
-         |FROM r GROUP BY doc_id, run""".stripMargin
-    },
+    "d_scd2_history" ->
+      s"""$SCD2_CTES
+         |SELECT doc_id, fp, valid_from, valid_to, is_current FROM hist""".stripMargin,
+
+    "z4_pit_join" ->
+      s"""$SCD2_CTES,
+         |pr AS (SELECT doc_id,
+         |  ${md5i("CAST(doc_id AS VARCHAR) || '#asof'")} % 3 + 1 AS as_of FROM documents)
+         |SELECT pr.doc_id, CAST(pr.as_of AS BIGINT) AS as_of, h.fp AS fp_then
+         |FROM pr LEFT JOIN hist h ON h.doc_id = pr.doc_id
+         |  AND pr.as_of BETWEEN h.valid_from AND h.valid_to""".stripMargin,
+
+    "dq1_expectations" ->
+      """WITH m AS (SELECT count(*) AS n_rows,
+        |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey,
+        |  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS qty_out_of_range,
+        |  sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS bad_returnflag,
+        |  count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_pk
+        |  FROM lineitem)
+        |SELECT 'null_orderkey' AS rule, CAST(null_orderkey AS BIGINT) AS violations,
+        |  null_orderkey = 0 AS passes FROM m
+        |UNION ALL SELECT 'qty_in_1_50', CAST(qty_out_of_range AS BIGINT), qty_out_of_range = 0 FROM m
+        |UNION ALL SELECT 'returnflag_in_set', CAST(bad_returnflag AS BIGINT), bad_returnflag = 0 FROM m
+        |UNION ALL SELECT 'pk_unique', CAST(dup_pk AS BIGINT), dup_pk = 0 FROM m""".stripMargin,
+
+    "dq2_ref_integrity" ->
+      """SELECT 'orders->customer' AS edge, CAST(count(*) AS BIGINT) AS orphans
+        |FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL SELECT 'lineitem->orders', CAST(count(*) AS BIGINT)
+        |FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
+        |FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |UNION ALL SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT)
+        |FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)""".stripMargin,
 
     "f6_winsorize" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM lineitem),
@@ -4287,6 +4373,37 @@ object SparkEntry {
   /** DuckDB replica of [[graft.functions.Hashing.md5Long]]. */
   private def md5i(arg: String): String =
     s"('0x' || substr(md5($arg), 1, 15))::BIGINT"
+
+  /** DuckDB replica of the d_scd2_history snapshot chain: three
+    * deterministic versions of the documents corpus (v2 rewrites the 40s
+    * hash slice and deletes the 95+ slice; v3 additionally rewrites the
+    * 20s slice and restores the deletions), collapsed to validity runs.
+    * Ends with CTE `hist` (doc_id, fp, valid_from, valid_to, is_current) —
+    * shared by the d_scd2_history and z4_pit_join oracles. */
+  private val SCD2_CTES = {
+    val fp = (arg: String) =>
+      s"('0x' || substr(md5(CAST(length($arg) AS VARCHAR) || ':' || $arg), 1, 15))::BIGINT"
+    s"""WITH s AS (SELECT doc_id, text,
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS sl FROM documents),
+       |v1 AS (SELECT doc_id, 1 AS v, ${fp("text")} AS fp FROM s),
+       |v2 AS (SELECT doc_id, 2 AS v,
+       |  ${fp("(CASE WHEN sl BETWEEN 40 AND 49 THEN text || ' [rev2]' ELSE text END)")} AS fp
+       |  FROM s WHERE sl < 95),
+       |v3 AS (SELECT doc_id, 3 AS v,
+       |  ${fp("(CASE WHEN sl BETWEEN 20 AND 29 THEN text || ' [rev3]' WHEN sl BETWEEN 40 AND 49 THEN text || ' [rev2]' ELSE text END)")} AS fp
+       |  FROM s),
+       |a AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3),
+       |m AS (SELECT doc_id, v, fp,
+       |  CASE WHEN lag(v) OVER w IS NULL THEN 1
+       |       WHEN v <> lag(v) OVER w + 1 THEN 1
+       |       WHEN fp <> lag(fp) OVER w THEN 1 ELSE 0 END AS nr
+       |  FROM a WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
+       |r AS (SELECT doc_id, v, fp,
+       |  sum(nr) OVER (PARTITION BY doc_id ORDER BY v) AS run FROM m),
+       |hist AS (SELECT doc_id, min(fp) AS fp, CAST(min(v) AS BIGINT) AS valid_from,
+       |  CAST(max(v) AS BIGINT) AS valid_to, max(v) = 3 AS is_current
+       |FROM r GROUP BY doc_id, run)""".stripMargin
+  }
 
   /** DuckDB replica of [[graft.operators.Multimodal.decodeBmpAHash]] from
     * the BMP byte-layout formula (pixel i = payload bytes 3i..3i+2, laid
