@@ -654,11 +654,26 @@ object Traversal {
     * pairs connected by a directed walk of length exactly n. */
   def hopPower(pairs: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"hopPower needs n >= 1, got $n")
+    // LAZY persist per compose, ONE eager cut at the end: each power is
+    // referenced up to three times (both sides of its own square + the
+    // accumulator compose), so it must materialize once — but an eager
+    // localCheckpoint per compose costs a dedicated job each (~1 s of
+    // fixed scheduling per round locally; measured 5.6 → 2.x s on the
+    // R⁸ gate). A lazy cache materializes inside its first consumer's
+    // job instead, and the final cut executes the whole ≤2·log₂(n)-join
+    // chain as one job over cached intermediates. Loop-scoped cache
+    // blocks are released once the final checkpoint holds the result.
+    var live = List.empty[DataFrame]
+    def mat(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      live ::= p
+      p
+    }
     def compose(a: DataFrame, b: DataFrame): DataFrame =
-      cut(a.select(col("src"), col("dst").as("__mid"))
+      mat(a.select(col("src"), col("dst").as("__mid"))
         .join(b.select(col("src").as("__mid"), col("dst")).hint("shuffle_hash"), "__mid")
         .select(col("src"), col("dst")).distinct())
-    var pow = cut(pairs.select(col("src"), col("dst")).distinct())
+    var pow = mat(pairs.select(col("src"), col("dst")).distinct())
     var acc: DataFrame = null
     var k = n
     while (k > 0) {
@@ -666,7 +681,9 @@ object Traversal {
       k >>= 1
       if (k > 0) pow = compose(pow, pow)
     }
-    acc
+    val out = cut(acc)
+    live.foreach(_.unpersist(false))
+    out
   }
 
   /** All vertices of the edge set, one `id` column, either endpoint role. */
