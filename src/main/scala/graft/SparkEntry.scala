@@ -1584,6 +1584,25 @@ object SparkEntry {
       graph.Traversal.neighborhoodFunction(und, maxHop = 5)
     }),
 
+    // Effective diameter (90th percentile of the distance distribution):
+    // the smallest h whose N(h) covers ≥90% of all connected pairs —
+    // derived from the exact ANF curve with one broadcast total.
+    "x14_eff_diameter" -> ((s, dir) => {
+      val sn = t(s, dir, "supplier").select(
+        (lit(4L * B) + col("s_suppkey")).as("src"),
+        (lit(2L * B) + col("s_nationkey")).as("dst"))
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"),
+        (lit(1L * B) + col("n_regionkey")).as("dst"))
+      val e = sn.unionByName(nr)
+      val und = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val anf = graph.Traversal.neighborhoodFunction(und, maxHop = 5)
+      val total = anf.agg(max(col("cum_pairs")).as("total"))
+      anf.crossJoin(broadcast(total))
+        .filter(col("cum_pairs") * 10 >= col("total") * 9)
+        .agg(min(col("hop")).as("effective_diameter"), max(col("total")).as("total_pairs"))
+    }),
+
     // HyperBall (Boldi–Vigna): the same curve from per-vertex HLL
     // sketches — O(V) fixed-size state per round, no pair ever
     // materializes; THE 100 TB path where x11's exact closure cannot fit.
@@ -2359,6 +2378,24 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN v.v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
         |  CAST(sum(CASE WHEN v.v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
         |FROM v, lo, hi, c GROUP BY n""".stripMargin,
+
+    "x14_eff_diameter" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS v FROM und),
+        |walk(v, u, hop) AS (
+        |  SELECT v, v, 0 FROM verts
+        |  UNION
+        |  SELECT w.v, und.dst, w.hop + 1 FROM walk w JOIN und ON w.u = und.src
+        |  WHERE w.hop < 5),
+        |md AS (SELECT v, u, min(hop) AS d FROM walk GROUP BY v, u),
+        |h AS (SELECT CAST(d AS BIGINT) AS hop, count(*) AS n_pairs FROM md GROUP BY d),
+        |c AS (SELECT hop, CAST(sum(n_pairs) OVER (ORDER BY hop) AS BIGINT) AS cum FROM h),
+        |t AS (SELECT max(cum) AS total FROM c)
+        |SELECT min(hop) AS effective_diameter, CAST(max(total) AS BIGINT) AS total_pairs
+        |FROM c, t WHERE cum * 10 >= total * 9""".stripMargin,
 
     "cd6_quantiles_nosort" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM lineitem),
