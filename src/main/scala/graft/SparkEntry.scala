@@ -1628,6 +1628,44 @@ object SparkEntry {
       streaming.EventPipeline.activeUsers(events(s, dir), windowDays = 7)
     }),
 
+    // PQ reconstruction distortion: per-vector squared error of the
+    // codebook reconstruction (floor-micro) — how much information the
+    // m-byte codes actually lost; the eval that sizes a codebook.
+    "e15_pq_distortion" -> ((s, dir) => {
+      operators.Similarity.pqDistortion(t(s, dir, "embeddings"), "vec_id", "embedding")
+    }),
+
+    // Windowed trending: per hour, the top-3 event types by count
+    // (deterministic ties) — the dashboard top-k over event-time windows.
+    "sw9_trending" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("ws")).orderBy(col("cnt").desc, col("event_type"))
+      hourly.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
+
+    // MinHash calibration: estimated Jaccard (signature agreement share,
+    // exact basis points — matches·10000/8) next to the exact n-gram
+    // Jaccard on the SAME candidate pairs — the sketch-quality eval that
+    // says whether 8 hashes are enough for this corpus.
+    "d_minhash_estimate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sig = operators.Dedup.minhashSignature(docs, "text", k = 8)
+        .select(col("doc_id") +: (1 to 8).map(i => col(s"h$i")): _*)
+      val a = sig.toDF("id_a" +: (1 to 8).map(i => s"a$i"): _*)
+      val b = sig.toDF("id_b" +: (1 to 8).map(i => s"b$i"): _*)
+      val matches = (1 to 8).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+      val est = a.join(b, col("a1") === col("b1") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), (matches * 1250L).as("est_bp"))
+      operators.Dedup.ngramJaccard(docs, "doc_id", "text")
+        .join(est, Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), col("est_bp"), col("jaccard"))
+    }),
+
     // Heaps'-law vocabulary growth: V(N) at fixed token checkpoints over
     // the corpus in (doc_id, position) order — the curve that sizes
     // tokenizer vocabularies and flags template-flooded corpora. Global
@@ -2378,6 +2416,47 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN v.v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
         |  CAST(sum(CASE WHEN v.v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
         |FROM v, lo, hi, c GROUP BY n""".stripMargin,
+
+    "e15_pq_distortion" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |sd AS (SELECT vec_id, e, row_number() OVER (ORDER BY ${md5i("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn FROM v),
+         |g AS (SELECT unnest(generate_series(0, 3)) AS sub),
+         |cb AS (SELECT g.sub, CAST(sd.rn - 1 AS INT) AS cid, ${pqSubSql("sd.e", "g.sub")} AS cvec
+         |  FROM sd CROSS JOIN g WHERE sd.rn <= 16),
+         |sv AS (SELECT v.vec_id, g.sub, ${pqSubSql("v.e", "g.sub")} AS svec FROM v CROSS JOIN g),
+         |d AS (SELECT sv.vec_id, sv.sub, min(${l2Sql("sv.svec", "cb.cvec")}) AS dsub
+         |  FROM sv JOIN cb USING (sub) GROUP BY 1, 2),
+         |p AS (SELECT vec_id,
+         |  max(CASE WHEN sub = 0 THEN dsub END) AS d0,
+         |  max(CASE WHEN sub = 1 THEN dsub END) AS d1,
+         |  max(CASE WHEN sub = 2 THEN dsub END) AS d2,
+         |  max(CASE WHEN sub = 3 THEN dsub END) AS d3
+         |  FROM d GROUP BY vec_id)
+         |SELECT vec_id, CAST(floor((((d0 + d1) + d2) + d3) * 1000000) AS BIGINT) AS err_micro
+         |FROM p""".stripMargin,
+
+    "sw9_trending" ->
+      """WITH h AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+        |  count(*) AS cnt FROM events GROUP BY 1, 2)
+        |SELECT ws, event_type, cnt, rank FROM (
+        |  SELECT ws, event_type, cnt,
+        |    CAST(row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, event_type) AS BIGINT) AS rank
+        |  FROM h) WHERE rank <= 3""".stripMargin,
+
+    "d_minhash_estimate" -> {
+      val hs = (1 to 8).map(i =>
+        s"list_min(list_transform(sh, x -> ${md5i(s"x || '|$i'")})) AS h$i").mkString(",\n  ")
+      val agree = (1 to 8).map(i =>
+        s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""$SHINGLE_CTES,
+         |base AS (SELECT doc_id, list_distinct(sh) AS shd,
+         |  $hs FROM s)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(($agree) * 1250 AS BIGINT) AS est_bp,
+         |  floor(CAST(len(list_intersect(a.shd, b.shd)) AS DOUBLE)
+         |    / len(list_distinct(a.shd || b.shd)) * 10000) / 10000 AS jaccard
+         |FROM base a JOIN base b ON a.h1 = b.h1 AND a.doc_id < b.doc_id""".stripMargin
+    },
 
     "x14_eff_diameter" ->
       """WITH RECURSIVE e AS (

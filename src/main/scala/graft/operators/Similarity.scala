@@ -284,6 +284,36 @@ object Similarity {
       .select(col("vid"), col("sub"), col("cid"))
   }
 
+  /** PQ reconstruction distortion: per vector, the squared L2 error
+    * between the vector and its codebook reconstruction — Σ over
+    * subspaces of the ASSIGNED (= minimum) centroid distance. The
+    * quantization-quality eval that closes the PQ loop (codes → search →
+    * how much information the codes actually lost); compare distortion
+    * across m/k to size a codebook. Per-subspace minima are order-free;
+    * the cross-subspace sum folds in fixed subspace order (left
+    * association), and the result ships floor-truncated in micro units —
+    * deterministic in any IEEE engine. Requires m = 4 (the fold is
+    * explicit). */
+  def pqDistortion(vecs: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 16): DataFrame = {
+    val m = 4
+    val v = pqNormalize(vecs, idCol, vecCol, m)
+    val codebook = codebookOf(seedVecs(v, k), m)
+    val ex = v.select(col("vid"), explode(subvecs(col("vec"), m)).as("e"))
+      .select(col("vid"), col("e.sub").as("sub"), col("e.svec").as("svec"))
+    val dsub = ex.join(broadcast(codebook), Seq("sub"))
+      .withColumn("__d", l2sq(col("svec"), col("cvec")))
+      .groupBy(col("vid"), col("sub")).agg(min(col("__d")).as("dsub"))
+    // one non-null element per conditional sum ⇒ exact; explicit
+    // left-fold keeps the cross-subspace addition order fixed
+    val bySub = (0 until m).map(s =>
+      sum(when(col("sub") === s, col("dsub"))).as(s"d$s"))
+    dsub.groupBy(col("vid")).agg(bySub.head, bySub.tail: _*)
+      .select(col("vid").as(idCol),
+        floor((((col("d0") + col("d1")) + col("d2")) + col("d3")) * 1000000)
+          .cast("long").as("err_micro"))
+  }
+
   /** Array of m (sub, svec) structs: contiguous equal slices of `vec`.
     * Divisibility is enforced upstream in [[pqNormalize]]. */
   private def subvecs(vec: Column, m: Int): Column = {
