@@ -1647,6 +1647,29 @@ object SparkEntry {
         .filter(col("rank") <= 3)
     }),
 
+    // Hourly anomaly z-scores: each (hour, type) count against its
+    // trailing 24 observed buckets — z = (x·n − Σx)/√(n·Σx² − (Σx)²),
+    // every operand an exact integer window sum, so the IEEE sqrt/divide
+    // is engine-identical; floor-micro output, NULL on zero variance.
+    "sw10_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("ws"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ws"))
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("cnt")).over(w))
+        .withColumn("sxx", sum(col("cnt") * col("cnt")).over(w))
+        .filter(col("n") >= 12)
+        .select(col("ws"), col("event_type"), col("cnt"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+            floor((col("cnt") * col("n") - col("sx")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * 1000000).cast("long")).as("z_micro"))
+    }),
+
     // MinHash calibration: estimated Jaccard (signature agreement share,
     // exact basis points — matches·10000/8) next to the exact n-gram
     // Jaccard on the SAME candidate pairs — the sketch-quality eval that
@@ -2442,6 +2465,19 @@ object SparkEntry {
         |  SELECT ws, event_type, cnt,
         |    CAST(row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, event_type) AS BIGINT) AS rank
         |  FROM h) WHERE rank <= 3""".stripMargin,
+
+    "sw10_anomaly" ->
+      """WITH h AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+        |  count(*) AS cnt FROM events GROUP BY 1, 2),
+        |s AS (SELECT ws, event_type, cnt,
+        |  count(*) OVER w AS n, sum(cnt) OVER w AS sx, sum(cnt * cnt) OVER w AS sxx
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY ws
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT ws, event_type, cnt,
+        |  CASE WHEN n * sxx - sx * sx > 0
+        |       THEN CAST(floor((cnt * n - sx) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         * 1000000) AS BIGINT) END AS z_micro
+        |FROM s WHERE n >= 12""".stripMargin,
 
     "d_minhash_estimate" -> {
       val hs = (1 to 8).map(i =>
