@@ -1813,6 +1813,47 @@ object SparkEntry {
       operators.Dedup.hammingNearDup(fps, "id", "ahash", bits = 64, maxHamming = 3)
     }),
 
+    // Audio fingerprint (Shazam-lite energy-delta hash): bit i = frame
+    // i+1 louder than frame i over the REAL decoded PCM16 frames — the
+    // audio member of the near-dup fingerprint triple (text simhash,
+    // image aHash, audio energy-delta), exact integers end to end.
+    "m9_audio_fp" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = operators.Multimodal.encodeWav(s, t(s, dir, "documents"), "doc_id", "text")
+      // 8-sample frames: the synthetic docs are 48-550 chars, so 256-sample
+      // frames would leave 1-3 frames (a 1-2 bit fingerprint); 8 samples
+      // give the full 64 delta bits real audio would get from longer frames
+      val frames = operators.Multimodal.decodeWavFrames(s, media, frameLen = 8).toDF()
+      val w = Window.partitionBy(col("id")).orderBy(col("frame_no"))
+      val bits = frames.withColumn("ne", lead(col("energy"), 1).over(w))
+        .filter(col("ne").isNotNull && col("frame_no") < 64 && col("ne") > col("energy"))
+        .select(col("id"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(frame_no AS INT))").as("bit"))
+      frames.select(col("id")).distinct()
+        .join(bits.groupBy(col("id")).agg(bit_or(col("bit")).as("afp")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("afp"), lit(0L)).as("afp"))
+    }),
+
+    // Audio near-dup: the energy-delta fingerprints through the same
+    // banded hamming-ball join as text and images (radius 3).
+    "m9b_audio_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = operators.Multimodal.encodeWav(s, t(s, dir, "documents"), "doc_id", "text")
+      // 8-sample frames: the synthetic docs are 48-550 chars, so 256-sample
+      // frames would leave 1-3 frames (a 1-2 bit fingerprint); 8 samples
+      // give the full 64 delta bits real audio would get from longer frames
+      val frames = operators.Multimodal.decodeWavFrames(s, media, frameLen = 8).toDF()
+      val w = Window.partitionBy(col("id")).orderBy(col("frame_no"))
+      val bits = frames.withColumn("ne", lead(col("energy"), 1).over(w))
+        .filter(col("ne").isNotNull && col("frame_no") < 64 && col("ne") > col("energy"))
+        .select(col("id"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(frame_no AS INT))").as("bit"))
+      val fps = frames.select(col("id")).distinct()
+        .join(bits.groupBy(col("id")).agg(bit_or(col("bit")).as("afp")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("afp"), lit(0L)).as("afp"))
+      operators.Dedup.hammingNearDup(fps, "id", "afp", bits = 64, maxHamming = 3)
+    }),
+
     // Luby maximal independent set with deterministic md5 priorities over
     // the symmetrized supplier–nation–region graph — the symmetry-breaking
     // primitive (conflict-free parallel work-sets); expected O(log n)
@@ -2211,6 +2252,15 @@ object SparkEntry {
     "x12_mis" -> misOracleSql(rounds = 8),
 
     "m8_ahash" -> s"$AHASH_CTES\nSELECT id, ahash, n_px FROM ah",
+
+    "m9_audio_fp" -> s"$AUDIOFP_CTES\nSELECT id, afp FROM afp",
+
+    "m9b_audio_neardup" ->
+      s"""$AUDIOFP_CTES
+         |SELECT x.id AS id_a, y.id AS id_b,
+         |  CAST(bit_count(xor(x.afp, y.afp)) AS BIGINT) AS hamming
+         |FROM afp x JOIN afp y ON x.id < y.id
+         |WHERE bit_count(xor(x.afp, y.afp)) <= 3""".stripMargin,
 
     // truss peel, 4 unrolled rounds (idempotent past the fixpoint): per
     // round keep edges with a common neighbor inside the current set.
@@ -4556,6 +4606,29 @@ object SparkEntry {
        |  CAST(max(v) AS BIGINT) AS valid_to, max(v) = 3 AS is_current
        |FROM r GROUP BY doc_id, run)""".stripMargin
   }
+
+  /** DuckDB replica of the m9 audio energy-delta fingerprint from the
+    * PCM16 sample formula (sample i = (unicode(char_i) − 64)·256, frames
+    * of 256): bit i set iff frame i+1 has higher energy than frame i;
+    * bits packed with bit_or, bit 63 via the min-long literal. Ends with
+    * CTE `afp` (id, afp). */
+  private val AUDIOFP_CTES =
+    """WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      |g AS (SELECT doc_id, text, unnest(generate_series(1, len)) AS i FROM t),
+      |c AS (SELECT doc_id, i, unicode(substr(text, CAST(i AS INTEGER), 1)) - 64 AS d FROM g),
+      |fr AS (SELECT doc_id AS id, (i - 1) // 8 AS frame_no,
+      |  CAST(sum(CAST(d AS BIGINT) * d * 65536) AS BIGINT) AS energy
+      |  FROM c GROUP BY 1, 2),
+      |l AS (SELECT id, frame_no, energy,
+      |  lead(energy) OVER (PARTITION BY id ORDER BY frame_no) AS ne FROM fr),
+      |bs AS (SELECT id,
+      |  CASE WHEN frame_no = 63 THEN -9223372036854775808
+      |       ELSE 1::BIGINT << CAST(frame_no AS INTEGER) END AS bit
+      |  FROM l WHERE ne IS NOT NULL AND frame_no < 64 AND ne > energy),
+      |ag AS (SELECT id, bit_or(bit) AS afp FROM bs GROUP BY id),
+      |ids AS (SELECT DISTINCT id FROM fr),
+      |afp AS (SELECT ids.id, coalesce(ag.afp, 0) AS afp
+      |  FROM ids LEFT JOIN ag USING (id))""".stripMargin
 
   /** DuckDB replica of [[graft.operators.Multimodal.decodeBmpAHash]] from
     * the BMP byte-layout formula (pixel i = payload bytes 3i..3i+2, laid
