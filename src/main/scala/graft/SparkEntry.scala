@@ -1903,6 +1903,19 @@ object SparkEntry {
         .withColumn("avg_qty_micro", expr("sum_qty * 1000000 div n"))
     }),
 
+    // KMV sketch set algebra: distinct of A, B, A∪B, A∩B from two k-min
+    // sketches (theta-sketch intersection rule, integer math) with the
+    // exact four counts riding along — sketch-level set operations, the
+    // capability that replaces re-scanning raw sets.
+    "cd7_kmv_setops" -> ((s, dir) => {
+      val keys = t(s, dir, "lineitem").select(col("l_orderkey").as("key"))
+      // slice by a SEEDED hash so membership is independent of the
+      // sketch's own hash values (same-hash slicing would bias the k-mins)
+      val slice = graft.functions.Hashing.md5Long(col("key"), 9) % 100
+      operators.Sketch.kmvSetOps(
+        keys.filter(slice < 60), keys.filter(slice >= 40), "key", k = 256)
+    }),
+
     // EXACT percentiles with NO global sort: iterative power-of-two range
     // refinement (Sketch.exactQuantiles) — each pass is one bucketized
     // aggregation scan, all five targets ride the same passes. The
@@ -2561,6 +2574,34 @@ object SparkEntry {
         |t AS (SELECT max(cum) AS total FROM c)
         |SELECT min(hop) AS effective_diameter, CAST(max(total) AS BIGINT) AS total_pairs
         |FROM c, t WHERE cum * 10 >= total * 9""".stripMargin,
+
+    "cd7_kmv_setops" -> {
+      val estOf = (src: String, out: String) =>
+        s"""(SELECT CASE WHEN n < 256 THEN CAST(n AS BIGINT)
+           |  ELSE CAST(floor(255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)) AS BIGINT) END AS $out
+           |  FROM (SELECT count(*) AS n, max(h) AS hk FROM $src))""".stripMargin
+      s"""WITH keys AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+         |sl AS (SELECT key, ${md5i("CAST(key AS VARCHAR) || '|9'")} % 100 AS sl FROM keys),
+         |a AS (SELECT key FROM sl WHERE sl < 60),
+         |b AS (SELECT key FROM sl WHERE sl >= 40),
+         |ha AS (SELECT DISTINCT ${md5i("CAST(key AS VARCHAR)")} AS h FROM a),
+         |hb AS (SELECT DISTINCT ${md5i("CAST(key AS VARCHAR)")} AS h FROM b),
+         |sa AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha) WHERE rn <= 256),
+         |sb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb) WHERE rn <= 256),
+         |su AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM
+         |  (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb))) WHERE rn <= 256),
+         |ni AS (SELECT count(*) AS n_inter FROM su
+         |  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb))
+         |SELECT ea.est_a, eb.est_b, eu.est_union,
+         |  CAST(CASE WHEN (SELECT count(*) FROM su) < 256 THEN ni.n_inter
+         |       ELSE ni.n_inter * eu.est_union // 256 END AS BIGINT) AS est_inter,
+         |  (SELECT count(*) FROM a) AS exact_a,
+         |  (SELECT count(*) FROM b) AS exact_b,
+         |  (SELECT count(*) FROM (SELECT key FROM a UNION SELECT key FROM b)) AS exact_union,
+         |  (SELECT count(*) FROM a WHERE key IN (SELECT key FROM b)) AS exact_inter
+         |FROM ${estOf("sa", "est_a")} ea, ${estOf("sb", "est_b")} eb,
+         |  ${estOf("su", "est_union")} eu, ni""".stripMargin
+    },
 
     "cd6_quantiles_nosort" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM lineitem),

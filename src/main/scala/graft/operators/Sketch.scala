@@ -217,6 +217,52 @@ object Sketch {
           .as("est_distinct"))
   }
 
+  /** KMV sketch SET ALGEBRA — the reason theta-style sketches exist:
+    * distinct counts of A, B, A∪B, and A∩B from two k-minimum-value
+    * sketches, WITHOUT touching the raw sets again. The union sketch is
+    * the k smallest of the two sketches' union (any hash among the k
+    * smallest of A∪B is among the k smallest of its own side, so the two
+    * k-min sets suffice); the intersection estimate is the theta-sketch
+    * rule est∩ = |S∪ ∩ Sa ∩ Sb| · est∪ / k, computed in integer
+    * arithmetic. Everything hashes through md5 and reduces to k-row
+    * frames — deterministic, partition-invariant, engine-reproducible.
+    * The EXACT four counts ride along in the same output row, making the
+    * gate self-evaluating. Scale: each sketch is a global top-k
+    * (TakeOrdered — per-partition heaps, no full sort); the set algebra
+    * afterwards joins ≤k-row frames. */
+  def kmvSetOps(a: DataFrame, b: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    def sketch(df: DataFrame): DataFrame =
+      df.select(md5Long(col(keyCol)).as("h")).distinct().orderBy(col("h")).limit(k)
+    def est(s: DataFrame, out: String): DataFrame =
+      s.agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+        .select(when(col("n") < k, col("n").cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(M) / col("hk").cast("double"))
+            .cast("long")).as(out))
+    val sa = sketch(a)
+    val sb = sketch(b)
+    val su = sa.unionByName(sb).distinct().orderBy(col("h")).limit(k)
+    // n_u rides along: an UNSATURATED union sketch holds every hash, so
+    // the intersection count is exact and the theta scaling must not run
+    val nInter = su.join(sa, Seq("h"), "left_semi").join(sb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_inter"))
+      .crossJoin(su.agg(count(lit(1)).as("n_u")))
+    val exactA = a.agg(count_distinct(col(keyCol)).as("exact_a"))
+    val exactB = b.agg(count_distinct(col(keyCol)).as("exact_b"))
+    val exactU = a.select(col(keyCol)).unionByName(b.select(col(keyCol)))
+      .agg(count_distinct(col(keyCol)).as("exact_union"))
+    val exactI = a.select(col(keyCol)).distinct()
+      .join(b.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .agg(count(lit(1)).as("exact_inter"))
+    est(sa, "est_a").crossJoin(est(sb, "est_b")).crossJoin(est(su, "est_union"))
+      .crossJoin(nInter)
+      .withColumn("est_inter",
+        when(col("n_u") < k, col("n_inter").cast("long"))
+          .otherwise(expr(s"n_inter * est_union div $k")))
+      .drop("n_inter", "n_u")
+      .crossJoin(exactA).crossJoin(exactB).crossJoin(exactU).crossJoin(exactI)
+  }
+
   /** EXACT percentiles of a BIGINT column with NO global sort — iterative
     * range refinement (the classic distributed selection algorithm): each
     * pass bucketizes the still-candidate value range into `buckets`

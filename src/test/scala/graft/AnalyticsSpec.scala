@@ -102,6 +102,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(small == 7L)
   }
 
+  test("kmvSetOps: estimates track exacts, small sets are exact, partition-invariant") {
+    val a = (1L to 5000L).map(i => Tuple1(i)).toDF("key")
+    val b = (3001L to 9000L).map(i => Tuple1(i)).toDF("key")
+    val row = operators.Sketch.kmvSetOps(a, b, "key", k = 256).collect().head
+    val (estA, estB, estU, estI) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val (exA, exB, exU, exI) = (row.getLong(4), row.getLong(5), row.getLong(6), row.getLong(7))
+    assert((exA, exB, exU, exI) == ((5000L, 6000L, 9000L, 2000L)))
+    // k=256 → ~6% stderr per estimate; 25% ≈ 4σ, intersection gets 40%
+    assert(math.abs(estA - exA).toDouble / exA < 0.25, s"est_a=$estA")
+    assert(math.abs(estB - exB).toDouble / exB < 0.25, s"est_b=$estB")
+    assert(math.abs(estU - exU).toDouble / exU < 0.25, s"est_union=$estU")
+    assert(math.abs(estI - exI).toDouble / exI < 0.40, s"est_inter=$estI")
+    // below the sketch budget everything is exact
+    val small = operators.Sketch.kmvSetOps(
+      (1L to 50L).map(Tuple1(_)).toDF("key"), (31L to 80L).map(Tuple1(_)).toDF("key"),
+      "key", k = 256).collect().head
+    assert((small.getLong(0), small.getLong(1), small.getLong(2), small.getLong(3)) ==
+      ((50L, 50L, 80L, 20L)))
+    val re = operators.Sketch.kmvSetOps(a.repartition(13), b.repartition(7), "key", k = 256)
+      .collect().head
+    assert(re.toSeq == row.toSeq)
+  }
+
   test("exactQuantiles: equals the sorted reference on skewed/duplicated seeded data") {
     val rnd = new scala.util.Random(31337)
     // heavy duplication + heavy tails + negatives: the shapes that break
