@@ -11,12 +11,13 @@ class GateCoverageSpec extends AnyFunSuite {
 
   /** Queries with no SQL-expressible exact oracle, each with a documented
     * reason and (where one exists) the deterministic hash-checked twin
-    * that covers the same code path. */
-  private val rowsOnlyAllowlist: Map[String, String] = Map(
-    "cd2_approx_distinct" -> "HLL sketch estimate — engine-specific; exact twin cd3_kmv_distinct is hash-checked",
-    "x2_pagerank" -> "float PageRank scores — FP-order-dependent; fixed-point twin x4_pagerank_fixed is hash-checked",
-    "e4_ivf_ann" -> "float k-means centroids — FP-order-dependent; integer-centroid twin e4b_ivf_fixed is hash-checked",
-    "x11b_hyperball" -> "HLL (DataSketches) register estimates — engine-specific; exact twin x11_anf is hash-checked, and TraversalSpec pins hyperBall to the exact curve in the HLL exact regime")
+    * that covers the same code path. Empty since round 11: the four
+    * former members (cd2 HLL, x2 float PageRank, e4 Lloyd-IVF, x11b
+    * HyperBall) became SELF-EVALUATING — their engine-specific estimate
+    * is checked in-row against the exact value and the oracle asserts
+    * the verdict column constant-true (the cd7 carry-exact-in-row
+    * pattern), so every gate on the board is hash-checked. */
+  private val rowsOnlyAllowlist: Map[String, String] = Map.empty
 
   test("every gate query has a DuckDB oracle or a documented rows-only reason") {
     val unverified = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyAllowlist.keySet
