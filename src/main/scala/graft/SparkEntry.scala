@@ -1367,6 +1367,18 @@ object SparkEntry {
       operators.Multimodal.decodeBmp(s, media).toDF()
     }),
 
+    // COMPRESSED-image twin of m4: text → real PNG bytes (JDK ImageIO
+    // writer, genuinely deflate-compressed) → real ImageIO decoder →
+    // exact per-channel sums. PNG is lossless and the raster layout is
+    // identical to the BMP twin's, so the oracle recomputing the sums
+    // straight from the text proves the whole compressed codec path —
+    // encode, deflate, inflate, decode — inverts exactly.
+    "m10_png_roundtrip" -> ((s, dir) => {
+      val media = operators.Multimodal.encodeImage(
+        s, t(s, dir, "documents"), "doc_id", "text", format = "png")
+      operators.Multimodal.decodeImage(s, media).toDF()
+    }),
+
     // Audio twin: text → valid RIFF/WAVE PCM16 → chunk-walking decoder →
     // exact sample count + energy sum.
     "m5_wav_roundtrip" -> ((s, dir) => {
@@ -3793,6 +3805,25 @@ object SparkEntry {
     // payload lands in BMP channel p%3 (0=B,1=G,2=R); height =
     // ceil(len/48) with stride 48 (width 16), n_px counts padding.
     "m4_bmp_roundtrip" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |g AS (SELECT doc_id, text, len, unnest(generate_series(1, greatest(len, 1))) AS i FROM t),
+        |c AS (SELECT doc_id, i - 1 AS p,
+        |  CASE WHEN i <= len THEN unicode(substr(text, CAST(i AS INTEGER), 1)) ELSE 0 END AS code
+        |  FROM g),
+        |sums AS (SELECT doc_id,
+        |  CAST(coalesce(sum(CASE WHEN p % 3 = 0 THEN code END), 0) AS BIGINT) AS sum_b,
+        |  CAST(coalesce(sum(CASE WHEN p % 3 = 1 THEN code END), 0) AS BIGINT) AS sum_g,
+        |  CAST(coalesce(sum(CASE WHEN p % 3 = 2 THEN code END), 0) AS BIGINT) AS sum_r
+        |  FROM c GROUP BY doc_id),
+        |dims AS (SELECT doc_id, greatest(1, CAST(ceil(len / 48.0) AS BIGINT)) AS h FROM t)
+        |SELECT d.doc_id AS id, 16 AS width, CAST(d.h AS INTEGER) AS height,
+        |  16 * d.h AS n_px, s.sum_b, s.sum_g, s.sum_r
+        |FROM dims d JOIN sums s ON d.doc_id = s.doc_id""".stripMargin,
+
+    // The PNG round trip decodes to the SAME raster as the BMP twin
+    // (lossless compression, identical 16-wide BGR layout), so its
+    // oracle is m4's verbatim: channel sums recomputed from the text.
+    "m10_png_roundtrip" ->
       """WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
         |g AS (SELECT doc_id, text, len, unnest(generate_series(1, greatest(len, 1))) AS i FROM t),
         |c AS (SELECT doc_id, i - 1 AS p,

@@ -6,16 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, plus decode/feature-extract stages.
   *
-  * Decode comes in two tiers. UNCOMPRESSED containers need only byte
+  * Decode comes in three tiers. UNCOMPRESSED containers need only byte
   * arithmetic, so those decoders are REAL pure-JVM implementations:
   * [[decodeBmp]] (24-bit Windows BMP — header validation, bottom-up row
   * un-flip, exact per-channel sums) and [[decodeWav]] (RIFF/WAVE PCM16 —
   * chunk walk, exact energy sum), each paired with a real encoder
   * ([[encodeBmp]]/[[encodeWav]]) so the round trip is oracle-verified
-  * end-to-end. COMPRESSED formats (JPEG/PNG/MP4) require codec libraries
-  * the build environment does not ship, so [[decodeStub]] remains a
-  * clearly-marked deterministic FAKE for that tier — but everything
-  * around it is the real production shape:
+  * end-to-end. COMPRESSED image formats (PNG/JPEG) decode through the
+  * JDK's own `javax.imageio` codecs — [[decodeImage]] is a REAL decoder
+  * too, and [[encodeImage]] writes genuinely compressed blobs so the PNG
+  * round trip is oracle-verified like the BMP one (PNG is lossless, so
+  * the per-channel sums are exact). Only formats with NO JDK codec
+  * (MP4/video) keep [[decodeStub]], a clearly-marked deterministic FAKE
+  * — but everything around it is the real production shape:
   *   - schema: (id, blob BINARY, meta STRUCT<n_bytes BIGINT, mime STRING>)
   *   - cheap metadata ops (size, digest) stay codegen'd column exprs;
   *   - the decode stage runs as a typed `mapPartitions` over an iterator —
@@ -46,9 +49,11 @@ object Multimodal {
     media.select(col("id"), col("meta.n_bytes").as("n_bytes"),
       sha2(col("blob"), 256).as("sha256"))
 
-  /** STUB decoder: deterministic fake "image dimensions" derived from the
-    * blob bytes. A real deployment replaces the body with an actual codec
-    * call; the iterator-in/iterator-out shape (and the schema) stay. */
+  /** STUB decoder for formats with no JDK codec (MP4/video): deterministic
+    * fake "dimensions" derived from the blob bytes. A real deployment
+    * replaces the body with an actual codec call; the iterator-in/
+    * iterator-out shape (and the schema) stay. PNG/JPEG do NOT go through
+    * here — [[decodeImage]] decodes them for real via `javax.imageio`. */
   def decodeStub(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
     media.select(col("id"), col("blob"), col("meta.mime").as("mime"))
@@ -245,6 +250,77 @@ object Multimodal {
         }
         require(sawData, s"id=${r.id}: no data chunk")
         WavDecoded(r.id, rate, channels, nSamples, sumSq)
+      }
+    }
+  }
+
+  /** REAL compressed-image encoder via the JDK's built-in `javax.imageio`
+    * codecs (PNG and JPEG writers ship with every JDK — no external
+    * library): lays the text's utf-8 bytes out in the exact same 16-wide
+    * BGR raster as [[encodeBmp]] (byte p of a pixel's triple is B, p+1 G,
+    * p+2 R; zero padding after the payload), then compresses with the
+    * named format. For `format = "png"` (lossless) the blob decodes back
+    * to bit-identical pixels, so [[decodeImage]]'s channel sums
+    * hash-match the SAME DuckDB oracle as the uncompressed BMP twin —
+    * the compressed tier proved end-to-end, not stubbed. `format =
+    * "jpg"` produces a real lossy blob (decode is real but sums are
+    * codec-dependent; spec-tested for closeness, not oracled). */
+  def encodeImage(spark: SparkSession, docs: DataFrame, idCol: String,
+                  textCol: String, width: Int = 16,
+                  format: String = "png"): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(format == "png" || format == "jpg",
+      s"JDK ImageIO writers cover png/jpg, got $format")
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        // Per-task codec setup: no temp-file cache (pure in-memory IO).
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, text) =>
+          val payload = Option(text).getOrElse("").getBytes("UTF-8")
+          val stride = width * 3
+          val h = math.max(1, (payload.length + stride - 1) / stride)
+          val img = new java.awt.image.BufferedImage(
+            width, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var p = 0
+          for (row <- 0 until h; x <- 0 until width) {
+            def at(i: Int) = if (i < payload.length) payload(i) & 0xff else 0
+            img.setRGB(x, row, (at(p + 2) << 16) | (at(p + 1) << 8) | at(p))
+            p += 3
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, format, out),
+            s"no ImageIO writer for $format")
+          MediaRow(id, out.toByteArray,
+            if (format == "png") "image/png" else "image/jpeg")
+        }
+      }
+  }
+
+  /** REAL compressed-image decoder via `javax.imageio` (the JDK's own
+    * PNG/JPEG codecs): parses the container, inflates/IDCTs the pixel
+    * data, and reduces each channel to the same exact BIGINT sums as
+    * [[decodeBmp]] — identical output shape, so the lossless PNG round
+    * trip shares the BMP gate's oracle. Unrecognized formats fail loudly
+    * (a video blob belongs in [[decodeStub]] until a codec exists).
+    * Iterator-in/iterator-out `mapPartitions`, the per-partition batch
+    * shape any codec stage uses; pixels never leave the decode task. */
+  def decodeImage(spark: SparkSession, media: Dataset[MediaRow]): Dataset[BmpDecoded] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+        require(img != null,
+          s"id=${r.id}: no JDK ImageIO codec recognized the blob (mime=${r.mime})")
+        val w = img.getWidth; val h = img.getHeight
+        var (sb, sg, sr) = (0L, 0L, 0L)
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+        }
+        BmpDecoded(r.id, w, h, w.toLong * h, sb, sg, sr)
       }
     }
   }

@@ -290,6 +290,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dec(0) == again(0)) // deterministic fake
   }
 
+  test("encodeImage/decodeImage: PNG round trip decodes to the exact BMP raster") {
+    val d = docs((1L, "hello png world, a payload long enough to span rows " * 3),
+      (2L, ""), (3L, "x"))
+    val viaPng = Multimodal.decodeImage(spark,
+      Multimodal.encodeImage(spark, d, "doc_id", "text", format = "png"))
+      .collect().sortBy(_.id).toSeq
+    val viaBmp = Multimodal.decodeBmp(spark,
+      Multimodal.encodeBmp(spark, d, "doc_id", "text"))
+      .collect().sortBy(_.id).toSeq
+    assert(viaPng == viaBmp) // lossless: identical dims and channel sums
+    // and the blob really is a compressed PNG container, not a rename
+    val blob = Multimodal.encodeImage(spark, d, "doc_id", "text").collect()
+      .find(_.id == 1L).get.blob
+    assert(blob.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a))
+  }
+
+  test("encodeImage/decodeImage: JPEG decodes for real (exact dims, lossy-close sums)") {
+    val d = docs((9L, "jpeg is lossy but the decode path is the real JDK codec " * 4))
+    val viaJpg = Multimodal.decodeImage(spark,
+      Multimodal.encodeImage(spark, d, "doc_id", "text", format = "jpg"))
+      .collect()(0)
+    val viaBmp = Multimodal.decodeBmp(spark,
+      Multimodal.encodeBmp(spark, d, "doc_id", "text")).collect()(0)
+    assert((viaJpg.width, viaJpg.height, viaJpg.n_px) ==
+      (viaBmp.width, viaBmp.height, viaBmp.n_px))
+    // DCT quantization moves sums, but not by more than ~16 levels/px
+    def close(a: Long, b: Long) = math.abs(a - b) <= 16L * viaBmp.n_px
+    assert(close(viaJpg.sum_b, viaBmp.sum_b) && close(viaJpg.sum_g, viaBmp.sum_g)
+      && close(viaJpg.sum_r, viaBmp.sum_r))
+  }
+
   test("bpePairFreq: vocabulary-weighted adjacent pair counts with deterministic ranks") {
     // vocab: aaa×2, bb×1, c×1 -> pairs: "aa" appears twice PER "aaa" word
     // (weighted by its frequency 2 -> cnt 4), "bb" once; "c" emits none.
