@@ -116,6 +116,21 @@ object SparkEntry {
           ".out('in').out('in').path()")
     }),
 
+    // repeat().until()/emit(): the reference flagship's canonical Gremlin
+    // spelling (README.md:20-33 — walk out() until the target label) as
+    // console text. From every lineitem, walk containment edges until a
+    // region, keeping intermediates (emit()), then the console census.
+    // Variable-depth branches: lineitem→supplier→nation→region (3 hops)
+    // and lineitem→orders→customer→nation→region (4 hops) both terminate
+    // at the same stop label; part is a dead end. Lowers to the
+    // cycle-safe set closure (Traversal.reachFix) — the walk the
+    // reference's recursive getGroupMembers loops forever on.
+    "g5_repeat_until" -> ((s, dir) => {
+      gremlin.GremlinLite.run(GraphStore.get(s, dir),
+        "g.V().hasLabel('lineitem').repeat(out('in'))" +
+          ".until(hasLabel('region')).emit().groupCount().by(label)")
+    }),
+
     // A20 — point lookup by (label, key).
     "a20_point_lookup" -> ((s, dir) => {
       val g = GraphStore.get(s, dir)
@@ -2789,6 +2804,25 @@ object SparkEntry {
     "a20_point_lookup" ->
       """SELECT 3*72057594037927936 + c_custkey AS id, 'customer' AS label,
         |CAST(c_custkey AS VARCHAR) AS key FROM customer WHERE c_custkey = 42""".stripMargin,
+
+    // The until()/emit() walk, recomputed relationally: each label's
+    // visited set spelled as the distinct reachable keys (the recursion
+    // is finite and label-stratified, so the closure unrolls exactly).
+    "g5_repeat_until" ->
+      """WITH lo AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        |lp AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+        |ls AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+        |cst AS (SELECT DISTINCT o_custkey AS k FROM orders JOIN lo ON o_orderkey = lo.k),
+        |nat AS (SELECT DISTINCT n_nationkey AS k FROM nation
+        |  WHERE n_nationkey IN (SELECT c_nationkey FROM customer JOIN cst ON c_custkey = cst.k)
+        |     OR n_nationkey IN (SELECT s_nationkey FROM supplier JOIN ls ON s_suppkey = ls.k)),
+        |reg AS (SELECT DISTINCT n_regionkey AS k FROM nation JOIN nat ON n_nationkey = nat.k)
+        |SELECT 'orders' AS label, CAST(count(*) AS BIGINT) AS count FROM lo
+        |UNION ALL SELECT 'part', CAST(count(*) AS BIGINT) FROM lp
+        |UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT) FROM ls
+        |UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT) FROM cst
+        |UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT) FROM nat
+        |UNION ALL SELECT 'region', CAST(count(*) AS BIGINT) FROM reg""".stripMargin,
 
     "a07_out_edges" ->
       """SELECT 2*72057594037927936 + n_nationkey AS src,

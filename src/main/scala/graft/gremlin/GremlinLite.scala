@@ -38,7 +38,14 @@ import graft.graph.{PropertyGraph, Traversal}
   * the reference's k-hop walk (README.md:20-33 repeated `.out()`;
   * `times(n ≥ 8)` followed immediately by `dedup()` with no live tags
   * lowers to [[graft.graph.Traversal.hopPower]]'s ≤ 2·log₂ n relation
-  * squarings instead of n sequential hop joins) — and
+  * squarings instead of n sequential hop joins),
+  * `repeat(out([l])|in([l])).until(hasLabel(l)|has(k,v))` and/or
+  * `.emit()` — the predicate-terminated walk (the reference flagship's
+  * canonical Gremlin spelling, README.md:20-33), lowered to the
+  * cycle-safe set closure [[graft.graph.Traversal.reachFix]]: traversers
+  * stop at the first predicate vertex, emit() keeps intermediates; set
+  * semantics (the declared divergence) terminate on the membership
+  * cycles that loop the reference's getGroupMembers forever — and
   * `subgraph('sg')...cap('sg')[.next()]`, so the reference's Cytoscape
   * export session (`sg = g.V().outE().subgraph('sg').cap('sg').next()`,
   * README.md:369-380) runs verbatim: a leading `name =` assignment is
@@ -314,10 +321,87 @@ object GremlinLite {
           }
           require(body == "out" || body == "in",
             s"repeat() supports out()/in() bodies, got $body()")
-          val (times, timesArgs) = if (rest.hasNext) rest.next() else ("", Nil)
-          require(times == "times" && timesArgs.length == 1,
-            s"repeat(...) must be followed by .times(n)")
-          val nTimes = timesArgs.head.toInt
+          // Post-repeat modulators: .times(n), or any mix of .until(pred)
+          // and .emit() (predicate-terminated walks — the canonical
+          // Gremlin spelling of the reference's flagship
+          // user→…→project chain, README.md:20-33).
+          var untilPred: Option[Column] = None
+          var emitAll = false
+          var nTimesOpt: Option[Int] = None
+          var more = true
+          while (more && rest.hasNext) {
+            rest.head match {
+              case ("times", tArgs) =>
+                require(untilPred.isEmpty && !emitAll,
+                  s"times(n) does not combine with until()/emit() in: $query")
+                require(tArgs.length == 1, s"times() takes 1 argument in: $query")
+                nTimesOpt = Some(tArgs.head.toInt); rest.next(); more = false
+              case ("until", uArgs) =>
+                require(untilPred.isEmpty, s"duplicate until() in: $query")
+                require(uArgs.length == 1, s"until() takes a predicate in: $query")
+                untilPred = Some(parse("g." + uArgs.head) match {
+                  case Seq(("hasLabel", Seq(l))) => col("label") === l
+                  case Seq(("has", Seq(k, v)))   => vProp(k) === lit(v)
+                  case other => throw new IllegalArgumentException(
+                    s"until() supports hasLabel(l) / has(k,v), " +
+                      s"got: ${other.map(_._1).mkString(".")} in: $query")
+                })
+                rest.next()
+              case ("emit", eArgs) =>
+                require(eArgs.isEmpty, s"emit() takes no arguments in: $query")
+                emitAll = true; rest.next()
+              case _ => more = false
+            }
+          }
+          require(nTimesOpt.isDefined || untilPred.isDefined || emitAll,
+            s"repeat(...) must be followed by .times(n), .until(pred), or .emit()")
+          if (nTimesOpt.isEmpty) {
+            // until/emit lower to the cycle-safe SET closure
+            // (Traversal.reachFix): traversers stop at the first
+            // predicate-satisfying vertex (until never expands past it),
+            // emit() keeps the intermediates too. This is the engine's
+            // declared set-semantics divergence — Gremlin's per-path bag
+            // would loop forever on membership cycles, exactly the
+            // reference's getGroupMembers bug (main.go:347); here cycles
+            // terminate and the result is the deterministic vertex set.
+            require(!wantsPath && tagCols(cur).isEmpty,
+              s"repeat().until()/emit() runs the set-semantics closure; " +
+                s"path()/as() tags are not supported in: $query")
+            val e0 = edgeLabel(bodyArgs) match {
+              case Some(l) => g.edges.filter(col("label") === l)
+              case None    => g.edges
+            }
+            val step = if (body == "out") e0.select(col("src"), col("dst"))
+                       else e0.select(col("dst").as("src"), col("src").as("dst"))
+            val startIds = cur.select(col("id")).distinct()
+            val endIds = untilPred match {
+              case Some(p) =>
+                val stopIds = g.vertices.filter(p).select(col("id"))
+                // Do-while semantics: the first hop always runs (a start
+                // vertex satisfying the predicate still steps), then the
+                // closure continues only from and through non-stop
+                // vertices (until halts a traverser AT the predicate).
+                val s1 = startIds.join(step, col("id") === col("src"))
+                  .select(col("dst").as("id")).distinct()
+                val contStart = s1.join(stopIds, Seq("id"), "left_anti")
+                val ePrime = step.join(
+                  stopIds.withColumnRenamed("id", "__stop"),
+                  col("src") === col("__stop"), "left_anti")
+                val onward = Traversal.reachFix(ePrime, contStart)
+                  .select(col("node").as("id")).distinct()
+                val visited = s1.unionByName(onward).distinct()
+                if (emitAll) visited
+                else visited.join(stopIds, Seq("id"), "left_semi")
+              case None => // bare emit(): everything reachable in ≥ 1 hop
+                Traversal.reachFix(step, startIds)
+                  .select(col("node").as("id")).distinct()
+            }
+            cur = endIds.select(col("id").as("__end"))
+              .join(g.vertices.as("v"), col("__end") === col("v.id"))
+              .select(col("v.id").as("id"), col("v.label").as("label"),
+                col("v.key").as("key"), col("v.props").as("props"))
+          } else {
+          val nTimes = nTimesOpt.get
           // Log-round lowering: `repeat(out(l)).times(n).dedup()` with no
           // live path()/as() tags asks for the exactly-n-hop vertex SET —
           // Gremlin's per-walk bag multiplicity collapses under the dedup,
@@ -344,6 +428,7 @@ object GremlinLite {
                 col("v.key").as("key"), col("v.props").as("props"))
           } else
             cur = (1 to nTimes).foldLeft(cur)((d, _) => ptag(hop(body, bodyArgs)(d)))
+          }
         case ("hasLabel", _) =>
           // Gremlin hasLabel is variadic: hasLabel('a','b') = label ∈ {a,b}.
           require(args.nonEmpty, s"hasLabel() needs at least 1 label in: $query")

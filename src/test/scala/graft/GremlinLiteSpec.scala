@@ -72,6 +72,61 @@ class GremlinLiteSpec extends AnyFunSuite {
     }
   }
 
+  // user1 -> subgroup1 -> gog1 -> project1, plus the membership CYCLE
+  // gog1 -> subgroup1 — the graph shape the reference's recursive
+  // getGroupMembers (main.go:347) loops forever on.
+  private def gCyc = PropertyGraph(
+    g.vertices.unionByName(Seq(
+      (5L, "project", "proj1", Map("name" -> "proj1")))
+      .toDF("id", "label", "key", "props")),
+    Seq((1L, 3L, "in", 1), (3L, 4L, "in", 1), (4L, 5L, "in", 1), (4L, 3L, "in", 1))
+      .toDF("src", "dst", "label", "weight"))
+
+  test("repeat().until(): the flagship walk stops at the target label, cycle-safe") {
+    val out = GremlinLite.run(gCyc,
+      "g.V().hasLabel('user').has('email','user1@d').repeat(out('in')).until(hasLabel('project')).id()")
+      .as[Long].collect().toSeq
+    assert(out == Seq(5L)) // terminates despite the 3<->4 cycle
+  }
+
+  test("repeat().until().emit() keeps the intermediates of the walk") {
+    val out = GremlinLite.run(gCyc,
+      "g.V(1).repeat(out('in')).until(hasLabel('project')).emit().id()")
+      .as[Long].collect().toSet
+    assert(out == Set(3L, 4L, 5L)) // groups visited + the terminal project
+  }
+
+  test("repeat().emit() alone is the full reachable set (>= 1 hop)") {
+    val out = GremlinLite.run(gCyc, "g.V(1).repeat(out('in')).emit().id()")
+      .as[Long].collect().toSet
+    assert(out == Set(3L, 4L, 5L))
+  }
+
+  test("until() is do-while: a start already satisfying the predicate still steps") {
+    val out = GremlinLite.run(gCyc,
+      "g.V(3).repeat(out('in')).until(hasLabel('group')).id()")
+      .as[Long].collect().toSeq
+    assert(out == Seq(4L)) // start 3 is a group, but the first hop runs
+  }
+
+  test("until(has(k,v)) predicate form; until never expands past a stop vertex") {
+    // stop at subgroup1 by property: the walk from user1 must NOT reach
+    // gog1/project1 (they lie strictly beyond the stop vertex).
+    val out = GremlinLite.run(gCyc,
+      "g.V(1).repeat(out('in')).until(has('email','subgroup1@d')).id()")
+      .as[Long].collect().toSeq
+    assert(out == Seq(3L))
+  }
+
+  test("times(n) does not combine with until()/emit()") {
+    assertThrows[IllegalArgumentException] {
+      GremlinLite.run(gCyc, "g.V(1).repeat(out('in')).until(hasLabel('project')).times(2)")
+    }
+    assertThrows[IllegalArgumentException] {
+      GremlinLite.run(gCyc, "g.V(1).repeat(out('in'))") // no modulator at all
+    }
+  }
+
   test("mutate(): typed addV/addE upsert and drop() lower to the set-semantics API") {
     val script =
       """if (g.V().hasLabel('user').has('email','new@d').hasNext() == false) {
