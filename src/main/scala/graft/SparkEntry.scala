@@ -1891,40 +1891,20 @@ object SparkEntry {
     // i+1 louder than frame i over the REAL decoded PCM16 frames — the
     // audio member of the near-dup fingerprint triple (text simhash,
     // image aHash, audio energy-delta), exact integers end to end.
+    // 8-sample frames throughout: the synthetic docs are 48-550 chars, so
+    // 256-sample frames would leave 1-3 frames (a 1-2 bit fingerprint);
+    // 8 samples give the full 64 delta bits real audio would get from
+    // longer frames.
     "m9_audio_fp" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val media = operators.Multimodal.encodeWav(s, t(s, dir, "documents"), "doc_id", "text")
-      // 8-sample frames: the synthetic docs are 48-550 chars, so 256-sample
-      // frames would leave 1-3 frames (a 1-2 bit fingerprint); 8 samples
-      // give the full 64 delta bits real audio would get from longer frames
-      val frames = operators.Multimodal.decodeWavFrames(s, media, frameLen = 8).toDF()
-      val w = Window.partitionBy(col("id")).orderBy(col("frame_no"))
-      val bits = frames.withColumn("ne", lead(col("energy"), 1).over(w))
-        .filter(col("ne").isNotNull && col("frame_no") < 64 && col("ne") > col("energy"))
-        .select(col("id"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(frame_no AS INT))").as("bit"))
-      frames.select(col("id")).distinct()
-        .join(bits.groupBy(col("id")).agg(bit_or(col("bit")).as("afp")), Seq("id"), "left")
-        .select(col("id"), coalesce(col("afp"), lit(0L)).as("afp"))
+      operators.Multimodal.audioDeltaFingerprint(s, media, frameLen = 8)
     }),
 
     // Audio near-dup: the energy-delta fingerprints through the same
     // banded hamming-ball join as text and images (radius 3).
     "m9b_audio_neardup" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val media = operators.Multimodal.encodeWav(s, t(s, dir, "documents"), "doc_id", "text")
-      // 8-sample frames: the synthetic docs are 48-550 chars, so 256-sample
-      // frames would leave 1-3 frames (a 1-2 bit fingerprint); 8 samples
-      // give the full 64 delta bits real audio would get from longer frames
-      val frames = operators.Multimodal.decodeWavFrames(s, media, frameLen = 8).toDF()
-      val w = Window.partitionBy(col("id")).orderBy(col("frame_no"))
-      val bits = frames.withColumn("ne", lead(col("energy"), 1).over(w))
-        .filter(col("ne").isNotNull && col("frame_no") < 64 && col("ne") > col("energy"))
-        .select(col("id"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(frame_no AS INT))").as("bit"))
-      val fps = frames.select(col("id")).distinct()
-        .join(bits.groupBy(col("id")).agg(bit_or(col("bit")).as("afp")), Seq("id"), "left")
-        .select(col("id"), coalesce(col("afp"), lit(0L)).as("afp"))
+      val fps = operators.Multimodal.audioDeltaFingerprint(s, media, frameLen = 8)
       operators.Dedup.hammingNearDup(fps, "id", "afp", bits = 64, maxHamming = 3)
     }),
 

@@ -58,6 +58,20 @@ object Verify {
             operators.TextAnalysis.sparsePostings(docs, "doc_id", "text", r = 5),
             Seq("term"), 256), capMsg),
         ("cosine label blocks", operators.Skew.bucketOverflow(embs, Seq("label"), 8192), capMsg),
+        // m8b/m9b run capped hammingNearDup against uncapped oracle
+        // cross-joins; degenerate fingerprints (uniform image → aHash 0,
+        // short audio → all-zero high bands) make hot bands plausible,
+        // so the image/audio band tables get the same audit as simhash.
+        ("image aHash bands", operators.Dedup.hammingOverflow(
+          operators.Multimodal.decodeBmpAHash(spark,
+            operators.Multimodal.encodeBmp(spark, docs, "doc_id", "text")).toDF()
+            .select(org.apache.spark.sql.functions.col("id"),
+              org.apache.spark.sql.functions.col("ahash")),
+          "id", "ahash"), capMsg),
+        ("audio fingerprint bands", operators.Dedup.hammingOverflow(
+          operators.Multimodal.audioDeltaFingerprint(spark,
+            operators.Multimodal.encodeWav(spark, docs, "doc_id", "text"), frameLen = 8),
+          "id", "afp"), capMsg),
         // d_shuffle_shard has NO cap and still matches its oracle when a
         // shard overflows — the violation is an OVERSIZED single-task
         // window sort, with its own remediation.

@@ -317,6 +317,26 @@ object Dedup {
       Seq("band", "bval"), maxBucket)
   }
 
+  /** Cap-precondition audit for [[hammingNearDup]] over ANY precomputed
+    * fingerprint column — the fingerprint-generic twin of
+    * [[simhashOverflow]]. The image/audio near-dup gates run the capped
+    * join against uncapped oracles, and degenerate fingerprints are
+    * common in those modalities (a uniform image aHashes to 0, short
+    * audio leaves the high bands all-zero), so one hot (band, bval)
+    * bucket can silently cross the cap at a larger corpus — non-empty
+    * output means the capped join is sampling where the oracle is not. */
+  def hammingOverflow(fps: DataFrame, idCol: String, fpCol: String,
+                      bits: Int = 64, maxHamming: Int = 3,
+                      maxBucket: Int = 8192): DataFrame = {
+    val bandBits = bits / (maxHamming + 1)
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val bandVals = array((0 to maxHamming).map(b =>
+      shiftright(col(fpCol), b * bandBits).bitwiseAND(lit(mask))): _*)
+    Skew.bucketOverflow(
+      fps.select(col(idCol), posexplode(bandVals).as(Seq("band", "bval"))),
+      Seq("band", "bval"), maxBucket)
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share the
     * first minhash (a 1-hash LSH prefilter), rounded to 4 decimals.
     * The prefilter bucket is capped like [[lshCandidates]]'s (same hot-key
@@ -991,8 +1011,10 @@ object Dedup {
     def fp(df: DataFrame, out: String): DataFrame = {
       // NULL-safe, unambiguous concat: length-prefix each stringified
       // payload column so ("ab","c") never collides with ("a","bc").
+      // The NUL sentinel is spelled as an escape (the lexer substitutes
+      // it) so the source file stays plain text for grep/diff tooling.
       val parts = payloadCols.map { c =>
-        val s = coalesce(col(c).cast("string"), lit(" null"))
+        val s = coalesce(col(c).cast("string"), lit("\u0000null"))
         concat(length(s).cast("string"), lit(":"), s)
       }
       df.select(col(keyCol).as("key"), md5Long(concat(parts: _*)).as(out))

@@ -416,6 +416,28 @@ object Multimodal {
     }
   }
 
+  /** Shazam-lite energy-delta audio fingerprint over REAL decoded PCM16
+    * frames: bit i set iff frame i+1 is louder than frame i, over the
+    * first 64 frame deltas — the audio member of the near-dup
+    * fingerprint triple (text simhash, image aHash, audio energy-delta),
+    * exact integers end to end. Returns (id, afp); streams too short for
+    * any delta fingerprint to 0. Feed to [[Dedup.hammingNearDup]] (and
+    * audit hot bands with [[Dedup.hammingOverflow]] where an uncapped
+    * oracle is in play). */
+  def audioDeltaFingerprint(spark: SparkSession, media: Dataset[MediaRow],
+                            frameLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = decodeWavFrames(spark, media, frameLen).toDF()
+    val w = Window.partitionBy(col("id")).orderBy(col("frame_no"))
+    val bits = frames.withColumn("ne", lead(col("energy"), 1).over(w))
+      .filter(col("ne").isNotNull && col("frame_no") < 64 && col("ne") > col("energy"))
+      .select(col("id"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(frame_no AS INT))").as("bit"))
+    frames.select(col("id")).distinct()
+      .join(bits.groupBy(col("id")).agg(bit_or(col("bit")).as("afp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("afp"), lit(0L)).as("afp"))
+  }
+
   case class WavFrame(id: Long, frame_no: Long, n_samples: Long,
                       energy: Long, crossings: Long)
 

@@ -320,7 +320,19 @@ object Sketch {
         // shift (long `/` in Column-land is IEEE double division — lossy
         // past 2^53; shiftright never is).
         def shiftOf(lo: Long, hi: Long): Int = {
-          val need = (hi - lo) / buckets + 1 // cells of this width fit in `buckets`
+          // hi - lo overflows when the data spans more than Long.MaxValue
+          // (values near both Long extremes) — without this guard the
+          // wrapped width mis-buckets pass 1 and the failure surfaces as
+          // a misleading "range lost mass" error far from the cause.
+          val span =
+            try Math.subtractExact(hi, lo)
+            catch {
+              case _: ArithmeticException => throw new IllegalArgumentException(
+                s"exactQuantiles range width overflow: [$lo, $hi] spans more " +
+                  "than Long.MaxValue values; offset/scale the column into a " +
+                  "narrower domain first")
+            }
+          val need = span / buckets + 1 // cells of this width fit in `buckets`
           64 - java.lang.Long.numberOfLeadingZeros(need - 1) // ceil(log2(need))
         }
         def widthOf(lo: Long, hi: Long): Long = 1L << shiftOf(lo, hi)

@@ -290,6 +290,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dec(0) == again(0)) // deterministic fake
   }
 
+  test("hammingOverflow flags hot fingerprint bands (degenerate all-equal fingerprints)") {
+    // the m8b failure mode: every uniform image aHashes to 0, so all four
+    // bands collapse into one (band, 0) bucket each
+    val fps = (1L to 20L).map(i => (i, 0L)).toDF("id", "fp")
+    assert(Dedup.hammingOverflow(fps, "id", "fp", maxBucket = 8).count() == 4)
+    assert(Dedup.hammingOverflow(fps, "id", "fp", maxBucket = 32).count() == 0)
+  }
+
   test("encodeImage/decodeImage: PNG round trip decodes to the exact BMP raster") {
     val d = docs((1L, "hello png world, a payload long enough to span rows " * 3),
       (2L, ""), (3L, "x"))
