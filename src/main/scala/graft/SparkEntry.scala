@@ -16,6 +16,8 @@ import graft.graph.{GraphBuilder, GraphStore, PropertyGraph}
 object SparkEntry {
 
   private val B = GraphBuilder.B // 72057594037927936 = 2^56, id stride per label
+  // memory-sink names must be session-unique; gates can run twice per session
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraphBuilder.table(s, dir, name)
 
@@ -48,9 +50,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     khop2Regions(spark, "/root/testdata/sf0.001")
 
-  private def khop2Regions(s: SparkSession, dir: String): DataFrame = {
+  private def khop2Regions(s: SparkSession, dir: String,
+                           salted: Boolean = false): DataFrame = {
     val g = GraphStore.get(s, dir)
-    val reached = g.reach(g.hasLabel("customer"), 2, dedupStart = false)
+    // salted: the same walk through the skew-aware hop join
+    // (graft.hop.salt — see Traversal.saltBuckets): the edge layout keys
+    // on (src, hash(dst) mod N) and the frontier replicates N ways, so a
+    // celebrity vertex's expansion runs as N tasks instead of one
+    // straggler. khop materializes eagerly inside the call, so the conf
+    // flip is scoped here and identical rows prove the path correct.
+    val reached =
+      if (!salted) g.reach(g.hasLabel("customer"), 2, dedupStart = false)
+      else {
+        val prev = s.conf.get("graft.hop.salt", "0")
+        s.conf.set("graft.hop.salt", "8")
+        try graph.Traversal.khop(g.E.filter(col("label") === "in"),
+          g.hasLabel("customer"), 2, prepEdges = true, dedupStart = false)
+        finally s.conf.set("graft.hop.salt", prev)
+      }
     val regions = g.hasLabel("region")
       .select(col("id").as("rid"), col("props").getItem("name").as("region_name"))
     reached.join(regions, reached("node") === regions("rid"))
@@ -170,6 +187,10 @@ object SparkEntry {
 
     // A13 — bounded k-hop: customers reaching regions in ≤2 hops.
     "a13_khop2_regions" -> ((s, dir) => khop2Regions(s, dir)),
+
+    // A13b — a13 through the salted (skew-aware) hop join; identical rows
+    // against the same oracle prove the skew path correct end-to-end.
+    "a13b_khop_salted" -> ((s, dir) => khop2Regions(s, dir, salted = true)),
 
     // A14 — cycle-safe transitive closure over the full graph, via
     // recursive doubling (log-diameter rounds; ≡ reachFix(V) — the
@@ -1744,6 +1765,33 @@ object SparkEntry {
               * 1000000).cast("long")).as("z_micro"))
     }),
 
+    // SW11 — STREAMING exact dedup, run as a real Structured Streaming
+    // query (file source → dropDuplicatesWithinWatermark → memory sink),
+    // not a batch stand-in: the events table is replayed with
+    // at-least-once duplicates (every 3rd event appears twice) and the
+    // deduped stream must equal the plain batch table — the streaming twin
+    // of d_exact_dup_fingerprint for the LLM-ingest path. The feed is ONE
+    // parquet file ⇒ one micro-batch, so watermark eviction cannot race
+    // the duplicates and the result is deterministic; in a long-running
+    // deployment the same watermark bounds the dedup state (unlike plain
+    // dropDuplicates, whose state grows with the whole stream).
+    "sw11_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sw11").toString
+      ev.unionByName(ev.filter(col("event_id") % 3 === 0))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val name = s"sw11_out_${sinkSeq.incrementAndGet()}"
+      val q = streaming.EventPipeline.dedupStream(
+          s.readStream.schema(ev.schema).parquet(s"$tmp/in"), "1 hour")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$tmp/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // MinHash calibration: estimated Jaccard (signature agreement share,
     // exact basis points — matches·10000/8) next to the exact n-gram
     // Jaccard on the SAME candidate pairs — the sketch-quality eval that
@@ -2821,6 +2869,11 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
 
     "a13_khop2_regions" ->
+      """SELECT c_custkey AS custkey, r_name AS region_name, 2 AS hop
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "a13b_khop_salted" ->
       """SELECT c_custkey AS custkey, r_name AS region_name, 2 AS hop
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
@@ -3940,6 +3993,11 @@ object SparkEntry {
         |        CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth
         |      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
         |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_users FROM d GROUP BY depth""".stripMargin,
+
+    // the deduped stream must be exactly the batch table: replayed rows
+    // were exact copies, so dedup-by-event_id restores the original set
+    "sw11_stream_dedup" ->
+      "SELECT event_id, user_id, event_type, ts, value FROM events",
 
     "sw1_tumbling_window" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,

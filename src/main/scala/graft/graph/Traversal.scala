@@ -75,12 +75,71 @@ object Traversal {
       println(f"[bfs] $label%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
     }
 
-  private def prep(edges: DataFrame, prepEdges: Boolean): DataFrame =
-    if (prepEdges)
-      edges.select(col("src"), col("dst"))
-        .repartition(col("src")).sortWithinPartitions(col("src"))
+  /** Salt buckets for the frontier⋈edges hop join — session conf
+    * `graft.hop.salt`, default 0 = off. A power-law graph puts a celebrity
+    * vertex's ENTIRE edge list in one partition of the plain src-hash
+    * layout, so every hop that expands through it runs one straggler task
+    * however many executors exist. With N > 0 the prepped layout keys on
+    * (src, hash(dst) mod N): the hot vertex's edges spread over up to N
+    * partitions, and the (small) frontier replicates N ways so the join
+    * stays a local key match. Costs: N× frontier shuffle volume, and the
+    * salted layout no longer matches [[GraphStore]]'s plain-src cache
+    * (prep rebuilds it) — so it is opt-in for measured degree skew, not a
+    * default. AQE's skew-join split does NOT cover this case: the edge
+    * side is a cached, already-partitioned frame, not a fresh sort-merge
+    * exchange AQE can re-plan. */
+  private def saltBuckets(df: DataFrame): Int =
+    df.sparkSession.conf.get("graft.hop.salt", "0").toInt
+
+  private[graft] def prep(edges: DataFrame, prepEdges: Boolean): DataFrame = {
+    val n = saltBuckets(edges)
+    val base =
+      if (n > 0) edges.select(col("src"), col("dst"),
+        pmod(xxhash64(col("dst")), lit(n.toLong)).cast("int").as("__salt"))
+      else edges.select(col("src"), col("dst"))
+    if (prepEdges) {
+      val parted =
+        if (n > 0) base.repartition(col("src"), col("__salt"))
+        else base.repartition(col("src"))
+      parted.sortWithinPartitions(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-    else edges.select(col("src"), col("dst"))
+    } else base
+  }
+
+  /** One expansion hop for (origin, node) pair frontiers: frontier⋈edges
+    * on node = src, emitting (origin, dst-as-node). When the prepped edge
+    * set is salted (see [[saltBuckets]]) the frontier explodes across the
+    * salt buckets and the join adds the salt equi-key, so the hot vertex's
+    * expansion parallelizes; output rows are identical either way. */
+  private[graft] def stepPairs(frontier: DataFrame, e: DataFrame): DataFrame =
+    // by-NAME col("dst") selects, not e("dst"): the frontier's lineage
+    // contains e (hop n feeds hop n+1), so dataset-qualified references
+    // trip DetectAmbiguousSelfJoin; "dst"/"origin" are each unique by name
+    // in the joined output.
+    if (!e.columns.contains("__salt"))
+      frontier.join(e, frontier("node") === e("src"))
+        .select(col("origin"), col("dst").as("node"))
+    else {
+      val n = saltBuckets(e)
+      val f = frontier.select(col("origin"), col("node"),
+        explode(typedLit((0 until n).toArray)).as("__fsalt"))
+      f.join(e, f("node") === e("src") && f("__fsalt") === e("__salt"))
+        .select(col("origin"), col("dst").as("node"))
+    }
+
+  /** [[stepPairs]] for single-column (`id`) frontiers: the raw neighbor
+    * multiset (caller dedups/anti-joins). */
+  private[graft] def stepIds(frontier: DataFrame, e: DataFrame): DataFrame =
+    if (!e.columns.contains("__salt"))
+      frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id"))
+    else {
+      val n = saltBuckets(e)
+      val f = frontier.select(col("id"),
+        explode(typedLit((0 until n).toArray)).as("__fsalt"))
+      f.join(e, f("id") === e("src") && f("__fsalt") === e("__salt"))
+        .select(col("dst").as("id"))
+    }
 
   private def pairs(start: DataFrame, dedupStart: Boolean): DataFrame = {
     val p = start.select(col("id").as("origin"), col("id").as("node"))
@@ -112,8 +171,7 @@ object Traversal {
     var fresh = false // result is a checkpoint with nothing unioned since
     var hop = 1
     while (hop <= k) {
-      val stepped = frontier.join(e, frontier("node") === e("src"))
-        .select(col("origin"), col("dst").as("node"))
+      val stepped = stepPairs(frontier, e)
       val next = result.fold(stepped)(r =>
           stepped.join(r.select(col("origin"), col("node")), Seq("origin", "node"), "left_anti"))
         .distinct()
@@ -168,13 +226,10 @@ object Traversal {
     var depth = 1L
     var done = false
     // one BFS level: the unvisited neighbors of `f`, stamped with depth `d`
-    def level(f: DataFrame, seen: DataFrame, d: Long): DataFrame = {
-      val fi = f.select(col("id"))
-      fi.join(e, fi("id") === e("src"))
-        .select(col("dst").as("id")).distinct()
+    def level(f: DataFrame, seen: DataFrame, d: Long): DataFrame =
+      stepIds(f.select(col("id")), e).distinct()
         .join(seen.hint("shuffle_hash"), Seq("id"), "left_anti")
         .withColumn("depth", lit(d))
-    }
     while (!done) {
       require(depth <= maxIter,
         s"bfsDepth did not converge in $maxIter levels — raise maxIter")
@@ -231,8 +286,7 @@ object Traversal {
     var iter = 1
     var done = false
     while (iter <= maxIter && !done) {
-      val stepped = frontier.join(e, frontier("node") === e("src"))
-        .select(col("origin"), col("dst").as("node"))
+      val stepped = stepPairs(frontier, e)
       // shuffle_hash hint: the visited set only needs hash membership, not
       // order — SMJ would re-sort both multi-million-row sides every round.
       val next = result.fold(stepped)(r =>

@@ -57,6 +57,75 @@ class SkewSpec extends AnyFunSuite {
     assert(r.getAs[Long]("dropped_pairs_est") == 18675L)
   }
 
+  // ---- skew-aware (salted) hop join: graft.hop.salt ----
+
+  // Power-law graph: vertex 0 is the celebrity (out-degree 5000); a sparse
+  // random tail gives the walk depth. Seeded — deterministic across runs.
+  private lazy val powerLaw = {
+    val rnd = new scala.util.Random(7)
+    val celeb = (1 to 5000).map(i => (0L, i.toLong))
+    val tail = (1 to 3000).map(_ =>
+      (rnd.nextInt(5000).toLong + 1L, rnd.nextInt(6000).toLong + 1L))
+    (celeb ++ tail).toDF("src", "dst")
+  }
+
+  private def withSalt[A](n: Int)(f: => A): A = {
+    val prev = spark.conf.get("graft.hop.salt", "0")
+    spark.conf.set("graft.hop.salt", n.toString)
+    try f finally spark.conf.set("graft.hop.salt", prev)
+  }
+
+  test("salted khop == unsalted khop on a power-law graph") {
+    import graft.graph.Traversal
+    val start = Seq(0L, 17L, 4242L).toDF("id")
+    val plain = Traversal.khop(powerLaw, start, 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val salted = withSalt(8) {
+      Traversal.khop(powerLaw, start, 3).as[(Long, Long, Int)].collect().toSet
+    }
+    assert(salted == plain)
+  }
+
+  test("salted bfsDepth == unsalted bfsDepth") {
+    import graft.graph.Traversal
+    val start = Seq(0L).toDF("id")
+    val plain = Traversal.bfsDepth(powerLaw, start)
+      .as[(Long, Long)].collect().toSet
+    val salted = withSalt(4) {
+      Traversal.bfsDepth(powerLaw, start).as[(Long, Long)].collect().toSet
+    }
+    assert(salted == plain)
+  }
+
+  test("salted prep spreads the celebrity's edge list over many partitions") {
+    import graft.graph.Traversal
+    // Plain src-hash layout: all 5000 celebrity edges land in ONE partition
+    // (one straggler task per hop). Salted: ≥ half the salt buckets carry a
+    // share, so the hop parallelizes.
+    def celebSpread(e: org.apache.spark.sql.DataFrame): Int = {
+      val counts = e.filter($"src" === 0L)
+        .rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+      val n = counts.count(_ > 0)
+      e.unpersist(false)
+      n
+    }
+    assert(celebSpread(Traversal.prep(powerLaw, prepEdges = true)) == 1)
+    val spread = withSalt(8)(celebSpread(Traversal.prep(powerLaw, prepEdges = true)))
+    assert(spread >= 4, s"expected celebrity edges across >= 4 partitions, got $spread")
+  }
+
+  test("salted hop plan joins on the salt key") {
+    import graft.graph.Traversal
+    withSalt(8) {
+      val e = Traversal.prep(powerLaw, prepEdges = true)
+      val f = Seq(0L).toDF("id").select($"id".as("origin"), $"id".as("node"))
+      val plan = Traversal.stepPairs(f, e).queryExecution.executedPlan.toString
+      e.unpersist(false)
+      assert(plan.contains("__salt") && plan.contains("__fsalt"),
+        s"expected a salted equi-join, got:\n$plan")
+    }
+  }
+
   test("saltedSum == plain groupBy sum/count") {
     val plain = big.groupBy("member")
       .agg(sum("amount").as("sum_amount"), count(lit(1)).as("cnt"))
