@@ -1987,6 +1987,24 @@ object SparkEntry {
       operators.Dedup.weightedSample(weighted, "doc_id", "w", draws = 8)
     }),
 
+    // CD8 — sample-quantile sketch next to its exact value: bottom-1024-
+    // by-hash uniform sample (one TakeOrdered pass) read at the same
+    // ceil-rank rule as the exact refiner; deterministic sample ⇒ the
+    // ESTIMATE itself is oracled, and the in-row abs_err shows the
+    // O(1/√k) sketch quality (the cd7 carry-exact pattern).
+    "cd8_sample_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("lid"))
+      val bps = Seq(2500, 5000, 7500, 9000, 9900)
+      val est = operators.Sketch.sampleQuantiles(li, "cents", "lid", bps, k = 1024)
+      val exact = operators.Sketch.exactQuantiles(li.select(col("cents")), "cents", bps)
+        .select(col("bp"), col("value").as("exact"))
+      est.join(exact, Seq("bp"))
+        .select(col("bp"), col("sample_rank"), col("est"), col("exact"),
+          abs(col("est") - col("exact")).as("abs_err"))
+    }),
+
     // Incremental aggregate maintenance: the q1-style summary rebuilt by
     // MERGING yesterday's partial state with the delta partition's —
     // sums/counts are algebraic, so the merged result is bit-equal to the
@@ -2668,6 +2686,23 @@ object SparkEntry {
         |t AS (SELECT max(cum) AS total FROM c)
         |SELECT min(hop) AS effective_diameter, CAST(max(total) AS BIGINT) AS total_pairs
         |FROM c, t WHERE cum * 10 >= total * 9""".stripMargin,
+
+    "cd8_sample_quantiles" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+        |    ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS p
+        |  FROM lineitem),
+        |smp AS (SELECT v FROM v ORDER BY p, v LIMIT 1024),
+        |sc AS (SELECT count(*) AS ns FROM smp),
+        |c AS (SELECT count(*) AS n FROM v),
+        |t AS (SELECT CAST(bp AS BIGINT) AS bp
+        |  FROM (VALUES (2500), (5000), (7500), (9000), (9900)) q(bp)),
+        |r AS (SELECT bp, CAST((bp * ns + 9999) // 10000 AS BIGINT) AS sample_rank,
+        |    CAST((bp * n + 9999) // 10000 AS BIGINT) AS xrank
+        |  FROM t CROSS JOIN sc CROSS JOIN c),
+        |ss AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM smp),
+        |xs AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+        |SELECT bp, sample_rank, ss.v AS est, xs.v AS exact, abs(ss.v - xs.v) AS abs_err
+        |FROM r JOIN ss ON ss.rn = r.sample_rank JOIN xs ON xs.rn = r.xrank""".stripMargin,
 
     "cd7_kmv_setops" -> {
       val estOf = (src: String, out: String) =>

@@ -285,6 +285,51 @@ object Sketch {
     * mass at or below it" discrete percentile. Returns (bp, rank, value),
     * built on the driver from |bps| resolved scalars (the distributed work
     * is the passes, not the 5-row result). */
+  /** Sample-quantile sketch: a bottom-k-by-hash uniform sample (the k
+    * rows with the smallest md5 priorities — a simple random sample
+    * without replacement by the same order-statistic trick as the KMV
+    * sketch, and mergeable the same way: bottom-k of a union is the
+    * bottom-k of the per-shard bottom-ks), with quantiles read off the
+    * sorted sample at [[exactQuantiles]]'s ceil-rank rule. ONE pass over
+    * the data (TakeOrderedAndProject — per-partition heaps, never a
+    * global sort; the exchange carries O(partitions·k) rows) versus one
+    * pass per refinement round for the exact form; error is the standard
+    * O(1/√k) sample-quantile bound.
+    *
+    * `priorityCol` must be row-unique: it makes the chosen sample — and
+    * therefore the estimate — identical on any engine, partitioning, or
+    * retry, so the gate is ORACLED exactly rather than error-bounded.
+    * Value ties inside the sample are broken by the priority, which
+    * cannot change the returned value (equal values are interchangeable
+    * at a rank).
+    *
+    * Output: (bp, sample_rank, est). */
+  def sampleQuantiles(df: DataFrame, valueCol: String, priorityCol: String,
+                      bps: Seq[Int], k: Int = 1024): DataFrame = {
+    require(bps.nonEmpty && bps.forall(bp => bp >= 1 && bp <= 10000),
+      s"bps must be within 1..10000, got $bps")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    // eager k-row materialization: consumed twice (count + window read)
+    val sample = df
+      .select(col(valueCol).cast("long").as("v"), md5Long(col(priorityCol)).as("__p"))
+      .filter(col("v").isNotNull)
+      .orderBy(col("__p"), col("v")).limit(k)
+      .localCheckpoint()
+    val ns = sample.count()
+    require(ns > 0, s"sampleQuantiles needs at least one non-null $valueCol value")
+    // ≤k rows: the single-partition window sort is bounded by k, not corpus
+    val ranked = sample.select(col("v"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+    import spark.implicits._
+    val targets = bps.sorted
+      .map(bp => (bp.toLong, (bp.toLong * ns + 9999L) / 10000L))
+      .toDF("bp", "sample_rank")
+    targets.join(ranked, col("sample_rank") === col("rn"))
+      .select(col("bp"), col("sample_rank"), col("v").as("est"))
+  }
+
   def exactQuantiles(df: DataFrame, valueCol: String, bps: Seq[Int],
                      buckets: Int = 4096, maxPasses: Int = 16): DataFrame = {
     require(bps.nonEmpty && bps.forall(bp => bp >= 1 && bp <= 10000),

@@ -664,6 +664,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full == 200L)
   }
 
+  test("sampleQuantiles: within O(1/sqrt(k)) of exact, deterministic, exact when k >= n") {
+    import graft.operators.Sketch
+    val n = 5000
+    val vals = (1 to n).map(i => (i.toLong * 17 % 10007, i.toLong)) // value, unique priority key
+      .toDF("v", "pk")
+    val bps = Seq(2500, 5000, 9000)
+    val est = Sketch.sampleQuantiles(vals, "v", "pk", bps, k = 512)
+      .select("bp", "est").as[(Long, Long)].collect().toMap
+    val exact = Sketch.exactQuantiles(vals.select("v"), "v", bps)
+      .select("bp", "value").as[(Long, Long)].collect().toMap
+    // rank error ~ n/sqrt(k) ≈ 220; values are ~2 apart per rank here
+    bps.foreach { bp =>
+      assert(math.abs(est(bp.toLong) - exact(bp.toLong)) < 1500,
+        s"bp=$bp est=${est(bp.toLong)} exact=${exact(bp.toLong)}")
+    }
+    // k >= n degenerates to the exact quantile
+    val full = Sketch.sampleQuantiles(vals, "v", "pk", bps, k = n)
+      .select("bp", "est").as[(Long, Long)].collect().toMap
+    bps.foreach(bp => assert(full(bp.toLong) == exact(bp.toLong)))
+    // partition-invariant (the portability property the oracle relies on)
+    val re = Sketch.sampleQuantiles(vals.repartition(13), "v", "pk", bps, k = 512)
+      .select("bp", "est").as[(Long, Long)].collect().toMap
+    assert(re == est)
+  }
+
   test("matryoshka: prefix is renormalized to unit length; zero prefix stays zero") {
     val vecs = Seq(
       (1L, Seq(3.0f, 4.0f, 9.0f, 9.0f)), // prefix (3,4): norm 5 -> (0.6, 0.8)
