@@ -1792,6 +1792,68 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // SW12 — REAL stream-stream interval join: clicks and purchases run
+    // as two watermarked file-source streams through clickAttribution
+    // (join state evicted once the watermark passes the window — bounded
+    // by traffic·window, never O(stream)); the inner join emits exactly
+    // the batch interval join, which is the oracle. One file per side ⇒
+    // deterministic (all matches emit in the single micro-batch).
+    "sw12_stream_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sw12").toString
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      clicks.coalesce(1).write.mode("overwrite").parquet(s"$tmp/clicks")
+      buys.coalesce(1).write.mode("overwrite").parquet(s"$tmp/buys")
+      val joined = streaming.EventPipeline.clickAttribution(
+        s.readStream.schema(clicks.schema).parquet(s"$tmp/clicks"),
+        s.readStream.schema(buys.schema).parquet(s"$tmp/buys"),
+        watermark = "1 hour", joinWindow = "30 minutes", joinType = "inner")
+      val name = s"sw12_out_${sinkSeq.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$tmp/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
+    // SW13 — foreachBatch incremental graph merge, the reference's
+    // IAM-graph ingest made streaming: events arrive in TWO micro-batches
+    // (the second an at-least-once REPLAY of every 5th event), each batch
+    // upserting user vertices, event-type vertices, and user→type edges
+    // through the same idempotent anti-join merge as the batch path
+    // (A6/A9). The final census must equal the batch distinct counts —
+    // replays cannot double-insert. Output: (part, n).
+    "sw13_stream_graph_merge" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sw13").toString
+      ev.coalesce(1).write.parquet(s"$tmp/in/b1")
+      ev.filter(col("event_id") % 5 === 0).coalesce(1).write.parquet(s"$tmp/in/b2")
+      val empty = PropertyGraph(
+        Seq.empty[(Long, String, String, Map[String, String])]
+          .toDF("id", "label", "key", "props"),
+        Seq.empty[(Long, Long, String, Int)].toDF("src", "dst", "label", "weight"))
+      val state = new streaming.EventPipeline.GraphState(empty)
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1") // force the replay into its own batch
+        .parquet(s"$tmp/in/*")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ck")
+        .foreachBatch(streaming.EventPipeline.graphMergeBatch(state, 8L * B, 9L * B) _)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val g = state.graph
+      g.vertices.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .select(col("label").as("part"), col("n"))
+        .unionByName(g.edges.agg(count(lit(1)).as("n"))
+          .select(lit("in_edges").as("part"), col("n")))
+    }),
+
     // MinHash calibration: estimated Jaccard (signature agreement share,
     // exact basis points — matches·10000/8) next to the exact n-gram
     // Jaccard on the SAME candidate pairs — the sketch-quality eval that
@@ -4033,6 +4095,20 @@ object SparkEntry {
     // were exact copies, so dedup-by-event_id restores the original set
     "sw11_stream_dedup" ->
       "SELECT event_id, user_id, event_type, ts, value FROM events",
+
+    // the inner stream-stream interval join emits exactly the batch join
+    "sw12_stream_attribution" ->
+      """SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts, p.value
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    // idempotent replay: the merged graph census equals batch DISTINCT
+    "sw13_stream_graph_merge" ->
+      """SELECT 'user' AS part, count(DISTINCT user_id) AS n FROM events
+        |UNION ALL SELECT 'eventType', count(DISTINCT event_type) FROM events
+        |UNION ALL SELECT 'in_edges', count(*) FROM
+        |  (SELECT DISTINCT user_id, event_type FROM events)""".stripMargin,
 
     "sw1_tumbling_window" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
