@@ -70,6 +70,45 @@ object Probe {
       spark.stop(); return
     }
 
+    // Dev-only breakdown of the g5 until-walk: hop-1 vs BFS vs read-out.
+    if (args.contains("g5")) {
+      sys.props("graft.verbose") = "1"
+      val dir = "/root/testdata/sf0.1"
+      val s2 = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      def tt[A](l: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[probe-g5] $l%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+      }
+      val g = tt("store")(graph.GraphStore.get(s2, dir))
+      for (pass <- 1 to 2) {
+        println(s"[probe-g5] --- pass $pass ---")
+        val step = tt("step")(g.E.filter(col("label") === "in").select(col("src"), col("dst")))
+        val startIds = g.hasLabel("lineitem").select(col("id")).distinct()
+        val stopIds = g.V.filter(col("label") === "region").select(col("id"))
+        val s1 = tt("s1 hop+distinct") {
+          val d = startIds.join(step, col("id") === col("src"))
+            .select(col("dst").as("id")).distinct()
+          d.count(); d
+        }
+        val contStart = s1.join(stopIds, Seq("id"), "left_anti")
+        val ePrime = step.join(stopIds.withColumnRenamed("id", "__stop"),
+          col("src") === col("__stop"), "left_anti")
+        val onward = tt("bfsDepth")(
+          { val o = Traversal.bfsDepth(ePrime, contStart); o.count(); o })
+        val endIds = tt("union+distinct") {
+          val v = s1.unionByName(onward.select(col("id"))).distinct(); v.count(); v
+        }
+        tt("readout") {
+          endIds.select(col("id").as("__end"))
+            .join(g.V.as("v"), col("__end") === col("v.id"))
+            .groupBy(col("v.label")).agg(count(lit(1))).count()
+        }
+      }
+      s2.stop(); return
+    }
+
     // Dev-only breakdown of the a14 gate: store load vs closure vs count.
     if (args.contains("a14")) {
       sys.props("graft.verbose") = "1"

@@ -1854,6 +1854,40 @@ object SparkEntry {
           .select(lit("in_edges").as("part"), col("n")))
     }),
 
+    // SW14 — incremental count-min maintenance: the events stream splits
+    // into two DISJOINT micro-batches whose (r, b, c) cell increments
+    // merge additively into O(depth·width) running state — CMS is linear,
+    // so the final sketch equals the batch sketch of the whole stream,
+    // which is exactly what the oracle computes. Per-type estimates probe
+    // min-over-depth with the exact count in-row (the cd5 read-out shape).
+    "sw14_stream_countmin" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ev = events(s, dir).select(col("event_id"), col("event_type"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sw14").toString
+      ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$tmp/in/b1")
+      ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.parquet(s"$tmp/in/b2")
+      val state = new streaming.EventPipeline.CmState(
+        Seq.empty[(Int, Long, Long)].toDF("r", "b", "c"))
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in/*")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ck")
+        .foreachBatch(
+          streaming.EventPipeline.cmMergeBatch(state, "event_type", 4, 16) _)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val probe = operators.Sketch.cmsCells(
+        ev.select(col("event_type")).distinct(), "event_type", 4, 16)
+      val est = probe.join(broadcast(state.cells), Seq("r", "b"))
+        .groupBy(col("k")).agg(min(col("c")).as("est_count"))
+      val exact = ev.groupBy(col("event_type").as("k"))
+        .agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("k"))
+        .select(col("k").as("event_type"), col("est_count"), col("exact_count"))
+    }),
+
     // MinHash calibration: estimated Jaccard (signature agreement share,
     // exact basis points — matches·10000/8) next to the exact n-gram
     // Jaccard on the SAME candidate pairs — the sketch-quality eval that
@@ -4102,6 +4136,19 @@ object SparkEntry {
         |FROM events c JOIN events p ON c.user_id = p.user_id
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    // CMS linearity: the two-micro-batch sketch equals the batch sketch
+    // (Kirsch–Mitzenmacher cells, mirrors the cd5 oracle's cell formula)
+    "sw14_stream_countmin" ->
+      s"""WITH hh0 AS (SELECT event_type AS k, ${md5i("event_type")} AS hh FROM events),
+         |cells AS (SELECT k, r,
+         |    (hh % 1073741824 + r * ((hh // 1073741824) | 1)) % 16 AS b
+         |  FROM hh0 CROSS JOIN generate_series(0, 3) g(r)),
+         |sk AS (SELECT r, b, count(*) AS c FROM cells GROUP BY r, b),
+         |probe AS (SELECT DISTINCT k, r, b FROM cells),
+         |est AS (SELECT k, min(c) AS est_count FROM probe JOIN sk USING (r, b) GROUP BY k),
+         |ex AS (SELECT event_type AS k, count(*) AS exact_count FROM events GROUP BY 1)
+         |SELECT k AS event_type, est_count, exact_count FROM est JOIN ex USING (k)""".stripMargin,
 
     // idempotent replay: the merged graph census equals batch DISTINCT
     "sw13_stream_graph_merge" ->

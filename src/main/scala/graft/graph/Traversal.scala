@@ -218,6 +218,7 @@ object Traversal {
   def bfsDepth(edges: DataFrame, start: DataFrame, maxIter: Int = 64,
                prepEdges: Boolean = true): DataFrame = {
     val e = prep(edges, prepEdges)
+    if (sys.props.contains("graft.verbose")) timed("bfs prep")(e.count())
     var visited = start.select(col("id")).distinct()
       .withColumn("depth", lit(0L))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -243,8 +244,9 @@ object Traversal {
         .persist(StorageLevel.MEMORY_AND_DISK)
       // ONE probe job per two levels: computing n2 runs through n1's
       // distinct shuffle, so the count fills both caches.
-      if (n2.count() > 0) {
-        visited = cut(visited.unionByName(n1).unionByName(n2))
+      if (timed(s"bfs probe d=$depth")(n2.count()) > 0) {
+        visited = timed(s"bfs cut d=$depth")(
+          cut(visited.unionByName(n1).unionByName(n2)))
         live.foreach(_.unpersist(false))
         n1.unpersist(false)
         live = List(n2)

@@ -387,14 +387,23 @@ object GremlinLite {
                 val ePrime = step.join(
                   stopIds.withColumnRenamed("id", "__stop"),
                   col("src") === col("__stop"), "left_anti")
-                val onward = Traversal.reachFix(ePrime, contStart)
-                  .select(col("node").as("id")).distinct()
+                // Only the reachable SET matters here (no per-origin
+                // projection survives the closure), so multi-source BFS —
+                // O(V) state, one row per reached vertex — replaces the
+                // O(origins × nodes) pair closure. bfsDepth returns
+                // contStart (depth 0) ∪ reach≥1(contStart); unioned with
+                // s1 ⊇ contStart that is exactly the traverser set.
+                val onward = Traversal.bfsDepth(ePrime, contStart)
+                  .select(col("id"))
                 val visited = s1.unionByName(onward).distinct()
                 if (emitAll) visited
                 else visited.join(stopIds, Seq("id"), "left_semi")
               case None => // bare emit(): everything reachable in ≥ 1 hop
-                Traversal.reachFix(step, startIds)
-                  .select(col("node").as("id")).distinct()
+                // explicit first hop, then BFS from it: s1 ∪ reach≥1(s1)
+                // = reach≥1(start), cycles through the start included
+                val s1 = startIds.join(step, col("id") === col("src"))
+                  .select(col("dst").as("id")).distinct()
+                Traversal.bfsDepth(step, s1).select(col("id"))
             }
             cur = endIds.select(col("id").as("__end"))
               .join(g.vertices.as("v"), col("__end") === col("v.id"))

@@ -335,6 +335,30 @@ object EventPipeline {
     @volatile var graph: PropertyGraph = initial
   }
 
+  /** Mutable (r, b, c) count-min sketch state maintained across
+    * micro-batches (same serial-foreachBatch contract as [[GraphState]]). */
+  final class CmState(initial: DataFrame) {
+    @volatile var cells: DataFrame = initial
+  }
+
+  /** foreachBatch incremental count-min maintenance: each micro-batch's
+    * cell increments merge ADDITIVELY into the running sketch — CMS is a
+    * linear sketch, sketch(A ⊎ B) = sketch(A) + sketch(B), so batch
+    * boundaries are invisible in the final state and the stream's sketch
+    * equals the batch sketch of everything seen. State stays
+    * O(depth·width) rows however long the stream runs (localCheckpoint
+    * per batch cuts lineage). Additivity cuts both ways: an
+    * at-least-once REPLAY double-counts — feed through
+    * [[dedupStream]] first when the source replays. */
+  def cmMergeBatch(state: CmState, keyCol: String, depth: Int, width: Int)
+                  (batch: DataFrame, batchId: Long): Unit = {
+    val inc = graft.operators.Sketch.cmsCells(batch, keyCol, depth, width)
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    state.cells = state.cells.unionByName(inc)
+      .groupBy(col("r"), col("b")).agg(sum(col("c")).as("c"))
+      .localCheckpoint()
+  }
+
   /** foreachBatch incremental graph merge: each micro-batch of events
     * upserts `user` vertices and user→event_type edges. Idempotent per
     * batch (anti-join upsert), so at-least-once replays are safe. Batches

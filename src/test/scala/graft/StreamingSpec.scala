@@ -455,6 +455,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.graph.edges.count() == nPairs)
   }
 
+  test("cmMergeBatch: batched sketch equals one-shot sketch (CMS linearity)") {
+    import graft.operators.Sketch
+    val all = (1L to 300L).map(i => (i, s"key${i % 7}")).toDF("i", "k")
+    val oneShot = Sketch.cmsCells(all.select("k"), "k", depth = 4, width = 16)
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      .as[(Int, Long, Long)].collect().toSet
+    val state = new EventPipeline.CmState(
+      Seq.empty[(Int, Long, Long)].toDF("r", "b", "c"))
+    val merge = EventPipeline.cmMergeBatch(state, "k", 4, 16) _
+    // three uneven micro-batches covering the same multiset
+    merge(all.filter(col("i") <= 100).select("k"), 0L)
+    merge(all.filter(col("i") > 100 && col("i") <= 250).select("k"), 1L)
+    merge(all.filter(col("i") > 250).select("k"), 2L)
+    val streamed = state.cells.as[(Int, Long, Long)].collect().toSet
+    assert(streamed == oneShot)
+  }
+
   test("foreachBatch graph merge is incremental and replay-idempotent") {
     val empty = PropertyGraph(
       Seq.empty[(Long, String, String, Map[String, String])].toDF("id", "label", "key", "props"),
