@@ -2101,6 +2101,14 @@ object SparkEntry {
           abs(col("est") - col("exact")).as("abs_err"))
     }),
 
+    // Fuzzy entity-key join: Levenshtein ≤ 1 customer-name pairs via
+    // deletion-neighborhood blocking (FastSS) — candidates share a
+    // deletion variant, exact levenshtein verifies candidates ONLY;
+    // the corpus is never cross-joined (the oracle, being SQL, is).
+    "d_fuzzy_join" -> ((s, dir) => {
+      operators.Dedup.editNeighbors(t(s, dir, "customer"), "c_custkey", "c_name")
+    }),
+
     // Incremental aggregate maintenance: the q1-style summary rebuilt by
     // MERGING yesterday's partial state with the delta partition's —
     // sums/counts are algebraic, so the merged result is bit-equal to the
@@ -2782,6 +2790,12 @@ object SparkEntry {
         |t AS (SELECT max(cum) AS total FROM c)
         |SELECT min(hop) AS effective_diameter, CAST(max(total) AS BIGINT) AS total_pairs
         |FROM c, t WHERE cum * 10 >= total * 9""".stripMargin,
+
+    "d_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
 
     "cd8_sample_quantiles" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,

@@ -755,6 +755,44 @@ object Dedup {
     df.withColumn("bucket", md5Long(col(keyCol)) % 100).filter(col("bucket") < pct)
   }
 
+  /** Edit-distance-≤1 fuzzy key self-join via deletion-neighborhood
+    * blocking (the FastSS trick): candidate pairs are strings sharing a
+    * DELETION VARIANT — the string itself, or the string with one
+    * character deleted. That blocking is SOUND for Levenshtein ≤ 1:
+    * equal strings share the identity variant, an insert/delete pair
+    * (t = del_i(s)) shares t's identity with s's i-th deletion, and a
+    * substitution pair shares del_i(s) = del_i(t). Exact levenshtein
+    * verifies candidates only, so the corpus is never cross-joined —
+    * per-string work is |s|+1 variant rows and a variant bucket groups
+    * only near-identical keys (hot degenerate buckets capped by
+    * [[Skew.capBuckets]] like every other blocking join here).
+    *
+    * The entity-resolution / data-cleaning primitive: typo'd emails and
+    * member strings (the reference's B7 member parse meets real-world
+    * dirt), near-identical doc ids, OCR'd keys.
+    *
+    * Returns (id_a, id_b, dist) with id_a < id_b and dist ∈ {0, 1}. */
+  def editNeighbors(df: DataFrame, idCol: String, strCol: String,
+                    maxBucket: Int = 8192): DataFrame = {
+    val s = col("__s")
+    val dels = transform(sequence(lit(1), length(s)), i =>
+      concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), length(s))))
+    val variants = df
+      .select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .select(col("__id"), col("__s"),
+        explode(concat(array(s), dels)).as("__v"))
+      .dropDuplicates("__id", "__v") // adjacent equal chars repeat a variant
+    val capped = Skew.capBuckets(variants, Seq("__v"), "__id", maxBucket)
+    val a = capped.select(col("__v"), col("__id").as("id_a"), col("__s").as("s_a"))
+    val b = capped.select(col("__v"), col("__id").as("id_b"), col("__s").as("s_b"))
+    a.join(b, Seq("__v"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b")).distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Deterministic pre-training shuffle + shard assignment: order documents
     * by the md5 hash of their key (a reproducible "random" permutation —
     * same order on every engine, run, retry, and partitioning, unlike

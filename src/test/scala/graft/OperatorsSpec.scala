@@ -664,6 +664,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full == 200L)
   }
 
+  test("editNeighbors equals brute-force levenshtein<=1 (blocking is lossless)") {
+    // typo families: substitution, deletion, insertion, equality, and
+    // seeded random strings for negative pairs
+    val rnd = new scala.util.Random(11)
+    val base = Seq("alice@example.com", "alice@exampel.com", "alic@example.com",
+      "aalice@example.com", "alice@example.com", "bob@example.com", "bob@sample.com",
+      "", "a", "b", "ab", "ba")
+    val noise = (1 to 60).map(_ => rnd.alphanumeric.take(3 + rnd.nextInt(10)).mkString)
+    val rows = (base ++ noise).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val d = rows.toDF("id", "s")
+    val got = Dedup.editNeighbors(d, "id", "s")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      dl = lev(sa, sb) if dl <= 1
+    } yield (ia, ib, dl.toLong)).toSet
+    assert(got == want)
+  }
+
   test("sampleQuantiles: within O(1/sqrt(k)) of exact, deterministic, exact when k >= n") {
     import graft.operators.Sketch
     val n = 5000
