@@ -70,6 +70,39 @@ object Probe {
       spark.stop(); return
     }
 
+    // Dev-only skew experiment: salted vs plain khop on a celebrity graph
+    // (one vertex holding 20% of all edges). Records the SCALE.md numbers.
+    if (args.contains("skew")) {
+      val s2 = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s2.sparkContext.setLogLevel("ERROR")
+      def tt[A](l: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[probe-skew] $l%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+      }
+      // 25M edges, 80% on ONE vertex: the shape where the src-hash layout
+      // serializes a hop into a single straggler task. The frontier stays
+      // tiny (64 seeds, k=1), isolating the edge-side skew the salt
+      // addresses — a large frontier is the case salting does NOT help
+      // (replication cost scales with the frontier; measured 1.7× slower
+      // at a 1M-pair frontier), which is why it is opt-in.
+      val celeb = s2.range(1L, 20000001L).select(lit(0L).as("src"), col("id").as("dst"))
+      val tail = s2.range(5000000L).select(
+        (pmod(xxhash64(col("id"), lit(1)), lit(5000000L)) + 1L).as("src"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(5000000L)) + 1L).as("dst"))
+      val edges = celeb.unionByName(tail).localCheckpoint()
+      println(s"[probe-skew] edges=${edges.count()}")
+      val start = s2.range(0L, 64L).select(col("id")) // includes the celebrity
+      for (pass <- 1 to 2; salt <- Seq(0, 32)) {
+        s2.conf.set("graft.hop.salt", salt.toString)
+        tt(s"pass$pass khop k=1 salt=$salt")(
+          Traversal.khop(edges, start, 1, dedupStart = false).count())
+      }
+      s2.conf.set("graft.hop.salt", "0")
+      s2.stop(); return
+    }
+
     // Dev-only breakdown of the g5 until-walk: hop-1 vs BFS vs read-out.
     if (args.contains("g5")) {
       sys.props("graft.verbose") = "1"
