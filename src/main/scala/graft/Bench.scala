@@ -22,7 +22,11 @@ object Bench {
     "d_substring_spans", "e9_centroid_assign",
     "d_containment_est", "e12_lloyd_step", "z3_interval_overlap",
     "m4_bmp_roundtrip", "a21_hop_power",
-    "x12_mis", "cd6_quantiles_nosort", "e14_gram", "x11b_hyperball")
+    "x12_mis", "cd6_quantiles_nosort", "e14_gram", "x11b_hyperball",
+    // round 11 additions: the salted hop twin, the real-streaming
+    // family, the sample-quantile sketch, and the fuzzy key join
+    "a13b_khop_salted", "sw11_stream_dedup", "sw12_stream_attribution",
+    "cd8_sample_quantiles", "d_fuzzy_join", "g5_repeat_until")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
