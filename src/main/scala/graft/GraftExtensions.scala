@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, NfcNormalize}
 
 /** Session extensions registering graft's native expressions.
   *
@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // expression itself demands exact types.
         val coerced = children.map(c => Cast(c, ArrayType(DoubleType)))
         CosineSimilarity(coerced.head, coerced(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"nfc_normalize expects 1 argument, got ${children.length}")
+        NfcNormalize(children.head)
       }))
   }
 }

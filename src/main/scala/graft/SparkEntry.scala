@@ -2101,6 +2101,22 @@ object SparkEntry {
           abs(col("est") - col("exact")).as("abs_err"))
     }),
 
+    // Unicode NFC canonicalization (native codegen'd expression — no
+    // built-in expresses it): decomposed combining sequences compose to
+    // their precomposed forms, so every downstream hash (dedup
+    // fingerprints, shingles, contamination n-grams) sees ONE spelling.
+    // Input mixes each doc's prefix with deterministic decomposed
+    // suffixes; lengths prove composition happened (5 chars → 4).
+    "t_nfc_normalize" -> ((s, dir) => {
+      val raw = concat(substring(col("text"), 1, 8),
+        lit(" cafe\u0301 A\u030Angstro\u0308m")) // decomposed combining marks
+      t(s, dir, "documents").select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).as("raw_len"),
+          call_function("nfc_normalize", col("raw")).as("nfc"),
+          length(call_function("nfc_normalize", col("raw"))).as("nfc_len"))
+    }),
+
     // Fuzzy entity-key join: Levenshtein ≤ 1 customer-name pairs via
     // deletion-neighborhood blocking (FastSS) — candidates share a
     // deletion variant, exact levenshtein verifies candidates ONLY;
@@ -2796,6 +2812,16 @@ object SparkEntry {
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // DuckDB's nfc_normalize uses the same Unicode composition tables as
+    // java.text.Normalizer — byte-identical canonical forms
+    "t_nfc_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |  substr(text, 1, 8) || ' cafe' || chr(769) || ' A' || chr(778)
+        |    || 'ngstro' || chr(776) || 'm' AS raw
+        |  FROM documents)
+        |SELECT doc_id, length(raw) AS raw_len, nfc_normalize(raw) AS nfc,
+        |  length(nfc_normalize(raw)) AS nfc_len FROM r""".stripMargin,
 
     "cd8_sample_quantiles" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
