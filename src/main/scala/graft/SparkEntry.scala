@@ -1813,10 +1813,18 @@ object SparkEntry {
         s.readStream.schema(buys.schema).parquet(s"$tmp/buys"),
         watermark = "1 hour", joinWindow = "30 minutes", joinType = "inner")
       val name = s"sw12_out_${sinkSeq.incrementAndGet()}"
-      val q = joined.writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", s"$tmp/ck")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // A stream-stream join provisions FOUR state stores per shuffle
+      // partition; at this volume store setup dominates the join, so the
+      // streaming query runs at 8 partitions (the conf pins at query
+      // START and is restored right after — batch gates are unaffected).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ck")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name)
     }),
 
