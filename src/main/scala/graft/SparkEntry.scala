@@ -2109,6 +2109,20 @@ object SparkEntry {
           abs(col("est") - col("exact")).as("abs_err"))
     }),
 
+    // JSONL corpus interchange round trip: documents export as
+    // newline-delimited JSON (the training-data wire format) and read
+    // back under an EXPLICIT schema in FAILFAST mode — a corrupt line in
+    // an export path is a bug, not data. The oracle is the source table:
+    // strings and longs survive JSON exactly, so identity proves both
+    // directions.
+    "j1_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-j1").toString
+      sources.JsonlCorpus.write(docs, s"$tmp/docs")
+      sources.JsonlCorpus.read(s, s"$tmp/docs", docs.schema, mode = "FAILFAST")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // Unicode NFC canonicalization (native codegen'd expression — no
     // built-in expresses it): decomposed combining sequences compose to
     // their precomposed forms, so every downstream hash (dedup
@@ -2820,6 +2834,10 @@ object SparkEntry {
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // the JSONL round trip is the identity on exact types
+    "j1_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     // DuckDB's nfc_normalize uses the same Unicode composition tables as
     // java.text.Normalizer — byte-identical canonical forms

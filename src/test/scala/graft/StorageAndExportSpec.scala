@@ -7,10 +7,33 @@ import graft.graph.{GraphExport, GraphXBridge, PropertyGraph}
 import graft.sources.GraphStorage
 
 /** GraphML/GraphSON export (A17), partitioned storage + idempotent bulk
-  * merge (A18/B13), and the GraphX bridge. */
+  * merge (A18/B13), JSONL corpus interchange, and the GraphX bridge. */
 class StorageAndExportSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  test("JsonlCorpus: exact round trip, corrupt-line audit, FAILFAST abort") {
+    import graft.sources.JsonlCorpus
+    val docs = Seq((1L, "hello world"), (2L, "salut \"quoted\"\tline"))
+      .toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("graft-jsonl").toString
+    JsonlCorpus.write(docs, s"$tmp/out")
+    val back = JsonlCorpus.read(spark, s"$tmp/out", docs.schema, mode = "FAILFAST")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "hello world"), (2L, "salut \"quoted\"\tline")))
+    // a malformed line lands in the audit column under PERMISSIVE...
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/out/zz_corrupt.json"),
+      "{this is not json\n")
+    val audit = JsonlCorpus.read(spark, s"$tmp/out", docs.schema)
+      .select("doc_id", "_corrupt_record")
+      .as[(Option[Long], Option[String])].collect()
+    assert(audit.count(_._2.isDefined) == 1)
+    assert(audit.count(_._2.isEmpty) == 2)
+    // ...and aborts the job under FAILFAST
+    intercept[org.apache.spark.SparkException] {
+      JsonlCorpus.read(spark, s"$tmp/out", docs.schema, mode = "FAILFAST").collect()
+    }
+  }
 
   private def g0 = PropertyGraph(
     Seq(
