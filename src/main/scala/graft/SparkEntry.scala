@@ -2109,6 +2109,31 @@ object SparkEntry {
           abs(col("est") - col("exact")).as("abs_err"))
     }),
 
+    // G6 — typed-GraphSON interchange ROUND TRIP: the supplier→nation→
+    // region subgraph exports in the TinkerPop 2.0 module shape
+    // (README.md:484-489) and reads back through the schema-pinned
+    // reader; the census proves ids, labels, promoted keys, props, and
+    // edge weights all survived. Closes the GraphSON loop the way
+    // GroovyLoader closed the Groovy one.
+    "g6_graphson_roundtrip" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      val sub = PropertyGraph(
+        g.V.filter(col("label").isin("supplier", "nation", "region")),
+        g.E.filter(expr(s"src div $B").isin(4L, 2L)))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-g6").toString
+      graph.GraphExport.writeGraphsonTyped(sub, tmp)
+      val back = graph.GraphExport.readGraphsonTyped(s, tmp)
+      val vc = back.vertices.groupBy(col("label").as("part"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("key")).as("n_keys"),
+          count_distinct(col("props").getItem("name")).as("n_names"))
+      val ec = back.edges.agg(count(lit(1)).as("n"),
+        sum(col("weight")).cast("long").as("n_keys"),
+        count_distinct(col("src")).as("n_names"))
+        .select(lit("edges").as("part"), col("n"), col("n_keys"), col("n_names"))
+      vc.unionByName(ec)
+    }),
+
     // JSONL corpus interchange round trip: documents export as
     // newline-delimited JSON (the training-data wire format) and read
     // back under an EXPLICIT schema in FAILFAST mode — a corrupt line in
@@ -2838,6 +2863,18 @@ object SparkEntry {
     // the JSONL round trip is the identity on exact types
     "j1_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // every edge has weight 1, so sum(weight) = edge count; supplier and
+    // nation each contribute one out-edge per row
+    "g6_graphson_roundtrip" ->
+      """SELECT 'supplier' AS part, count(*) AS n,
+        |  count(DISTINCT s_suppkey) AS n_keys, count(DISTINCT s_name) AS n_names FROM supplier
+        |UNION ALL SELECT 'nation', count(*), count(DISTINCT n_nationkey), count(DISTINCT n_name) FROM nation
+        |UNION ALL SELECT 'region', count(*), count(DISTINCT r_regionkey), count(DISTINCT r_name) FROM region
+        |UNION ALL SELECT 'edges',
+        |  (SELECT count(*) FROM supplier) + (SELECT count(*) FROM nation),
+        |  (SELECT count(*) FROM supplier) + (SELECT count(*) FROM nation),
+        |  (SELECT count(DISTINCT s_suppkey) FROM supplier) + (SELECT count(DISTINCT n_nationkey) FROM nation)""".stripMargin,
 
     // DuckDB's nfc_normalize uses the same Unicode composition tables as
     // java.text.Normalizer — byte-identical canonical forms

@@ -96,6 +96,66 @@ object GraphExport {
     graphsonTypedEdges(g).write.mode("overwrite").text(s"$dir/edges")
   }
 
+  // --------------------------------------------------------------- readers
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.types.StructType
+
+  /** Read a [[writeGraphson]] plain-lines export back into a
+    * [[PropertyGraph]] — schema-pinned JSON-lines scan (no inference
+    * pass), fully distributed, FAILFAST: an unparseable line in our own
+    * export format is a bug, not data. */
+  def readGraphson(spark: SparkSession, dir: String): PropertyGraph = {
+    def rd(path: String, ddl: String) = spark.read
+      .schema(StructType.fromDDL(ddl)).option("mode", "FAILFAST").json(path)
+    PropertyGraph(
+      rd(s"$dir/vertices",
+        "id LONG, label STRING, key STRING, props MAP<STRING,STRING>")
+        .select(col("id"), col("label"), col("key"),
+          coalesce(col("props"),
+            map().cast("map<string,string>")).as("props")),
+      rd(s"$dir/edges", "src LONG, dst LONG, label STRING, weight INT")
+        .select(col("src"), col("dst"), col("label"), col("weight")))
+  }
+
+  /** Read a [[writeGraphsonTyped]] TinkerPop-2.0 export back into a
+    * [[PropertyGraph]] — the other half of the interchange loop
+    * (GroovyLoader closes the Groovy side the same way). The promoted
+    * `key` vertex property is restored to the `key` column and removed
+    * from `props` (a vertex whose ORIGINAL props carried a literal
+    * "key" entry keeps that literal — the export already collapsed the
+    * two, see [[graphsonTypedVertices]]). */
+  def readGraphsonTyped(spark: SparkSession, dir: String): PropertyGraph = {
+    val vDdl = "`@type` STRING, `@value` STRUCT<" +
+      "id STRUCT<`@type` STRING, `@value` LONG>, label STRING, " +
+      "properties MAP<STRING, ARRAY<STRUCT<`@type` STRING, " +
+      "`@value` STRUCT<id STRUCT<`@type` STRING, `@value` LONG>, " +
+      "value STRING, label STRING>>>>>"
+    val eDdl = "`@type` STRING, `@value` STRUCT<" +
+      "id STRUCT<`@type` STRING, `@value` LONG>, label STRING, " +
+      "inVLabel STRING, outVLabel STRING, " +
+      "inV STRUCT<`@type` STRING, `@value` LONG>, " +
+      "outV STRUCT<`@type` STRING, `@value` LONG>, " +
+      "properties MAP<STRING, STRUCT<`@type` STRING, " +
+      "`@value` STRUCT<key STRING, value STRUCT<`@type` STRING, `@value` INT>>>>>"
+    def rd(path: String, ddl: String) = spark.read
+      .schema(StructType.fromDDL(ddl)).option("mode", "FAILFAST").json(path)
+    val allProps = transform_values(col("@value.properties"),
+      (_, arr) => element_at(arr, 1).getField("@value").getField("value"))
+    val verts = rd(s"$dir/vertices", vDdl)
+      .select(col("@value.id.@value").as("id"), col("@value.label").as("label"),
+        allProps.as("__all"))
+      .select(col("id"), col("label"),
+        element_at(col("__all"), "key").as("key"),
+        map_filter(col("__all"), (k, _) => k =!= "key").as("props"))
+    val edges = rd(s"$dir/edges", eDdl)
+      .select(col("@value.outV.@value").as("src"), col("@value.inV.@value").as("dst"),
+        col("@value.label").as("label"),
+        col("@value.properties").getItem("weight")
+          .getField("@value").getField("value").getField("@value").as("weight"))
+    PropertyGraph(verts, edges)
+  }
+
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;").replace("'", "&apos;")

@@ -12,6 +12,41 @@ class StorageAndExportSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("GraphSON readers invert both writers (plain lines and typed 2.0)") {
+    import graft.graph.GraphExport
+    val g = PropertyGraph(
+      Seq(
+        (1L, "user", "a", Map("email" -> "a@x", "key" -> "literal-key")),
+        (2L, "group", "g", Map.empty[String, String]))
+        .toDF("id", "label", "key", "props"),
+      Seq((1L, 2L, "in", 3), (2L, 1L, "member", 1)).toDF("src", "dst", "label", "weight"))
+    val tmp = Files.createTempDirectory("graft-gson").toString
+    GraphExport.writeGraphson(g, s"$tmp/plain")
+    val p = GraphExport.readGraphson(spark, s"$tmp/plain")
+    assert(p.vertices.select("id", "label", "key")
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "user", "a"), (2L, "group", "g")))
+    assert(p.vertices.filter(col("id") === 1)
+      .select(col("props").getItem("email")).as[String].head() == "a@x")
+    assert(p.edges.as[(Long, Long, String, Int)].collect().toSet ==
+      Set((1L, 2L, "in", 3), (2L, 1L, "member", 1)))
+
+    GraphExport.writeGraphsonTyped(g, s"$tmp/typed")
+    val t = GraphExport.readGraphsonTyped(spark, s"$tmp/typed")
+    // vertex 1's literal "key" prop won the export-side merge, so its key
+    // column restores to the LITERAL (documented collapse); vertex 2's
+    // promoted key restores exactly and leaves props empty
+    assert(t.vertices.select("id", "label", "key")
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "user", "literal-key"), (2L, "group", "g")))
+    assert(t.vertices.filter(col("id") === 1)
+      .select(col("props").getItem("email")).as[String].head() == "a@x")
+    assert(t.vertices.filter(col("id") === 2)
+      .select(size(col("props"))).as[Int].head() == 0)
+    assert(t.edges.as[(Long, Long, String, Int)].collect().toSet ==
+      Set((1L, 2L, "in", 3), (2L, 1L, "member", 1)))
+  }
+
   test("JsonlCorpus: exact round trip, corrupt-line audit, FAILFAST abort") {
     import graft.sources.JsonlCorpus
     val docs = Seq((1L, "hello world"), (2L, "salut \"quoted\"\tline"))
