@@ -121,8 +121,9 @@ object Multimodal {
     * DuckDB oracle recomputes the expected channel sums straight from the
     * text, so encode∘decode is hash-verified against an independent
     * engine). Uncompressed formats need only byte arithmetic — this is a
-    * real decoder path, NOT a stub; JPEG/PNG/MP4 stay behind
-    * [[decodeStub]] (no codecs in the build environment). */
+    * real decoder path, NOT a stub; PNG/JPEG also decode for real
+    * ([[decodeImage]], JDK `javax.imageio`); only codec-less formats
+    * (MP4/video) remain behind [[decodeStub]]. */
   def encodeBmp(spark: SparkSession, docs: DataFrame, idCol: String,
                 textCol: String, width: Int = 16): Dataset[MediaRow] = {
     import spark.implicits._
