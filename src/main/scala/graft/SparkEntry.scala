@@ -640,6 +640,34 @@ object SparkEntry {
           "measure", "value")
     }),
 
+    // P3 — native pivot (long → wide): per-returnflag row, one integer
+    // quantity-sum column per linestatus. The values are PINNED (pivot
+    // without them runs an extra distinct scan to discover columns, and
+    // an unpinned column set is nondeterministic schema at 100 TB).
+    "p3_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("returnflag"))
+        .pivot("l_linestatus", Seq("O", "F"))
+        .sum("qty")
+        .select(col("returnflag"), col("O").as("qty_o"), col("F").as("qty_f"))
+    }),
+
+    // R5 — ROLLUP hierarchy aggregate: (returnflag, linestatus) with
+    // per-flag subtotals and a grand total in ONE pass (Expand feeds a
+    // single aggregation — no self-union of scans); grouping_id
+    // disambiguates NULL-as-subtotal from NULL data.
+    "r5_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("returnflag"),
+          col("l_linestatus").as("linestatus"),
+          col("l_quantity").cast("long").as("qty"))
+        .rollup(col("returnflag"), col("linestatus"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+    }),
+
     // Fuzzy match: region-name pairs by edit distance.
     "f3_fuzzy_levenshtein" -> ((s, dir) => {
       val a = t(s, dir, "region").select(col("r_name").as("name_a"))
@@ -2679,6 +2707,20 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) * 1000000 // count(*) AS BIGINT) AS avg_qty_micro
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "p3_pivot" ->
+      """SELECT l_returnflag AS returnflag,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS qty_o,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS qty_f
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // grouping() bit order matches Spark's grouping_id (leftmost column =
+    // most significant bit)
+    "r5_rollup" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "p2_unpivot" ->
       """SELECT l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
