@@ -787,6 +787,20 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
     }),
 
+    // Hard-negative mining (DPR/SimCSE data prep): per query the 5
+    // hardest in-band negatives — cos in [0.15, 0.35), i.e. above the
+    // easy-negative floor (~p90 of this corpus's cosine mass, so ~90%
+    // of pairs drop BEFORE the top-k shuffle) and below the suspected-
+    // positive ceiling. Broadcast queries, one corpus pass, fused
+    // native cosine.
+    "e16_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.hardNegatives(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, floor = 0.15, ceil = 0.35, native = true)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }),
+
     // kNN classifier eval: majority label of the 5 nearest corpus
     // neighbors vs the true label, per-label accuracy over a
     // deterministic 20% eval slice — the training-free embedding-quality
@@ -836,6 +850,27 @@ object SparkEntry {
       operators.Similarity.ivfTopK(
         emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 3, nlist = 8, nprobe = 2, iters = 0, native = true)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }),
+
+    // IVF index persisted AS TABLES and served from disk: build once
+    // (iters=0 deterministic quantizer), write centroids + cid-
+    // partitioned inverted lists to parquet, reload, query through the
+    // reloaded index. Hash-matched against the SAME independent DuckDB
+    // IVF replay as the in-memory e4b — proving the parquet round trip
+    // (array<double> is lossless) and the partition-pruned serving path
+    // (nprobe cells = nprobe directories) end to end.
+    "e17_ivf_index_persist" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (centroids, lists) = operators.Similarity.buildIvfIndex(
+        emb, "vec_id", "embedding", nlist = 8, iters = 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-e17").toString
+      centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
+      lists.write.mode("overwrite").partitionBy("cid").parquet(s"$tmp/lists")
+      operators.Similarity.ivfQueryIndex(
+        s.read.parquet(s"$tmp/centroids"), s.read.parquet(s"$tmp/lists"),
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, nprobe = 2, native = true)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
     }),
 
@@ -2102,6 +2137,19 @@ object SparkEntry {
       graph.Traversal.maximalIndependentSet(sn.unionByName(nr))
     }),
 
+    // Negative edge sampling (word2vec/GNN contrastive pairs): 3
+    // unigram-weighted pseudo-random non-neighbors per customer, drawn
+    // from the customer→nation edge list's dst multiset — md5-positioned
+    // into a sharded-prefix-sum canonical order (no global sort), draws
+    // hitting a real neighbor or self rejected. Fully deterministic;
+    // the oracle replays the same shard ranks and md5 draws.
+    "x15_negative_sampling" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(
+        (lit(3L * B) + col("c_custkey")).as("src"),
+        (lit(2L * B) + col("c_nationkey")).as("dst"))
+      graph.Traversal.negativeSample(cn, k = 3)
+    }),
+
     // Tiled image statistics over REAL decoded BMP pixels: 8×8 blocks,
     // exact per-channel sums — patch-level pre-compute; tiles, not
     // pixels, leave the decode task.
@@ -2578,6 +2626,32 @@ object SparkEntry {
     "x9_kcore" -> kcoreOracleSql(k = 3, rounds = 10),
 
     "x12_mis" -> misOracleSql(rounds = 8),
+
+    // Replays negativeSample's deterministic construction exactly: the
+    // sharded-prefix-sum canonical edge order, the md5 draw positions,
+    // and both rejection rules.
+    "x15_negative_sampling" ->
+      s"""WITH e AS (SELECT DISTINCT 3*72057594037927936 + c_custkey AS src,
+         |    2*72057594037927936 + c_nationkey AS dst FROM customer),
+         |h AS (SELECT src, dst,
+         |  ${md5i("CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)")} AS h FROM e),
+         |sh AS (SELECT *, h % 32 AS shard FROM h),
+         |r AS (SELECT src, dst, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY h, src, dst) - 1 AS wr FROM sh),
+         |off AS (SELECT shard, count(*) AS cnt FROM sh GROUP BY shard),
+         |off2 AS (SELECT shard, coalesce(sum(cnt) OVER (ORDER BY shard
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM off),
+         |dict AS (SELECT off2.off + r.wr AS pos, r.dst AS neg FROM r JOIN off2 USING (shard)),
+         |tot AS (SELECT count(*) AS e_cnt FROM e),
+         |draws AS (SELECT s.src, d.draw,
+         |  ${md5i("CAST(s.src AS VARCHAR) || '#neg#' || CAST(d.draw AS VARCHAR)")}
+         |    % (SELECT e_cnt FROM tot) AS pos
+         |  FROM (SELECT DISTINCT src FROM e) s
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS draw) d)
+         |SELECT dr.src, CAST(dr.draw AS INTEGER) AS draw, dict.neg
+         |FROM draws dr JOIN dict USING (pos)
+         |WHERE dict.neg <> dr.src
+         |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = dr.src AND e.dst = dict.neg)""".stripMargin,
 
     "m8_ahash" -> s"$AHASH_CTES\nSELECT id, ahash, n_px FROM ah",
 
@@ -3778,6 +3852,16 @@ object SparkEntry {
          | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          |FROM sc QUALIFY rank <= 5""".stripMargin,
 
+    "e16_hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |q AS (SELECT vec_id, e FROM v WHERE vec_id < 20),
+         |sc AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         | round(${cosSql("q.e", "v.e")}, 6) AS cos
+         | FROM q JOIN v ON v.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, cos,
+         | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |FROM sc WHERE cos >= 0.15 AND cos < 0.35 QUALIFY rank <= 5""".stripMargin,
+
     "e13_knn_classify" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e, label FROM embeddings),
          |q AS (SELECT vec_id, e, label FROM v WHERE vec_id % 10 < 2),
@@ -3817,25 +3901,12 @@ object SparkEntry {
     // iters=0 IVF: centroids are the 8 corpus vectors with smallest
     // md5(vec_id); assignment/probing argmin over sequential-fold L2 —
     // identical doubles in both engines, ties broken by cid.
-    "e4b_ivf_fixed" ->
-      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-         |sd AS (SELECT vec_id, e, row_number() OVER (ORDER BY ${md5i("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn FROM v),
-         |cent AS (SELECT CAST(rn - 1 AS INT) AS cid, e AS cvec FROM sd WHERE rn <= 8),
-         |asg AS (SELECT vec_id, e, cid FROM (
-         |  SELECT v.vec_id, v.e, c.cid,
-         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${l2Sql("v.e", "c.cvec")}, c.cid) AS r
-         |  FROM v CROSS JOIN cent c) WHERE r = 1),
-         |q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 20),
-         |pr AS (SELECT query_id, qv, cid FROM (
-         |  SELECT q.query_id, q.qv, c.cid,
-         |    row_number() OVER (PARTITION BY q.query_id ORDER BY ${l2Sql("q.qv", "c.cvec")}, c.cid) AS r
-         |  FROM q CROSS JOIN cent c) WHERE r <= 2),
-         |sc AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
-         |  round(${cosSql("pr.qv", "a.e")}, 6) AS cos
-         |  FROM pr JOIN asg a ON a.cid = pr.cid AND a.vec_id <> pr.query_id)
-         |SELECT query_id, neighbor_id, cos,
-         | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-         |FROM sc QUALIFY rank <= 3""".stripMargin,
+    "e4b_ivf_fixed" -> ivfFixedOracleSql,
+
+    // The persisted-index gate serves the SAME deterministic IVF from
+    // reloaded parquet tables — one oracle proves both paths (and that
+    // the round trip changed nothing).
+    "e17_ivf_index_persist" -> ivfFixedOracleSql,
 
     // PQ codes: codebook (sub, cid) = subspace sub of the cid-th
     // md5-seeded vector; integer codes — exact in any engine.
@@ -5060,6 +5131,30 @@ object SparkEntry {
   // --------------------------------------------- oracle SQL shared fragments
 
   /** DuckDB replica of [[graft.functions.Hashing.md5Long]]. */
+  /** The exact DuckDB replay of the iters=0 IVF (nlist=8, nprobe=2, k=3,
+    * queries vec_id < 20): md5-seeded centroids, nearest-cell assignment,
+    * 2-cell probe, exact-cosine rescore. Shared by e4b (in-memory) and
+    * e17 (served from persisted parquet tables) — one oracle, two paths. */
+  private def ivfFixedOracleSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |sd AS (SELECT vec_id, e, row_number() OVER (ORDER BY ${md5i("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn FROM v),
+       |cent AS (SELECT CAST(rn - 1 AS INT) AS cid, e AS cvec FROM sd WHERE rn <= 8),
+       |asg AS (SELECT vec_id, e, cid FROM (
+       |  SELECT v.vec_id, v.e, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${l2Sql("v.e", "c.cvec")}, c.cid) AS r
+       |  FROM v CROSS JOIN cent c) WHERE r = 1),
+       |q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 20),
+       |pr AS (SELECT query_id, qv, cid FROM (
+       |  SELECT q.query_id, q.qv, c.cid,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY ${l2Sql("q.qv", "c.cvec")}, c.cid) AS r
+       |  FROM q CROSS JOIN cent c) WHERE r <= 2),
+       |sc AS (SELECT pr.query_id, a.vec_id AS neighbor_id,
+       |  round(${cosSql("pr.qv", "a.e")}, 6) AS cos
+       |  FROM pr JOIN asg a ON a.cid = pr.cid AND a.vec_id <> pr.query_id)
+       |SELECT query_id, neighbor_id, cos,
+       | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+       |FROM sc QUALIFY rank <= 3""".stripMargin
+
   private def md5i(arg: String): String =
     s"('0x' || substr(md5($arg), 1, 15))::BIGINT"
 

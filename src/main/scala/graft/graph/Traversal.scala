@@ -967,4 +967,68 @@ object Traversal {
     }
     out
   }
+
+  /** Deterministic negative edge sampling — the contrastive-pair generator
+    * for graph/embedding training (word2vec, GNN link prediction): for
+    * each distinct `src`, `k` pseudo-random destinations drawn from the
+    * edge list's dst multiset (UNIGRAM weighting: a destination's draw
+    * probability is its in-degree share, the word2vec noise
+    * distribution), with draws landing on a real out-neighbor or on
+    * `src` itself REJECTED (standard rejection sampling — output rows
+    * per src range 0..k, never silently resampled, so the result is a
+    * pure function of the edge set). Output (src, draw, neg).
+    *
+    * Determinism without a seed parameter: draw d of src s picks global
+    * position md5(s·"#neg#"·d) mod |E| in a canonical total order of the
+    * DISTINCT edge set — any engine with md5 reproduces every pair.
+    *
+    * The canonical order is built WITHOUT a global sort (a single-task
+    * window at 100 TB): edges hash into `shards` groups, are ranked
+    * per-shard (parallel windows), and per-shard counts prefix-sum into
+    * offsets on a `shards`-row broadcast table — global position =
+    * shard offset + within-shard rank, the same sharded-prefix-sum trick
+    * as sequence packing. Candidate join is an equi-join on position;
+    * the rejection anti-join hashes on (src, dst). No stage touches more
+    * than O(E + k·V) rows. */
+  def negativeSample(edges: DataFrame, k: Int, shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Hashing.md5Long
+    require(k >= 1, s"negativeSample needs k >= 1, got $k")
+    require(shards >= 1, s"negativeSample needs shards >= 1, got $shards")
+    // Eager cut, not a lazy persist: the distinct edge set feeds FIVE
+    // consumers (shard-rank, offsets, |E|, the src list, the rejection
+    // anti-join) — a lazy cache would re-run the distinct exchange in
+    // whichever consumer materializes first.
+    val e = cut(edges.select(col("src"), col("dst")).distinct())
+    val hashed = e.select(col("src"), col("dst"),
+      md5Long(concat(col("src").cast("string"), lit("|"), col("dst").cast("string")))
+        .as("__h"))
+      .withColumn("__shard", pmod(col("__h"), lit(shards.toLong)))
+    val ranked = hashed.withColumn("__wr",
+      row_number().over(Window.partitionBy(col("__shard"))
+        .orderBy(col("__h"), col("src"), col("dst"))) - 1)
+    // shards-row offset table: cumulative count of lower shards. The
+    // window here runs over `shards` rows, not edges — broadcast-sized.
+    val offsets = hashed.groupBy(col("__shard")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__shard")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    val dict = ranked.join(broadcast(offsets.select(col("__shard"), col("__off"))),
+        Seq("__shard"))
+      .select((col("__off") + col("__wr")).as("__pos"), col("dst").as("neg"))
+    val total = e.agg(count(lit(1)).as("__e"))
+    val draws = e.select(col("src")).distinct()
+      .crossJoin(broadcast(total))
+      .select(col("src"), explode(sequence(lit(0), lit(k - 1))).as("draw"), col("__e"))
+      .select(col("src"), col("draw"),
+        pmod(md5Long(concat(col("src").cast("string"), lit("#neg#"),
+          col("draw").cast("string"))), col("__e")).as("__pos"))
+    val out = draws.join(dict, Seq("__pos"))
+      .filter(col("neg") =!= col("src"))
+      .join(e.select(col("src"), col("dst").as("neg")).hint("shuffle_hash"),
+        Seq("src", "neg"), "left_anti")
+      .select(col("src"), col("draw"), col("neg"))
+    out
+  }
 }

@@ -106,9 +106,37 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nlist: Int = 8, nprobe: Int = 2, iters: Int = 2,
               native: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val (centroids, lists) = buildIvfIndex(corpus, idCol, vecCol, nlist, iters)
+    ivfQueryIndex(centroids, lists, queries, idCol, vecCol, k, nprobe, native)
+  }
+
+  /** Build an IVF index in its PERSISTABLE form: two plain tables —
+    * centroids (cid, cvec array<double>) and inverted lists (cid, id,
+    * vec array<double>) — that round-trip losslessly through parquet
+    * (array<double> is exact). At 100 TB the lists are written
+    * `partitionBy("cid")` (or bucketed by cid): a query's nprobe cells
+    * then prune to nprobe directories before a byte is read — the
+    * STORAGE LAYOUT is the index; no ANN server, just tables any Spark
+    * session can scan. Build cost is the k-means pass; amortize it by
+    * building once and serving every query session from the tables
+    * (see the e17 gate / [[ivfQueryIndex]]). */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 8, iters: Int = 2): (DataFrame, DataFrame) = {
     val (assigned, centroids) = Clustering.kmeansLite(corpus, idCol, vecCol, nlist, iters)
-    val lists = assigned.select(col("cid"), col("vid").as("neighbor_id"), col("vec").as("nv"))
+    (centroids.select(col("cid"), col("cvec")),
+      assigned.select(col("cid"), col("vid").as("id"), col("vec")))
+  }
+
+  /** Query an IVF index in its table form ([[buildIvfIndex]]'s output,
+    * fresh or reloaded from storage): each query probes its `nprobe`
+    * nearest centroids (broadcast nlist-row table), candidates in those
+    * cells rescore with exact cosine, windowed top-k. Bit-identical to
+    * [[ivfTopK]] on the same index — the round trip through parquet
+    * changes nothing, which the e17 gate proves against the e4b oracle. */
+  def ivfQueryIndex(centroids: DataFrame, lists: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int, nprobe: Int = 2,
+                    native: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qv = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("__d"), col("cid"))
@@ -117,7 +145,9 @@ object Similarity {
         (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
       .withColumn("__r", row_number().over(probeW)).filter(col("__r") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid"))
-    val rescored = probes.join(lists, Seq("cid"))
+    val rescored = probes.join(
+        lists.select(col("cid"), col("id").as("neighbor_id"), col("vec").as("nv")),
+        Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosineBy(native)(col("qv"), col("nv")), 6).as("cos"))
@@ -385,6 +415,40 @@ object Similarity {
         round(cosineBy(native)(col("qv"), col("nv")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     rescored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * data-prep step): per query, the top `k` corpus vectors by cosine
+    * INSIDE the band [floor, ceil) — similar enough to carry gradient
+    * signal, not so similar they are suspected positives/leakage. Pairs
+    * with cos ≥ ceil (near-dup/positive territory) and cos < floor (easy
+    * negatives, no signal) are both excluded, self too. Returns
+    * (query_id, neighbor_id, cos, rank), rank 1 = hardest; a query with
+    * no in-band neighbor yields no rows (callers union an easy-negative
+    * fallback if their loss needs a fixed count).
+    *
+    * Plan shape = [[bruteForceTopK]] with the band filter applied BEFORE
+    * the top-k window: queries broadcast, one corpus pass, and the
+    * window's shuffle carries only in-band (query, neighbor, cos)
+    * triples — at 100 TB the floor is the lever (a floor at the p90
+    * cosine drops ~90% of pairs pre-shuffle). For corpus-sized query
+    * sets swap the scorer for [[lshTopK]]/[[ivfTopK]]; the band filter
+    * and window compose unchanged. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, floor: Double, ceil: Double,
+                    native: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"hardNegatives needs k >= 1, got $k")
+    require(floor < ceil, s"need floor < ceil, got [$floor, $ceil)")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineBy(native)(col("qv"), col("nv")), 6).as("cos"))
+      .filter(col("cos") >= floor && col("cos") < ceil)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Recall@k of an approximate ANN result against the exact ranking —

@@ -214,6 +214,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(approx.nonEmpty && recall >= 0.2, s"recall=$recall")
   }
 
+  test("hardNegatives: band is half-open, self excluded, hardest first") {
+    // query 1 vs: 2 ≈ near-dup (cos→1), 3 in-band high, 4 in-band low,
+    // 5 easy (orthogonal). Band [0.3, 0.99) must keep exactly 3 and 4,
+    // ranked 3 first (higher cos), and never emit 1 (self) or 2/5.
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.001f)),
+      (3L, Seq(1.0f, 1.0f)),
+      (4L, Seq(1.0f, 2.0f)),
+      (5L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(df, df.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 5, floor = 0.3, ceil = 0.99)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((3L, 1), (4L, 2)))
+  }
+
+  test("ivf index round-trips through parquet: served results == in-memory results") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val (centroids, lists) = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      nlist = 8, iters = 0)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-spec").toString
+    centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
+    lists.write.mode("overwrite").partitionBy("cid").parquet(s"$tmp/lists")
+    val served = Similarity.ivfQueryIndex(
+      spark.read.parquet(s"$tmp/centroids"), spark.read.parquet(s"$tmp/lists"),
+      queries, "vec_id", "embedding", k = 3, nprobe = 2)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val direct = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 2, iters = 0)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served == direct && served.nonEmpty)
+  }
+
   test("ivfPqTopK: on clustered data every ADC neighbor is from the query's cluster") {
     // PQ is uninformative on uniform-random vectors (measured: recall
     // 0.06-0.08 on the synthetic embeddings even probing ALL cells —

@@ -422,4 +422,24 @@ class TraversalSpec extends AnyFunSuite {
     val b = Traversal.kCore(dag, k = 2, assumeDistinct = true).as[(Long, Long)].collect().toMap
     assert(a == b && a.nonEmpty)
   }
+
+  test("negativeSample: deterministic, rejection-correct, unigram-weighted") {
+    val es = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (2L, 20L), (4L, 30L))
+    val edgeSet = es.toSet
+    val run = () => Traversal.negativeSample(edgesDF(es), k = 4, shards = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    val out = run()
+    assert(out == run())                             // pure function of the edge set
+    assert(out.forall { case (s, _, n) => !edgeSet.contains((s, n)) && s != n })
+    assert(out.forall { case (_, d, _) => d >= 0 && d < 4 })
+    // negatives come from the dst multiset only (unigram support)
+    val dsts = es.map(_._2).toSet
+    assert(out.forall { case (_, _, n) => dsts.contains(n) })
+    // ≤ k draws per src; rejection may legitimately empty a src (src 1's
+    // neighbors {10, 20} cover 5 of the 6 dictionary positions, so all 4
+    // of its draws CAN reject — no resampling by contract)
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc.values.forall(_.size <= 4))
+    assert(bySrc.keySet.subsetOf(Set(1L, 2L, 3L, 4L)) && out.nonEmpty)
+  }
 }
