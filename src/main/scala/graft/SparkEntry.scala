@@ -2150,6 +2150,21 @@ object SparkEntry {
       graph.Traversal.negativeSample(cn, k = 3)
     }),
 
+    // Random-walk corpus (DeepWalk positive pairs, x15's counterpart): 2
+    // deterministic md5-steered walks of ≤3 steps from every region and
+    // nation down the containment fan-out (region→nation→customer);
+    // customer sinks end walks early — no padding. The oracle replays
+    // every path step by step.
+    "x16_random_walks" -> ((s, dir) => {
+      val rn = t(s, dir, "nation").select(
+        (lit(1L * B) + col("n_regionkey")).as("src"),
+        (lit(2L * B) + col("n_nationkey")).as("dst"))
+      val nc = t(s, dir, "customer").select(
+        (lit(2L * B) + col("c_nationkey")).as("src"),
+        (lit(3L * B) + col("c_custkey")).as("dst"))
+      graph.Traversal.randomWalks(rn.unionByName(nc), walks = 2, len = 3)
+    }),
+
     // Tiled image statistics over REAL decoded BMP pixels: 8×8 blocks,
     // exact per-channel sums — patch-level pre-compute; tiles, not
     // pixels, leave the decode task.
@@ -2626,6 +2641,36 @@ object SparkEntry {
     "x9_kcore" -> kcoreOracleSql(k = 3, rounds = 10),
 
     "x12_mis" -> misOracleSql(rounds = 8),
+
+    // Replays every walk step: same dst-ascending edge ranks, same md5
+    // draws, same sink termination.
+    "x16_random_walks" -> {
+      def step(n: Int, prev: String) =
+        s"""s$n AS (SELECT p.start, p.walk, i.dst AS cur
+           |  FROM $prev p
+           |  JOIN deg d ON d.src = p.cur
+           |  JOIN idx i ON i.src = p.cur AND i.idx =
+           |    ${md5i(s"CAST(p.start AS VARCHAR) || '#walk#' || CAST(p.walk AS VARCHAR) || '#$n'")} % d.deg)"""
+          .stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT 1*72057594037927936 + n_regionkey AS src,
+         |    2*72057594037927936 + n_nationkey AS dst FROM nation
+         |  UNION
+         |  SELECT DISTINCT 2*72057594037927936 + c_nationkey,
+         |    3*72057594037927936 + c_custkey FROM customer),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |idx AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM e),
+         |s0 AS (SELECT s.src AS start, w.walk, s.src AS cur
+         |  FROM (SELECT DISTINCT src FROM e) s
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS walk) w),
+         |${step(1, "s0")},
+         |${step(2, "s1")},
+         |${step(3, "s2")}
+         |SELECT start, CAST(walk AS INTEGER) AS walk, 0 AS step, start AS vertex FROM s0
+         |UNION ALL SELECT start, CAST(walk AS INTEGER), 1, cur FROM s1
+         |UNION ALL SELECT start, CAST(walk AS INTEGER), 2, cur FROM s2
+         |UNION ALL SELECT start, CAST(walk AS INTEGER), 3, cur FROM s3""".stripMargin
+    },
 
     // Replays negativeSample's deterministic construction exactly: the
     // sharded-prefix-sum canonical edge order, the md5 draw positions,

@@ -1031,4 +1031,51 @@ object Traversal {
       .select(col("src"), col("draw"), col("neg"))
     out
   }
+
+  /** Deterministic random-walk corpus (DeepWalk/node2vec data prep, the
+    * positive-pair half of the embedding-training pipeline — [[negativeSample]]
+    * is the other): `walks` walks of up to `len` steps from every vertex
+    * with an out-edge. Step t of walk w from start s continues from the
+    * current vertex v along out-edge number md5(s·"#walk#"·w·"#"·t) mod
+    * outdeg(v), edges ranked dst-ascending within each src — a fixed
+    * total order, so every path is a pure function of the edge set and
+    * replays in any engine with md5. Walks STOP at a sink (no out-edges):
+    * shorter rows, never NULL padding. Output (start, walk, step, vertex),
+    * step 0 = the start itself.
+    *
+    * Plan shape: the (src, idx, dst) edge ranking is per-src windows
+    * (parallel — no global sort); each step is two equi-joins (degree
+    * lookup to compute the md5 draw, then (src, idx) to move) over
+    * O(walks·V) walker state; the per-step frames union at the end.
+    * State never exceeds walks·V rows regardless of edge count —
+    * frontier-sized, not edge-sized. */
+  def randomWalks(edges: DataFrame, walks: Int, len: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Hashing.md5Long
+    require(walks >= 1, s"randomWalks needs walks >= 1, got $walks")
+    require(len >= 1, s"randomWalks needs len >= 1, got $len")
+    val e = cut(edges.select(col("src"), col("dst")).distinct())
+    val ranked = e.withColumn("idx",
+      row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var state = e.select(col("src")).distinct()
+      .select(col("src").as("start"),
+        explode(sequence(lit(0), lit(walks - 1))).as("walk"))
+      .withColumn("cur", col("start"))
+    var out = state.select(col("start"), col("walk"),
+      lit(0).as("step"), col("cur").as("vertex"))
+    for (t <- 1 to len) {
+      val drawn = state.join(deg.withColumnRenamed("src", "cur"), Seq("cur"))
+        .withColumn("__idx", pmod(md5Long(concat(
+          col("start").cast("string"), lit("#walk#"),
+          col("walk").cast("string"), lit("#"), lit(t.toString))), col("deg")))
+      state = cut(drawn
+        .join(ranked.select(col("src").as("cur"), col("idx").as("__idx"),
+          col("dst").as("__next")), Seq("cur", "__idx"))
+        .select(col("start"), col("walk"), col("__next").as("cur")))
+      out = out.unionByName(state.select(col("start"), col("walk"),
+        lit(t).as("step"), col("cur").as("vertex")))
+    }
+    out
+  }
 }

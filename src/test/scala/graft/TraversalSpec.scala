@@ -442,4 +442,28 @@ class TraversalSpec extends AnyFunSuite {
     assert(bySrc.values.forall(_.size <= 4))
     assert(bySrc.keySet.subsetOf(Set(1L, 2L, 3L, 4L)) && out.nonEmpty)
   }
+
+  test("randomWalks: every step follows an edge, sinks terminate, deterministic") {
+    // 1 branches to {2,3}; 2 → 4; 3 and 4 are sinks.
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 4L))
+    val run = () => Traversal.randomWalks(edgesDF(es), walks = 3, len = 4)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    val out = run()
+    assert(out == run())
+    val byWalk = out.groupBy(w => (w._1, w._2))
+    // starts = vertices with out-edges = {1, 2}; 3 walks each
+    assert(byWalk.keySet.map(_._1) == Set(1L, 2L))
+    assert(byWalk.size == 6)
+    byWalk.foreach { case ((start, _), rows) =>
+      val path = rows.toSeq.sortBy(_._3).map(_._4)
+      assert(path.head == start)                       // step 0 = start
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(es.contains((a, b)))  // every move is an edge
+        case _ =>
+      }
+      // walks from 1 end at a sink (3, or 4 via 2) before len runs out;
+      // from 2 the only path is 2→4
+      assert(Set(3L, 4L).contains(path.last))
+    }
+  }
 }
