@@ -2165,6 +2165,37 @@ object SparkEntry {
       graph.Traversal.randomWalks(rn.unionByName(nc), walks = 2, len = 3)
     }),
 
+    // HITS hubs/authorities (integer max-normalized, 2 fixed
+    // iterations): customers/suppliers are pure hubs, regions pure
+    // authorities, nations both — the directed complement to PageRank
+    // on the containment graph. Exact BIGINTs, oracle-unrolled.
+    "x17_hits" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(
+        (lit(3L * B) + col("c_custkey")).as("src"),
+        (lit(2L * B) + col("c_nationkey")).as("dst"))
+      val sn = t(s, dir, "supplier").select(
+        (lit(4L * B) + col("s_suppkey")).as("src"),
+        (lit(2L * B) + col("s_nationkey")).as("dst"))
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"),
+        (lit(1L * B) + col("n_regionkey")).as("dst"))
+      graph.GraphXBridge.hitsFixed(cn.unionByName(sn).unionByName(nr), iters = 2)
+    }),
+
+    // Synchronous label propagation, 4 fixed rounds, min-label
+    // tie-break: communities on the symmetrized customer–nation–region
+    // containment graph. Deterministic by construction; the oracle
+    // replays all 4 rounds.
+    "x18_label_prop" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(
+        (lit(3L * B) + col("c_custkey")).as("src"),
+        (lit(2L * B) + col("c_nationkey")).as("dst"))
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"),
+        (lit(1L * B) + col("n_regionkey")).as("dst"))
+      graph.Traversal.labelPropagation(cn.unionByName(nr), rounds = 4)
+    }),
+
     // Tiled image statistics over REAL decoded BMP pixels: 8×8 blocks,
     // exact per-channel sums — patch-level pre-compute; tiles, not
     // pixels, leave the decode task.
@@ -2641,6 +2672,59 @@ object SparkEntry {
     "x9_kcore" -> kcoreOracleSql(k = 3, rounds = 10),
 
     "x12_mis" -> misOracleSql(rounds = 8),
+
+    // 2 HITS iterations unrolled: each is hub-sum → max-normalize →
+    // auth-sum → max-normalize, all integer.
+    "x17_hits" -> {
+      // One half-step: sum `inCol` of `prev` over edges joined on
+      // `joinEnd`, grouped by `groupEnd`, then integer max-normalize
+      // into `outCol` of CTE `out`.
+      def half(prev: String, inCol: String, joinEnd: String, groupEnd: String,
+               out: String, outCol: String) =
+        s"""${out}r AS (SELECT v.id, coalesce(s.s, 0) AS raw FROM v LEFT JOIN (
+           |  SELECT e.$groupEnd AS id, sum(p.$inCol) AS s
+           |  FROM e JOIN $prev p ON p.id = e.$joinEnd GROUP BY e.$groupEnd) s USING (id)),
+           |$out AS (SELECT id, CAST(raw * 1000000 // greatest((SELECT max(raw) FROM ${out}r), 1) AS BIGINT) AS $outCol FROM ${out}r)"""
+          .stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT 3*72057594037927936 + c_custkey AS src,
+         |    2*72057594037927936 + c_nationkey AS dst FROM customer
+         |  UNION SELECT 4*72057594037927936 + s_suppkey, 2*72057594037927936 + s_nationkey FROM supplier
+         |  UNION SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT id, 1000000 AS hub FROM v),
+         |${half("h0", "hub", "src", "dst", "a1", "auth")},
+         |${half("a1", "auth", "dst", "src", "h1", "hub")},
+         |${half("h1", "hub", "src", "dst", "a2", "auth")},
+         |${half("a2", "auth", "dst", "src", "h2", "hub")}
+         |SELECT a2.id, a2.auth AS auth_micro, h2.hub AS hub_micro
+         |FROM a2 JOIN h2 USING (id)""".stripMargin
+    },
+
+    // 4 synchronous LPA rounds unrolled: per round the min-mode
+    // neighbor label via a count window, isolated fallback to self.
+    "x18_label_prop" -> {
+      def round(n: Int) =
+        s"""r$n AS (SELECT id, label FROM (
+           |  SELECT u.src AS id, l.label, count(*) AS n,
+           |    row_number() OVER (PARTITION BY u.src ORDER BY count(*) DESC, l.label) AS r
+           |  FROM u JOIN l${n - 1} l ON l.id = u.dst GROUP BY u.src, l.label) WHERE r = 1),
+           |l$n AS (SELECT v.id, coalesce(r$n.label, v.id) AS label FROM v LEFT JOIN r$n USING (id))"""
+          .stripMargin
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT 3*72057594037927936 + c_custkey AS src,
+         |    2*72057594037927936 + c_nationkey AS dst FROM customer
+         |  UNION SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+         |u AS (SELECT src, dst FROM e0 WHERE src <> dst
+         |  UNION SELECT dst, src FROM e0 WHERE src <> dst),
+         |v AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+         |l0 AS (SELECT id, id AS label FROM v),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)}
+         |SELECT id, label FROM l4""".stripMargin
+    },
 
     // Replays every walk step: same dst-ascending edge ranks, same md5
     // draws, same sink termination.

@@ -145,4 +145,51 @@ object GraphXBridge {
     }
     ranks
   }
+
+  /** Deterministic fixed-iteration HITS (Kleinberg): authority(v) sums the
+    * hub scores of v's in-neighbors, hub(v) sums the authority scores of
+    * v's out-neighbors — the directed-graph complement to PageRank for
+    * graphs where pointing and being-pointed-at mean different things
+    * (users → groups → projects: users are pure hubs, projects pure
+    * authorities).
+    *
+    * The classical L2 normalization is replaced by integer MAX
+    * normalization after each half-step — score · 10⁶ div max(score) —
+    * so every value stays a BIGINT in [0, 10⁶] and the whole computation
+    * is order-independent integer arithmetic, bit-identical in any
+    * engine (the ranking is unchanged: normalization only rescales).
+    * Overflow bound: a half-step sum is ≤ 10⁶ · max-degree, so degrees
+    * up to ~9·10⁶ are safe before the rescale multiply; shard hotter
+    * vertices upstream. Returns (id, auth_micro, hub_micro).
+    *
+    * Plan: per iteration two edge⋈score equi-joins + two map-side-
+    * combinable sum aggregates over O(V) state, plus a 1-row broadcast
+    * max — HITS' inherent per-round shuffle and nothing else; eager cuts
+    * keep the loop's lineage flat. */
+  def hitsFixed(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"hitsFixed needs iters >= 1, got $iters")
+    val e = Traversal.cut(edges.select(col("src"), col("dst")).distinct())
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    def maxNorm(df: DataFrame, out: String): DataFrame =
+      df.crossJoin(broadcast(df.agg(max(col("raw")).as("__mx"))))
+        .select(col("id"), expr(s"raw * 1000000L div greatest(__mx, 1L)").as(out))
+    var hub = verts.withColumn("hub_micro", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = verts.join(
+          e.join(hub, e("src") === hub("id"))
+            .groupBy(e("dst").as("id")).agg(sum(col("hub_micro")).as("s")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("raw"))
+      auth = Traversal.cut(maxNorm(aRaw, "auth_micro"))
+      val hRaw = verts.join(
+          e.join(auth, e("dst") === auth("id"))
+            .groupBy(e("src").as("id")).agg(sum(col("auth_micro")).as("s")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("raw"))
+      hub = Traversal.cut(maxNorm(hRaw, "hub_micro"))
+    }
+    auth.join(hub, Seq("id"))
+  }
 }

@@ -1032,6 +1032,42 @@ object Traversal {
     out
   }
 
+  /** Synchronous label propagation (community detection): every vertex
+    * starts labeled with its own id; each round it adopts the most
+    * frequent label among its neighbors, ties broken by SMALLEST label —
+    * a fixed total order, so the fixed-round result is a pure function
+    * of the edge set (asynchronous LPA's update-order dependence is
+    * exactly what this variant removes; the price is the classic
+    * bipartite two-coloring oscillation, which fixed `rounds` makes a
+    * defined, replayable output rather than a hang). Input is
+    * symmetrized, self-loops dropped. Returns (id, label).
+    *
+    * Plan: per round one edges⋈labels equi-join, one (id, label) count
+    * aggregate (map-side combinable), one per-id top-1 window — O(E)
+    * join rows, O(V) state, the same per-round shape as [[kCore]]'s
+    * peel; eager cuts keep the loop lineage flat. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, s"labelPropagation needs rounds >= 1, got $rounds")
+    val und = cut(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct())
+    val verts = vertices(edges)
+    var labels = verts.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      val counts = und.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"), col("label")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("id")).orderBy(col("n").desc, col("label"))
+      val chosen = counts.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1).select(col("id"), col("label").as("__l"))
+      // a vertex with no surviving neighbor rows (self-loop-only) keeps
+      // labeling itself rather than silently vanishing
+      labels = cut(verts.join(chosen, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__l"), col("id")).as("label")))
+    }
+    labels
+  }
+
   /** Deterministic random-walk corpus (DeepWalk/node2vec data prep, the
     * positive-pair half of the embedding-training pipeline — [[negativeSample]]
     * is the other): `walks` walks of up to `len` steps from every vertex

@@ -443,6 +443,40 @@ class TraversalSpec extends AnyFunSuite {
     assert(bySrc.keySet.subsetOf(Set(1L, 2L, 3L, 4L)) && out.nonEmpty)
   }
 
+  test("labelPropagation: cliques unify on one label, deterministically") {
+    // two triangles {1,2,3} and {10,11,12} joined by one bridge 3–10.
+    // Min tie-break means low labels CAN invade across the bridge (on
+    // round 1 vertex 10 sees three singleton labels {11,12,3} and takes
+    // 3) — the guaranteed properties are per-clique agreement and
+    // run-to-run determinism, not which label wins.
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val run = () => Traversal.labelPropagation(edgesDF(es), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val got = run()
+    assert(got == run())
+    assert(got.filterKeys(Set(1L, 2L, 3L).contains).values.toSet == Set(1L))
+    assert(got.filterKeys(Set(10L, 11L, 12L).contains).values.toSet.size == 1)
+  }
+
+  test("labelPropagation: self-loop-only vertex keeps labeling itself") {
+    val got = Traversal.labelPropagation(edgesDF(Seq((1L, 2L), (7L, 7L))), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(7L) == 7L && got.contains(1L) && got.contains(2L))
+  }
+
+  test("hitsFixed: pure hubs score zero authority, the top authority hits 1e6") {
+    // 1,2,3 all point at 4; 4 points at 5: 4 is the only real authority
+    // target of the hub mass, 5 collects 4's hub output
+    val es = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val got = graft.graph.GraphXBridge.hitsFixed(edgesDF(es), iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == 0L && got(2L)._1 == 0L && got(3L)._1 == 0L) // never pointed at
+    assert(got(4L)._1 == 1000000L)                                   // max authority
+    assert(got(5L)._2 == 0L)                                         // sink: no hub score
+    assert(got.values.map(_._1).max == 1000000L && got.values.map(_._2).max == 1000000L)
+  }
+
   test("randomWalks: every step follows an edge, sinks terminate, deterministic") {
     // 1 branches to {2,3}; 2 → 4; 3 and 4 are sinks.
     val es = Seq((1L, 2L), (1L, 3L), (2L, 4L))
