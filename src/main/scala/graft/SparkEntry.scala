@@ -2182,6 +2182,22 @@ object SparkEntry {
       graph.GraphXBridge.hitsFixed(cn.unionByName(sn).unionByName(nr), iters = 2)
     }),
 
+    // Link-prediction candidates: top-3 non-adjacent pairs per vertex
+    // by the integer Resource-Allocation index (Σ 10⁶ div deg(w) over
+    // common neighbors — exact, order-free; Adamic-Adar's ln would cost
+    // cross-engine ulps) on the symmetrized supplier–nation–region
+    // graph. The positive-candidate half of link-prediction training;
+    // x15 supplies the negatives.
+    "x19_link_predict" -> ((s, dir) => {
+      val sn = t(s, dir, "supplier").select(
+        (lit(4L * B) + col("s_suppkey")).as("src"),
+        (lit(2L * B) + col("s_nationkey")).as("dst"))
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"),
+        (lit(1L * B) + col("n_regionkey")).as("dst"))
+      graph.Traversal.linkPredict(sn.unionByName(nr), k = 3)
+    }),
+
     // Synchronous label propagation, 4 fixed rounds, min-label
     // tie-break: communities on the symmetrized customer–nation–region
     // containment graph. Deterministic by construction; the oracle
@@ -2700,6 +2716,29 @@ object SparkEntry {
          |SELECT a2.id, a2.auth AS auth_micro, h2.hub AS hub_micro
          |FROM a2 JOIN h2 USING (id)""".stripMargin
     },
+
+    // Wedge join + integer RA scoring + adjacency anti-join + per-u
+    // top-3 window, replayed exactly.
+    "x19_link_predict" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT 4*72057594037927936 + s_suppkey AS src,
+        |    2*72057594037927936 + s_nationkey AS dst FROM supplier
+        |  UNION SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+        |u AS (SELECT src, dst FROM e0 WHERE src <> dst
+        |  UNION SELECT dst, src FROM e0 WHERE src <> dst),
+        |deg AS (SELECT src AS w, count(*) AS wdeg FROM u GROUP BY src),
+        |wedge AS (SELECT a.src AS u, a.dst AS w, b.dst AS v
+        |  FROM u a JOIN u b ON a.dst = b.src WHERE a.src <> b.dst),
+        |sc AS (SELECT wedge.u, wedge.v, count(*) AS common_neighbors,
+        |    CAST(sum(1000000 // deg.wdeg) AS BIGINT) AS ra_micro
+        |  FROM wedge JOIN deg ON deg.w = wedge.w
+        |  GROUP BY wedge.u, wedge.v),
+        |nonadj AS (SELECT sc.* FROM sc
+        |  WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.src = sc.u AND u.dst = sc.v))
+        |SELECT u, v, common_neighbors, ra_micro,
+        |  CAST(row_number() OVER (PARTITION BY u
+        |    ORDER BY ra_micro DESC, common_neighbors DESC, v) AS INTEGER) AS rank
+        |FROM nonadj QUALIFY rank <= 3""".stripMargin,
 
     // 4 synchronous LPA rounds unrolled: per round the min-mode
     // neighbor label via a count window, isolated fallback to self.

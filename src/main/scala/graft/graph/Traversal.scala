@@ -1068,6 +1068,45 @@ object Traversal {
     labels
   }
 
+  /** Link-prediction features: for every non-adjacent vertex pair with at
+    * least one common neighbor, the common-neighbor count and the
+    * Resource-Allocation index Σ_w 1/deg(w) — computed as
+    * Σ (10⁶ div deg(w)), integer division then integer sum, so the score
+    * is EXACT and summation-order-free (Adamic-Adar's 1/ln deg would
+    * drag in cross-engine libm ulps; RA ranks near-identically and
+    * stays rational). Returns the top `k` candidates per vertex:
+    * (u, v, common_neighbors, ra_micro, rank), rank by ra desc, then
+    * cn desc, then v — the candidate-edge generator for link-prediction
+    * training (pair with [[negativeSample]] for the negatives).
+    *
+    * Plan: the wedge join (u–w, w–v) is the inherent cost — O(Σ_w
+    * deg(w)²) rows, triangle counting's bound; the degree table joins
+    * broadcast-or-shuffle by size, adjacency is removed with one
+    * left_anti on (u, v), and the per-u top-k window sees only scored
+    * pairs. A celebrity hub w inflates deg(w)² — cap or sample hot
+    * vertices upstream (Skew.capBuckets) when the degree distribution
+    * has a heavy tail. */
+  def linkPredict(edges: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"linkPredict needs k >= 1, got $k")
+    val und = cut(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct())
+    val deg = und.groupBy(col("src").as("w")).agg(count(lit(1)).as("wdeg"))
+    val wedges = und.select(col("src").as("u"), col("dst").as("w"))
+      .join(und.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") =!= col("v"))
+    val scored = wedges.join(deg, Seq("w"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000L div wdeg")).as("ra_micro"))
+      .join(und.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"),
+        "left_anti")
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("ra_micro").desc, col("common_neighbors").desc, col("v"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic random-walk corpus (DeepWalk/node2vec data prep, the
     * positive-pair half of the embedding-training pipeline — [[negativeSample]]
     * is the other): `walks` walks of up to `len` steps from every vertex

@@ -465,6 +465,19 @@ class TraversalSpec extends AnyFunSuite {
     assert(got(7L) == 7L && got.contains(1L) && got.contains(2L))
   }
 
+  test("linkPredict: RA scores exact, adjacency excluded, top-k respected") {
+    // path 1–2–3 plus 4 also attached to 2: candidates through hub 2
+    // (deg 3) are {1,3},{1,4},{3,4}, each RA = 1000000 div 3 = 333333,
+    // cn = 1; adjacent pairs never appear.
+    val es = Seq((1L, 2L), (2L, 3L), (2L, 4L))
+    val got = Traversal.linkPredict(edgesDF(es), k = 3)
+      .as[(Long, Long, Long, Long, Int)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs == Set((1L, 3L), (1L, 4L), (3L, 1L), (3L, 4L), (4L, 1L), (4L, 3L)))
+    assert(got.forall(r => r._3 == 1L && r._4 == 333333L))
+    assert(!pairs.exists { case (a, b) => es.contains((a, b)) || es.contains((b, a)) })
+  }
+
   test("hitsFixed: pure hubs score zero authority, the top authority hits 1e6") {
     // 1,2,3 all point at 4; 4 points at 5: 4 is the only real authority
     // target of the hub mass, 5 collects 4's hub output
