@@ -26,7 +26,11 @@ object Bench {
     // round 11 additions: the salted hop twin, the real-streaming
     // family, the sample-quantile sketch, and the fuzzy key join
     "a13b_khop_salted", "sw11_stream_dedup", "sw12_stream_attribution",
-    "cd8_sample_quantiles", "d_fuzzy_join", "g5_repeat_until")
+    "cd8_sample_quantiles", "d_fuzzy_join", "g5_repeat_until",
+    // round 11 late additions: the embedding-training data trio and the
+    // persisted-index serving path
+    "x15_negative_sampling", "x16_random_walks", "e16_hard_negatives",
+    "e17_ivf_index_persist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

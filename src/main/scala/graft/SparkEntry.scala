@@ -2198,6 +2198,22 @@ object SparkEntry {
       graph.Traversal.linkPredict(sn.unionByName(nr), k = 3)
     }),
 
+    // Sampled neighbor aggregation (GraphSAGE mini-batch prep): per
+    // nation, the exact cent-sum of account balance over ≤8 md5-sampled
+    // customers — the cap bounds join fan-in per vertex at s rows
+    // whatever the degree distribution (the celebrity-vertex answer for
+    // GNN feature gathering).
+    "x20_neighbor_agg" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nc = cust.select(
+        (lit(2L * B) + col("c_nationkey")).as("src"),
+        (lit(3L * B) + col("c_custkey")).as("dst"))
+      val feats = cust.select(
+        (lit(3L * B) + col("c_custkey")).as("id"),
+        round(col("c_acctbal") * 100).cast("long").as("feature"))
+      graph.Traversal.neighborAgg(nc, feats, s = 8)
+    }),
+
     // Synchronous label propagation, 4 fixed rounds, min-label
     // tie-break: communities on the symmetrized customer–nation–region
     // containment graph. Deterministic by construction; the oracle
@@ -2716,6 +2732,19 @@ object SparkEntry {
          |SELECT a2.id, a2.auth AS auth_micro, h2.hub AS hub_micro
          |FROM a2 JOIN h2 USING (id)""".stripMargin
     },
+
+    // Same md5 sample ranks, same cent conversion, same capped sum.
+    "x20_neighbor_agg" ->
+      s"""WITH e AS (SELECT DISTINCT 2*72057594037927936 + c_nationkey AS src,
+         |    3*72057594037927936 + c_custkey AS dst FROM customer),
+         |r AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+         |    ORDER BY ${md5i("CAST(src AS VARCHAR) || '#agg#' || CAST(dst AS VARCHAR)")}, dst) AS rn
+         |  FROM e),
+         |f AS (SELECT 3*72057594037927936 + c_custkey AS dst,
+         |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS feature FROM customer)
+         |SELECT r.src AS id, count(*) AS n_sampled,
+         |  CAST(sum(f.feature) AS BIGINT) AS feat_sum
+         |FROM r JOIN f USING (dst) WHERE rn <= 8 GROUP BY r.src""".stripMargin,
 
     // Wedge join + integer RA scoring + adjacency anti-join + per-u
     // top-3 window, replayed exactly.

@@ -1068,6 +1068,37 @@ object Traversal {
     labels
   }
 
+  /** Sampled neighbor aggregation (the GraphSAGE mini-batch data-prep
+    * step): for every vertex with out-edges, the exact SUM and COUNT of
+    * an integer feature over AT MOST `s` deterministically sampled
+    * out-neighbors — neighbors ranked by (md5(src·"#agg#"·dst), dst) and
+    * the top `s` kept, so the sample (and therefore the aggregate) is a
+    * pure function of the edge set, like every sampler in this engine.
+    * Features arrive as a (id, feature BIGINT) table (integer micro-units
+    * upstream if the source is fractional — exact, order-free sums).
+    * Returns (id, n_sampled, feat_sum).
+    *
+    * Plan: one per-src window over the edge list (parallel — rank only
+    * within src), one equi-join against the feature table, one
+    * map-side-combinable aggregate. The cap `s` bounds the join fan-in
+    * per vertex — a celebrity's million edges contribute s rows, which
+    * is the point: mini-batch cost is O(s·V) whatever the degree
+    * distribution. */
+  def neighborAgg(edges: DataFrame, features: DataFrame, s: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Hashing.md5Long
+    require(s >= 1, s"neighborAgg needs s >= 1, got $s")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val w = Window.partitionBy(col("src")).orderBy(col("__h"), col("dst"))
+    val sampled = e.withColumn("__h", md5Long(concat(
+        col("src").cast("string"), lit("#agg#"), col("dst").cast("string"))))
+      .withColumn("__r", row_number().over(w)).filter(col("__r") <= s)
+      .select(col("src"), col("dst"))
+    sampled.join(features.select(col("id").as("dst"), col("feature")), Seq("dst"))
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("feature")).as("feat_sum"))
+  }
+
   /** Link-prediction features: for every non-adjacent vertex pair with at
     * least one common neighbor, the common-neighbor count and the
     * Resource-Allocation index Σ_w 1/deg(w) — computed as

@@ -465,6 +465,21 @@ class TraversalSpec extends AnyFunSuite {
     assert(got(7L) == 7L && got.contains(1L) && got.contains(2L))
   }
 
+  test("neighborAgg: cap bounds the sample, sums exact, deterministic") {
+    val es = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+    val feats = Seq((10L, 5L), (11L, 7L), (12L, 9L)).toDF("id", "feature")
+    val full = Traversal.neighborAgg(edgesDF(es), feats, s = 10)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(full(1L) == ((3L, 21L)) && full(2L) == ((1L, 5L)))
+    val run = () => Traversal.neighborAgg(edgesDF(es), feats, s = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val capped = run()
+    assert(capped == run())
+    assert(capped(1L)._1 == 2L &&
+      Set(12L, 14L, 16L).contains(capped(1L)._2)) // some 2-subset of {5,7,9}
+    assert(capped(2L) == ((1L, 5L)))
+  }
+
   test("linkPredict: RA scores exact, adjacency excluded, top-k respected") {
     // path 1–2–3 plus 4 also attached to 2: candidates through hub 2
     // (deg 3) are {1,3},{1,4},{3,4}, each RA = 1000000 div 3 = 333333,
