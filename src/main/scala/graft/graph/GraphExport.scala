@@ -174,6 +174,7 @@ object GraphExport {
     sb ++= """  <key id="label" for="node" attr.name="label" attr.type="string"/>""" += '\n'
     sb ++= """  <key id="key" for="node" attr.name="key" attr.type="string"/>""" += '\n'
     sb ++= """  <key id="prop" for="node" attr.name="prop" attr.type="string"/>""" += '\n'
+    sb ++= """  <key id="elabel" for="edge" attr.name="label" attr.type="string"/>""" += '\n'
     sb ++= """  <key id="weight" for="edge" attr.name="weight" attr.type="int"/>""" += '\n'
     sb ++= """  <graph id="G" edgedefault="directed">""" += '\n'
     g.vertices.select("id", "label", "key", "props").orderBy("id").collect().foreach { r =>
@@ -182,12 +183,16 @@ object GraphExport {
       sb ++= s"""<data key="key">${esc(r.getString(2))}</data>"""
       val props = r.getMap[String, String](3)
       props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        // the prop entry encodes as k=v split at the FIRST '=' on read —
+        // a '=' in the KEY would silently shift the boundary
+        require(!k.contains("="), s"prop key '$k' contains '=' — not GraphML-encodable")
         sb ++= s"""<data key="prop">${esc(k)}=${esc(String.valueOf(v))}</data>"""
       }
       sb ++= "</node>\n"
     }
     g.edges.select("src", "dst", "label", "weight").orderBy("src", "dst").collect().foreach { r =>
       sb ++= s"""    <edge source="${r.getLong(0)}" target="${r.getLong(1)}">"""
+      sb ++= s"""<data key="elabel">${esc(r.getString(2))}</data>"""
       sb ++= s"""<data key="weight">${r.getInt(3)}</data></edge>\n"""
     }
     sb ++= "  </graph>\n</graphml>\n"
@@ -198,5 +203,52 @@ object GraphExport {
   def writeGraphML(g: PropertyGraph, path: String, maxRows: Long = 100000): Unit = {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), graphml(g, maxRows))
     ()
+  }
+
+  /** Read a [[writeGraphML]] document back into a [[PropertyGraph]] —
+    * the GraphML half of the interchange loop (GraphSON and the Groovy
+    * scripts have theirs). Driver-side like the writer, by the same
+    * small-graph contract (the format itself is the bound: one XML
+    * document, no splittable row boundaries — big graphs go through
+    * GraphSON lines). JDK DOM parse, no external XML library; XML
+    * escaping undone by the parser, prop entries split at the first
+    * '=' (the writer rejects '=' in prop keys for exactly this
+    * reason). Missing edge-label data (exports written before the
+    * label was emitted) reads as "". */
+  def readGraphML(spark: SparkSession, path: String): PropertyGraph = {
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(new java.io.File(path))
+    def datas(el: org.w3c.dom.Element): Seq[(String, String)] = {
+      val dl = el.getElementsByTagName("data")
+      (0 until dl.getLength).map { i =>
+        val d = dl.item(i).asInstanceOf[org.w3c.dom.Element]
+        d.getAttribute("key") -> d.getTextContent
+      }
+    }
+    val nl = doc.getElementsByTagName("node")
+    val vrows = (0 until nl.getLength).map { i =>
+      val el = nl.item(i).asInstanceOf[org.w3c.dom.Element]
+      val id = el.getAttribute("id").toLong
+      val ds = datas(el)
+      (id,
+        ds.collectFirst { case ("label", v) => v }.getOrElse(""),
+        ds.collectFirst { case ("key", v) => v }.getOrElse(""),
+        ds.collect { case ("prop", v) =>
+          val j = v.indexOf('=')
+          require(j >= 0, s"malformed prop entry '$v' on node $id")
+          v.substring(0, j) -> v.substring(j + 1)
+        }.toMap)
+    }
+    val el = doc.getElementsByTagName("edge")
+    val erows = (0 until el.getLength).map { i =>
+      val e = el.item(i).asInstanceOf[org.w3c.dom.Element]
+      val ds = datas(e)
+      (e.getAttribute("source").toLong, e.getAttribute("target").toLong,
+        ds.collectFirst { case ("elabel", v) => v }.getOrElse(""),
+        ds.collectFirst { case ("weight", v) => v.toInt }.getOrElse(0))
+    }
+    PropertyGraph(
+      spark.createDataFrame(vrows).toDF("id", "label", "key", "props"),
+      spark.createDataFrame(erows).toDF("src", "dst", "label", "weight"))
   }
 }

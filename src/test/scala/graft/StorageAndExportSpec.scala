@@ -88,6 +88,27 @@ class StorageAndExportSpec extends AnyFunSuite {
     assert(xml.startsWith("""<?xml version="1.0""""))
   }
 
+  test("graphml round-trips: write → readGraphML restores the graph exactly") {
+    val g = PropertyGraph(
+      Seq((1L, "user", "a<b&c", Map("k1" -> "v&w", "k2" -> "x=y")),
+        (2L, "group", "g'\"", Map.empty[String, String]))
+        .toDF("id", "label", "key", "props"),
+      Seq((1L, 2L, "in", 3)).toDF("src", "dst", "label", "weight"))
+    val tmp = java.nio.file.Files.createTempFile("graft-gml", ".xml").toString
+    GraphExport.writeGraphML(g, tmp)
+    val back = GraphExport.readGraphML(spark, tmp)
+    assert(back.vertices.as[(Long, String, String, Map[String, String])].collect().toSet ==
+      g.vertices.as[(Long, String, String, Map[String, String])].collect().toSet)
+    assert(back.edges.as[(Long, Long, String, Int)].collect().toSet == Set((1L, 2L, "in", 3)))
+  }
+
+  test("graphml rejects a prop key containing '='") {
+    val g = PropertyGraph(
+      Seq((1L, "user", "k", Map("a=b" -> "v"))).toDF("id", "label", "key", "props"),
+      Seq.empty[(Long, Long, String, Int)].toDF("src", "dst", "label", "weight"))
+    assertThrows[IllegalArgumentException] { GraphExport.graphml(g) }
+  }
+
   test("graphml refuses graphs above the driver-side bound") {
     assertThrows[IllegalArgumentException] {
       GraphExport.graphml(g0, maxRows = 1)
