@@ -1855,6 +1855,55 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // SW15 — REAL streaming sessionization: flatMapGroupsWithState +
+    // EventTimeTimeout over a replayed file-source stream (one file per
+    // micro-batch, mtime-ordered), two far-future sentinel batches
+    // pushing the watermark past every real session's close so the
+    // memory sink holds the COMPLETE session set — which equals the
+    // batch gaps-and-islands twin, the oracle. State per user is the
+    // open-session list, evicted on close: bounded by concurrency,
+    // never O(stream).
+    "sw15_stream_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val gapMs = 1800L * 1000
+      // ms truncation on the input: sessionize state runs on epoch
+      // millis, and the oracle truncates identically
+      val ev = events(s, dir)
+        .withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sw15").toString
+      val maxTs = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head()
+      def sentinel(days: Int) = Seq((-1L,
+        new java.sql.Timestamp(maxTs.getTime + days * 86400000L))).toDF("user_id", "ts")
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      Seq(("b0", ev), ("b1", sentinel(10)), ("b2", sentinel(20)))
+        .zipWithIndex.foreach { case ((n, df), i) =>
+          df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$n")
+          val part = new java.io.File(s"$tmp/$n").listFiles()
+            .find(_.getName.endsWith(".parquet")).get.toPath
+          val staged = inDir.resolve(f"$i%02d.parquet")
+          java.nio.file.Files.copy(part, staged)
+          // FileStreamSource orders by mtime — pin the replay order
+          java.nio.file.Files.setLastModifiedTime(staged,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+        }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val name = s"sw15_out_${sinkSeq.incrementAndGet()}"
+      val q = streaming.EventPipeline.sessionize(
+          stream.as[streaming.EventPipeline.SessionEvent], gapMs)
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$tmp/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start").as("session_start"),
+          col("end").as("session_end"), col("n_events"))
+    }),
+
     // SW12 — REAL stream-stream interval join: clicks and purchases run
     // as two watermarked file-source streams through clickAttribution
     // (join state evicted once the watermark passes the window — bounded
@@ -4581,6 +4630,25 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR, event_type FROM events)
         |GROUP BY ws, event_type""".stripMargin,
+
+    // The batch gaps-and-islands twin over ms-truncated timestamps —
+    // the sentinel batches guarantee the stream emitted EVERY session.
+    "sw15_stream_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, date_trunc('milliseconds', ts) AS ts FROM events),
+        |o AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "sw3_session_window" ->
       """WITH o AS (
