@@ -216,8 +216,15 @@ object GraphExport {
     * reason). Missing edge-label data (exports written before the
     * label was emitted) reads as "". */
   def readGraphML(spark: SparkSession, path: String): PropertyGraph = {
-    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      .newDocumentBuilder().parse(new java.io.File(path))
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    // An import path is an attack surface: a DOCTYPE in a foreign GraphML
+    // file could pull local files or URLs into vertex props (XXE) or
+    // detonate an entity-expansion bomb. Our own writer never emits a
+    // DOCTYPE, so reject them outright.
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setXIncludeAware(false)
+    dbf.setExpandEntityReferences(false)
+    val doc = dbf.newDocumentBuilder().parse(new java.io.File(path))
     def datas(el: org.w3c.dom.Element): Seq[(String, String)] = {
       val dl = el.getElementsByTagName("data")
       (0 until dl.getLength).map { i =>

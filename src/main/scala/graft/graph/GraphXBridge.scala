@@ -169,26 +169,33 @@ object GraphXBridge {
   def hitsFixed(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1, s"hitsFixed needs iters >= 1, got $iters")
     val e = Traversal.cut(edges.select(col("src"), col("dst")).distinct())
-    val verts = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    def maxNorm(df: DataFrame, out: String): DataFrame =
-      df.crossJoin(broadcast(df.agg(max(col("raw")).as("__mx"))))
+    // cut: the vertex set left-joins into every half-step — uncut it
+    // would re-run the distinct-union 2·iters times
+    val verts = Traversal.cut(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    // The raw half-step (join + sum — the expensive subtree) is cut
+    // BEFORE normalizing: maxNorm reads it twice (main input + the
+    // 1-row max aggregate), and uncut that doubles every half-step's
+    // shuffle work. The normalized frame itself stays lazy — it is a
+    // cheap projection over the checkpoint.
+    def maxNorm(raw0: DataFrame, out: String): DataFrame = {
+      val raw = Traversal.cut(raw0)
+      raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("__mx"))))
         .select(col("id"), expr(s"raw * 1000000L div greatest(__mx, 1L)").as(out))
+    }
     var hub = verts.withColumn("hub_micro", lit(1000000L))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val aRaw = verts.join(
+      auth = maxNorm(verts.join(
           e.join(hub, e("src") === hub("id"))
             .groupBy(e("dst").as("id")).agg(sum(col("hub_micro")).as("s")),
           Seq("id"), "left")
-        .select(col("id"), coalesce(col("s"), lit(0L)).as("raw"))
-      auth = Traversal.cut(maxNorm(aRaw, "auth_micro"))
-      val hRaw = verts.join(
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("raw")), "auth_micro")
+      hub = maxNorm(verts.join(
           e.join(auth, e("dst") === auth("id"))
             .groupBy(e("src").as("id")).agg(sum(col("auth_micro")).as("s")),
           Seq("id"), "left")
-        .select(col("id"), coalesce(col("s"), lit(0L)).as("raw"))
-      hub = Traversal.cut(maxNorm(hRaw, "hub_micro"))
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("raw")), "hub_micro")
     }
     auth.join(hub, Seq("id"))
   }

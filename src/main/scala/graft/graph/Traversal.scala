@@ -1052,7 +1052,9 @@ object Traversal {
     val und = cut(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct())
-    val verts = vertices(edges)
+    // cut: the vertex set joins back every round — uncut, each round
+    // re-runs the distinct-union
+    val verts = cut(vertices(edges))
     var labels = verts.select(col("id"), col("id").as("label"))
     for (_ <- 1 to rounds) {
       val counts = und.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
@@ -1161,9 +1163,11 @@ object Traversal {
     require(walks >= 1, s"randomWalks needs walks >= 1, got $walks")
     require(len >= 1, s"randomWalks needs len >= 1, got $len")
     val e = cut(edges.select(col("src"), col("dst")).distinct())
-    val ranked = e.withColumn("idx",
-      row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Loop-invariant: cut once or every step re-runs the per-src ranking
+    // window and the degree aggregate from scratch.
+    val ranked = cut(e.withColumn("idx",
+      row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1))
+    val deg = cut(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     var state = e.select(col("src")).distinct()
       .select(col("src").as("start"),
         explode(sequence(lit(0), lit(walks - 1))).as("walk"))

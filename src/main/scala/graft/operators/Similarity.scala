@@ -50,21 +50,34 @@ object Similarity {
   private def cosineBy(native: Boolean)(a: Column, b: Column): Column =
     if (native) cosineNative(a, b) else cosine(a, b)
 
-  /** Brute-force exact top-k neighbors for each query vector.
-    * Returns (query_id, neighbor_id, cos, rank). Query set should be small
-    * (it is broadcast against the corpus). */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     vecCol: String, k: Int, native: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Shared scorer: every (query, corpus) pair except self, with the
+    * 6dp-rounded cosine — queries broadcast, one corpus pass. Both
+    * [[bruteForceTopK]] and [[hardNegatives]] rank over this, so scorer
+    * fixes (casting, broadcast strategy, tie handling) land once. */
+  private def scoredPairs(corpus: DataFrame, queries: DataFrame, idCol: String,
+                          vecCol: String, native: Boolean): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosineBy(native)(col("qv"), col("nv")), 6).as("cos"))
+  }
+
+  /** Per-query top-k over a (query_id, neighbor_id, cos) table: rank by
+    * cos desc, neighbor_id as the deterministic tiebreak. */
+  private def topKByCos(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Brute-force exact top-k neighbors for each query vector.
+    * Returns (query_id, neighbor_id, cos, rank). Query set should be small
+    * (it is broadcast against the corpus). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, native: Boolean = false): DataFrame =
+    topKByCos(scoredPairs(corpus, queries, idCol, vecCol, native), k)
 
   /** Random-hyperplane LSH signature: `bits` sign bits, hyperplane
     * component (j, d) = ±1 derived from md5 — deterministic and
@@ -437,18 +450,10 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, floor: Double, ceil: Double,
                     native: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"hardNegatives needs k >= 1, got $k")
     require(floor < ceil, s"need floor < ceil, got [$floor, $ceil)")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(cosineBy(native)(col("qv"), col("nv")), 6).as("cos"))
-      .filter(col("cos") >= floor && col("cos") < ceil)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKByCos(scoredPairs(corpus, queries, idCol, vecCol, native)
+      .filter(col("cos") >= floor && col("cos") < ceil), k)
   }
 
   /** Recall@k of an approximate ANN result against the exact ranking —
