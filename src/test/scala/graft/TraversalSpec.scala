@@ -465,6 +465,118 @@ class TraversalSpec extends AnyFunSuite {
     assert(got(7L) == 7L && got.contains(1L) && got.contains(2L))
   }
 
+  test("property: negativeSample invariants hold on 10 seeded random graphs") {
+    val rnd = new scala.util.Random(2031)
+    (1 to 10).foreach { _ =>
+      val n = 5 + rnd.nextInt(12)
+      val es = Seq.fill(8 + rnd.nextInt(30))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      if (es.nonEmpty) {
+        val edgeSet = es.toSet
+        val dsts = es.map(_._2).toSet
+        val k = 1 + rnd.nextInt(4)
+        val out = Traversal.negativeSample(edgesDF(es), k)
+          .as[(Long, Int, Long)].collect()
+        assert(out.forall { case (s, d, neg) =>
+          !edgeSet.contains((s, neg)) && s != neg && dsts.contains(neg) &&
+            d >= 0 && d < k
+        }, s"invariant broken on edges=$es k=$k")
+        assert(out.groupBy(r => (r._1, r._2)).values.forall(_.length == 1),
+          s"duplicate (src, draw) on edges=$es k=$k")
+      }
+    }
+  }
+
+  test("property: labelPropagation equals a naive sync replay on 10 seeded graphs") {
+    def naiveLpa(es: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val und = (es ++ es.map(_.swap)).filter(e => e._1 != e._2).distinct
+      val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val verts = (es.map(_._1) ++ es.map(_._2)).distinct
+      var labels = verts.map(v => v -> v).toMap
+      (1 to rounds).foreach { _ =>
+        labels = verts.map { v =>
+          adj.get(v) match {
+            case Some(nbrs) if nbrs.nonEmpty =>
+              val counts = nbrs.groupBy(labels).map { case (l, xs) => l -> xs.size }
+              v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+            case _ => v -> labels(v)
+          }
+        }.toMap
+      }
+      labels
+    }
+    val rnd = new scala.util.Random(2032)
+    (1 to 10).foreach { _ =>
+      val n = 4 + rnd.nextInt(10)
+      val es = Seq.fill(5 + rnd.nextInt(20))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .distinct
+      val rounds = 1 + rnd.nextInt(4)
+      val got = Traversal.labelPropagation(edgesDF(es), rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got == naiveLpa(es, rounds), s"LPA mismatch on edges=$es rounds=$rounds")
+    }
+  }
+
+  test("property: hitsFixed equals a naive integer replay on 10 seeded graphs") {
+    def naiveHits(es: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+      val e = es.distinct
+      val verts = (e.map(_._1) ++ e.map(_._2)).distinct
+      def norm(m: Map[Long, Long]): Map[Long, Long] = {
+        val mx = math.max(m.values.max, 1L)
+        m.map { case (k, v) => k -> v * 1000000L / mx }
+      }
+      var hub = verts.map(_ -> 1000000L).toMap
+      var auth = Map.empty[Long, Long]
+      (1 to iters).foreach { _ =>
+        auth = norm(verts.map(v =>
+          v -> e.filter(_._2 == v).map(x => hub(x._1)).sum).toMap)
+        hub = norm(verts.map(v =>
+          v -> e.filter(_._1 == v).map(x => auth(x._2)).sum).toMap)
+      }
+      verts.map(v => v -> ((auth(v), hub(v)))).toMap
+    }
+    val rnd = new scala.util.Random(2033)
+    (1 to 10).foreach { _ =>
+      val n = 4 + rnd.nextInt(8)
+      val es = Seq.fill(5 + rnd.nextInt(15))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      if (es.nonEmpty) {
+        val got = graft.graph.GraphXBridge.hitsFixed(edgesDF(es), iters = 2)
+          .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(got == naiveHits(es, 2), s"HITS mismatch on edges=$es")
+      }
+    }
+  }
+
+  test("property: linkPredict equals a naive replay on 10 seeded graphs") {
+    def naive(es: Seq[(Long, Long)], k: Int): Set[(Long, Long, Long, Long)] = {
+      val und = (es ++ es.map(_.swap)).filter(e => e._1 != e._2).distinct
+      val adj = und.groupBy(_._1).map { case (a, v) => a -> v.map(_._2).toSet }
+      val deg = adj.map { case (a, s) => a -> s.size.toLong }
+      val verts = adj.keys.toSeq
+      verts.flatMap { u =>
+        val cands = adj(u).flatMap(adj).filter(v => v != u && !adj(u).contains(v))
+        cands.map { v =>
+          val common = adj(u) & adj(v)
+          (u, v, common.size.toLong, common.toSeq.map(w => 1000000L / deg(w)).sum)
+        }.toSeq.sortBy { case (_, v, cn, ra) => (-ra, -cn, v) }.take(k)
+      }.toSet
+    }
+    val rnd = new scala.util.Random(2034)
+    (1 to 10).foreach { _ =>
+      val n = 4 + rnd.nextInt(8)
+      val es = Seq.fill(5 + rnd.nextInt(15))((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      if (es.nonEmpty) {
+        val k = 1 + rnd.nextInt(3)
+        val got = Traversal.linkPredict(edgesDF(es), k)
+          .select("u", "v", "common_neighbors", "ra_micro")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(got == naive(es, k), s"linkPredict mismatch on edges=$es k=$k")
+      }
+    }
+  }
+
   test("neighborAgg: cap bounds the sample, sums exact, deterministic") {
     val es = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
     val feats = Seq((10L, 5L), (11L, 7L), (12L, 9L)).toDF("id", "feature")
