@@ -1855,6 +1855,29 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // SW16 — stream-static enrichment: the events stream joins the
+    // customer dimension (broadcast, STATELESS — no watermark, no state
+    // store; the dim is re-resolved per micro-batch, which at 100 TB is
+    // exactly how slowly-changing dims stay fresh mid-stream). Output ≡
+    // the batch join, the oracle.
+    "sw16_stream_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("event_type"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sw16").toString
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      val name = s"sw16_out_${sinkSeq.incrementAndGet()}"
+      val q = s.readStream.schema(ev.schema).parquet(s"$tmp/in")
+        .join(broadcast(dim), Seq("user_id"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$tmp/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("segment"))
+    }),
+
     // SW15 — REAL streaming sessionization: flatMapGroupsWithState +
     // EventTimeTimeout over a replayed file-source stream (one file per
     // micro-batch, mtime-ordered), two far-future sentinel batches
@@ -4630,6 +4653,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR, event_type FROM events)
         |GROUP BY ws, event_type""".stripMargin,
+
+    "sw16_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS segment
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id""".stripMargin,
 
     // The batch gaps-and-islands twin over ms-truncated timestamps —
     // the sentinel batches guarantee the stream emitted EVERY session.
