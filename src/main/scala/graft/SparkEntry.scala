@@ -1472,6 +1472,18 @@ object SparkEntry {
     // identical to the BMP twin's, so the oracle recomputing the sums
     // straight from the text proves the whole compressed codec path —
     // encode, deflate, inflate, decode — inverts exactly.
+    // REAL resize on the decoded-pixel path: PNG → ImageIO decode →
+    // nearest-neighbor ×½ (pixel (2x, 2y) sampled — exact integer
+    // arithmetic, no interpolation) → PNG re-encode → decode → exact
+    // channel sums. The oracle recomputes the sampled positions straight
+    // from the text, so decode∘resize∘encode∘decode must all invert.
+    "m11_png_resize" -> ((s, dir) => {
+      val media = operators.Multimodal.encodeImage(
+        s, t(s, dir, "documents"), "doc_id", "text", format = "png")
+      operators.Multimodal.decodeImage(s,
+        operators.Multimodal.resizeImage(s, media, factor = 2)).toDF()
+    }),
+
     "m10_png_roundtrip" -> ((s, dir) => {
       val media = operators.Multimodal.encodeImage(
         s, t(s, dir, "documents"), "doc_id", "text", format = "png")
@@ -4502,6 +4514,28 @@ object SparkEntry {
         |SELECT d.doc_id AS id, 16 AS width, CAST(d.h AS INTEGER) AS height,
         |  16 * d.h AS n_px, s.sum_b, s.sum_g, s.sum_r
         |FROM dims d JOIN sums s ON d.doc_id = s.doc_id""".stripMargin,
+
+    // Nearest-neighbor ×½ of the 16-wide raster: out pixel (x, y) is in
+    // pixel (2x, 2y), i.e. payload byte (2y)·48 + (2x)·3 + channel —
+    // recomputed straight from the text.
+    "m11_png_resize" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len,
+        |  greatest(1, CAST(ceil(length(text) / 48.0) AS BIGINT)) AS h FROM documents),
+        |d AS (SELECT doc_id, text, len, CAST(ceil(h / 2.0) AS BIGINT) AS oh FROM t),
+        |px AS (SELECT doc_id, text, len, oh,
+        |  unnest(generate_series(0, oh * 8 - 1)) AS q FROM d),
+        |ch AS (SELECT doc_id, oh, text, len,
+        |  (2 * (q // 8)) * 48 + (2 * (q % 8)) * 3 + cc.c AS p, cc.c
+        |  FROM px CROSS JOIN (SELECT unnest([0, 1, 2]) AS c) cc),
+        |v AS (SELECT doc_id, oh, c,
+        |  CASE WHEN p < len THEN unicode(substr(text, CAST(p + 1 AS INTEGER), 1)) ELSE 0 END AS code
+        |  FROM ch)
+        |SELECT doc_id AS id, 8 AS width, CAST(oh AS INTEGER) AS height,
+        |  8 * oh AS n_px,
+        |  CAST(coalesce(sum(CASE WHEN c = 0 THEN code END), 0) AS BIGINT) AS sum_b,
+        |  CAST(coalesce(sum(CASE WHEN c = 1 THEN code END), 0) AS BIGINT) AS sum_g,
+        |  CAST(coalesce(sum(CASE WHEN c = 2 THEN code END), 0) AS BIGINT) AS sum_r
+        |FROM v GROUP BY doc_id, oh""".stripMargin,
 
     // The PNG round trip decodes to the SAME raster as the BMP twin
     // (lossless compression, identical 16-wide BGR layout), so its

@@ -326,6 +326,44 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize (nearest-neighbor, integer factor) through the
+    * JDK codecs: decode, sample pixel (x·f, y·f), re-encode. Nearest
+    * with an origin anchor is PURE integer arithmetic — no
+    * interpolation kernel, no rounding mode — so the resized raster
+    * (and every downstream sum/hash) is deterministic in any engine;
+    * a Graphics2D scaled draw would not be. Output dims are
+    * ceil(w/f) × ceil(h/f) (every sample index f·(ceil(n/f)−1) < n, so
+    * no edge clamp is ever needed). Replaces [[resizeStub]] for
+    * formats with a JDK codec (PNG/JPEG/BMP via ImageIO); the stub
+    * remains only for codec-less formats (MP4/video). Same
+    * iterator-in/iterator-out batch shape as [[decodeImage]]. */
+  def resizeImage(spark: SparkSession, media: Dataset[MediaRow], factor: Int,
+                  format: String = "png"): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    require(format == "png" || format == "jpg",
+      s"JDK ImageIO writers cover png/jpg, got $format")
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+        require(img != null,
+          s"id=${r.id}: no JDK ImageIO codec recognized the blob (mime=${r.mime})")
+        val ow = (img.getWidth + factor - 1) / factor
+        val oh = (img.getHeight + factor - 1) / factor
+        val out = new java.awt.image.BufferedImage(
+          ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until oh; x <- 0 until ow)
+          out.setRGB(x, y, img.getRGB(x * factor, y * factor))
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(out, format, bos),
+          s"no ImageIO writer for $format")
+        MediaRow(r.id, bos.toByteArray,
+          if (format == "png") "image/png" else "image/jpeg")
+      }
+    }
+  }
+
   case class BmpTile(id: Long, tile_x: Int, tile_y: Int, n_px: Long,
                      sum_b: Long, sum_g: Long, sum_r: Long)
 

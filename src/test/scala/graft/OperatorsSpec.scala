@@ -214,6 +214,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(approx.nonEmpty && recall >= 0.2, s"recall=$recall")
   }
 
+  test("resizeImage: ceil dims, origin-anchored sampling, deterministic") {
+    val docs = Seq((1L, "x" * 100)).toDF("doc_id", "text") // h = ceil(100/48) = 3
+    val media = graft.operators.Multimodal.encodeImage(spark, docs, "doc_id", "text")
+    val out = graft.operators.Multimodal.decodeImage(spark,
+      graft.operators.Multimodal.resizeImage(spark, media, factor = 3))
+      .collect().head
+    assert(out.width == 6 && out.height == 1) // ceil(16/3), ceil(3/3)
+    // row 0 of the raster is all 'x' (120): sampled pixels are (0,0),(3,0),
+    // ...,(15,0) — every channel byte is 120
+    assert(out.sum_b == 6 * 120 && out.sum_g == 6 * 120 && out.sum_r == 6 * 120)
+  }
+
   test("hardNegatives: band is half-open, self excluded, hardest first") {
     // query 1 vs: 2 ≈ near-dup (cos→1), 3 in-band high, 4 in-band low,
     // 5 easy (orthogonal). Band [0.3, 0.99) must keep exactly 3 and 4,
