@@ -668,6 +668,19 @@ object SparkEntry {
           grouping_id().as("gid"))
     }),
 
+    // WordPiece greedy longest-match segmentation (BERT inference, the
+    // other mainstream subword family next to BPE): corpus-derived
+    // vocab (substrings ≥100 weighted occurrences + all single chars —
+    // full coverage), per-doc word and wordpiece-token counts. The
+    // greedy loop advances over DISTINCT words only; oracle unrolls
+    // all 8 steps.
+    "t_wordpiece" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = operators.TextAnalysis.wordpieceVocab(docs, "text")
+      operators.TextAnalysis.wordpieceCount(docs, "doc_id", "text", vocab,
+        maxSteps = 8)
+    }),
+
     // Fuzzy match: region-name pairs by edit distance.
     "f3_fuzzy_levenshtein" -> ((s, dir) => {
       val a = t(s, dir, "region").select(col("r_name").as("name_a"))
@@ -3551,6 +3564,37 @@ object SparkEntry {
     "t_token_count" ->
       """SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
         |FROM documents""".stripMargin,
+
+    // Same corpus-derived vocab, 8 greedy longest-match steps unrolled
+    // (max word length is 8 and single-char coverage advances ≥ 1/step).
+    "t_wordpiece" -> {
+      def step(n: Int) =
+        s"""c$n AS (SELECT s.word, s.pos, s.toks, v.plen,
+           |    row_number() OVER (PARTITION BY s.word ORDER BY v.plen DESC) AS r
+           |  FROM s${n - 1} s JOIN vocab v ON substr(s.word, s.pos + 1, v.plen) = v.piece
+           |  WHERE s.pos < length(s.word)),
+           |s$n AS (SELECT word, pos + plen AS pos, toks + 1 AS toks FROM c$n WHERE r = 1
+           |  UNION ALL SELECT word, pos, toks FROM s${n - 1} WHERE pos >= length(word))"""
+          .stripMargin
+      s"""WITH wd AS (SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |wc AS (SELECT doc_id, w, count(*) AS k FROM wd GROUP BY doc_id, w),
+         |gw AS (SELECT w, sum(k) AS k FROM wc GROUP BY w),
+         |pieces AS (SELECT substr(gw.w, CAST(i.i AS INTEGER), CAST(l.l AS INTEGER)) AS piece, gw.k
+         |  FROM gw
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) i
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS l) l
+         |  WHERE i.i <= length(gw.w) AND l.l <= length(gw.w) - i.i + 1),
+         |vocab AS (SELECT piece, CAST(length(piece) AS INTEGER) AS plen FROM (
+         |  SELECT piece, sum(k) AS n FROM pieces GROUP BY piece)
+         |  WHERE n >= 100 OR length(piece) = 1),
+         |s0 AS (SELECT w AS word, 0 AS pos, 0 AS toks FROM (SELECT DISTINCT w FROM gw)),
+         |${(1 to 8).map(step).mkString(",\n")}
+         |SELECT wc.doc_id, CAST(sum(wc.k) AS BIGINT) AS n_words,
+         |  CAST(sum(wc.k * s8.toks) AS BIGINT) AS n_wp_tokens
+         |FROM wc JOIN s8 ON s8.word = wc.w GROUP BY wc.doc_id""".stripMargin
+    },
 
     "t_word_diversity" ->
       s"""$WORDS_CTE,

@@ -781,4 +781,80 @@ object TextAnalysis {
       .filter(col("__fp") <= col("n_tokens"))
       .groupBy(col("n_tokens")).agg(count(lit(1)).as("vocab"))
   }
+
+  /** Deterministic WordPiece-style vocabulary: every substring of length
+    * 1..`maxPieceLen` of the corpus's words whose occurrence-weighted
+    * count reaches `minCount`, plus ALL single characters — full
+    * coverage, so greedy matching can never dead-end. A pure function
+    * of the corpus (no EM, no random init), like every learner in this
+    * engine. Returns (piece, plen). One explode + one hash aggregate:
+    * substring fan-out is |word|·maxPieceLen per DISTINCT word. */
+  def wordpieceVocab(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+                     minCount: Long = 100): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("k"))
+    val pieces = words
+      .select(col("w"), col("k"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("k"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - col("i") + 1))).as("l"))
+      .select(col("w").substr(col("i"), col("l")).as("piece"), col("k"))
+    pieces.groupBy("piece").agg(sum(col("k")).as("n"))
+      .filter(col("n") >= minCount || length(col("piece")) === 1)
+      .select(col("piece"), length(col("piece")).as("plen"))
+  }
+
+  /** Greedy longest-match subword segmentation — WordPiece/BERT
+    * INFERENCE (at each position take the longest vocab piece that
+    * matches, advance, repeat): the other mainstream subword family
+    * next to the BPE pair ([[bpeLearn]]/[[bpeApply]]). Deterministic:
+    * at most ONE vocab piece of each length can match a position (the
+    * substring IS the piece), so longest-first needs no further
+    * tie-break. Returns per-document (id, n_words, n_wp_tokens).
+    *
+    * Plan shape: the greedy loop advances over DISTINCT words only
+    * (Heaps-law small next to the corpus) with the vocab broadcast —
+    * `maxSteps` rounds of one join + one per-(word, pos) top-1 window
+    * over shrinking state; per-doc counts then join back by word, the
+    * same distinct-word factoring as [[bpeApply]]. A word needing more
+    * than `maxSteps` pieces fails LOUDLY (single-char coverage
+    * guarantees ≥ 1 advance per round, so maxSteps ≥ the longest word
+    * always suffices). */
+  def wordpieceCount(docs: DataFrame, idCol: String, textCol: String,
+                     vocab: DataFrame, maxSteps: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxSteps >= 1, s"maxSteps must be >= 1, got $maxSteps")
+    val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
+    var state = words.select(col("w")).distinct()
+      .select(col("w"), lit(0).as("pos"), lit(0L).as("toks"))
+    val topW = Window.partitionBy(col("w"), col("pos")).orderBy(col("plen").desc)
+    for (step <- 1 to maxSteps) {
+      val open = state.filter(col("pos") < length(col("w")))
+      val closed = state.filter(col("pos") >= length(col("w")))
+      val matchCond = col("w").substr(col("pos") + 1, col("plen")) === col("piece")
+      val stepped = open
+        .join(broadcast(vocab), matchCond)
+        .withColumn("__r", row_number().over(topW)).filter(col("__r") === 1)
+        .select(col("w"), (col("pos") + col("plen")).as("pos"),
+          (col("toks") + 1).as("toks"))
+      // A position NO vocab piece matches (a coverage hole — impossible
+      // under [[wordpieceVocab]]'s single-char guarantee, possible with a
+      // caller-supplied vocab) must NOT silently drop the word: keep it
+      // un-advanced so the unfinished check below fails loudly.
+      val stuck = open.join(broadcast(vocab), matchCond, "left_anti")
+      state = stepped.unionByName(stuck).unionByName(closed)
+      // bound the loop's lineage without paying a checkpoint every round
+      if (step % 4 == 0) state = state.localCheckpoint()
+    }
+    val unfinished = state.filter(col("pos") < length(col("w")))
+    require(unfinished.isEmpty,
+      s"wordpieceCount: word(s) need more than $maxSteps pieces — raise maxSteps")
+    words.join(state.select(col("w"), col("toks")), "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * col("toks")).as("n_wp_tokens"))
+  }
 }

@@ -214,6 +214,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(approx.nonEmpty && recall >= 0.2, s"recall=$recall")
   }
 
+  test("wordpiece: greedy longest-match counts, coverage by single chars") {
+    val docs = Seq((1L, "tables tab le x"), (2L, "tab tab")).toDF("doc_id", "text")
+    // hand vocab: "tab" and "le" are pieces; everything else falls back
+    // to single chars. "tables" → tab|le|s = 3, "tab" → 1, "le" → 1, "x" → 1
+    val vocab = Seq("tab", "le", "t", "a", "b", "l", "e", "s", "x")
+      .toDF("piece").withColumn("plen", length(col("piece")).cast("int"))
+    val got = graft.operators.TextAnalysis
+      .wordpieceCount(docs, "doc_id", "text", vocab, maxSteps = 6)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((4L, 6L))) // 3 + 1 + 1 + 1 wordpiece tokens
+    assert(got(2L) == ((2L, 2L)))
+  }
+
+  test("wordpiece: a vocab hole fails loudly instead of silently dropping words") {
+    val docs = Seq((1L, "zz")).toDF("doc_id", "text")
+    val vocab = Seq(("q", 1)).toDF("piece", "plen") // 'z' uncovered
+    assertThrows[IllegalArgumentException] {
+      graft.operators.TextAnalysis.wordpieceCount(docs, "doc_id", "text", vocab,
+        maxSteps = 4).collect()
+    }
+  }
+
   test("resizeImage: ceil dims, origin-anchored sampling, deterministic") {
     val docs = Seq((1L, "x" * 100)).toDF("doc_id", "text") // h = ceil(100/48) = 3
     val media = graft.operators.Multimodal.encodeImage(spark, docs, "doc_id", "text")
