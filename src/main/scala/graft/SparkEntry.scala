@@ -21,6 +21,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraphBuilder.table(s, dir, name)
 
+  /** The symmetrized supplier–nation–region containment graph — the
+    * x11/x14/x21 family's shared input. */
+  private def snrUndirected(s: SparkSession, dir: String): DataFrame = {
+    val sn = t(s, dir, "supplier").select(
+      (lit(4L * B) + col("s_suppkey")).as("src"),
+      (lit(2L * B) + col("s_nationkey")).as("dst"))
+    val nr = t(s, dir, "nation").select(
+      (lit(2L * B) + col("n_nationkey")).as("src"),
+      (lit(1L * B) + col("n_regionkey")).as("dst"))
+    val e = sn.unionByName(nr)
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
   /** events.parquet stores parquet TIMESTAMP(NANOS), which Spark reads
     * differently across versions: ≤4.0 rejects it unless
     * `spark.sql.legacy.parquet.nanosAsLong=true` (then yields LongType
@@ -1758,6 +1771,25 @@ object SparkEntry {
       graph.Traversal.neighborhoodFunction(und, maxHop = 5)
     }),
 
+    // Exact harmonic centrality (Σ 1/d grouped by distance, integer
+    // micro units): the O(pairs) exact twin on the containment graph.
+    "x21_harmonic" -> ((s, dir) => {
+      graph.Traversal.harmonicCentrality(snrUndirected(s, dir), maxHop = 5)
+    }),
+
+    // The same centrality from per-vertex HyperBall sketches — O(V)
+    // state, no pair materialized (Boldi–Vigna's original read-out).
+    // SELF-EVALUATING (cd7 pattern): exact value rides in-row; hb_ok
+    // flips (breaking the hash) if the estimate drifts past 2%.
+    "x21b_harmonic_hyperball" -> ((s, dir) => {
+      val und = snrUndirected(s, dir)
+      graph.Traversal.hyperBallCentrality(und, maxHop = 5)
+        .join(graph.Traversal.harmonicCentrality(und, maxHop = 5), Seq("id"))
+        .select(col("id"), col("harmonic_micro"),
+          (abs(col("harmonic_est_micro") - col("harmonic_micro")) * 50
+            <= col("harmonic_micro")).as("hb_ok"))
+    }),
+
     // Effective diameter (90th percentile of the distance distribution):
     // the smallest h whose N(h) covers ≥90% of all connected pairs —
     // derived from the exact ANF curve with one broadcast total.
@@ -3145,6 +3177,9 @@ object SparkEntry {
     // if a hop's HLL estimate drifts past 2% of the exact cumulative —
     // the cd7 carry-exact-in-row pattern).
     "x11b_hyperball" -> anfSql(extraCols = ", true AS hb_ok"),
+
+    "x21_harmonic" -> harmonicSql(extraCols = ""),
+    "x21b_harmonic_hyperball" -> harmonicSql(extraCols = ", true AS hb_ok"),
 
     "d_scd2_history" ->
       s"""$SCD2_CTES
@@ -5547,6 +5582,29 @@ object SparkEntry {
        |h AS (SELECT CAST(d AS BIGINT) AS hop, count(*) AS n_pairs FROM md GROUP BY d)
        |SELECT hop, n_pairs,
        |  CAST(sum(n_pairs) OVER (ORDER BY hop) AS BIGINT) AS cum_pairs$extraCols FROM h""".stripMargin
+
+  /** The x21/x21b oracle: exact per-vertex harmonic centrality —
+    * min-hop distances by `WITH RECURSIVE`, Σ 1/d grouped by distance
+    * in integer micro units (floor(n·10⁶ / d) per distance, matching
+    * [[graft.graph.Traversal.harmonicCentrality]]'s formula exactly).
+    * `extraCols` appends the constant verdict for the self-evaluating
+    * x21b form. */
+  private def harmonicSql(extraCols: String): String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier
+       |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+       |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |verts AS (SELECT DISTINCT src AS v FROM und),
+       |walk(v, u, hop) AS (
+       |  SELECT v, v, 0 FROM verts
+       |  UNION
+       |  SELECT w.v, und.dst, w.hop + 1 FROM walk w JOIN und ON w.u = und.src
+       |  WHERE w.hop < 5),
+       |md AS (SELECT v, u, min(hop) AS d FROM walk GROUP BY v, u),
+       |per AS (SELECT v, d, count(*) AS n FROM md WHERE d > 0 GROUP BY v, d)
+       |SELECT verts.v AS id,
+       |  CAST(coalesce(sum(per.n * 1000000 // per.d), 0) AS BIGINT) AS harmonic_micro$extraCols
+       |FROM verts LEFT JOIN per ON per.v = verts.v GROUP BY verts.v""".stripMargin
 
   /** The x4/x2 oracle: 3 unrolled iterations of the integer fixed-point
     * PageRank recurrence over the supplier–nation–region graph —

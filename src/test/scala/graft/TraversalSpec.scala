@@ -465,6 +465,17 @@ class TraversalSpec extends AnyFunSuite {
     assert(got(7L) == 7L && got.contains(1L) && got.contains(2L))
   }
 
+  test("harmonicCentrality exact values; hyperBall twin matches in the exact regime") {
+    // path 1→2→3: H(1) = 1/1 + 1/2, H(2) = 1/1, H(3) = 0 (micro units)
+    val es = Seq((1L, 2L), (2L, 3L))
+    val exact = Traversal.harmonicCentrality(edgesDF(es), maxHop = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(exact == Map(1L -> 1500000L, 2L -> 1000000L, 3L -> 0L))
+    val est = Traversal.hyperBallCentrality(edgesDF(es), maxHop = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(est == exact) // tiny balls sit in the HLL exact regime
+  }
+
   test("property: negativeSample invariants hold on 10 seeded random graphs") {
     val rnd = new scala.util.Random(2031)
     (1 to 10).foreach { _ =>
