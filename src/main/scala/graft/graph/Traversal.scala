@@ -950,15 +950,32 @@ object Traversal {
     * Boldi & Vigna 2013). Vertices reaching nothing score 0. */
   def harmonicCentrality(edges: DataFrame, maxHop: Int): DataFrame = {
     require(maxHop >= 1, s"harmonicCentrality needs maxHop >= 1, got $maxHop")
-    val verts = vertices(edges)
-    val sums = khop(edges, verts, maxHop, dedupStart = false)
-      .filter(col("origin") =!= col("node"))
-      .groupBy(col("origin"), col("hop")).agg(count(lit(1)).as("n"))
-      .groupBy(col("origin").as("id"))
-      .agg(sum(expr("n * 1000000L div hop")).as("harmonic_micro"))
-    verts.join(sums, Seq("id"), "left")
-      .select(col("id"), coalesce(col("harmonic_micro"), lit(0L)).as("harmonic_micro"))
+    // Same session-lifetime memo as the ANF sweep: the result is V tiny
+    // rows but costs an O(pairs) closure — x21 and x21b (and any
+    // repeated read-out) share one sweep. Keyed on the canonicalized
+    // plan + maxHop; assumes immutable sources, like anfMemo.
+    val key = (edges.queryExecution.analyzed.canonicalized, maxHop)
+    val spark = edges.sparkSession
+    val cached = harmonicMemo.computeIfAbsent(key, { _ =>
+      val verts = vertices(edges)
+      val sums = khop(edges, verts, maxHop, dedupStart = false)
+        .filter(col("origin") =!= col("node"))
+        .groupBy(col("origin"), col("hop")).agg(count(lit(1)).as("n"))
+        .groupBy(col("origin").as("id"))
+        .agg(sum(expr("n * 1000000L div hop")).as("harmonic_micro"))
+      val out = verts.join(sums, Seq("id"), "left")
+        .select(col("id"), coalesce(col("harmonic_micro"), lit(0L)).as("harmonic_micro"))
+      // schema captured alongside the rows: the id type is the CALLER's
+      // (string-keyed graphs work, like scc)
+      (out.schema, out.collect().toSeq)
+    })
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(cached._2.asJava, cached._1)
   }
+
+  private val harmonicMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
 
   /** Harmonic centrality from per-vertex HyperBall sketches — the
     * original Boldi & Vigna application: H(v) ≈ Σ_h (|B_v(h)| −

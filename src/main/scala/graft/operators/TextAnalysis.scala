@@ -824,35 +824,43 @@ object TextAnalysis {
     * always suffices). */
   def wordpieceCount(docs: DataFrame, idCol: String, textCol: String,
                      vocab: DataFrame, maxSteps: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(maxSteps >= 1, s"maxSteps must be >= 1, got $maxSteps")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // The vocab broadcasts by DESIGN — it is a tokenizer vocabulary
+    // (tens of thousands of pieces in real deployments, kilobytes here),
+    // and greedy matching is per-character variable-advance work: the
+    // codec-tier justification for an imperative per-row loop, not an
+    // Expression dodge. (A first cut as maxSteps unrolled DataFrame
+    // rounds was semantically identical and 6 s/gate — ALL Catalyst
+    // planning over a 31-row word set.)
+    val vocabRows = vocab.select(col("piece"),
+      length(col("piece")).cast("int").as("__l")).as[(String, Int)].collect()
+    val maxLen = vocabRows.map(_._2).max
+    val vset = spark.sparkContext.broadcast(vocabRows.map(_._1).toSet)
     val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
-    var state = words.select(col("w")).distinct()
-      .select(col("w"), lit(0).as("pos"), lit(0L).as("toks"))
-    val topW = Window.partitionBy(col("w"), col("pos")).orderBy(col("plen").desc)
-    for (step <- 1 to maxSteps) {
-      val open = state.filter(col("pos") < length(col("w")))
-      val closed = state.filter(col("pos") >= length(col("w")))
-      val matchCond = col("w").substr(col("pos") + 1, col("plen")) === col("piece")
-      val stepped = open
-        .join(broadcast(vocab), matchCond)
-        .withColumn("__r", row_number().over(topW)).filter(col("__r") === 1)
-        .select(col("w"), (col("pos") + col("plen")).as("pos"),
-          (col("toks") + 1).as("toks"))
-      // A position NO vocab piece matches (a coverage hole — impossible
-      // under [[wordpieceVocab]]'s single-char guarantee, possible with a
-      // caller-supplied vocab) must NOT silently drop the word: keep it
-      // un-advanced so the unfinished check below fails loudly.
-      val stuck = open.join(broadcast(vocab), matchCond, "left_anti")
-      state = stepped.unionByName(stuck).unionByName(closed)
-      // bound the loop's lineage without paying a checkpoint every round
-      if (step % 4 == 0) state = state.localCheckpoint()
-    }
-    val unfinished = state.filter(col("pos") < length(col("w")))
-    require(unfinished.isEmpty,
-      s"wordpieceCount: word(s) need more than $maxSteps pieces — raise maxSteps")
-    words.join(state.select(col("w"), col("toks")), "w")
+    val segs = words.select(col("w")).distinct().as[String].mapPartitions { it =>
+      val v = vset.value
+      it.map { w =>
+        var pos = 0; var toks = 0L; var steps = 0
+        while (pos < w.length) {
+          steps += 1
+          require(steps <= maxSteps,
+            s"wordpieceCount: '$w' needs more than $maxSteps pieces — raise maxSteps")
+          var l = math.min(maxLen, w.length - pos)
+          while (l > 0 && !v.contains(w.substring(pos, pos + l))) l -= 1
+          // A coverage hole (impossible under [[wordpieceVocab]]'s
+          // single-char guarantee, possible with a caller-supplied
+          // vocab) fails loudly instead of silently dropping the word.
+          require(l > 0,
+            s"wordpieceCount: no vocab piece matches '$w' at offset $pos — coverage hole")
+          pos += l; toks += 1
+        }
+        (w, toks)
+      }
+    }.toDF("w", "toks")
+    words.join(segs, "w")
       .groupBy(col(idCol))
       .agg(sum(col("k")).as("n_words"),
         sum(col("k") * col("toks")).as("n_wp_tokens"))

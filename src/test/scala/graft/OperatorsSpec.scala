@@ -230,10 +230,13 @@ class OperatorsSpec extends AnyFunSuite {
   test("wordpiece: a vocab hole fails loudly instead of silently dropping words") {
     val docs = Seq((1L, "zz")).toDF("doc_id", "text")
     val vocab = Seq(("q", 1)).toDF("piece", "plen") // 'z' uncovered
-    assertThrows[IllegalArgumentException] {
+    val e = intercept[Exception] { // Spark wraps the executor-side require
       graft.operators.TextAnalysis.wordpieceCount(docs, "doc_id", "text", vocab,
         maxSteps = 4).collect()
     }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("coverage hole")))
   }
 
   test("resizeImage: ceil dims, origin-anchored sampling, deterministic") {
