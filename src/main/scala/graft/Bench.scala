@@ -30,7 +30,9 @@ object Bench {
     // round 11 late additions: the embedding-training data trio and the
     // persisted-index serving path
     "x15_negative_sampling", "x16_random_walks", "e16_hard_negatives",
-    "e17_ivf_index_persist")
+    "e17_ivf_index_persist",
+    // the third production tokenizer (unigram-LM Viterbi)
+    "t_unigram_segment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -694,6 +694,17 @@ object SparkEntry {
         maxSteps = 8)
     }),
 
+    // Unigram-LM Viterbi segmentation (SentencePiece inference) — the
+    // third production tokenizer next to BPE and WordPiece: per-word
+    // min-cost segmentation under integer-quantized ⌊log₂⌋ piece costs,
+    // ties toward fewer pieces via one packed objective key. The oracle
+    // replays the identical DP as a recursive-CTE over (word, pos).
+    "t_unigram_segment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = operators.TextAnalysis.unigramVocab(docs, "text")
+      operators.TextAnalysis.unigramSegment(docs, "doc_id", "text", vocab)
+    }),
+
     // Fuzzy match: region-name pairs by edit distance.
     "f3_fuzzy_levenshtein" -> ((s, dir) => {
       val a = t(s, dir, "region").select(col("r_name").as("name_a"))
@@ -3630,6 +3641,40 @@ object SparkEntry {
          |  CAST(sum(wc.k * s8.toks) AS BIGINT) AS n_wp_tokens
          |FROM wc JOIN s8 ON s8.word = wc.w GROUP BY wc.doc_id""".stripMargin
     },
+
+    // The Viterbi DP as a recursive CTE: dp enumerates every (word,
+    // prefix-length, packed-key) state reachable by appending vocab
+    // pieces; min(key) at pos = len(word) is exactly the engine's
+    // packed (total cost, piece count) argmin. Path count is bounded by
+    // compositions of ≤8-char words into ≤4-char pieces — trivial at
+    // oracle SF.
+    "t_unigram_segment" ->
+      s"""WITH RECURSIVE wd AS (SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |wc AS (SELECT doc_id, w, count(*) AS k FROM wd GROUP BY doc_id, w),
+         |gw AS (SELECT w, sum(k) AS k FROM wc GROUP BY w),
+         |pieces AS (SELECT substr(gw.w, CAST(i.i AS INTEGER), CAST(l.l AS INTEGER)) AS piece, gw.k
+         |  FROM gw
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) i
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS l) l
+         |  WHERE i.i <= length(gw.w) AND l.l <= length(gw.w) - i.i + 1),
+         |vocab AS (SELECT piece,
+         |    CAST((64 - length(bin(CAST(n AS BIGINT)))) * 1000 AS BIGINT) AS cost_micro
+         |  FROM (SELECT piece, sum(k) AS n FROM pieces GROUP BY piece)
+         |  WHERE n >= 100 OR length(piece) = 1),
+         |dp AS (
+         |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS key FROM (SELECT DISTINCT w FROM gw)
+         |  UNION ALL
+         |  SELECT dp.w, dp.pos + length(v.piece) AS pos,
+         |    dp.key + v.cost_micro * 64 + 1 AS key
+         |  FROM dp JOIN vocab v ON substr(dp.w, dp.pos + 1, length(v.piece)) = v.piece
+         |  WHERE dp.pos < length(dp.w)),
+         |best AS (SELECT w, min(key) AS key FROM dp WHERE pos = length(w) GROUP BY w)
+         |SELECT wc.doc_id, CAST(sum(wc.k) AS BIGINT) AS n_words,
+         |  CAST(sum(wc.k * (best.key % 64)) AS BIGINT) AS n_pieces,
+         |  CAST(sum(wc.k * (best.key // 64)) AS BIGINT) AS cost_micro
+         |FROM wc JOIN best ON best.w = wc.w GROUP BY wc.doc_id""".stripMargin,
 
     "t_word_diversity" ->
       s"""$WORDS_CTE,

@@ -865,4 +865,100 @@ object TextAnalysis {
       .agg(sum(col("k")).as("n_words"),
         sum(col("k") * col("toks")).as("n_wp_tokens"))
   }
+
+  /** Deterministic unigram-LM vocabulary — the SentencePiece inventory
+    * shape (Kudo 2018) priced without floating point: the same substring
+    * inventory as [[wordpieceVocab]] (every 1..`maxPieceLen` substring
+    * with ≥ `minCount` weighted occurrences, plus ALL single characters
+    * so Viterbi can never dead-end), each carrying
+    * `cost_micro = (64 − bitlength(n)) · 1000` — an integer ⌊log₂⌋
+    * surrogate for −log p(piece) that this engine (`length(bin(n))`)
+    * and the SQL oracle compute bit-identically, where a libm `ln`
+    * could drift in the last ulp and flip a floor. Frequent pieces are
+    * cheap, rare ones dear, and the spread (1 bit ≈ 1000 micro) is what
+    * the segmenter's argmin consumes. Returns (piece, cost_micro).
+    * Plan shape: identical to [[wordpieceVocab]] — one explode over
+    * DISTINCT words, one hash aggregate. */
+  def unigramVocab(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+                   minCount: Long = 100): DataFrame = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("k"))
+    val pieces = words
+      .select(col("w"), col("k"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("k"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - col("i") + 1))).as("l"))
+      .select(col("w").substr(col("i"), col("l")).as("piece"), col("k"))
+    pieces.groupBy("piece").agg(sum(col("k")).as("n"))
+      .filter(col("n") >= minCount || length(col("piece")) === 1)
+      .select(col("piece"),
+        ((lit(64) - length(bin(col("n")))) * lit(1000L)).cast("long")
+          .as("cost_micro"))
+  }
+
+  /** Unigram-LM Viterbi segmentation — SentencePiece INFERENCE, the
+    * third production tokenizer family next to the BPE merge loop
+    * ([[bpeApply]]) and WordPiece greedy matching ([[wordpieceCount]]):
+    * each word takes the segmentation minimizing total piece cost, ties
+    * broken toward fewer pieces. The objective is one packed integer —
+    * a piece contributes `cost_micro·64 + 1`, so `min(key)` IS the
+    * lexicographic min of (total cost, piece count) and a recursive-CTE
+    * DP in the oracle reproduces it exactly (word length is required
+    * < 64 so the piece count never carries into the cost digits).
+    * Returns per-document (id, n_words, n_pieces, cost_micro).
+    *
+    * Plan shape: Viterbi is per-character DP state — the codec-tier
+    * justification for an imperative loop, run via mapPartitions over
+    * DISTINCT words only (Heaps-law small next to the corpus) with the
+    * broadcast vocab, the same factoring as [[wordpieceCount]]; per-doc
+    * counts join back by word. A coverage hole (impossible under
+    * [[unigramVocab]]'s single-char guarantee) fails loudly. */
+  def unigramSegment(docs: DataFrame, idCol: String, textCol: String,
+                     vocab: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabRows = vocab.select(col("piece"), col("cost_micro").cast("long"))
+      .as[(String, Long)].collect()
+    require(vocabRows.nonEmpty, "unigramSegment: empty vocab")
+    val maxLen = vocabRows.map(_._1.length).max
+    val vmap = spark.sparkContext.broadcast(vocabRows.toMap)
+    val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("k"))
+    val segs = words.select(col("w")).distinct().as[String].mapPartitions { it =>
+      val v = vmap.value
+      it.map { w =>
+        val n = w.length
+        require(n < 64,
+          s"unigramSegment: '$w' is ≥ 64 chars — outside the key-packing bound")
+        val best = Array.fill(n + 1)(Long.MaxValue)
+        best(0) = 0L
+        var i = 1
+        while (i <= n) {
+          val lMax = math.min(maxLen, i)
+          var l = 1
+          while (l <= lMax) {
+            if (best(i - l) != Long.MaxValue) {
+              val c = v.getOrElse(w.substring(i - l, i), Long.MinValue)
+              if (c != Long.MinValue) {
+                val cand = best(i - l) + c * 64L + 1L
+                if (cand < best(i)) best(i) = cand
+              }
+            }
+            l += 1
+          }
+          i += 1
+        }
+        require(best(n) != Long.MaxValue,
+          s"unigramSegment: no vocab cover for '$w' — coverage hole")
+        (w, best(n) % 64L, best(n) / 64L)
+      }
+    }.toDF("w", "toks", "cost")
+    words.join(segs, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * col("toks")).as("n_pieces"),
+        sum(col("k") * col("cost")).as("cost_micro"))
+  }
 }

@@ -239,6 +239,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("coverage hole")))
   }
 
+  test("unigram: Viterbi beats greedy longest-match where BPE-ish costs say so") {
+    // "aab": greedy longest-first takes aa|b = 9000+2000; Viterbi finds
+    // a|ab = 2000+1000 — the defining unigram-vs-WordPiece divergence.
+    val docs = Seq((1L, "aab ab"), (2L, "b b")).toDF("doc_id", "text")
+    val vocab = Seq(("aa", 9000L), ("ab", 1000L), ("a", 2000L), ("b", 2000L))
+      .toDF("piece", "cost_micro")
+    val got = graft.operators.TextAnalysis
+      .unigramSegment(docs, "doc_id", "text", vocab)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 3L, 4000L))) // a|ab (2, 3000) + ab (1, 1000)
+    assert(got(2L) == ((2L, 2L, 4000L)))
+  }
+
+  test("unigram: equal-cost tie breaks toward fewer pieces; holes fail loudly") {
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    val vocab = Seq(("ab", 2000L), ("a", 1000L), ("b", 1000L))
+      .toDF("piece", "cost_micro") // ab vs a|b both cost 2000
+    val got = graft.operators.TextAnalysis
+      .unigramSegment(docs, "doc_id", "text", vocab)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 1L, 1L, 2000L))) // one piece, not two
+    val e = intercept[Exception] {
+      graft.operators.TextAnalysis.unigramSegment(
+        Seq((1L, "zz")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq(("q", 1L)).toDF("piece", "cost_micro")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("coverage hole")))
+  }
+
+  test("unigramVocab: integer log2 pricing, single-char coverage floor") {
+    // corpus: "aa" × 150 occurrences → pieces "aa" (n=150, kept by count),
+    // "a" (n=300, kept as single char). cost = (64 - bitlen(n)) * 1000.
+    val docs = Seq((1L, ("aa " * 150).trim)).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.unigramVocab(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(got("aa") == (64L - 8L) * 1000L) // bin(150) = 10010110, 8 bits
+    assert(got("a") == (64L - 9L) * 1000L)  // bin(300) = 100101100, 9 bits
+    assert(got.size == 2)
+  }
+
   test("resizeImage: ceil dims, origin-anchored sampling, deterministic") {
     val docs = Seq((1L, "x" * 100)).toDF("doc_id", "text") // h = ceil(100/48) = 3
     val media = graft.operators.Multimodal.encodeImage(spark, docs, "doc_id", "text")
