@@ -31,8 +31,9 @@ object Bench {
     // persisted-index serving path
     "x15_negative_sampling", "x16_random_walks", "e16_hard_negatives",
     "e17_ivf_index_persist",
-    // the third production tokenizer (unigram-LM Viterbi)
-    "t_unigram_segment")
+    // the third production tokenizer (unigram-LM Viterbi) and the
+    // integer betweenness
+    "t_unigram_segment", "x22_stress")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1788,6 +1788,15 @@ object SparkEntry {
       graph.Traversal.harmonicCentrality(snrUndirected(s, dir), maxHop = 5)
     }),
 
+    // Stress centrality (Shimbel) — the integer betweenness: per vertex,
+    // the COUNT of shortest (s,t) paths passing through it (ordered
+    // pairs). Path counts compose exactly in long arithmetic where
+    // Brandes' fractional betweenness cannot cross engines; the oracle
+    // replays it by brute walk enumeration + min-hop filtering.
+    "x22_stress" -> ((s, dir) => {
+      graph.Traversal.stressCentrality(snrUndirected(s, dir), maxHop = 5)
+    }),
+
     // The same centrality from per-vertex HyperBall sketches — O(V)
     // state, no pair materialized (Boldi–Vigna's original read-out).
     // SELF-EVALUATING (cd7 pattern): exact value rides in-row; hb_ok
@@ -3190,6 +3199,35 @@ object SparkEntry {
     "x11b_hyperball" -> anfSql(extraCols = ", true AS hb_ok"),
 
     "x21_harmonic" -> harmonicSql(extraCols = ""),
+
+    // Stress centrality replayed by brute force: enumerate ALL ≤5-hop
+    // walks (UNION ALL — each row is one walk), keep those at min-hop
+    // length (= exactly the shortest paths), count per (s,u) = σ, then
+    // compose σ_s(v)·σ_v(t) through degree->1 hubs where the distance
+    // test d(s,v)+d(v,t)=d(s,t) certifies interiority.
+    "x22_stress" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS v FROM und),
+        |walk(s, u, hop) AS (
+        |  SELECT v, v, 0 FROM verts
+        |  UNION ALL
+        |  SELECT w.s, und.dst, w.hop + 1 FROM walk w JOIN und ON w.u = und.src
+        |  WHERE w.hop < 5),
+        |md AS (SELECT s, u, min(hop) AS d FROM walk GROUP BY s, u),
+        |sig AS (SELECT w.s, w.u, m.d, count(*) AS sigma
+        |  FROM walk w JOIN md m ON m.s = w.s AND m.u = w.u AND m.d = w.hop
+        |  WHERE m.d > 0 GROUP BY w.s, w.u, m.d),
+        |hub AS (SELECT src AS v FROM und GROUP BY src HAVING count(*) > 1),
+        |st AS (SELECT a.u AS v, sum(a.sigma * b.sigma) AS stress
+        |  FROM sig a JOIN hub ON hub.v = a.u
+        |  JOIN sig b ON b.s = a.u
+        |  JOIN md m ON m.s = a.s AND m.u = b.u AND m.d = a.d + b.d
+        |  GROUP BY a.u)
+        |SELECT verts.v AS id, CAST(coalesce(st.stress, 0) AS BIGINT) AS stress
+        |FROM verts LEFT JOIN st ON st.v = verts.v""".stripMargin,
     "x21b_harmonic_hyperball" -> harmonicSql(extraCols = ", true AS hb_ok"),
 
     "d_scd2_history" ->

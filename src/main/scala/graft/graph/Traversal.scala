@@ -1041,6 +1041,79 @@ object Traversal {
     out
   }
 
+  /** Stress centrality (Shimbel 1953) — the integer member of the
+    * betweenness family: stress(v) = Σ over ordered pairs (s, t) of
+    * σ_st(v), the number of shortest s→t paths passing through v as an
+    * INTERIOR vertex. Unlike Brandes' betweenness, whose σ_st(v)/σ_st
+    * fractions no two engines floor identically, stress is a pure path
+    * COUNT — exact in long arithmetic, so an oracle can replay it
+    * bit-for-bit. Expects a symmetrized edge set for undirected
+    * semantics (the [[harmonicCentrality]] contract); duplicate edges
+    * are dropped defensively — σ is a count of distinct paths, and a
+    * doubled edge would double every count through it.
+    *
+    * Form: the forward half of Brandes as a BFS sweep carrying counts —
+    * state (s, v, d, σ) where a new vertex's σ sums its distance-(d−1)
+    * predecessors' σ — then ONE composition join through interior
+    * vertices: σ_s(v)·σ_v(t) summed where d(s,v) + d(v,t) = d(s,t)
+    * (the distance test is what makes the concatenation a shortest
+    * path). Degree-1 vertices are pruned before the composition — a
+    * leaf is never interior to a simple shortest path — cutting the
+    * join fan-out from O(V·pairs) to O(hubs·pairs); pruned vertices
+    * come back as stress 0 in the final left join.
+    *
+    * Scale: the sweep materializes O(pairs) rows — the exact-oracle
+    * twin tier ([[neighborhoodFunction]], [[harmonicCentrality]]). At
+    * 100 TB, run the identical sweep from a deterministic hash-SAMPLE
+    * of sources (Brandes–Pich estimation): per-source work is
+    * unchanged, the composition join already keys on the small hub
+    * side, and σ_v(t) for the t-side reuses the sampled sweep
+    * transposed (undirected symmetry). */
+  def stressCentrality(edges: DataFrame, maxHop: Int): DataFrame = {
+    require(maxHop >= 1, s"stressCentrality needs maxHop >= 1, got $maxHop")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = vertices(edges)
+    // BFS-with-counts sweep. Each round's fresh layer is cut (the
+    // frontier⋈edges plan would otherwise nest per round); `state` is a
+    // union of already-materialized layers, so its plan stays flat.
+    var state = cut(verts.select(col("id").as("s"), col("id").as("v"),
+      lit(0L).as("d"), lit(1L).as("sigma")))
+    var frontier = state
+    var hop = 1
+    while (hop <= maxHop && !frontier.isEmpty) {
+      val stepped = frontier
+        .join(e, frontier("v") === e("src"))
+        .groupBy(frontier("s"), e("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("dst").as("v"), lit(hop.toLong).as("d"),
+          col("sigma"))
+      val fresh = cut(stepped.join(state.select(col("s"), col("v")),
+        Seq("s", "v"), "left_anti"))
+      state = state.unionByName(fresh)
+      frontier = fresh
+      hop += 1
+    }
+    val pairsSV = state.filter(col("d") > 0)
+    val hubs = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") > 1).select(col("src").as("v"))
+    val left = pairsSV.join(hubs, Seq("v"))
+      .select(col("s"), col("v"), col("d").as("d1"), col("sigma").as("sig1"))
+    val right = pairsSV.select(col("s").as("v"), col("v").as("t"),
+      col("d").as("d2"), col("sigma").as("sig2"))
+    val dist = pairsSV.select(col("s"), col("v").as("t"), col("d").as("dt"))
+    val sums = left.join(right, Seq("v"))
+      .join(dist, Seq("s", "t"))
+      .filter(col("d1") + col("d2") === col("dt"))
+      .groupBy(col("v").as("id"))
+      .agg(sum(col("sig1") * col("sig2")).as("stress"))
+    val out = verts.join(sums, Seq("id"), "left")
+      .select(col("id"), coalesce(col("stress"), lit(0L)).as("stress"))
+    val collected = cut(out)
+    e.unpersist(false)
+    collected
+  }
+
   /** Deterministic negative edge sampling — the contrastive-pair generator
     * for graph/embedding training (word2vec, GNN link prediction): for
     * each distinct `src`, `k` pseudo-random destinations drawn from the

@@ -476,6 +476,35 @@ class TraversalSpec extends AnyFunSuite {
     assert(est == exact) // tiny balls sit in the HLL exact regime
   }
 
+  test("stressCentrality: path, star, and multi-path counts are exact") {
+    def sym(es: Seq[(Long, Long)]) = es ++ es.map(_.swap)
+    // path 1–2–3: only ordered pairs (1,3),(3,1) pass through 2
+    val p = Traversal.stressCentrality(edgesDF(sym(Seq((1L, 2L), (2L, 3L)))), maxHop = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(p == Map(1L -> 0L, 2L -> 2L, 3L -> 0L))
+    // star: center carries every ordered leaf pair = 3·2
+    val s = Traversal.stressCentrality(
+      edgesDF(sym(Seq((9L, 1L), (9L, 2L), (9L, 3L)))), maxHop = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(s == Map(9L -> 6L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // 4-cycle 1–2–3–4–1: each vertex is interior to exactly one of the
+    // two shortest paths of each opposite ordered pair → stress 2; and
+    // σ composition must count BOTH diagonal paths (σ(1,3) = 2) without
+    // inflating interior counts.
+    val c = Traversal.stressCentrality(
+      edgesDF(sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))), maxHop = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(c == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("stressCentrality: duplicate edges do not double path counts") {
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 2L)) // doubled 1–2
+    val got = Traversal.stressCentrality(
+      edgesDF(es ++ es.map(_.swap)), maxHop = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got(2L) == 2L)
+  }
+
   test("property: negativeSample invariants hold on 10 seeded random graphs") {
     val rnd = new scala.util.Random(2031)
     (1 to 10).foreach { _ =>
