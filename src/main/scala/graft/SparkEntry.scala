@@ -1797,6 +1797,30 @@ object SparkEntry {
       graph.Traversal.stressCentrality(snrUndirected(s, dir), maxHop = 5)
     }),
 
+    // The sampled-source scale path (Brandes–Pich pivots), run as code:
+    // deterministic hash-sampled sources ∪ hubs sweep, same composition.
+    // Pivot estimates concentrate only with a handful of pivots per
+    // locality — below 1000 vertices a 25% sample leaves 0-or-1 pivots
+    // per nation and the estimator is legitimately garbage — so the
+    // pivot fraction is a deterministic function of graph size: 25%
+    // when V ≥ 1000 (the bench SF: real sampling, verified within
+    // 50%), the full population below (where the spec separately
+    // proves raw ≡ exact). SELF-EVALUATING (cd7 pattern): the exact
+    // stress rides in-row (memoized — x22's sweep is reused); sp_ok
+    // cross-multiplies raw·n_sources vs exact·n_sampled in pure
+    // integers — no floored quotient to disagree on.
+    "x22b_stress_sampled" -> ((s, dir) => {
+      val und = snrUndirected(s, dir)
+      val nV = und.select(col("src")).distinct().count()
+      val mod = if (nV >= 1000) 4 else 1
+      val exact = graph.Traversal.stressCentrality(und, maxHop = 5)
+      graph.Traversal.stressCentralitySampled(und, maxHop = 5, sampleMod = mod)
+        .join(exact, Seq("id"))
+        .select(col("id"), col("stress"),
+          (abs(col("raw") * col("n_sources") - col("stress") * col("n_sampled")) * 2
+            <= col("stress") * col("n_sampled")).as("sp_ok"))
+    }),
+
     // The same centrality from per-vertex HyperBall sketches — O(V)
     // state, no pair materialized (Boldi–Vigna's original read-out).
     // SELF-EVALUATING (cd7 pattern): exact value rides in-row; hb_ok
@@ -3200,34 +3224,13 @@ object SparkEntry {
 
     "x21_harmonic" -> harmonicSql(extraCols = ""),
 
-    // Stress centrality replayed by brute force: enumerate ALL ≤5-hop
-    // walks (UNION ALL — each row is one walk), keep those at min-hop
-    // length (= exactly the shortest paths), count per (s,u) = σ, then
-    // compose σ_s(v)·σ_v(t) through degree->1 hubs where the distance
-    // test d(s,v)+d(v,t)=d(s,t) certifies interiority.
-    "x22_stress" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier
-        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
-        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-        |verts AS (SELECT DISTINCT src AS v FROM und),
-        |walk(s, u, hop) AS (
-        |  SELECT v, v, 0 FROM verts
-        |  UNION ALL
-        |  SELECT w.s, und.dst, w.hop + 1 FROM walk w JOIN und ON w.u = und.src
-        |  WHERE w.hop < 5),
-        |md AS (SELECT s, u, min(hop) AS d FROM walk GROUP BY s, u),
-        |sig AS (SELECT w.s, w.u, m.d, count(*) AS sigma
-        |  FROM walk w JOIN md m ON m.s = w.s AND m.u = w.u AND m.d = w.hop
-        |  WHERE m.d > 0 GROUP BY w.s, w.u, m.d),
-        |hub AS (SELECT src AS v FROM und GROUP BY src HAVING count(*) > 1),
-        |st AS (SELECT a.u AS v, sum(a.sigma * b.sigma) AS stress
-        |  FROM sig a JOIN hub ON hub.v = a.u
-        |  JOIN sig b ON b.s = a.u
-        |  JOIN md m ON m.s = a.s AND m.u = b.u AND m.d = a.d + b.d
-        |  GROUP BY a.u)
-        |SELECT verts.v AS id, CAST(coalesce(st.stress, 0) AS BIGINT) AS stress
-        |FROM verts LEFT JOIN st ON st.v = verts.v""".stripMargin,
+    "x22_stress" -> stressSql(extraCols = ""),
+
+    // x22b's oracle: the identical exact counts plus the constant
+    // verdict the self-evaluating sampled gate must reproduce (sp_ok
+    // flips only if the pivot estimate drifts past 50% of exact — the
+    // cd7 carry-exact-in-row pattern).
+    "x22b_stress_sampled" -> stressSql(extraCols = ", true AS sp_ok"),
     "x21b_harmonic_hyperball" -> harmonicSql(extraCols = ", true AS hb_ok"),
 
     "d_scd2_history" ->
@@ -5650,6 +5653,37 @@ object SparkEntry {
     * supplier–nation–region graph via `WITH RECURSIVE` min-hop walk.
     * `extraCols` appends constant verdict columns for the self-evaluating
     * x11b form. */
+  /** The x22/x22b oracle: stress centrality replayed by brute force —
+    * enumerate ALL ≤5-hop walks (UNION ALL: each row is one walk), keep
+    * those at min-hop length (minimal walks ARE the shortest paths),
+    * count per (s,u) = σ, then compose σ_s(v)·σ_v(t) through degree>1
+    * hubs where the distance test d(s,v)+d(v,t)=d(s,t) certifies
+    * interiority. `extraCols` appends the constant verdict for the
+    * self-evaluating sampled form. */
+  private def stressSql(extraCols: String): String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier
+       |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+       |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |verts AS (SELECT DISTINCT src AS v FROM und),
+       |walk(s, u, hop) AS (
+       |  SELECT v, v, 0 FROM verts
+       |  UNION ALL
+       |  SELECT w.s, und.dst, w.hop + 1 FROM walk w JOIN und ON w.u = und.src
+       |  WHERE w.hop < 5),
+       |md AS (SELECT s, u, min(hop) AS d FROM walk GROUP BY s, u),
+       |sig AS (SELECT w.s, w.u, m.d, count(*) AS sigma
+       |  FROM walk w JOIN md m ON m.s = w.s AND m.u = w.u AND m.d = w.hop
+       |  WHERE m.d > 0 GROUP BY w.s, w.u, m.d),
+       |hub AS (SELECT src AS v FROM und GROUP BY src HAVING count(*) > 1),
+       |st AS (SELECT a.u AS v, sum(a.sigma * b.sigma) AS stress
+       |  FROM sig a JOIN hub ON hub.v = a.u
+       |  JOIN sig b ON b.s = a.u
+       |  JOIN md m ON m.s = a.s AND m.u = b.u AND m.d = a.d + b.d
+       |  GROUP BY a.u)
+       |SELECT verts.v AS id, CAST(coalesce(st.stress, 0) AS BIGINT) AS stress$extraCols
+       |FROM verts LEFT JOIN st ON st.v = verts.v""".stripMargin
+
   private def anfSql(extraCols: String): String =
     s"""WITH RECURSIVE e AS (
        |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier

@@ -1071,6 +1071,25 @@ object Traversal {
     * transposed (undirected symmetry). */
   def stressCentrality(edges: DataFrame, maxHop: Int): DataFrame = {
     require(maxHop >= 1, s"stressCentrality needs maxHop >= 1, got $maxHop")
+    // Session-lifetime memo, the harmonicMemo pattern: V tiny rows from
+    // an O(pairs) sweep, shared by x22 and the x22b sampled twin's
+    // in-row exact column. Keyed on canonicalized plan + maxHop;
+    // assumes immutable sources.
+    val key = (edges.queryExecution.analyzed.canonicalized, maxHop)
+    val spark = edges.sparkSession
+    val cached = stressMemo.computeIfAbsent(key, { _ =>
+      val out = stressCentralityUncached(edges, maxHop)
+      (out.schema, out.collect().toSeq)
+    })
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(cached._2.asJava, cached._1)
+  }
+
+  private val stressMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
+
+  private def stressCentralityUncached(edges: DataFrame, maxHop: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
       .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val verts = vertices(edges)
@@ -1109,6 +1128,78 @@ object Traversal {
       .agg(sum(col("sig1") * col("sig2")).as("stress"))
     val out = verts.join(sums, Seq("id"), "left")
       .select(col("id"), coalesce(col("stress"), lit(0L)).as("stress"))
+    val collected = cut(out)
+    e.unpersist(false)
+    collected
+  }
+
+  /** Sampled-source stress centrality — [[stressCentrality]]'s 100 TB
+    * path (Brandes & Pich 2007: estimate centrality from a pivot
+    * subset), made deterministic: sources are the vertices with
+    * `xxhash64(id) mod sampleMod == 0` (a property of the id, not of
+    * partitioning), the BFS-with-counts sweep runs from sampledSources
+    * ∪ hubs only — σ_v(t) for interior v needs hub sources regardless,
+    * and hubs are the small side by construction — and the composition
+    * is the same σ_s(v)·σ_v(t) distance-tested join restricted to
+    * sampled s. Returns (id, raw, n_sampled, n_sources): `raw` is the
+    * sampled path-count mass; est = raw · n_sources / n_sampled. The
+    * division is left to the CALLER so every emitted number stays an
+    * exact integer (the x22b gate cross-multiplies against the exact
+    * value instead of comparing floored quotients).
+    *
+    * Scale: state is O(|S|·V) not O(pairs) — the knob a 1000-executor
+    * deployment turns (sampleMod ~ V / thousands) while per-source
+    * work and the hub-keyed composition stay identical to the exact
+    * form. */
+  def stressCentralitySampled(edges: DataFrame, maxHop: Int,
+                              sampleMod: Int): DataFrame = {
+    require(maxHop >= 1, s"stressCentralitySampled needs maxHop >= 1, got $maxHop")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = vertices(edges)
+    val hubs = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") > 1).select(col("src").as("id"))
+    val sampled = verts
+      .filter(pmod(xxhash64(col("id").cast("string")), lit(sampleMod.toLong)) === 0)
+    val seeds = sampled.unionByName(hubs).distinct()
+    var state = cut(seeds.select(col("id").as("s"), col("id").as("v"),
+      lit(0L).as("d"), lit(1L).as("sigma")))
+    var frontier = state
+    var hop = 1
+    while (hop <= maxHop && !frontier.isEmpty) {
+      val stepped = frontier
+        .join(e, frontier("v") === e("src"))
+        .groupBy(frontier("s"), e("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("dst").as("v"), lit(hop.toLong).as("d"),
+          col("sigma"))
+      val fresh = cut(stepped.join(state.select(col("s"), col("v")),
+        Seq("s", "v"), "left_anti"))
+      state = state.unionByName(fresh)
+      frontier = fresh
+      hop += 1
+    }
+    val pairsSV = state.filter(col("d") > 0)
+    val sampledSet = sampled.select(col("id").as("s"))
+    val left = pairsSV.join(sampledSet, Seq("s"))
+      .join(hubs.select(col("id").as("v")), Seq("v"))
+      .select(col("s"), col("v"), col("d").as("d1"), col("sigma").as("sig1"))
+    val right = pairsSV.join(hubs.select(col("id").as("s")), Seq("s"))
+      .select(col("s").as("v"), col("v").as("t"),
+        col("d").as("d2"), col("sigma").as("sig2"))
+    val dist = pairsSV.join(sampledSet, Seq("s"))
+      .select(col("s"), col("v").as("t"), col("d").as("dt"))
+    val sums = left.join(right, Seq("v"))
+      .join(dist, Seq("s", "t"))
+      .filter(col("d1") + col("d2") === col("dt"))
+      .groupBy(col("v").as("id"))
+      .agg(sum(col("sig1") * col("sig2")).as("raw"))
+    val nAll = verts.count()
+    val nSampled = sampled.count()
+    val out = verts.join(sums, Seq("id"), "left")
+      .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"),
+        lit(nSampled).as("n_sampled"), lit(nAll).as("n_sources"))
     val collected = cut(out)
     e.unpersist(false)
     collected

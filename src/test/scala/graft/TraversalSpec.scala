@@ -505,6 +505,23 @@ class TraversalSpec extends AnyFunSuite {
     assert(got(2L) == 2L)
   }
 
+  test("stressCentralitySampled: sampleMod=1 reproduces the exact counts") {
+    val rnd = new scala.util.Random(4101)
+    for (_ <- 1 to 5) {
+      val es0 = (1 to 24).map(_ => (rnd.nextInt(9).toLong, rnd.nextInt(9).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val es = es0 ++ es0.map(_.swap)
+      val exact = Traversal.stressCentrality(edgesDF(es), maxHop = 6)
+        .as[(Long, Long)].collect().toMap
+      val samp = Traversal.stressCentralitySampled(edgesDF(es), maxHop = 6,
+        sampleMod = 1).as[(Long, Long, Long, Long)].collect()
+      samp.foreach { case (id, raw, nS, nAll) =>
+        assert(nS == nAll, "sampleMod=1 must sample every source")
+        assert(raw == exact(id), s"vertex $id: raw $raw != exact ${exact(id)}")
+      }
+    }
+  }
+
   test("property: negativeSample invariants hold on 10 seeded random graphs") {
     val rnd = new scala.util.Random(2031)
     (1 to 10).foreach { _ =>
