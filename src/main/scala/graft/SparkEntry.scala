@@ -694,6 +694,20 @@ object SparkEntry {
         maxSteps = 8)
     }),
 
+    // Collocation mining (word2phrase): consecutive-token bigrams scored
+    // by exact-integer lift (the monotone surrogate for PMI — same
+    // ranking, no libm log), min count 5, deterministic top 50.
+    "t_collocations" -> ((s, dir) => {
+      operators.TextAnalysis.collocations(t(s, dir, "documents"), "text")
+    }),
+
+    // Flesch reading ease per doc (micro units) with the vowel-group
+    // syllable surrogate — the sentence/word-complexity quality signal
+    // next to t_gopher_quality's form checks.
+    "t_readability" -> ((s, dir) => {
+      operators.TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // Unigram-LM Viterbi segmentation (SentencePiece inference) — the
     // third production tokenizer next to BPE and WordPiece: per-word
     // min-cost segmentation under integer-quantized ⌊log₂⌋ piece costs,
@@ -738,6 +752,93 @@ object SparkEntry {
         .join(finished, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+    }),
+
+    // Q6-style forecast-revenue delta: one scan, all predicates pushed to
+    // the parquet scan, single scalar aggregate — the pure-filter probe.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01") &&
+          col("l_shipdate") < lit("1999-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
+
+    // Q10-style returned-item report: top 20 customers by revenue lost to
+    // returns in one quarter (4-table join; nation joined for the name).
+    "q10_returned_items" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders").filter(
+          col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1997-07-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey").as("custkey"), col("c_name").as("name"),
+          col("n_name").as("nation"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("custkey"))
+        .limit(20)
+    }),
+
+    // Q12-style late-shipment census (this schema has no shipmode/commit
+    // columns, so "late" = shipped > 90 days after the order date): per
+    // order priority, how many lineitems shipped late vs on time.
+    "q12_late_shipments" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(
+          sum(when(datediff(col("l_shipdate"), col("o_orderdate")) > 90, 1L)
+            .otherwise(0L)).as("late_count"),
+          sum(when(datediff(col("l_shipdate"), col("o_orderdate")) <= 90, 1L)
+            .otherwise(0L)).as("ontime_count"))
+    }),
+
+    // Q14-style promotion effect: PROMO-part revenue share for one ship
+    // year, in floor-micro units over the 2dp-rounded sums (the division
+    // happens after both operands are pinned, so it is engine-exact).
+    "q14_promo_effect" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01") && col("l_shipdate") < lit("1999-01-01"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0d)), 2)
+            .as("promo_revenue"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("total_revenue"))
+        .withColumn("promo_micro",
+          floor(lit(1000000d) * col("promo_revenue") / col("total_revenue")).cast("long"))
+    }),
+
+    // Q18-style large-volume orders: orders whose total quantity clears a
+    // threshold, with the customer attached. Quantities are integral
+    // doubles, so the sums are order-invariant exact — no rounding needed.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 200)
+      big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+          col("o_orderkey").as("orderkey"), col("o_orderdate").as("orderdate"),
+          col("total_qty"))
+    }),
+
+    // Q19-style discounted revenue under OR-of-AND part predicates — the
+    // disjunctive-pushdown probe (each disjunct pairs a brand with a
+    // quantity band, like the TPC-H original pairs brands with containers).
+    "q19_branded_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#13" && col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#19" && col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#25" && col("l_quantity").between(20, 40)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
     }),
 
     // ------------------------------------------- M6 training-data pipeline ops
@@ -1821,6 +1922,30 @@ object SparkEntry {
             <= col("stress") * col("n_sampled")).as("sp_ok"))
     }),
 
+    // Degree assortativity (Newman's r): do hubs attach to hubs? The
+    // supplier–nation–region graph is hub-and-spoke, so r is strongly
+    // negative — the one-number warning that hop joins on this graph
+    // funnel through few celebrity vertices (what a13b's salted variant
+    // exists for). Exact integer sufficient statistics ride in-row.
+    "x23_assortativity" -> ((s, dir) => {
+      graph.Traversal.degreeAssortativity(snrUndirected(s, dir))
+    }),
+
+    // Local clustering coefficient per vertex over the triangle-bearing
+    // customer–nation–region graph (x3's): 2·T(v)/(deg(v)·(deg(v)−1))
+    // in floor-micro units — the per-vertex refinement of x3's census.
+    "x24_clustering_coeff" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(
+        (lit(3L * B) + col("c_custkey")).as("src"), (lit(2L * B) + col("c_nationkey")).as("dst"))
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"), (lit(1L * B) + col("n_regionkey")).as("dst"))
+      val cr = t(s, dir, "customer").join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select((lit(3L * B) + col("c_custkey")).as("src"),
+          (lit(1L * B) + col("n_regionkey")).as("dst"))
+      graph.Traversal.localClustering(cn.unionByName(nr).unionByName(cr))
+    }),
+
     // The same centrality from per-vertex HyperBall sketches — O(V)
     // state, no pair materialized (Boldi–Vigna's original read-out).
     // SELF-EVALUATING (cd7 pattern): exact value rides in-row; hb_ok
@@ -2169,6 +2294,17 @@ object SparkEntry {
       val q = operators.Similarity.quantizeInt8(
         t(s, dir, "embeddings"), "vec_id", "embedding")
       operators.Similarity.gramMatrix(q.select(col("q")), "q", d = 64)
+    }),
+
+    // Dominant principal direction of the embedding corpus by 3 exact
+    // integer power-method rounds over the e14 Gram — the anisotropy /
+    // rogue-common-direction probe behind PCA whitening. The corpus is
+    // touched once (the Gram pass); iterations are d-row arithmetic.
+    "e18_power_iteration" -> ((s, dir) => {
+      val q = operators.Similarity.quantizeInt8(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      operators.Similarity.powerIteration(
+        operators.Similarity.gramMatrix(q.select(col("q")), "q", d = 64))
     }),
 
     // Point-in-time join: every (doc, as-of version) probe fetches the
@@ -2735,6 +2871,15 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // Content-defined chunking dedup (FastCDC at token granularity):
+    // boundaries after md5≡0 (mod 8) words, per-doc share of chunks that
+    // recur anywhere in the corpus — catches shared boilerplate BLOCKS
+    // that whole-doc fingerprints and fixed-stride windows both miss,
+    // position-shift-proof because boundaries are content-local.
+    "d_cdc_chunks" -> ((s, dir) => {
+      operators.Dedup.cdcChunkDedup(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // Symmetric int8 embedding quantization (q vector + 6dp scale).
     // The gate projects the int8 vector to a CSV string: the driver's
     // comparator canonicalizes by lexsorting column values, which crashes
@@ -3111,6 +3256,36 @@ object SparkEntry {
         |  CAST(sum(CAST(a.qi AS BIGINT) * b.qi) AS BIGINT) AS dot
         |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
+
+    // The e14 Gram rebuilt, expanded to its symmetric form, then the
+    // identical 3 max-normalized integer power rounds unrolled.
+    "e18_power_iteration" -> {
+      def round(n: Int) =
+        s"""w$n AS (SELECT f.i AS dim, CAST(sum(f.dot * v${n - 1}.v) AS BIGINT) AS w
+           |  FROM f JOIN v${n - 1} ON f.j = v${n - 1}.dim GROUP BY f.i),
+           |mx$n AS (SELECT max(abs(w)) AS mx FROM w$n),
+           |v$n AS (SELECT dim, CASE WHEN mx > 0
+           |  THEN CAST((1000 * w - (((1000 * w) % mx) + mx) % mx) // mx AS BIGINT)
+           |  ELSE 0 END AS v
+           |  FROM w$n, mx$n)""".stripMargin
+      s"""WITH m AS (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |  FROM embeddings),
+         |q AS (SELECT vec_id,
+         |  CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+         |       ELSE list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS INTEGER))
+         |  END AS q FROM m),
+         |u AS (SELECT vec_id, i - 1 AS i, q[CAST(i AS INTEGER)] AS qi
+         |  FROM q, unnest(generate_series(1, len(q))) AS g(i)),
+         |g AS (SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+         |  CAST(sum(CAST(a.qi AS BIGINT) * b.qi) AS BIGINT) AS dot
+         |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+         |f AS (SELECT i, j, dot FROM g
+         |  UNION ALL SELECT j AS i, i AS j, dot FROM g WHERE i <> j),
+         |v0 AS (SELECT DISTINCT i AS dim, CAST(1000 AS BIGINT) AS v FROM f),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT dim, v AS v_milli FROM v3""".stripMargin
+    },
 
     // pixel i of doc = payload bytes 3i..3i+2 (b,g,r), laid out 16-wide
     // top-down; the decoder's bottom-up un-flip restores exactly this
@@ -3731,6 +3906,67 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS h,
         |count(*) OVER (PARTITION BY md5(text)) AS dup_count FROM documents""".stripMargin,
 
+    // Same bigram/unigram count tables, the identical left-assoc double
+    // product for the lift, the identical (lift, count, bigram) order.
+    "t_collocations" ->
+      s"""$WORDS_CTE,
+         |bg AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i + 1])) AS bigram
+         |  FROM t WHERE len(w) >= 2),
+         |bc AS (SELECT bigram, count(*) AS n_xy FROM bg GROUP BY bigram
+         |  HAVING count(*) >= 5),
+         |uc AS (SELECT word, count(*) AS n FROM (SELECT unnest(w) AS word FROM t)
+         |  GROUP BY word),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM uc)
+         |SELECT bigram, n_xy, nx.n AS n_x, ny.n AS n_y,
+         |  CAST(floor(1000000.0 * n_xy * n_total
+         |    / (CAST(nx.n AS DOUBLE) * ny.n)) AS BIGINT) AS lift_micro
+         |FROM bc
+         |JOIN uc nx ON split_part(bigram, ' ', 1) = nx.word
+         |JOIN uc ny ON split_part(bigram, ' ', 2) = ny.word
+         |CROSS JOIN tot
+         |ORDER BY lift_micro DESC, n_xy DESC, bigram LIMIT 50""".stripMargin,
+
+    // Vowel-group syllable surrogate + [.!?]+ sentence runs; the two
+    // floor terms pin the micro score to the identical IEEE divides.
+    "t_readability" ->
+      """WITH m AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
+        |  greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |    s -> trim(s) <> '')), 1) AS n_sents
+        |FROM documents),
+        |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(n_sents AS BIGINT) AS n_sents,
+        |  CAST(coalesce(list_sum(list_transform(w, x ->
+        |    len(list_filter(string_split(regexp_replace(lower(x), '[^aeiouy]+', ' ', 'g'), ' '),
+        |      p -> p <> '')))), 0) AS BIGINT) AS n_syllables
+        |FROM m WHERE len(w) > 0)
+        |SELECT doc_id, n_words, n_sents, n_syllables,
+        |  206835000 - CAST(floor(1015000.0 * n_words / n_sents) AS BIGINT)
+        |            - CAST(floor(84600000.0 * n_syllables / n_words) AS BIGINT) AS flesch_micro
+        |FROM s""".stripMargin,
+
+    // Identical boundary rule (md5 of the word ≡ 0 mod 8, final word
+    // always closes), identical chunk reconstruction, identical md5
+    // chunk identity — the corpus-wide counts must agree row for row.
+    "d_cdc_chunks" ->
+      s"""$WORDS_CTE,
+         |nz AS (SELECT doc_id, w FROM t WHERE len(w) > 0),
+         |c0 AS (SELECT doc_id, w, list_filter(generate_series(1, len(w)),
+         |    i -> ${md5i("w[i]")} % 8 = 0) AS c FROM nz),
+         |c1 AS (SELECT doc_id, w,
+         |  CASE WHEN len(c) > 0 AND c[-1] = len(w) THEN c
+         |       ELSE list_append(c, len(w)) END AS cuts FROM c0),
+         |ch AS (SELECT doc_id, md5(array_to_string(list_slice(w,
+         |    CAST(CASE WHEN k.k = 1 THEN 1 ELSE cuts[CAST(k.k - 1 AS INTEGER)] + 1 END AS INTEGER),
+         |    CAST(cuts[CAST(k.k AS INTEGER)] AS INTEGER)), ' ')) AS h
+         |  FROM c1, UNNEST(generate_series(1, len(cuts))) AS k(k)),
+         |cc AS (SELECT h, count(*) AS cnt FROM ch GROUP BY h)
+         |SELECT ch.doc_id AS id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN cc.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  CAST(1000000 * sum(CASE WHEN cc.cnt > 1 THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS dup_micro
+         |FROM ch JOIN cc ON ch.h = cc.h GROUP BY ch.doc_id""".stripMargin,
+
     "a05_first_match" ->
       """SELECT 3*72057594037927936 + c_custkey AS id, CAST(c_custkey AS VARCHAR) AS key
         |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey LIMIT 1""".stripMargin,
@@ -4009,6 +4245,59 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, custkey LIMIT 20""".stripMargin,
+
+    "q12_late_shipments" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+        |  CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q14_promo_effect" ->
+      """WITH s AS (SELECT
+        |  round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo_revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01')
+        |SELECT promo_revenue, total_revenue,
+        |  CAST(floor(1000000.0 * promo_revenue / total_revenue) AS BIGINT) AS promo_micro
+        |FROM s""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_custkey AS custkey, c_name AS name, o_orderkey AS orderkey,
+        |  o_orderdate AS orderdate, total_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200) b
+        |JOIN orders ON b.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q19_branded_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#25' AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
 
     "d_minhash_sig" -> {
       val hs = (1 to 4).map(i =>
@@ -4941,6 +5230,50 @@ object SparkEntry {
         |SELECT v AS id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
         |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
         |GROUP BY v""".stripMargin,
+
+    // Newman's r over the symmetrized supplier–nation–region graph: the
+    // same exact-integer sufficient statistics, one IEEE divide at the end.
+    "x23_assortativity" ->
+      """WITH raw AS (
+        |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+        |u AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw) WHERE src <> dst),
+        |deg AS (SELECT src AS v, count(*) AS deg FROM u GROUP BY src),
+        |p AS (SELECT dx.deg AS dx, dy.deg AS dy
+        |  FROM u JOIN deg dx ON u.src = dx.v JOIN deg dy ON u.dst = dy.v),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS m_edges, CAST(sum(dx) AS BIGINT) AS sum_x,
+        |  CAST(sum(dx * dy) AS BIGINT) AS sum_xy, CAST(sum(dx * dx) AS BIGINT) AS sum_xx FROM p)
+        |SELECT m_edges, sum_x, sum_xy, sum_xx,
+        |  CASE WHEN CAST(m_edges AS DOUBLE) * sum_xx - CAST(sum_x AS DOUBLE) * sum_x > 0
+        |    THEN CAST(floor(1000000.0
+        |      * (CAST(m_edges AS DOUBLE) * sum_xy - CAST(sum_x AS DOUBLE) * sum_x)
+        |      / (CAST(m_edges AS DOUBLE) * sum_xx - CAST(sum_x AS DOUBLE) * sum_x)) AS BIGINT)
+        |  END AS r_micro
+        |FROM s""".stripMargin,
+
+    // Per-vertex triangle credit over the x3 graph joined with degrees;
+    // 2e6·T/(d·(d−1)) in integer floor units, deg ≥ 2 only.
+    "x24_clustering_coeff" ->
+      """WITH raw AS (
+        |  SELECT 3*72057594037927936 + c_custkey AS src, 2*72057594037927936 + c_nationkey AS dst FROM customer
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation
+        |  UNION ALL SELECT 3*72057594037927936 + c_custkey, 1*72057594037927936 + n_regionkey
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw WHERE src <> dst),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tv AS (SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |  GROUP BY v),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v)
+        |SELECT deg.v AS id, deg.deg, coalesce(tv.n_tri, 0) AS n_tri,
+        |  CAST(2000000 * coalesce(tv.n_tri, 0) // (deg.deg * (deg.deg - 1)) AS BIGINT) AS lcc_micro
+        |FROM deg LEFT JOIN tv ON deg.v = tv.v
+        |WHERE deg.deg >= 2""".stripMargin,
 
     "x4_pagerank_fixed" -> pagerankFixedSql(extraCols = ""),
 

@@ -1065,4 +1065,50 @@ object Dedup {
           .otherwise(lit("changed")).as("status"),
         col("old_fp"), col("new_fp"))
   }
+
+  /** Content-defined chunking dedup (the FastCDC/rsync idea at token
+    * granularity): split every document at content-derived boundaries —
+    * after any word whose md5 ≡ 0 (mod `avgLen`), expected chunk length
+    * `avgLen` words — and measure, per document, how many of its chunks
+    * recur anywhere else in the corpus. Because boundaries depend only
+    * on LOCAL content, an insertion early in a document shifts chunk
+    * positions without changing the chunks after it — the property that
+    * lets this catch shared boilerplate blocks that whole-document
+    * fingerprints ([[simhash]], exact md5) and fixed-stride windows both
+    * miss. The substring-dedup complement to [[substringSpans]]: spans
+    * find EXACT cross-doc n-grams at a fixed n, CDC finds variable-length
+    * shared blocks at ~avgLen granularity for 1/avgLen the explode cost.
+    *
+    * Plan: chunking is pure in-row array arithmetic (boundary positions
+    * → slice + join per chunk — no shuffle, no UDF); one explode to
+    * (doc, chunk-hash) rows; chunk-hash counts are one map-side-
+    * combinable aggregate; the membership join keys on the hash. Only
+    * (id, 32-char hash) pairs ever shuffle — text stays in the scan.
+    * Output: (id, n_chunks, n_dup_chunks, dup_micro), empty-text
+    * documents excluded (no chunks to measure). */
+  def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                    avgLen: Int = 8): DataFrame = {
+    require(avgLen >= 2, s"cdcChunkDedup needs avgLen >= 2, got $avgLen")
+    val w = tokens(col(textCol))
+    // Boundary positions, always closed by the final word (guarded
+    // against Spark's descending sequence(1, 0) by the size filter).
+    val cuts0 = filter(sequence(lit(1), size(w)),
+      i => md5Long(element_at(w, i)) % avgLen === 0)
+    val cuts = when(size(cuts0) > 0 && element_at(cuts0, -1) === size(w), cuts0)
+      .otherwise(concat(cuts0, array(size(w))))
+    val chunks = transform(sequence(lit(1), size(cuts)), k => {
+      val start = when(k === 1, lit(1)).otherwise(element_at(cuts, k - 1) + 1)
+      concat_ws(" ", slice(w, start, element_at(cuts, k) - start + 1))
+    })
+    val chunked = docs.filter(size(w) > 0)
+      .select(col(idCol).as("id"), explode(chunks).as("chunk"))
+      .select(col("id"), md5(col("chunk")).as("h"))
+    val counts = chunked.groupBy("h").agg(count(lit(1)).as("cnt"))
+    chunked.join(counts, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_micro",
+        expr("1000000L * n_dup_chunks div n_chunks"))
+  }
 }

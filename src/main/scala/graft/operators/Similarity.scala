@@ -602,4 +602,54 @@ object Similarity {
     flat.join(broadcast(idxMap), Seq("idx"))
       .select(col("i"), col("j"), col("dot"))
   }
+
+  /** Fixed-iteration power method over a [[gramMatrix]] triangle: the
+    * dominant principal direction of the embedding corpus in exact
+    * integer micro-units — the spectral probe behind PCA whitening and
+    * the "is one direction eating the space" anisotropy check (Mu &
+    * Viswanath 2018: the top component of contextual embeddings is
+    * usually a rogue common direction worth projecting out). v₀ = 1000
+    * (milli-units) on every dim; each round multiplies the symmetric
+    * Gram by v exactly and max-normalizes with an exact integer floor
+    * divide — ⌊1000·w/mx⌋ via the positive-mod identity
+    * (a − posmod(a, b)) / b, which never touches floating point (a
+    * DOUBLE here costs cross-engine ulp flips: SQL literals like
+    * `1000.0` are DECIMAL in some engines) and never disagrees on
+    * negative-operand truncation (the subtraction makes the quotient
+    * exact). Milli scale keeps 1000·w inside int64 to ~10¹⁰ int8
+    * codes; past that, the same plan runs in DECIMAL(38). Ties are
+    * impossible (the max is a single scalar), so the iterate is a pure
+    * function of the Gram in any engine.
+    *
+    * Plan: the d²-entry symmetric Gram (expanded from the d(d+1)/2
+    * triangle) is corpus-INDEPENDENT in size; each iteration is one
+    * broadcast join of the d-row vector against it plus a d-row
+    * aggregate — the corpus is touched exactly once, by the Gram pass
+    * itself. Output: (i, v_micro) for the final iterate. */
+  def powerIteration(gram: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"powerIteration needs iters >= 1, got $iters")
+    // Expand the i <= j triangle into the full symmetric matrix.
+    val full = gram.select(col("i"), col("j"), col("dot"))
+      .unionByName(gram.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("dot")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v = gram.select(col("i")).union(gram.select(col("j"))).distinct()
+      .select(col("i").as("dim"), lit(1000L).as("v_milli"))
+    for (_ <- 1 to iters) {
+      val w = full.join(broadcast(v.withColumnRenamed("dim", "j")), Seq("j"))
+        .groupBy(col("i").as("dim"))
+        .agg(sum(col("dot") * col("v_milli")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .withColumn("a", lit(1000L) * col("w"))
+        .select(col("dim"),
+          when(col("mx") > 0,
+            expr("(a - ((a % mx) + mx) % mx) div mx"))
+            .otherwise(lit(0L)).as("v_milli"))
+    }
+    // Eager cut so the returned frame no longer reads the expanded Gram.
+    val out = v.select(col("dim"), col("v_milli")).localCheckpoint()
+    full.unpersist()
+    out
+  }
 }

@@ -961,4 +961,77 @@ object TextAnalysis {
         sum(col("k") * col("toks")).as("n_pieces"),
         sum(col("k") * col("cost")).as("cost_micro"))
   }
+
+  /** Collocation mining (the word2phrase pass that turns "new york" into
+    * one token before embedding training): consecutive-token bigrams
+    * scored by lift = P(xy) / (P(x)·P(y)) = cnt(xy)·N / (cnt(x)·cnt(y))
+    * in floor-micro units — the exact-integer surrogate for PMI (PMI is
+    * its log, and log is a libm trap; the RANKING is identical because
+    * log is monotone). Bigrams with cnt ≥ `minCount` only, top `k` by
+    * (lift, count, bigram) — a fully deterministic order.
+    *
+    * Plan: bigrams come from zipping each token array with its own tail
+    * (pure per-row array ops, no explode-then-window); one hash
+    * aggregate for bigram counts, one for unigram counts, the N
+    * aggregate broadcast; the |bigrams|-row table joins the |vocab|-row
+    * table twice. Only the top-k limit is a single-partition sort, over
+    * ≥`minCount` survivors — vocabulary-sized, never corpus-sized. */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5,
+                   k: Int = 50): DataFrame = {
+    require(k >= 1, s"collocations needs k >= 1, got $k")
+    val toks = docs.select(tokens(col(textCol)).as("w"))
+    val bigrams = toks
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    val uni = toks.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum(col("n")).as("n_total"))
+    bigrams
+      .withColumn("word", split(col("bigram"), " ").getItem(0))
+      .join(uni.withColumnRenamed("n", "n_x"), Seq("word")).drop("word")
+      .withColumn("word", split(col("bigram"), " ").getItem(1))
+      .join(uni.withColumnRenamed("n", "n_y"), Seq("word")).drop("word")
+      .crossJoin(broadcast(total))
+      // doubles for the products: n_xy·N can pass int64 at corpus scale,
+      // and the IEEE multiply/divide/floor is engine-identical.
+      .select(col("bigram"), col("n_xy"), col("n_x"), col("n_y"),
+        floor(lit(1000000d) * col("n_xy").cast("double") * col("n_total").cast("double")
+          / (col("n_x").cast("double") * col("n_y").cast("double")))
+          .cast("long").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("n_xy").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Flesch reading ease per document, with a deterministic syllable
+    * surrogate (maximal vowel-group runs per word — the standard
+    * dictionary-free approximation) and sentence count from
+    * `[.!?]+` runs: score_micro = 206 835 000 − ⌊1 015 000·W/S⌋ −
+    * ⌊84 600 000·Y/W⌋. A quality-scoring signal next to
+    * [[gopherQuality]] (which gates on FORM — lengths and symbol
+    * ratios — where this gates on sentence/word complexity).
+    * Documents with no words are dropped (the score is undefined, and
+    * emitting a sentinel would poison downstream percentile cuts).
+    * Single-pass codegen'd column arithmetic — no shuffle, no UDF. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = tokens(col(textCol))
+    val nWords = size(words).cast("long")
+    val nSents = greatest(
+      size(filter(split(col(textCol), "[.!?]+"), s => trim(s) =!= lit(""))),
+      lit(1)).cast("long")
+    val nSyll = aggregate(words, lit(0L),
+      (acc, w) => acc + size(filter(
+        split(regexp_replace(lower(w), "[^aeiouy]+", " "), " "),
+        s => s =!= lit(""))).cast("long"))
+    docs.select(col(idCol), nWords.as("n_words"), nSents.as("n_sents"),
+        nSyll.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch_micro",
+        lit(206835000L)
+          - floor(lit(1015000d) * col("n_words") / col("n_sents")).cast("long")
+          - floor(lit(84600000d) * col("n_syllables") / col("n_words")).cast("long"))
+  }
 }

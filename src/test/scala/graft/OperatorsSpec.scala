@@ -1614,4 +1614,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Seq((1, "u", "g", 5L), (2, "h", "ug", 4L), (3, "u", "n", 2L)),
       s"unexpected merge sequence: $out")
   }
+
+  test("collocations: exact integer lift, count filter, deterministic order") {
+    // doc 1 tokens [a b a b a b]: bigrams 'a b' x3, 'b a' x2; doc 2 'c d' x1.
+    // N = 8 tokens; lift('c d') = 1e6*1*8/(1*1) = 8e6; 'a b' = 24e6/9 =
+    // 2666666 (floor); 'b a' = 16e6/9 = 1777777 (floor).
+    val out = TextAnalysis.collocations(
+      docs((1L, "a b a b a b"), (2L, "c d")), "text", minCount = 1, k = 10)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("c d", 1L, 1L, 1L, 8000000L),
+      ("a b", 3L, 3L, 3L, 2666666L),
+      ("b a", 2L, 3L, 3L, 1777777L)), s"got $out")
+  }
+
+  test("collocations: minCount filters and k truncates after the full sort") {
+    val corpus = docs((1L, "x y x y x y x y x y z w"))
+    // 'x y' count 5 passes minCount 5; 'y x' count 4 and the rest fail.
+    val out = TextAnalysis.collocations(corpus, "text", minCount = 5, k = 10)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq("x y"))
+  }
+
+  test("readability: hand-computed Flesch micro score, empty docs dropped") {
+    // 'Hello world. This is fine.': 5 words, 2 sentences, syllables by
+    // vowel-group runs: hello 2, world. 1, this 1, is 1, fine. 2 -> 7.
+    // 206835000 - floor(1015000*5/2) - floor(84600000*7/5)
+    //   = 206835000 - 2537500 - 118440000 = 85857500.
+    val out = TextAnalysis.readability(
+      docs((1L, "Hello world. This is fine."), (2L, "   ")), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == ((5L, 2L, 7L, 85857500L)), s"got ${out(1L)}")
+  }
+
+  test("cdcChunkDedup: exact dups fully duplicated, unique doc clean, shift-proof") {
+    val shared = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val corpus = docs(
+      (1L, shared), (2L, shared),                       // exact dup pair
+      (3L, "solo unique words nothing shared here at all"), // clean
+      (4L, "prefix junk " + shared))                    // shifted copy
+    val out = Dedup.cdcChunkDedup(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // identical docs produce identical chunk sets -> every chunk dups
+    assert(out(1L)._1 == out(2L)._1)
+    assert(out(1L)._2 == out(1L)._1 && out(1L)._3 == 1000000L)
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0L)
+    // content-defined boundaries realign after the first cut inside the
+    // shared run: all but at most one of doc 1's chunks recur in doc 4
+    assert(out(1L)._2 >= out(1L)._1 - 1)
+    assert(out(4L)._2 >= out(1L)._1 - 1)
+  }
+
+  test("powerIteration: exact milli iterates on hand-computed 2x2 grams") {
+    // G = [[4,0],[0,1]]: v stays (1000, x) with x: 1000 -> 250 -> 62 -> 15.
+    val gDiag = Seq((0, 0, 4L), (0, 1, 0L), (1, 1, 1L)).toDF("i", "j", "dot")
+    val out1 = Similarity.powerIteration(gDiag, iters = 3)
+      .as[(Int, Long)].collect().toMap
+    assert(out1 == Map(0 -> 1000L, 1 -> 15L), s"got $out1")
+    // G = [[2,1],[1,3]]: (1000,1000) -> (750,1000) -> (666,1000) -> (636,1000).
+    val gFull = Seq((0, 0, 2L), (0, 1, 1L), (1, 1, 3L)).toDF("i", "j", "dot")
+    val out2 = Similarity.powerIteration(gFull, iters = 3)
+      .as[(Int, Long)].collect().toMap
+    assert(out2 == Map(0 -> 636L, 1 -> 1000L), s"got $out2")
+  }
 }

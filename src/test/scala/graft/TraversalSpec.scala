@@ -697,4 +697,30 @@ class TraversalSpec extends AnyFunSuite {
       assert(Set(3L, 4L).contains(path.last))
     }
   }
+
+  test("degreeAssortativity: perfect star hits -1e6; regular cycle has no variance") {
+    // star 1-{2,3,4}: every edge pairs deg 3 with deg 1 -> r = -1 exactly
+    // (M=6, Sx=12, Sxy=18, Sxx=30: (6*18-144)/(6*30-144) = -36/36).
+    val star = Traversal.degreeAssortativity(edgesDF(Seq((1L, 2L), (1L, 3L), (1L, 4L))))
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(star == ((6L, 12L, 18L, 30L, Some(-1000000L))), s"got $star")
+    // 4-cycle: all degrees 2 -> zero variance -> r undefined (NULL)
+    val cyc = Traversal.degreeAssortativity(
+      edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))))
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(cyc._5.isEmpty && cyc._1 == 8L)
+  }
+
+  test("localClustering: triangle corners exact, pendant excluded") {
+    // triangle 1-2-3 plus pendant edge 3-4: T(1)=T(2)=T(3)=1;
+    // deg 1,2 = 2 -> lcc 1e6; deg 3 = 3 -> 2e6/6 = 333333; deg(4)=1 excluded.
+    val out = Traversal.localClustering(
+      edgesDF(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((2L, 1L, 1000000L)))
+    assert(out(2L) == ((2L, 1L, 1000000L)))
+    assert(out(3L) == ((3L, 1L, 333333L)))
+  }
 }
