@@ -754,6 +754,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("total_bal"))
     }),
 
+    // Q7-style volume shipping: revenue between one nation pair (both
+    // directions) by ship year — the classic two-role nation join (the
+    // 25-row dimension joins twice under different names).
+    "q7_volume_shipping" -> ((s, dir) => {
+      val cn = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      val sn = t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(cn, col("c_nationkey") === col("cnk"))
+        .join(sn, col("s_nationkey") === col("snk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // Q8-style market share: one supplier nation's share of AMERICA-
+    // customer revenue by order year, floor-micro over the pinned
+    // 2dp-rounded sums (the q14 exactness pattern).
+    "q8_market_share" -> ((s, dir) => {
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation").select(col("n_nationkey").as("cnk"),
+          col("n_regionkey")), col("c_nationkey") === col("cnk"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "nation").select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation")), col("s_nationkey") === col("snk"))
+        .filter(col("r_name") === "AMERICA")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_3", vol).otherwise(0d)), 2)
+            .as("nation_volume"),
+          round(sum(vol), 2).as("total_volume"))
+        .withColumn("share_micro",
+          floor(lit(1000000d) * col("nation_volume") / col("total_volume")).cast("long"))
+    }),
+
     // Q6-style forecast-revenue delta: one scan, all predicates pushed to
     // the parquet scan, single scalar aggregate — the pure-filter probe.
     "q6_forecast_revenue" -> ((s, dir) => {
@@ -1922,6 +1968,13 @@ object SparkEntry {
             <= col("stress") * col("n_sampled")).as("sp_ok"))
     }),
 
+    // Vertex eccentricity (bounded): per-vertex max min-hop distance —
+    // the periphery/radius read-out, derived FREE from the same memoized
+    // sweep x11/x14/x21 share (one O(pairs) closure serves five gates).
+    "x25_eccentricity" -> ((s, dir) => {
+      graph.Traversal.eccentricity(snrUndirected(s, dir), maxHop = 5)
+    }),
+
     // Degree assortativity (Newman's r): do hubs attach to hubs? The
     // supplier–nation–region graph is hub-and-spoke, so r is strongly
     // negative — the one-number warning that hop joins on this graph
@@ -2294,6 +2347,15 @@ object SparkEntry {
       val q = operators.Similarity.quantizeInt8(
         t(s, dir, "embeddings"), "vec_id", "embedding")
       operators.Similarity.gramMatrix(q.select(col("q")), "q", d = 64)
+    }),
+
+    // Pairwise-cosine histogram over a deterministic md5 quarter-sample —
+    // the embedding-space QA read-out (near-dup flooding spikes at 1.0,
+    // anisotropy shifts the mass right); `mod` keeps the sampled pair
+    // count ~constant as the corpus grows.
+    "e19_sim_histogram" -> ((s, dir) => {
+      operators.Similarity.cosineHistogram(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
     }),
 
     // Dominant principal direction of the embedding corpus by 3 exact
@@ -3256,6 +3318,17 @@ object SparkEntry {
         |  CAST(sum(CAST(a.qi AS BIGINT) * b.qi) AS BIGINT) AS dot
         |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
+
+    // Same md5 quarter-sample, same 6dp-rounded fold cosine, same bin
+    // arithmetic (cos is DOUBLE, so the literals coerce to IEEE doubles).
+    "e19_sim_histogram" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings
+         |  WHERE ${md5i("CAST(vec_id AS VARCHAR)")} % 4 = 0),
+         |sc AS (SELECT round(${cosSql("a.e", "b.e")}, 6) AS cos
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |SELECT CAST(least(floor((cos + 1.0) * 10.0), 19) AS BIGINT) AS bin,
+         |  count(*) AS n_pairs
+         |FROM sc GROUP BY 1""".stripMargin,
 
     // The e14 Gram rebuilt, expanded to its symmetric form, then the
     // identical 3 max-normalized integer power rounds unrolled.
@@ -4252,6 +4325,39 @@ object SparkEntry {
         |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH s AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    round(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS nation_volume,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'AMERICA'
+        |  GROUP BY 1)
+        |SELECT o_year, nation_volume, total_volume,
+        |  CAST(floor(1000000.0 * nation_volume / total_volume) AS BIGINT) AS share_micro
+        |FROM s""".stripMargin,
+
     "q10_returned_items" ->
       """SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -5230,6 +5336,23 @@ object SparkEntry {
         |SELECT v AS id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
         |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
         |GROUP BY v""".stripMargin,
+
+    // The harmonic oracle's min-hop walk read at max(d) per origin.
+    "x25_eccentricity" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS v FROM und),
+        |walk(v, u, hop) AS (
+        |  SELECT v, v, 0 FROM verts
+        |  UNION
+        |  SELECT w.v, und.dst, w.hop + 1 FROM walk w JOIN und ON w.u = und.src
+        |  WHERE w.hop < 5),
+        |md AS (SELECT v, u, min(hop) AS d FROM walk GROUP BY v, u)
+        |SELECT verts.v AS id,
+        |  CAST(coalesce(max(CASE WHEN md.d > 0 THEN md.d END), 0) AS BIGINT) AS ecc
+        |FROM verts LEFT JOIN md ON md.v = verts.v GROUP BY verts.v""".stripMargin,
 
     // Newman's r over the symmetrized supplier–nation–region graph: the
     // same exact-integer sufficient statistics, one IEEE divide at the end.

@@ -896,48 +896,52 @@ object Traversal {
     * closure — exact but O(pairs); [[hyperBall]] is the sketch form that
     * scales past it. `maxHop` must be ≥ the graph diameter for the full
     * curve (beyond it the counts are simply complete). */
-  def neighborhoodFunction(edges: DataFrame, maxHop: Int): DataFrame = {
-    // Session-lifetime memo (the GraphStore pattern): the sweep is an
-    // O(pairs) all-vertex khop but its RESULT is ≤ maxHop+1 tiny rows, so
-    // derived read-outs (effective diameter, HyperBall calibration) reuse
-    // the collected curve instead of re-running ~seconds of closure work.
-    // Keyed on the canonicalized logical plan of the edge input (structural
-    // equality == semantic plan identity) + maxHop; assumes the underlying
-    // source is immutable for the JVM lifetime, which holds for the
-    // parquet-backed gate inputs and every spec's literal frames.
+  /** The ONE memoized all-vertex min-hop sweep behind every exact
+    * distance read-out (session-lifetime, the GraphStore pattern): the
+    * sweep is an O(pairs) all-vertex [[khop]], but its sufficient
+    * statistic — per-(origin, hop) reached-vertex counts — is at most
+    * V·maxHop tiny rows, so ANF ([[neighborhoodFunction]]), harmonic
+    * centrality, [[eccentricity]], and the effective-diameter gate all
+    * share ONE closure instead of each paying seconds of sweep. Keyed
+    * on the canonicalized logical plan of the edge input (structural
+    * equality == semantic plan identity) + maxHop; assumes the
+    * underlying source is immutable for the JVM lifetime, which holds
+    * for the parquet-backed gate inputs and every spec's literal
+    * frames. Returns (vertices, per-origin hop histogram) — vertex
+    * schema preserved so string-keyed graphs work. */
+  private def hopSweep(edges: DataFrame, maxHop: Int): (DataFrame, DataFrame) = {
     val key = (edges.queryExecution.analyzed.canonicalized, maxHop)
     val spark = edges.sparkSession
-    val cached = anfMemo.computeIfAbsent(key, { _ =>
-      import org.apache.spark.sql.expressions.Window
+    val cached = sweepMemo.computeIfAbsent(key, { _ =>
       val verts = vertices(edges)
-      val perHop = khop(edges, verts, maxHop, dedupStart = false)
+      val hist = khop(edges, verts, maxHop, dedupStart = false)
         .filter(col("origin") =!= col("node"))
-        .groupBy(col("hop").cast("long").as("hop"))
-        .agg(count(lit(1)).as("n_pairs"))
-      val hop0 = verts.agg(count(lit(1)).as("n_pairs"))
-        .select(lit(0L).as("hop"), col("n_pairs"))
-      // The running sum runs over ≤ maxHop+1 rows — the single-partition
-      // window is the point, not an accident.
-      hop0.unionByName(perHop)
-        .withColumn("cum_pairs", sum(col("n_pairs")).over(
-          Window.orderBy(col("hop")).rowsBetween(Window.unboundedPreceding, 0)))
-        .collect().toSeq
+        .groupBy(col("origin"), col("hop").cast("long").as("hop"))
+        .agg(count(lit(1)).as("n"))
+      (verts.schema, verts.collect().toSeq, hist.schema, hist.collect().toSeq)
     })
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(cached.asJava, anfSchema)
+    (spark.createDataFrame(cached._2.asJava, cached._1),
+      spark.createDataFrame(cached._4.asJava, cached._3))
   }
 
-  private val anfMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val sweepMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-    Seq[org.apache.spark.sql.Row]]()
+    (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
 
-  private val anfSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("hop",
-      org.apache.spark.sql.types.LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("n_pairs",
-      org.apache.spark.sql.types.LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("cum_pairs",
-      org.apache.spark.sql.types.LongType, nullable = true)))
+  def neighborhoodFunction(edges: DataFrame, maxHop: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (verts, hist) = hopSweep(edges, maxHop)
+    val perHop = hist.groupBy(col("hop")).agg(sum(col("n")).as("n_pairs"))
+    val hop0 = verts.agg(count(lit(1)).as("n_pairs"))
+      .select(lit(0L).as("hop"), col("n_pairs"))
+    // The running sum runs over ≤ maxHop+1 rows — the single-partition
+    // window is the point, not an accident.
+    hop0.unionByName(perHop)
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(
+        Window.orderBy(col("hop")).rowsBetween(Window.unboundedPreceding, 0)))
+  }
 
   /** Exact harmonic centrality: H(v) = Σ over distances h of
     * floor(n_h(v)·10⁶ / h), where n_h(v) = |{u : d(v, u) = h}| —
@@ -950,32 +954,30 @@ object Traversal {
     * Boldi & Vigna 2013). Vertices reaching nothing score 0. */
   def harmonicCentrality(edges: DataFrame, maxHop: Int): DataFrame = {
     require(maxHop >= 1, s"harmonicCentrality needs maxHop >= 1, got $maxHop")
-    // Same session-lifetime memo as the ANF sweep: the result is V tiny
-    // rows but costs an O(pairs) closure — x21 and x21b (and any
-    // repeated read-out) share one sweep. Keyed on the canonicalized
-    // plan + maxHop; assumes immutable sources, like anfMemo.
-    val key = (edges.queryExecution.analyzed.canonicalized, maxHop)
-    val spark = edges.sparkSession
-    val cached = harmonicMemo.computeIfAbsent(key, { _ =>
-      val verts = vertices(edges)
-      val sums = khop(edges, verts, maxHop, dedupStart = false)
-        .filter(col("origin") =!= col("node"))
-        .groupBy(col("origin"), col("hop")).agg(count(lit(1)).as("n"))
-        .groupBy(col("origin").as("id"))
-        .agg(sum(expr("n * 1000000L div hop")).as("harmonic_micro"))
-      val out = verts.join(sums, Seq("id"), "left")
-        .select(col("id"), coalesce(col("harmonic_micro"), lit(0L)).as("harmonic_micro"))
-      // schema captured alongside the rows: the id type is the CALLER's
-      // (string-keyed graphs work, like scc)
-      (out.schema, out.collect().toSeq)
-    })
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(cached._2.asJava, cached._1)
+    // Derived from the shared [[hopSweep]] memo: x11, x14, x21, x21b's
+    // exact twin, and x25 all pay for ONE O(pairs) closure per edge set.
+    val (verts, hist) = hopSweep(edges, maxHop)
+    val sums = hist
+      .groupBy(col("origin").as("id"))
+      .agg(sum(expr("n * 1000000L div hop")).as("harmonic_micro"))
+    verts.join(sums, Seq("id"), "left")
+      .select(col("id"), coalesce(col("harmonic_micro"), lit(0L)).as("harmonic_micro"))
   }
 
-  private val harmonicMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-    (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
+  /** Vertex eccentricity within `maxHop`: ecc(v) = max over reachable u
+    * of d(v, u) — the per-vertex refinement of the effective-diameter
+    * read-out (a vertex at the graph's periphery has high eccentricity,
+    * the center realizes the radius). Derived for free from the shared
+    * [[hopSweep]] histogram; vertices reaching nothing score 0. Bounded
+    * by `maxHop` by construction — at 100 TB the same read-out falls
+    * out of [[hyperBall]]'s per-vertex ball deltas with O(V) state. */
+  def eccentricity(edges: DataFrame, maxHop: Int): DataFrame = {
+    require(maxHop >= 1, s"eccentricity needs maxHop >= 1, got $maxHop")
+    val (verts, hist) = hopSweep(edges, maxHop)
+    val mx = hist.groupBy(col("origin").as("id")).agg(max(col("hop")).as("ecc"))
+    verts.join(mx, Seq("id"), "left")
+      .select(col("id"), coalesce(col("ecc"), lit(0L)).as("ecc"))
+  }
 
   /** Harmonic centrality from per-vertex HyperBall sketches — the
     * original Boldi & Vigna application: H(v) ≈ Σ_h (|B_v(h)| −

@@ -603,6 +603,33 @@ object Similarity {
       .select(col("i"), col("j"), col("dot"))
   }
 
+  /** Pairwise-cosine histogram over a deterministic md5 sample — the
+    * embedding-space QA read-out (a healthy corpus has a unimodal
+    * similarity mass well below 1; a spike near 1.0 means near-dup
+    * flooding, a mass shifted right means anisotropy worth checking
+    * with [[powerIteration]]). Sampling by md5(id) mod `mod` is a
+    * property of the ids, not of partitioning — the histogram is a pure
+    * function of the corpus, and `mod` is the knob that keeps the
+    * sample-pair count ~constant as the corpus grows (pairs = (n/mod)²/2
+    * — at 100 TB raise mod so the sampled side stays broadcast-sized).
+    * Bins are floor((cos+1)·bins/2) over the 6dp-rounded fused cosine —
+    * the same rounded value the top-k gates hash-match, so the bin
+    * boundary is engine-exact. */
+  def cosineHistogram(vecs: DataFrame, idCol: String, vecCol: String,
+                      mod: Int = 4, bins: Int = 20): DataFrame = {
+    require(mod >= 1, s"cosineHistogram needs mod >= 1, got $mod")
+    require(bins >= 2 && bins % 2 == 0, s"cosineHistogram needs even bins >= 2, got $bins")
+    val s = vecs.filter(md5Long(col(idCol)) % mod === 0)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val l = s.select(col("__id").as("id_a"), col("__v").as("va"))
+    val r = s.select(col("__id").as("id_b"), col("__v").as("vb"))
+    l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .select(round(cosineBy(native = true)(col("va"), col("vb")), 6).as("cos"))
+      .select(least(floor((col("cos") + lit(1.0d)) * lit(bins / 2.0)),
+        lit((bins - 1).toLong)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Fixed-iteration power method over a [[gramMatrix]] triangle: the
     * dominant principal direction of the embedding corpus in exact
     * integer micro-units — the spectral probe behind PCA whitening and

@@ -1668,6 +1668,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(4L)._2 >= out(1L)._1 - 1)
   }
 
+  test("cosineHistogram: orthogonal/identical/opposite pairs land in exact bins") {
+    // mod = 1: all 4 vectors sampled -> 6 pairs. e1=(1,0) twice, e2=(0,1),
+    // -e1: cos(e1,e1)=1 -> bin clamps to 19; cos(e1,e2)=0 -> bin 10 (x2);
+    // cos(e1,-e1)=-1 -> bin 0 (x2); cos(e2,-e1)=0 -> bin 10.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineHistogram(vecs, "vec_id", "embedding", mod = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(19L -> 1L, 10L -> 3L, 0L -> 2L), s"got $out")
+  }
+
   test("powerIteration: exact milli iterates on hand-computed 2x2 grams") {
     // G = [[4,0],[0,1]]: v stays (1000, x) with x: 1000 -> 250 -> 62 -> 15.
     val gDiag = Seq((0, 0, 4L), (0, 1, 0L), (1, 1, 1L)).toDF("i", "j", "dot")

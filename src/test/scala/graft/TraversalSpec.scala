@@ -711,6 +711,19 @@ class TraversalSpec extends AnyFunSuite {
     assert(cyc._5.isEmpty && cyc._1 == 8L)
   }
 
+  test("eccentricity: path graph peripheries and center, isolated-free") {
+    // path 1-2-3-4-5 symmetrized: ecc(1)=ecc(5)=4, ecc(2)=ecc(4)=3, ecc(3)=2
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val und = edgesDF(es ++ es.map(_.swap))
+    val out = Traversal.eccentricity(und, maxHop = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 4L, 2L -> 3L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // shares the sweep memo with the other read-outs: derived curves agree
+    val anf = Traversal.neighborhoodFunction(und, 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(anf(1L) == 8L && anf(4L) == 2L) // 8 dist-1 pairs, 2 dist-4 pairs
+  }
+
   test("localClustering: triangle corners exact, pendant excluded") {
     // triangle 1-2-3 plus pendant edge 3-4: T(1)=T(2)=T(3)=1;
     // deg 1,2 = 2 -> lcc 1e6; deg 3 = 3 -> 2e6/6 = 333333; deg(4)=1 excluded.
