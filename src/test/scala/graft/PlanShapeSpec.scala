@@ -179,4 +179,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(nested.isEmpty,
       s"interval join planned a nested loop:\n${df.queryExecution.executedPlan}")
   }
+
+  test("cdcChunkDedup: text never crosses an exchange — only (id, hash) rows move") {
+    val nodes = finalNodes(Dedup.cdcChunkDedup(corpus, "doc_id", "text"))
+    val cols = shuffledColumns(nodes)
+    assert(cols.nonEmpty, "collector found no shuffles — traversal broken?")
+    assert(!cols.contains("text") && !cols.contains("chunk"),
+      s"text/chunk crossed an exchange; shuffled columns: $cols")
+  }
+
+  test("collocations: bigrams build in-row — no text or token array in any exchange") {
+    val nodes = finalNodes(graft.operators.TextAnalysis.collocations(
+      corpus, "text", minCount = 1, k = 10))
+    val cols = shuffledColumns(nodes)
+    assert(!cols.contains("text") && !cols.contains("w"),
+      s"text/token-array crossed an exchange; shuffled columns: $cols")
+  }
+
+  test("readability: single projection, zero shuffles") {
+    val nodes = finalNodes(graft.operators.TextAnalysis.readability(
+      corpus, "doc_id", "text"))
+    val shuffles = nodes.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"readability is a pure per-row projection but planned ${shuffles.size} exchanges")
+  }
 }
