@@ -2942,6 +2942,199 @@ object SparkEntry {
       operators.Dedup.cdcChunkDedup(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Exact closeness centrality (Wasserman–Faust) — the fourth read-out
+    // of the ONE memoized distance sweep (x11/x14/x21/x25's): integer
+    // reach/dist-sum statistics, one floored micro division.
+    "x26_closeness" -> ((s, dir) => {
+      graph.Traversal.closenessCentrality(snrUndirected(s, dir), maxHop = 5)
+    }),
+
+    // Newman modularity of the x18 label-prop partition, exact in
+    // integers (one numerator, one denominator, one floored division) —
+    // the "was that community structure real?" score next to x18.
+    "x27_modularity" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(
+        (lit(3L * B) + col("c_custkey")).as("src"),
+        (lit(2L * B) + col("c_nationkey")).as("dst"))
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"),
+        (lit(1L * B) + col("n_regionkey")).as("dst"))
+      val edges = cn.unionByName(nr)
+      graph.Traversal.modularity(edges,
+        graph.Traversal.labelPropagation(edges, rounds = 4))
+    }),
+
+    // Column-profile report over lineitem's numeric measures (the
+    // dataset-card statistic block next to dq1's expectations): per
+    // column, rows / nulls / distincts / min / max / sum — all in exact
+    // cents. One scan, four map-side-combinable aggregates unioned.
+    "dq3_profile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def prof(name: String): DataFrame = {
+        val cents = floor(col(name) * 100 + 0.5).cast("long")
+        li.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col(name).isNull.cast("long")).as("n_null"),
+          countDistinct(cents).as("n_distinct"),
+          min(cents).as("min_cents"),
+          max(cents).as("max_cents"),
+          sum(cents).as("sum_cents"))
+          .select(lit(name).as("column"), col("*"))
+      }
+      prof("l_quantity").unionByName(prof("l_extendedprice"))
+        .unionByName(prof("l_discount")).unionByName(prof("l_tax"))
+    }),
+
+    // Q2-style min-price supplier: for each small part, the EUROPE
+    // suppliers quoting the regional minimum lineitem price — the
+    // correlated-min pattern. No arithmetic touches the doubles (min +
+    // equality on stored values), so the gate is bit-exact by reading.
+    "q2_min_price_supplier" -> ((s, dir) => {
+      val offers = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("l_partkey"), col("s_name"), col("l_extendedprice"))
+      val minp = offers.groupBy(col("l_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      offers.join(minp, Seq("l_partkey"))
+        .filter(col("l_extendedprice") === col("min_price"))
+        .join(t(s, dir, "part").filter(col("p_size") < 10),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey").as("partkey"), col("p_name").as("part_name"),
+          col("s_name").as("supplier_name"), col("min_price"))
+        .distinct()
+    }),
+
+    // Q9-style product-type profit (no supplycost column, so cost =
+    // half retail per unit): profit by supplier nation × order year over
+    // the widget product line.
+    "q9_product_profit" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_name").contains("widget")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - lit(0.5) * col("p_retailprice") * col("l_quantity")), 2).as("profit"))
+    }),
+
+    // Q11-style important stock: parts whose NATION_1-supplied revenue
+    // mass exceeds 0.1% of the nation's total — the scalar-subquery
+    // threshold rides the same plan as a broadcast 1-row aggregate, both
+    // sides pinned to 2dp before the comparison.
+    "q11_important_stock" -> ((s, dir) => {
+      val natLines = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_1")
+        .select(col("l_partkey"), col("l_extendedprice"))
+      val perPart = natLines.groupBy(col("l_partkey").as("partkey"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("part_value"))
+      val thr = natLines
+        .agg(round(sum(col("l_extendedprice")) * 0.001, 2).as("threshold"))
+      perPart.crossJoin(broadcast(thr))
+        .filter(col("part_value") > col("threshold"))
+        .select(col("partkey"), col("part_value"))
+    }),
+
+    // Q13-style customer distribution: how many customers placed k
+    // non-urgent orders (k = 0 included via the left join) — the
+    // two-level aggregate over a left outer join.
+    "q13_customer_distribution" -> ((s, dir) => {
+      val nonUrgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      t(s, dir, "customer")
+        .join(nonUrgent, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Q15-style top supplier: revenue by supplier over one quarter, keep
+    // the max-revenue supplier(s) — the max pinned to the same 2dp-
+    // rounded value both sides of the equality (the q22 broadcast-
+    // aggregate pattern, no driver round-trip).
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-07-01") &&
+          col("l_shipdate") < lit("1997-10-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_suppkey").as("suppkey"), col("s_name").as("name"),
+          col("total_revenue"))
+    }),
+
+    // Q16-style parts/supplier relationship census: distinct suppliers
+    // per (brand, type, size) from the lineitem-evidenced part↔supplier
+    // pairs, excluding one brand and negative-balance ("complaint")
+    // suppliers. All keys and counts integer/string — engine-exact.
+    "q16_parts_supplier" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(t(s, dir, "supplier").filter(col("s_acctbal") >= 0),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(t(s, dir, "part").filter(col("p_brand") =!= "Brand#1"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"), col("p_type").as("ptype"),
+          col("p_size").cast("long").as("psize"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // Q20-style potential promo: suppliers who moved > 500 units of
+    // 'small …' parts in 1997 (integral-quantity sums are exact in
+    // doubles), named with their nation — the nested-IN chain.
+    "q20_potential_promo" -> ((s, dir) => {
+      val movers = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(t(s, dir, "part").filter(col("p_name").startsWith("small")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 500)
+      t(s, dir, "supplier")
+        .join(movers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name").as("name"), col("n_name").as("nation"))
+    }),
+
+    // Q21-style suppliers who kept orders waiting (late = shipped > 90
+    // days after the order date, the q12 convention): the supplier's
+    // line was late on a finished multi-supplier order where NO other
+    // supplier was late — one semi-join, one anti-join, both on the
+    // order key. Top 20 by blocked-order count.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val lo = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          (datediff(col("l_shipdate"), col("o_orderdate")) > 90).as("late"))
+      val base = lo.filter(col("late")).select(col("ok"), col("sk")).distinct()
+      val others = lo.select(col("ok").as("ok2"), col("sk").as("osk")).distinct()
+      val lateOthers = lo.filter(col("late"))
+        .select(col("ok").as("ok3"), col("sk").as("lsk")).distinct()
+      base
+        .join(others, col("ok") === col("ok2") && col("osk") =!= col("sk"),
+          "left_semi")
+        .join(lateOthers, col("ok") === col("ok3") && col("lsk") =!= col("sk"),
+          "left_anti")
+        .join(t(s, dir, "supplier"), col("sk") === col("s_suppkey"))
+        .groupBy(col("s_name").as("name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("name"))
+        .limit(20)
+    }),
+
     // Symmetric int8 embedding quantization (q vector + 6dp scale).
     // The gate projects the int8 vector to a CSV string: the driver's
     // comparator canonicalizes by lexsorting column values, which crashes
@@ -3151,28 +3344,29 @@ object SparkEntry {
 
     // 4 synchronous LPA rounds unrolled: per round the min-mode
     // neighbor label via a count window, isolated fallback to self.
-    "x18_label_prop" -> {
-      def round(n: Int) =
-        s"""r$n AS (SELECT id, label FROM (
-           |  SELECT u.src AS id, l.label, count(*) AS n,
-           |    row_number() OVER (PARTITION BY u.src ORDER BY count(*) DESC, l.label) AS r
-           |  FROM u JOIN l${n - 1} l ON l.id = u.dst GROUP BY u.src, l.label) WHERE r = 1),
-           |l$n AS (SELECT v.id, coalesce(r$n.label, v.id) AS label FROM v LEFT JOIN r$n USING (id))"""
-          .stripMargin
-      s"""WITH e0 AS (
-         |  SELECT DISTINCT 3*72057594037927936 + c_custkey AS src,
-         |    2*72057594037927936 + c_nationkey AS dst FROM customer
-         |  UNION SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
-         |u AS (SELECT src, dst FROM e0 WHERE src <> dst
-         |  UNION SELECT dst, src FROM e0 WHERE src <> dst),
-         |v AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
-         |l0 AS (SELECT id, id AS label FROM v),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)},
-         |${round(4)}
-         |SELECT id, label FROM l4""".stripMargin
-    },
+    "x18_label_prop" -> s"""$labelPropCtes
+      |SELECT id, label FROM l4""".stripMargin,
+
+    // Modularity of the same partition: the label-prop chain replayed,
+    // then the pure-integer sufficient statistics and one explicit
+    // truncate-toward-zero micro division (matching Spark's `div`).
+    "x27_modularity" ->
+      s"""$labelPropCtes,
+         |e2 AS (SELECT u.src, u.dst, ls.label AS sl, ld.label AS dl
+         |  FROM u JOIN l4 ls ON ls.id = u.src JOIN l4 ld ON ld.id = u.dst),
+         |perc AS (SELECT sl, count(*) AS deg_c,
+         |  sum(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS intra_c FROM e2 GROUP BY sl),
+         |tot AS (SELECT count(*) AS n_communities, sum(deg_c) AS m2,
+         |  sum(intra_c) AS intra_total, sum(deg_c * deg_c) AS deg_sq FROM perc)
+         |SELECT CAST(n_communities AS BIGINT) AS n_communities,
+         |  CAST(m2 AS BIGINT) AS m2,
+         |  CAST(intra_total * m2 - deg_sq AS BIGINT) AS q_num,
+         |  CAST(m2 * m2 AS BIGINT) AS q_den,
+         |  CAST(CASE WHEN intra_total * m2 - deg_sq >= 0
+         |    THEN (intra_total * m2 - deg_sq) * 1000000 // (m2 * m2)
+         |    ELSE -((deg_sq - intra_total * m2) * 1000000 // (m2 * m2)) END
+         |    AS BIGINT) AS q_micro
+         |FROM tot""".stripMargin,
 
     // Replays every walk step: same dst-ascending edge ranks, same md5
     // draws, same sink termination.
@@ -6062,6 +6256,132 @@ object SparkEntry {
         |)
         |SELECT id, min(depth) AS depth FROM reach GROUP BY id""".stripMargin,
 
+    "x26_closeness" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS v FROM und),
+        |walk(v, u, hop) AS (
+        |  SELECT v, v, 0 FROM verts
+        |  UNION
+        |  SELECT w.v, und.dst, w.hop + 1 FROM walk w JOIN und ON w.u = und.src
+        |  WHERE w.hop < 5),
+        |md AS (SELECT v, u, min(hop) AS d FROM walk GROUP BY v, u),
+        |agg AS (SELECT v, count(*) AS reach, sum(d) AS dist_sum FROM md WHERE d > 0 GROUP BY v),
+        |n1 AS (SELECT count(*) - 1 AS nm1 FROM verts)
+        |SELECT verts.v AS id,
+        |  CAST(coalesce(agg.reach, 0) AS BIGINT) AS reach,
+        |  CAST(coalesce(agg.dist_sum, 0) AS BIGINT) AS dist_sum,
+        |  CAST(CASE WHEN coalesce(agg.dist_sum, 0) > 0 AND n1.nm1 > 0
+        |    THEN agg.reach * agg.reach * 1000000 // (agg.dist_sum * n1.nm1)
+        |    ELSE 0 END AS BIGINT) AS closeness_micro
+        |FROM verts LEFT JOIN agg ON agg.v = verts.v CROSS JOIN n1""".stripMargin,
+
+    "dq3_profile" -> {
+      def prof(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT CAST(floor($c * 100 + 0.5) AS BIGINT)) AS BIGINT) AS n_distinct,
+           |  CAST(min(CAST(floor($c * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+           |  CAST(max(CAST(floor($c * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents,
+           |  CAST(sum(CAST(floor($c * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+           |FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(prof).mkString("\nUNION ALL\n")
+    },
+
+    "q2_min_price_supplier" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, s_name, l_extendedprice
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |minp AS (SELECT l_partkey, min(l_extendedprice) AS min_price
+        |  FROM offers GROUP BY 1)
+        |SELECT DISTINCT o.l_partkey AS partkey, p_name AS part_name,
+        |  o.s_name AS supplier_name, m.min_price
+        |FROM offers o
+        |JOIN minp m ON o.l_partkey = m.l_partkey AND o.l_extendedprice = m.min_price
+        |JOIN part ON o.l_partkey = p_partkey
+        |WHERE p_size < 10""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |    - 0.5 * p_retailprice * l_quantity), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH nl AS (
+        |  SELECT l_partkey, l_extendedprice
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_1'),
+        |pp AS (SELECT l_partkey AS partkey, round(sum(l_extendedprice), 2) AS part_value
+        |  FROM nl GROUP BY 1),
+        |thr AS (SELECT round(sum(l_extendedprice) * 0.001, 2) AS threshold FROM nl)
+        |SELECT partkey, part_value FROM pp, thr WHERE part_value > threshold""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1997-07-01' AND l_shipdate < '1997-10-01'
+        |  GROUP BY 1)
+        |SELECT l_suppkey AS suppkey, s_name AS name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+
+    "q16_parts_supplier" ->
+      """SELECT p_brand AS brand, p_type AS ptype, CAST(p_size AS BIGINT) AS psize,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q20_potential_promo" ->
+      """SELECT s_name AS name, n_name AS nation
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |  GROUP BY l_suppkey HAVING sum(l_quantity) > 500)""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90 AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |base AS (SELECT DISTINCT ok, sk FROM lo WHERE late)
+        |SELECT s_name AS name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM base b JOIN supplier ON b.sk = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lo o WHERE o.ok = b.ok AND o.sk <> b.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM lo o WHERE o.ok = b.ok AND o.sk <> b.sk AND o.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, name LIMIT 20""".stripMargin,
+
     "e5_quantize_int8" ->
       """WITH m AS (SELECT vec_id, embedding,
         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
@@ -6162,6 +6482,32 @@ object SparkEntry {
     * [[graft.graph.Traversal.harmonicCentrality]]'s formula exactly).
     * `extraCols` appends the constant verdict for the self-evaluating
     * x21b form. */
+  /** The x18 label-propagation CTE chain (4 synchronous rounds over the
+    * symmetrized customer–nation–region graph), ending at `l4` (id,
+    * label) with `u` (symmetrized edges) and `v` (vertices) still in
+    * scope — shared by the x18 and x27 oracles. */
+  private def labelPropCtes: String = {
+    def round(n: Int) =
+      s"""r$n AS (SELECT id, label FROM (
+         |  SELECT u.src AS id, l.label, count(*) AS n,
+         |    row_number() OVER (PARTITION BY u.src ORDER BY count(*) DESC, l.label) AS r
+         |  FROM u JOIN l${n - 1} l ON l.id = u.dst GROUP BY u.src, l.label) WHERE r = 1),
+         |l$n AS (SELECT v.id, coalesce(r$n.label, v.id) AS label FROM v LEFT JOIN r$n USING (id))"""
+        .stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 3*72057594037927936 + c_custkey AS src,
+       |    2*72057594037927936 + c_nationkey AS dst FROM customer
+       |  UNION SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+       |u AS (SELECT src, dst FROM e0 WHERE src <> dst
+       |  UNION SELECT dst, src FROM e0 WHERE src <> dst),
+       |v AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+       |l0 AS (SELECT id, id AS label FROM v),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |${round(4)}""".stripMargin
+  }
+
   private def harmonicSql(extraCols: String): String =
     s"""WITH RECURSIVE e AS (
        |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier

@@ -979,6 +979,81 @@ object Traversal {
       .select(col("id"), coalesce(col("ecc"), lit(0L)).as("ecc"))
   }
 
+  /** Exact closeness centrality (Wasserman–Faust disconnected form),
+    * kept fully rational: per vertex v with r(v) = #reached (excluding
+    * self, within `maxHop`) and S(v) = Σ d(v, u),
+    * closeness_micro = ⌊r(v)² · 10⁶ / (S(v) · (|V| − 1))⌋ — the
+    * reachable-fraction-weighted reciprocal mean distance, so vertices
+    * in small islands don't outrank the giant component's center the
+    * way raw 1/S̄ would. Integer numerator/denominator then ONE floored
+    * division: order-free and engine-exact. Derived free from the same
+    * memoized [[hopSweep]] the x11/x14/x21/x25 family shares; isolated
+    * vertices score 0. The 100 TB path reads the identical statistic
+    * (reach + distance sum) from [[hyperBallCentrality]]'s per-hop ball
+    * deltas with O(V) state. */
+  def closenessCentrality(edges: DataFrame, maxHop: Int): DataFrame = {
+    require(maxHop >= 1, s"closenessCentrality needs maxHop >= 1, got $maxHop")
+    val (verts, hist) = hopSweep(edges, maxHop)
+    val nMinus1 = verts.count() - 1
+    val sums = hist.groupBy(col("origin").as("id"))
+      .agg(sum(col("n")).as("reach"), sum(col("n") * col("hop")).as("dist_sum"))
+    verts.join(sums, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("reach"), lit(0L)).as("reach"),
+        coalesce(col("dist_sum"), lit(0L)).as("dist_sum"))
+      .withColumn("closeness_micro",
+        when(col("dist_sum") > 0 && lit(nMinus1) > 0,
+          expr(s"reach * reach * 1000000L div (dist_sum * ${nMinus1}L)"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Newman modularity of a vertex partition, exact in integers. For the
+    * symmetrized simple graph (ordered edge count m2 = 2m, per-community
+    * internal ordered-edge count intra_c and degree mass deg_c):
+    * Q = Σ_c [ intra_c/m2 − (deg_c/m2)² ] =
+    * (Σ_c intra_c·m2 − deg_c²) / m2² — one integer numerator, one
+    * integer denominator, one floored micro division, so the score is
+    * order-free and engine-exact (a float Q would drag summation order
+    * across engines). `labels` is (id, label) — e.g.
+    * [[labelPropagation]]'s output; vertices absent from `labels` are
+    * their own singleton community (matching labelPropagation's
+    * self-label fallback). Returns ONE row:
+    * (n_communities, m2, q_num, q_den, q_micro).
+    *
+    * Plan: symmetrize+distinct once, two label joins (broadcast when the
+    * label table is small, shuffle-hash otherwise — Catalyst's call),
+    * then two tiny aggregates; nothing here is O(pairs). Skew note: a
+    * giant community concentrates its intra count via map-side combine
+    * on (label), not via a hot join key — safe at 100×. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val lab = vertices(edges).join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    val e2 = und
+      .join(lab.select(col("id").as("src"), col("label").as("src_label")), Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
+    // per-community sufficient statistics: intra (ordered) and degree mass
+    val perC = e2.groupBy(col("src_label").as("label"))
+      .agg(count(lit(1)).as("deg_c"),
+        sum(when(col("src_label") === col("dst_label"), 1L).otherwise(0L)).as("intra_c"))
+    perC.agg(
+        count(lit(1)).as("n_communities"),
+        sum(col("deg_c")).as("m2"),
+        sum(col("intra_c")).as("intra_total"),
+        sum(col("deg_c") * col("deg_c")).as("deg_sq"))
+      .select(col("n_communities"), col("m2"),
+        (col("intra_total") * col("m2") - col("deg_sq")).as("q_num"),
+        (col("m2") * col("m2")).as("q_den"))
+      // Q may be legitimately negative (anti-community partitions);
+      // spell truncation-toward-zero explicitly so Spark's `div` and the
+      // oracle's `//` cannot disagree on negative numerators.
+      .withColumn("q_micro",
+        when(col("q_num") >= 0, expr("q_num * 1000000L div q_den"))
+          .otherwise(-expr("(-q_num) * 1000000L div q_den")))
+  }
+
   /** Harmonic centrality from per-vertex HyperBall sketches — the
     * original Boldi & Vigna application: H(v) ≈ Σ_h (|B_v(h)| −
     * |B_v(h−1)|)·10⁶ div h, ball sizes estimated by per-vertex HLL

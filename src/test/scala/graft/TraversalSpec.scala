@@ -724,6 +724,41 @@ class TraversalSpec extends AnyFunSuite {
     assert(anf(1L) == 8L && anf(4L) == 2L) // 8 dist-1 pairs, 2 dist-4 pairs
   }
 
+  test("closenessCentrality: path graph exact rationals, memo-shared") {
+    // path 1-2-3-4-5 symmetrized, |V|-1 = 4:
+    // v1: reach 4, S = 1+2+3+4 = 10 -> 16e6/(10*4) = 400000
+    // v2: S = 1+1+2+3 = 7 -> 16e6/28 = 571428 (floored)
+    // v3: S = 6 -> 16e6/24 = 666666 (floored)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val out = Traversal.closenessCentrality(edgesDF(es ++ es.map(_.swap)), maxHop = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 10L, 400000L)))
+    assert(out(2L) == ((4L, 7L, 571428L)))
+    assert(out(3L) == ((4L, 6L, 666666L)))
+    assert(out(5L) == out(1L) && out(4L) == out(2L))
+  }
+
+  test("modularity: perfect two-clique split = 1/2; cross-cut split negative") {
+    // two disjoint triangles, communities = the triangles: Q = 1/2.
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val good = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (12L, 10L))
+      .toDF("id", "label")
+    val q = Traversal.modularity(edgesDF(tri), good)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(q == ((2L, 12L, 72L, 144L, 500000L)), s"got $q")
+    // one edge, each endpoint its own community: Q = -1/2, and the
+    // explicit truncate-toward-zero spelling must emit exactly -500000.
+    val bad = Seq((1L, 1L), (2L, 2L)).toDF("id", "label")
+    val qn = Traversal.modularity(edgesDF(Seq((1L, 2L))), bad)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(qn == ((2L, 2L, -2L, 4L, -500000L)), s"got $qn")
+    // vertices missing from the label table fall back to self-labels
+    val part = Traversal.modularity(edgesDF(tri), good.filter($"id" < 10))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(part._1 == 4L && part._2 == 12L) // {1,2,3} + 3 singletons
+  }
+
   test("localClustering: triangle corners exact, pendant excluded") {
     // triangle 1-2-3 plus pendant edge 3-4: T(1)=T(2)=T(3)=1;
     // deg 1,2 = 2 -> lcc 1e6; deg 3 = 3 -> 2e6/6 = 333333; deg(4)=1 excluded.
