@@ -33,7 +33,11 @@ object Bench {
     "e17_ivf_index_persist",
     // the third production tokenizer (unigram-LM Viterbi) and the
     // integer betweenness
-    "t_unigram_segment", "x22_stress")
+    "t_unigram_segment", "x22_stress",
+    // round 11 final additions: the fourth sweep read-out, the partition
+    // quality score, one of the late TPC-H shapes, and the eval pair
+    "x26_closeness", "x27_modularity", "q21_waiting_suppliers",
+    "dq3_profile", "ev1_roc_auc", "t_textrank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

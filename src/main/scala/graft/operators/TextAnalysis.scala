@@ -1034,4 +1034,90 @@ object TextAnalysis {
           - floor(lit(1015000d) * col("n_words") / col("n_sents")).cast("long")
           - floor(lit(84600000d) * col("n_syllables") / col("n_words")).cast("long"))
   }
+
+  /** χ² term–class association (the classic feature-selection statistic):
+    * for each observed (term, class) pair over DOCUMENT frequencies —
+    * a = class docs containing the term, b = other-class docs containing
+    * it, c = class docs without it, d = the rest —
+    * χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)), emitted in micro units
+    * with the [[collocations]] float convention (counts stay exact
+    * int64; the statistic's products pass 2⁶³ at corpus scale, so they
+    * run in IEEE doubles whose multiply/divide/floor are
+    * engine-identical). Top `k` per class by (χ² desc, term asc).
+    *
+    * Plan: one explode over per-doc DISTINCT terms (set semantics — a
+    * term repeated in a doc counts once), two map-side-combinable
+    * aggregates (term×class and term), one broadcast class-size table.
+    * The grid is the OBSERVED sparse one (a ≥ 1): absent pairs are
+    * negative associations that surface through the other classes'
+    * rows, and materializing |vocab|×|classes| zeros would be the
+    * scale-killer. */
+  def chi2Terms(docs: DataFrame, idCol: String, textCol: String,
+                classCol: String, minDf: Long = 5, k: Int = 10): DataFrame = {
+    require(k >= 1, s"chi2Terms needs k >= 1, got $k")
+    val dt = docs.select(col(classCol).as("cls"),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+    val a = dt.groupBy(col("term"), col("cls")).agg(count(lit(1)).as("a"))
+    val df = a.groupBy(col("term")).agg(sum(col("a")).as("df"))
+      .filter(col("df") >= minDf)
+    // a term in EVERY doc (or a single-class corpus) zeroes the χ²
+    // denominator — no signal either way; drop rather than divide.
+    val clsN = docs.groupBy(col(classCol).as("cls")).agg(count(lit(1)).as("n_cls"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val grid = a.join(df, Seq("term"))
+      .join(broadcast(clsN), Seq("cls"))
+      .crossJoin(broadcast(total))
+      .filter(col("df") < col("n_docs") && col("n_cls") < col("n_docs"))
+      .withColumn("b", col("df") - col("a"))
+      .withColumn("c", col("n_cls") - col("a"))
+      .withColumn("d", col("n_docs") - col("n_cls") - col("b"))
+    val ad = col("a").cast("double") * col("d").cast("double")
+    val bc = col("b").cast("double") * col("c").cast("double")
+    val den = col("df").cast("double") *
+      (col("n_docs") - col("df")).cast("double") *
+      col("n_cls").cast("double") *
+      (col("n_docs") - col("n_cls")).cast("double")
+    val scored = grid.select(col("cls"), col("term"),
+      col("a"), col("b"), col("c"), col("d"),
+      floor(lit(1000000d) * col("n_docs").cast("double") * (ad - bc) * (ad - bc) / den)
+        .cast("long").as("chi2_micro"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cls"))
+      .orderBy(col("chi2_micro").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
+  /** TextRank keyword extraction: PageRank over the word co-occurrence
+    * graph (adjacent-token pairs, undirected, deduplicated; pairs seen
+    * fewer than `minCount` times are noise-cut before symmetrizing).
+    * Runs [[graft.graph.GraphXBridge.pageRankFixed]]'s integer
+    * fixed-point arithmetic (rank·10⁶, per step
+    * next = 150000 + 17·Σ(contrib div outdeg) div 20) so the ranks are
+    * bit-identical across engines, then keeps the top `k` words by
+    * (rank desc, word asc) — a TakeOrdered, not a global sort.
+    *
+    * Scale: vertices = vocabulary, edges = distinct co-occurring pairs —
+    * both sublinear in corpus size (Heaps' law), so the rank iterations
+    * run on a graph orders of magnitude smaller than the corpus; the
+    * one corpus-sized pass is the bigram count, map-side combined. */
+  def textrankKeywords(docs: DataFrame, textCol: String, iters: Int = 3,
+                       minCount: Long = 2, k: Int = 50): DataFrame = {
+    require(k >= 1, s"textrankKeywords needs k >= 1, got $k")
+    val toks = docs.select(tokens(col(textCol)).as("w"))
+    val pairs = toks
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), greatest(size(col("w")) - 1, lit(0))),
+        slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+        (x, y) => struct(x.as("src"), y.as("dst")))).as("p"))
+      .select(col("p.src"), col("p.dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val und = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    graft.graph.GraphXBridge.pageRankFixed(und, iters)
+      .select(col("id").as("word"), col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("word"))
+      .limit(k)
+  }
 }

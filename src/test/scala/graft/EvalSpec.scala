@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Eval, TextAnalysis}
+
+/** Hand-computed fixtures for the evaluation statistics (ROC-AUC, Cohen's
+  * κ) and the two graph-on-text text operators (χ² terms, TextRank). */
+class EvalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rocAuc: perfect, inverted, and midrank-tied orderings") {
+    // perfect separation: positives all above negatives -> AUC 1
+    val perfect = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("score", "label")
+    val p = Eval.rocAuc(perfect, "score", "label")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(p == ((2L, 2L, 14L, 1000000L)), s"got $p")
+    // inverted -> AUC 0
+    val inverted = Seq((4L, false), (3L, false), (2L, true), (1L, true))
+      .toDF("score", "label")
+    assert(Eval.rocAuc(inverted, "score", "label")
+      .select("auc_micro").as[Long].collect().head == 0L)
+    // all four tied at one score: midrank avg = 2.5 each ->
+    // rank2_sum = 2*(2.5+2.5) = 10, U = (10-6)/2 = 2, AUC = 2/4 = 1/2
+    val tied = Seq((7L, true), (7L, true), (7L, false), (7L, false))
+      .toDF("score", "label")
+    val t = Eval.rocAuc(tied, "score", "label")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(t == ((2L, 2L, 10L, 500000L)), s"got $t")
+    // single-class input: AUC undefined -> 0
+    val mono = Seq((1L, true), (2L, true)).toDF("score", "label")
+    assert(Eval.rocAuc(mono, "score", "label")
+      .select("auc_micro").as[Long].collect().head == 0L)
+  }
+
+  test("cohenKappa: textbook 2x2, worse-than-chance negative, degenerate") {
+    // classic example: n=100, agree=70, marginals rows (50,50) cols (60,40)
+    // chance = 50*60 + 50*40 = 5000; kappa = (7000-5000)/(10000-5000) = 0.4
+    val cells = Seq(("y", "y", 40L), ("y", "n", 10L), ("n", "y", 20L), ("n", "n", 30L))
+      .toDF("a", "b", "n")
+    val k = Eval.cohenKappa(cells, "a", "b", "n")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(k == ((100L, 70L, 5000L, 2000L, 5000L, 400000L)), s"got $k")
+    // total disagreement with symmetric marginals: kappa = -1
+    val anti = Seq(("y", "n", 5L), ("n", "y", 5L)).toDF("a", "b", "n")
+    val ka = Eval.cohenKappa(anti, "a", "b", "n")
+      .select("kappa_micro").as[Long].collect().head
+    assert(ka == -1000000L, s"got $ka")
+    // single class both sides: den = 0 -> 0 sentinel
+    val mono = Seq(("y", "y", 9L)).toDF("a", "b", "n")
+    assert(Eval.cohenKappa(mono, "a", "b", "n")
+      .select("kappa_micro").as[Long].collect().head == 0L)
+  }
+
+  test("chi2Terms: perfectly class-separating term dominates") {
+    // 4 docs, 2 classes; "alpha" only in class x docs, "common" in all
+    // but one of each class (no dependence): chi2(alpha,x) with
+    // a=2 b=0 c=0 d=2, df=2, n_cls=2, N=4: 4*(4-0)^2/(2*2*2*2) = 4 -> 4e6
+    val docs = Seq(
+      (1L, "alpha common", "x"), (2L, "alpha zed", "x"),
+      (3L, "beta common", "y"), (4L, "beta zed", "y"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.chi2Terms(docs, "doc_id", "text", "lang",
+      minDf = 1, k = 10)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out(("x", "alpha")) == ((2L, 0L, 0L, 2L, 4000000L)), s"got $out")
+    assert(out(("y", "beta")) == ((2L, 0L, 0L, 2L, 4000000L)))
+    // balanced term: a=1 b=1 c=1 d=1 -> (1-1)^2 = 0
+    assert(out(("x", "common"))._5 == 0L)
+    assert(out(("x", "zed"))._5 == 0L)
+  }
+
+  test("textrankKeywords: hub word outranks leaves; rank arithmetic exact") {
+    // "hub a", "hub b", "hub c" twice each: hub co-occurs with a,b,c;
+    // a,b,c each only with hub -> hub outdeg 3, leaves outdeg 1.
+    val docs = Seq.fill(2)(Seq("hub alpha", "hub beta", "hub gamma")).flatten
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.textrankKeywords(docs, "text",
+      iters = 3, minCount = 2, k = 10)
+      .as[(String, Long)].collect()
+    assert(out.head._1 == "hub")
+    assert(out.map(_._1).toSet == Set("hub", "alpha", "beta", "gamma"))
+    // leaves are symmetric: identical ranks, lexicographic order
+    val leaves = out.filter(_._1 != "hub")
+    assert(leaves.map(_._2).distinct.length == 1)
+    assert(leaves.map(_._1).toSeq == Seq("alpha", "beta", "gamma"))
+    // exact fixed-point replay: r0 = 1e6 all; hub gets 3 leaf
+    // contributions (1e6 div 1 each), leaves get 1e6 div 3 = 333333.
+    // r1(hub) = 150000 + 17*3000000 div 20 = 2700000
+    // r1(leaf) = 150000 + 17*333333 div 20 = 433333
+    val m = out.toMap
+    // r2(hub) = 150000 + 17*(3*433333) div 20 = 1254999
+    // r2(leaf) = 150000 + 17*(2700000 div 3) div 20 = 915000
+    // r3(hub) = 150000 + 17*(3*915000) div 20 = 2483250
+    // r3(leaf) = 150000 + 17*(1254999 div 3) div 20 = 505583
+    assert(m("hub") == 2483250L, s"got ${m("hub")}")
+    assert(m("alpha") == 505583L, s"got ${m("alpha")}")
+  }
+}
