@@ -93,7 +93,14 @@ object GraphXBridge {
     * frames are reused across iterations from a single cached lineage. */
   def pageRankFixed(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"pageRankFixed needs iters >= 1, got $iters")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // cut e (and only e): every iteration joins e, deg, and verts — with
+    // a corpus-derived edge expression (t_textrank's bigram counts) an
+    // uncut e re-tokenizes the corpus ~3·iters times (measured 2.3 →
+    // 1.7 s at sf0.1; the supplier-graph gates never noticed because
+    // their edge subtree is two dimension scans). deg/verts stay lazy:
+    // each is one cheap step over the checkpoint, and cutting them too
+    // just adds eager-job latency (measured +0.1 s on x4's tiny graph).
+    val e = Traversal.cut(edges.select(col("src"), col("dst")).distinct())
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()

@@ -1029,6 +1029,10 @@ object Traversal {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
+    // lab joins into BOTH edge endpoints but stays lazy: the expensive
+    // label expressions are iterative plans that already end in a cut
+    // (labelPropagation checkpoints its result), so the double read is
+    // two cheap checkpoint scans — an extra cut here only adds a job.
     val lab = vertices(edges).join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
     val e2 = und
