@@ -681,6 +681,19 @@ object SparkEntry {
           grouping_id().as("gid"))
     }),
 
+    // cube completes the grouping-sets family next to r5's rollup: all
+    // four (returnflag, linestatus) grouping combinations in ONE Expand
+    // pass — 4× the pre-agg rows map-side, never a second scan.
+    "r6_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("returnflag"),
+          col("l_linestatus").as("linestatus"),
+          col("l_quantity").cast("long").as("qty"))
+        .cube(col("returnflag"), col("linestatus"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+    }),
+
     // WordPiece greedy longest-match segmentation (BERT inference, the
     // other mainstream subword family next to BPE): corpus-derived
     // vocab (substrings ≥100 weighted occurrences + all single chars —
@@ -746,6 +759,26 @@ object SparkEntry {
         .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
           Seq("doc_id"))
       operators.Eval.rocAuc(scored, "flesch_micro", "is_en")
+    }),
+
+    // Reciprocal rank of BM25 retrieval: four single-term corpus-word
+    // queries, relevance = a "title match" (the term among the doc's
+    // first 5 words — deterministic and independent of the ranker's own
+    // score), first relevant rank in the top-20 → rr_micro. The
+    // ranking-quality eval over the t_bm25 machinery.
+    "ev3_mrr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = Seq("spark", "join", "window", "batch")
+      val ranked = terms.map { term =>
+        operators.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+            query = Seq(term), k = 20)
+          .withColumn("query", lit(term))
+      }.reduce(_ unionByName _)
+      val rel = docs.select(col("doc_id"),
+          explode(array_distinct(slice(
+            operators.TextAnalysis.tokens(col("text")), 1, 5))).as("query"))
+        .filter(col("query").isin(terms.map(x => x: Any): _*))
+      operators.Eval.mrr(ranked, rel, "query", "doc_id", "rank")
     }),
 
     // Cohen's κ between the langid heuristic and the labeled lang column
@@ -2635,7 +2668,7 @@ object SparkEntry {
       val nr = t(s, dir, "nation").select(
         (lit(2L * B) + col("n_nationkey")).as("src"),
         (lit(1L * B) + col("n_regionkey")).as("dst"))
-      graph.Traversal.labelPropagation(cn.unionByName(nr), rounds = 4)
+      graph.Traversal.labelPropagationMemo(cn.unionByName(nr), rounds = 4)
     }),
 
     // Tiled image statistics over REAL decoded BMP pixels: 8×8 blocks,
@@ -3000,7 +3033,7 @@ object SparkEntry {
         (lit(1L * B) + col("n_regionkey")).as("dst"))
       val edges = cn.unionByName(nr)
       graph.Traversal.modularity(edges,
-        graph.Traversal.labelPropagation(edges, rounds = 4))
+        graph.Traversal.labelPropagationMemo(edges, rounds = 4))
     }),
 
     // Column-profile report over lineitem's numeric measures (the
@@ -3646,6 +3679,12 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n,
         |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "r6_cube" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "p2_unpivot" ->
       """SELECT l_orderkey AS orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
@@ -4341,6 +4380,39 @@ object SparkEntry {
         |    THEN (rank2_sum - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg)
         |    ELSE 0 END AS BIGINT) AS auc_micro
         |FROM ag""".stripMargin,
+
+    // The t_bm25 scoring replayed per single-term query (same corpus
+    // stats, same df — the 4-term filter yields each term's own document
+    // frequency), per-term rank window, relevance = term among the doc's
+    // first 5 words. Queries whose term appears in no document drop on
+    // BOTH sides (Spark's ranked-distinct ≡ the dfq membership filter).
+    "ev3_mrr" ->
+      s"""$WORDS_CTE,
+         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |u AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM u
+         |  WHERE term IN ('spark', 'join', 'window', 'batch')
+         |  GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |  CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+         |    * 1000000) AS BIGINT) AS score_micro
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+         |top AS (SELECT * FROM (SELECT term, doc_id,
+         |    row_number() OVER (PARTITION BY term
+         |      ORDER BY score_micro DESC, doc_id) AS rank FROM sc)
+         |  WHERE rank <= 20),
+         |fr AS (SELECT top.term AS query, min(top.rank) AS first_rank
+         |  FROM top JOIN t ON top.doc_id = t.doc_id
+         |    AND list_contains(t.w[1:5], top.term)
+         |  GROUP BY top.term)
+         |SELECT q.term AS query, CAST(coalesce(fr.first_rank, 0) AS BIGINT) AS first_rank,
+         |  CAST(CASE WHEN coalesce(fr.first_rank, 0) > 0
+         |    THEN 1000000 // fr.first_rank ELSE 0 END AS BIGINT) AS rr_micro
+         |FROM dfq q LEFT JOIN fr ON fr.query = q.term""".stripMargin,
 
     // The t_lang_confusion cells reduced to κ's sufficient statistics:
     // marginal row/col masses joined on the class key, one global

@@ -930,6 +930,29 @@ object Traversal {
     (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
 
+  /** Session-memoized [[labelPropagation]] (the [[hopSweep]] pattern):
+    * the fixed-round partition is a pure function of (edge set, rounds),
+    * and two gates read it — x18 emits it, x27 scores its modularity —
+    * so the O(V) label rows are cached per canonicalized edge plan
+    * instead of re-running the 4 join+window rounds per gate. GATE-SCALE
+    * helper: a 100 TB deployment calls [[labelPropagation]] directly and
+    * keeps the result distributed; this one collects V rows to the
+    * driver, which is the memo's own size bound. */
+  def labelPropagationMemo(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val key = (edges.queryExecution.analyzed.canonicalized, rounds)
+    val spark = edges.sparkSession
+    val cached = lpaMemo.computeIfAbsent(key, { _ =>
+      val out = labelPropagation(edges, rounds)
+      (out.schema, out.collect().toSeq)
+    })
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(cached._2.asJava, cached._1)
+  }
+
+  private val lpaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
+
   def neighborhoodFunction(edges: DataFrame, maxHop: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (verts, hist) = hopSweep(edges, maxHop)

@@ -57,6 +57,28 @@ object Eval {
           .otherwise(lit(0L)))
   }
 
+  /** Reciprocal-rank read-out for ranked retrieval (the MRR building
+    * block): `ranked` holds (query, doc, rank) rows — rank 1-based and
+    * deterministic upstream (every ranker in this engine tie-breaks on
+    * id) — and `relevant` holds (query, doc) relevance pairs. Per query
+    * with at least one retrieved row: the FIRST relevant rank (0 when no
+    * relevant doc was retrieved) and rr_micro = ⌊10⁶ / first_rank⌋,
+    * exact. The corpus never enters: both inputs are top-k result
+    * tables, so every join and aggregate is bounded by k·|queries|. The
+    * mean over queries is one more tiny aggregate, left to the caller so
+    * the per-query rows stay inspectable. */
+  def mrr(ranked: DataFrame, relevant: DataFrame, queryCol: String,
+          docCol: String, rankCol: String): DataFrame = {
+    val firsts = ranked.join(relevant, Seq(queryCol, docCol), "left_semi")
+      .groupBy(col(queryCol)).agg(min(col(rankCol)).cast("long").as("first_rank"))
+    ranked.select(col(queryCol)).distinct()
+      .join(firsts, Seq(queryCol), "left")
+      .select(col(queryCol), coalesce(col("first_rank"), lit(0L)).as("first_rank"))
+      .withColumn("rr_micro",
+        when(col("first_rank") > 0, expr("1000000L div first_rank"))
+          .otherwise(lit(0L)))
+  }
+
   /** Cohen's kappa from a confusion-cell table (`aCol` = one rater /
     * ground truth, `bCol` = the other rater / prediction, `nCol` = cell
     * count) — chance-corrected agreement for label-quality audits. With

@@ -53,6 +53,18 @@ class EvalSpec extends AnyFunSuite {
       .select("kappa_micro").as[Long].collect().head == 0L)
   }
 
+  test("mrr: first relevant rank per query; no-relevant queries score 0") {
+    val ranked = Seq(("q1", 10L, 1), ("q1", 11L, 2), ("q1", 12L, 3),
+      ("q2", 10L, 1), ("q2", 13L, 2)).toDF("query", "doc", "rank")
+    val rel = Seq(("q1", 11L), ("q1", 12L), ("q2", 99L)).toDF("query", "doc")
+    val out = Eval.mrr(ranked, rel, "query", "doc", "rank")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("q1") == ((2L, 500000L)), s"got $out") // doc 11 at rank 2
+    assert(out("q2") == ((0L, 0L))) // relevant doc never retrieved
+    assert(out.size == 2)
+  }
+
   test("chi2Terms: perfectly class-separating term dominates") {
     // 4 docs, 2 classes; "alpha" only in class x docs, "common" in all
     // but one of each class (no dependence): chi2(alpha,x) with

@@ -739,6 +739,17 @@ class TraversalSpec extends AnyFunSuite {
     assert(out(5L) == out(1L) && out(4L) == out(2L))
   }
 
+  test("labelPropagationMemo: identical to the direct run, cache-stable") {
+    val es = edgesDF(Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)))
+    val direct = Traversal.labelPropagation(es, rounds = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(Traversal.labelPropagationMemo(es, rounds = 2)
+      .as[(Long, Long)].collect().toSet == direct)
+    // second call serves the memo; identity is the contract
+    assert(Traversal.labelPropagationMemo(es, rounds = 2)
+      .as[(Long, Long)].collect().toSet == direct)
+  }
+
   test("modularity: perfect two-clique split = 1/2; cross-cut split negative") {
     // two disjoint triangles, communities = the triangles: Q = 1/2.
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
