@@ -750,6 +750,13 @@ object SparkEntry {
         iters = 3, minCount = 2, k = 50)
     }),
 
+    // Bigram-LM log-probability per doc (perplexity filtering): add-one
+    // smoothed corpus bigram model, per-bigram ⌊10⁶·ln p⌋ summed exactly
+    // — the t_bm25 ln-parity convention.
+    "t_perplexity" -> ((s, dir) => {
+      operators.TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // Exact ROC-AUC (Mann–Whitney with midrank ties) of the Flesch
     // readability score as an is-English detector — "does this quality
     // signal actually rank the target class higher", fully rational.
@@ -3036,6 +3043,21 @@ object SparkEntry {
         graph.Traversal.labelPropagationMemo(edges, rounds = 4))
     }),
 
+    // Densest-subgraph parallel peel (Bahmani ε=0): the whole round
+    // trace — exact integer peel condition deg·n ≤ m2, floored micro
+    // density per round — over the customer–nation–region graph. The
+    // leaf customers peel away and density concentrates on the
+    // dimension core.
+    "x28_densest" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(
+        (lit(3L * B) + col("c_custkey")).as("src"),
+        (lit(2L * B) + col("c_nationkey")).as("dst"))
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"),
+        (lit(1L * B) + col("n_regionkey")).as("dst"))
+      graph.Traversal.densestSubgraphTrace(cn.unionByName(nr), rounds = 6)
+    }),
+
     // Column-profile report over lineitem's numeric measures (the
     // dataset-card statistic block next to dq1's expectations): per
     // column, rows / nulls / distincts / min / max / sum — all in exact
@@ -3439,6 +3461,58 @@ object SparkEntry {
          |    ELSE -((deg_sq - intra_total * m2) * 1000000 // (m2 * m2)) END
          |    AS BIGINT) AS q_micro
          |FROM tot""".stripMargin,
+
+    // The peel unrolled: per round the exact integer stats, the
+    // deg·n ≤ m2 peel set, and the surviving edge set. Every round CTE
+    // is MATERIALIZED: each e_r is referenced three times by round r+1,
+    // and DuckDB's default CTE inlining would expand the chain into
+    // 3⁶ re-reads of the parquet view (measured: file-handle exhaustion).
+    "x28_densest" -> {
+      val rounds = (1 to 6).map { r =>
+        s"""s$r AS MATERIALIZED (SELECT count(*) AS m2, count(DISTINCT src) AS n FROM e${r - 1}),
+           |p$r AS MATERIALIZED (SELECT src AS v FROM e${r - 1} GROUP BY src
+           |  HAVING count(*) * (SELECT n FROM s$r) <= (SELECT m2 FROM s$r)),
+           |e$r AS MATERIALIZED (SELECT src, dst FROM e${r - 1}
+           |  WHERE src NOT IN (SELECT v FROM p$r)
+           |    AND dst NOT IN (SELECT v FROM p$r))""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 6).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, CAST(n AS BIGINT) AS n_vertices,
+           |  CAST(m2 AS BIGINT) AS m2,
+           |  CAST(m2 * 1000000 // (2 * n) AS BIGINT) AS density_micro
+           |FROM s$r WHERE n > 0""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e00 AS (
+         |  SELECT DISTINCT 3*72057594037927936 + c_custkey AS src,
+         |    2*72057594037927936 + c_nationkey AS dst FROM customer
+         |  UNION SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+         |e0 AS MATERIALIZED (SELECT src, dst FROM e00 WHERE src <> dst
+         |  UNION SELECT dst, src FROM e00 WHERE src <> dst),
+         |$rounds
+         |$rows""".stripMargin
+    },
+
+    // Same bigram table, same add-one smoothing, same one-IEEE-divide
+    // ln argument, same floor — summed per doc; <2-word docs keep a
+    // (0, 0) row on both sides.
+    "t_perplexity" ->
+      s"""$WORDS_CTE,
+         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> [w[i], w[i + 1]])) AS p FROM t WHERE len(w) >= 2),
+         |g AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+         |cc2 AS (SELECT w1, w2, count(*) AS c2 FROM g GROUP BY w1, w2),
+         |cc1 AS (SELECT w1, count(*) AS c1
+         |  FROM (SELECT unnest(w) AS w1 FROM t) GROUP BY w1),
+         |vs AS (SELECT count(*) AS vsz FROM cc1),
+         |sc AS (SELECT g.doc_id,
+         |  CAST(floor(ln(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vsz AS DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS lp
+         |  FROM g JOIN cc2 USING (w1, w2) JOIN cc1 USING (w1) CROSS JOIN vs),
+         |ag AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS logprob_micro
+         |  FROM sc GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(logprob_micro, 0) AS BIGINT) AS logprob_micro
+         |FROM t LEFT JOIN ag ON t.doc_id = ag.doc_id""".stripMargin,
 
     // Replays every walk step: same dst-ascending edge ranks, same md5
     // draws, same sink termination.

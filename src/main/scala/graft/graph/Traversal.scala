@@ -930,6 +930,52 @@ object Traversal {
     (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
 
+  /** Densest-subgraph parallel peeling (Bahmani–Kumar–Vassilvitskii,
+    * ε = 0 form): each round removes EVERY vertex whose degree is at most
+    * the current average (deg_v ≤ 2·|E|/|V|, spelled as the exact integer
+    * compare deg_v·n ≤ m2 over the symmetrized ordered-edge count m2 and
+    * non-isolated vertex count n) — the O(log V)-round MapReduce answer
+    * to Charikar's inherently sequential one-vertex-at-a-time peel.
+    * Returns the round trace (round, n_vertices, m2, density_micro =
+    * ⌊10⁶·m2 / 2n⌋) for rounds with surviving vertices; the densest
+    * round's subgraph is the 2-approximation, and emitting the whole
+    * trace keeps the gate hashable and the peel auditable.
+    *
+    * Plan: per round one map-side-combinable degree aggregate and two
+    * anti-joins against the (small) peel set; per-round vertex/edge
+    * counts are the same driver-side reductions every peeling loop
+    * ([[kCore]]) already pays. V_r is the NON-ISOLATED form (endpoints
+    * of surviving edges) — isolated vertices only dilute density and
+    * their removal is what round r+1 does anyway; the oracle replays the
+    * identical convention. */
+  def densestSubgraphTrace(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"densestSubgraphTrace needs rounds >= 1, got $rounds")
+    val spark = edges.sparkSession
+    var und = cut(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct())
+    val trace = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val m2 = und.count()
+      val n = und.select(col("src")).distinct().count()
+      if (n == 0) done = true
+      else {
+        trace += ((r.toLong, n, m2, m2 * 1000000L / (2L * n)))
+        val peel = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") * n <= m2).select(col("v"))
+        und = cut(und
+          .join(peel.select(col("v").as("src")), Seq("src"), "left_anti")
+          .join(peel.select(col("v").as("dst")), Seq("dst"), "left_anti")
+          .select(col("src"), col("dst")))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    trace.toSeq.toDF("round", "n_vertices", "m2", "density_micro")
+  }
+
   /** Session-memoized [[labelPropagation]] (the [[hopSweep]] pattern):
     * the fixed-round partition is a pure function of (edge set, rounds),
     * and two gates read it — x18 emits it, x27 scores its modularity —

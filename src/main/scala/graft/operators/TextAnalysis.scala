@@ -1087,6 +1087,49 @@ object TextAnalysis {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
   }
 
+  /** Per-document bigram-LM log-probability — the perplexity-filtering
+    * quality signal (docs a corpus-trained LM finds surprising are noise
+    * or novelty; both get flagged before pretraining). Add-one smoothed:
+    * p(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁) + V); each bigram contributes
+    * ⌊10⁶·ln p⌋ (the t_bm25 ln-parity convention: the argument is one
+    * IEEE divide of exact integers, so both engines floor the same
+    * double) and the doc's score is the exact integer sum. Returns
+    * (id, n_bigrams, logprob_micro) for every doc; docs with < 2 words
+    * score (0, 0) rather than vanishing — a percentile cut downstream
+    * needs the row.
+    *
+    * Plan: one corpus-sized bigram explode feeding two map-side-
+    * combinable count tables (bigram, unigram — both vocabulary²-bounded,
+    * sublinear in corpus size), V as a broadcast 1-row aggregate (no
+    * driver round-trip), one join per table, one per-doc aggregate. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__w"))
+    val grams = toks.select(col(idCol),
+        explode(zip_with(
+          slice(col("__w"), lit(1), greatest(size(col("__w")) - 1, lit(0))),
+          slice(col("__w"), lit(2), greatest(size(col("__w")) - 1, lit(0))),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("g"))
+      .select(col(idCol), col("g.w1"), col("g.w2"))
+    val c2 = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uni = toks.select(explode(col("__w")).as("w1"))
+    val c1 = uni.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vsz = c1.agg(count(lit(1)).as("vsz"))
+    val scored = grams
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vsz))
+      .select(col(idCol),
+        floor(log((col("c2") + lit(1L)).cast("double")
+          / (col("c1") + col("vsz")).cast("double")) * lit(1000000d))
+          .cast("long").as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("logprob_micro"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
+  }
+
   /** TextRank keyword extraction: PageRank over the word co-occurrence
     * graph (adjacent-token pairs, undirected, deduplicated; pairs seen
     * fewer than `minCount` times are noise-cut before symmetrizing).

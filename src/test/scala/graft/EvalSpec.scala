@@ -84,6 +84,17 @@ class EvalSpec extends AnyFunSuite {
     assert(out(("x", "zed"))._5 == 0L)
   }
 
+  test("bigramLogProb: hand-computed add-one floors; short docs keep a row") {
+    // corpus: "a b a b" + "a". c2: (a,b)=2, (b,a)=1; c1: a=3, b=2; V=2.
+    // (a,b): floor(1e6·ln(3/5)) = -510826 (×2); (b,a): floor(1e6·ln(2/4))
+    // = -693148. doc 1 sum = -1714800 over 3 bigrams; doc 2 has none.
+    val docs = Seq((1L, "a b a b"), (2L, "a")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((3L, -1714800L)), s"got $out")
+    assert(out(2L) == ((0L, 0L)))
+  }
+
   test("textrankKeywords: hub word outranks leaves; rank arithmetic exact") {
     // "hub a", "hub b", "hub c" twice each: hub co-occurs with a,b,c;
     // a,b,c each only with hub -> hub outdeg 3, leaves outdeg 1.

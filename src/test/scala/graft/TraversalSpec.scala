@@ -739,6 +739,19 @@ class TraversalSpec extends AnyFunSuite {
     assert(out(5L) == out(1L) && out(4L) == out(2L))
   }
 
+  test("densestSubgraphTrace: K4+tail peels in two exact rounds") {
+    // K4 on {1,2,3,4} plus path 4-5-6. Round 1: m2=16, n=6, peel
+    // deg·6 ≤ 16 -> {5 (deg 2), 6 (deg 1)}; density 16e6/12 = 1333333.
+    // Round 2: K4 alone, m2=12, n=4, density 1500000, everyone peels
+    // (3·4 ≤ 12). Round 3: empty -> trace ends.
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val out = Traversal.densestSubgraphTrace(edgesDF(es), rounds = 6)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 6L, 16L, 1333333L), (2L, 4L, 12L, 1500000L)),
+      s"got ${out.toSeq}")
+  }
+
   test("labelPropagationMemo: identical to the direct run, cache-stable") {
     val es = edgesDF(Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)))
     val direct = Traversal.labelPropagation(es, rounds = 2)
