@@ -788,6 +788,43 @@ object SparkEntry {
       operators.Eval.mrr(ranked, rel, "query", "doc_id", "rank")
     }),
 
+    // Precision@20 / recall@20 over the same four BM25 queries and the
+    // same title-match relevance — the set-overlap eval next to ev3's
+    // rank eval, all integer ratios.
+    "ev4_precision_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = Seq("spark", "join", "window", "batch")
+      val ranked = terms.map { term =>
+        operators.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+            query = Seq(term), k = 20)
+          .withColumn("query", lit(term))
+      }.reduce(_ unionByName _)
+      val rel = docs.select(col("doc_id"),
+          explode(array_distinct(slice(
+            operators.TextAnalysis.tokens(col("text")), 1, 5))).as("query"))
+        .filter(col("query").isin(terms.map(x => x: Any): _*))
+      operators.Eval.precisionRecallAtK(ranked, rel, "query", "doc_id", k = 20)
+    }),
+
+    // ORC round trip: documents written as ORC (the other columnar
+    // container Spark ships a vectorized reader for), read back, and
+    // reduced to a per-lang fingerprint (count, char mass, md5 hash-sum).
+    // The oracle computes the same fingerprint straight from the parquet
+    // table, so the ORC write∘read must be an exact identity.
+    "o1_orc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      docs.write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("lang"))
+        // the 60-bit md5 is folded to 12 decimal digits before summing:
+        // Σ of raw 2⁶⁰ hashes overflows int64 within ~500 docs
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("char_mass"),
+          sum(functions.Hashing.md5Long(col("text")) % lit(1000000000000L))
+            .as("text_hash_sum"))
+    }),
+
     // Cohen's κ between the langid heuristic and the labeled lang column
     // — chance-corrected agreement over the t_lang_confusion cells,
     // integer sufficient statistics + one sign-explicit micro division.
@@ -4487,6 +4524,52 @@ object SparkEntry {
          |  CAST(CASE WHEN coalesce(fr.first_rank, 0) > 0
          |    THEN 1000000 // fr.first_rank ELSE 0 END AS BIGINT) AS rr_micro
          |FROM dfq q LEFT JOIN fr ON fr.query = q.term""".stripMargin,
+
+    // ev3's ranking replay, reduced to set overlaps: hits = |rel ∩ top20|
+    // per term, n_rel from the corpus-side title-match table.
+    "ev4_precision_recall" ->
+      s"""$WORDS_CTE,
+         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |u AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM u
+         |  WHERE term IN ('spark', 'join', 'window', 'batch')
+         |  GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id, tf.term,
+         |  CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+         |    * 1000000) AS BIGINT) AS score_micro
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+         |top AS (SELECT * FROM (SELECT term, doc_id,
+         |    row_number() OVER (PARTITION BY term
+         |      ORDER BY score_micro DESC, doc_id) AS rank FROM sc)
+         |  WHERE rank <= 20),
+         |rel AS (SELECT q.term, t.doc_id FROM dfq q
+         |  JOIN t ON list_contains(t.w[1:5], q.term)),
+         |nr AS (SELECT term, count(*) AS n_rel FROM rel GROUP BY term),
+         |ht AS (SELECT top.term, count(*) AS hits
+         |  FROM top JOIN rel ON top.term = rel.term AND top.doc_id = rel.doc_id
+         |  GROUP BY top.term)
+         |SELECT q.term AS query,
+         |  CAST(coalesce(nr.n_rel, 0) AS BIGINT) AS n_rel,
+         |  CAST(coalesce(ht.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(ht.hits, 0) * 1000000 // 20 AS BIGINT) AS p_at_k_micro,
+         |  CAST(CASE WHEN coalesce(nr.n_rel, 0) > 0
+         |    THEN coalesce(ht.hits, 0) * 1000000 // nr.n_rel
+         |    ELSE 0 END AS BIGINT) AS recall_micro
+         |FROM dfq q LEFT JOIN nr ON nr.term = q.term
+         |LEFT JOIN ht ON ht.term = q.term""".stripMargin,
+
+    // The fingerprint recomputed straight from the parquet table — the
+    // ORC write∘read on the Spark side must be an exact identity.
+    "o1_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_mass,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000000)
+        |    AS BIGINT) AS text_hash_sum
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // The t_lang_confusion cells reduced to κ's sufficient statistics:
     // marginal row/col masses joined on the class key, one global

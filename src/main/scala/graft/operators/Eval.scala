@@ -79,6 +79,32 @@ object Eval {
           .otherwise(lit(0L)))
   }
 
+  /** Precision@k / recall@k for ranked retrieval — [[mrr]]'s set-overlap
+    * siblings, fully integral: per query, hits = |relevant ∩ top-k|,
+    * p_at_k_micro = ⌊10⁶·hits/k⌋, recall_micro = ⌊10⁶·hits/n_rel⌋
+    * (0 when the query has no relevant docs at all). `ranked` must
+    * already be cut to the top `k` (this function trusts, it does not
+    * re-rank); both inputs are result-table-sized, the corpus never
+    * enters. Returns (query, n_rel, hits, p_at_k_micro, recall_micro)
+    * for every query with ≥ 1 retrieved row. */
+  def precisionRecallAtK(ranked: DataFrame, relevant: DataFrame,
+                         queryCol: String, docCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"precisionRecallAtK needs k >= 1, got $k")
+    val hits = ranked.join(relevant, Seq(queryCol, docCol), "left_semi")
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("hits"))
+    val nrel = relevant.groupBy(col(queryCol)).agg(count(lit(1)).as("n_rel"))
+    ranked.select(col(queryCol)).distinct()
+      .join(hits, Seq(queryCol), "left")
+      .join(nrel, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("p_at_k_micro", expr(s"hits * 1000000L div ${k}L"))
+      .withColumn("recall_micro",
+        when(col("n_rel") > 0, expr("hits * 1000000L div n_rel"))
+          .otherwise(lit(0L)))
+  }
+
   /** Cohen's kappa from a confusion-cell table (`aCol` = one rater /
     * ground truth, `bCol` = the other rater / prediction, `nCol` = cell
     * count) — chance-corrected agreement for label-quality audits. With

@@ -65,6 +65,19 @@ class EvalSpec extends AnyFunSuite {
     assert(out.size == 2)
   }
 
+  test("precisionRecallAtK: overlap ratios exact; zero-relevant query = 0") {
+    val ranked = Seq(("q1", 10L), ("q1", 11L), ("q2", 10L), ("q2", 13L))
+      .toDF("query", "doc")
+    val rel = Seq(("q1", 11L), ("q1", 12L), ("q1", 14L)).toDF("query", "doc")
+    val out = Eval.precisionRecallAtK(ranked, rel, "query", "doc", k = 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // q1: 1 of its 3 relevant docs in the top-2 -> p 1/2, r 1/3
+    assert(out("q1") == ((3L, 1L, 500000L, 333333L)), s"got $out")
+    // q2: nothing relevant anywhere -> all zero
+    assert(out("q2") == ((0L, 0L, 0L, 0L)))
+  }
+
   test("chi2Terms: perfectly class-separating term dominates") {
     // 4 docs, 2 classes; "alpha" only in class x docs, "common" in all
     // but one of each class (no dependence): chi2(alpha,x) with
