@@ -757,6 +757,12 @@ object SparkEntry {
       operators.TextAnalysis.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Zipf rank–frequency slope over the top vocabulary ranks — the
+    // power-law corpus diagnostic, one integer regression row.
+    "t_zipf_slope" -> ((s, dir) => {
+      operators.TextAnalysis.zipfSlope(t(s, dir, "documents"), "text", r = 1000)
+    }),
+
     // Exact ROC-AUC (Mann–Whitney with midrank ties) of the Flesch
     // readability score as an is-English detector — "does this quality
     // signal actually rank the target class higher", fully rational.
@@ -2204,6 +2210,18 @@ object SparkEntry {
     // trailing 24 observed buckets — z = (x·n − Σx)/√(n·Σx² − (Σx)²),
     // every operand an exact integer window sum, so the IEEE sqrt/divide
     // is engine-identical; floor-micro output, NULL on zero variance.
+    // Integer EWMA (α = 1/4) over per-type hourly counts — the smoother
+    // next to sw10's trailing z-scores; the sequential recursion folds
+    // per key, exact in milli units on both engines.
+    "sw17_ewma" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          window(col("ts"), "1 hour").getField("start").as("ws"))
+        .agg(count(lit(1)).as("cnt"))
+      streaming.EventPipeline.ewmaMilli(hourly, "event_type", "ws", "cnt",
+        alphaDen = 4)
+    }),
+
     "sw10_anomaly" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val hourly = events(s, dir)
@@ -3551,6 +3569,28 @@ object SparkEntry {
          |  CAST(coalesce(logprob_micro, 0) AS BIGINT) AS logprob_micro
          |FROM t LEFT JOIN ag ON t.doc_id = ag.doc_id""".stripMargin,
 
+    // Same (freq desc, word) rank order, same milli-ln floors, same
+    // integer regression, same sign-explicit truncation.
+    "t_zipf_slope" ->
+      s"""$WORDS_CTE,
+         |fq AS (SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest(w) AS word FROM t) GROUP BY word
+         |  ORDER BY freq DESC, word LIMIT 1000),
+         |rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rank FROM fq),
+         |xy AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+         |  CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000.0) AS BIGINT) AS y FROM rk),
+         |ag AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |  sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+         |SELECT CAST(n AS BIGINT) AS n_ranks,
+         |  CAST(n * sxy - sx * sy AS BIGINT) AS sxy_num,
+         |  CAST(n * sxx - sx * sx AS BIGINT) AS sxx_den,
+         |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+         |    WHEN n * sxy - sx * sy >= 0
+         |      THEN (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)
+         |    ELSE -((sx * sy - n * sxy) * 1000 // (n * sxx - sx * sx))
+         |    END AS BIGINT) AS slope_milli
+         |FROM ag""".stripMargin,
+
     // Replays every walk step: same dst-ascending edge ranks, same md5
     // draws, same sink termination.
     "x16_random_walks" -> {
@@ -3935,6 +3975,25 @@ object SparkEntry {
         |  SELECT ws, event_type, cnt,
         |    CAST(row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, event_type) AS BIGINT) AS rank
         |  FROM h) WHERE rank <= 3""".stripMargin,
+
+    // The per-key recursion replayed as a recursive CTE over the hour
+    // index: same milli init, same sign-explicit truncating quarter-step.
+    "sw17_ewma" ->
+      """WITH RECURSIVE h AS (SELECT event_type,
+        |  time_bucket(INTERVAL 1 HOUR, ts) AS ws, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (SELECT event_type, ws, cnt,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY ws) AS i FROM h),
+        |ew(event_type, i, ws, cnt, s) AS (
+        |  SELECT event_type, i, ws, cnt, cnt * 1000 FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.i, idx.ws, idx.cnt,
+        |    CASE WHEN idx.cnt * 1000 >= ew.s
+        |      THEN ew.s + (idx.cnt * 1000 - ew.s) // 4
+        |      ELSE ew.s - (ew.s - idx.cnt * 1000) // 4 END
+        |  FROM ew JOIN idx ON idx.event_type = ew.event_type AND idx.i = ew.i + 1)
+        |SELECT event_type, ws, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(s AS BIGINT) AS ewma_milli FROM ew""".stripMargin,
 
     "sw10_anomaly" ->
       """WITH h AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,

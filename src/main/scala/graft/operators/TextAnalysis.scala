@@ -1130,6 +1130,43 @@ object TextAnalysis {
         coalesce(col("logprob_micro"), lit(0L)).as("logprob_micro"))
   }
 
+  /** Zipf rank–frequency slope: the least-squares fit of ln(freq) on
+    * ln(rank) over the top `r` vocabulary ranks — the corpus power-law
+    * diagnostic (natural text sits near −1; templated/boilerplate
+    * corpora drift shallow). Kept rational end-to-end: x = ⌊10³·ln rank⌋
+    * and y = ⌊10³·ln freq⌋ (milli, not micro — the regression products
+    * n·Σxy and Σx·Σy must stay inside int64, which bounds the unit;
+    * ln-parity per the t_bm25 convention), then
+    * slope_milli = ⌊10³·(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)⌋ with
+    * truncation-toward-zero spelled explicitly (slopes are negative).
+    * Returns ONE row: (n_ranks, sxy_num, sxx_den, slope_milli).
+    *
+    * Plan: one map-side-combinable vocab count, a TakeOrdered top-`r`
+    * (freq desc, word — deterministic through ties), one ≤r-row window
+    * for ranks, one aggregate. The fit window `r` caps every sum, so
+    * corpus size only enters through the word count. */
+  def zipfSlope(docs: DataFrame, textCol: String, r: Int = 1000): DataFrame = {
+    require(r >= 3, s"zipfSlope needs r >= 3, got $r")
+    import org.apache.spark.sql.expressions.Window
+    val freqs = docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(r)
+    val w = Window.orderBy(col("freq").desc, col("word"))
+    val xy = freqs.withColumn("rank", row_number().over(w).cast("long"))
+      .select(
+        floor(log(col("rank").cast("double")) * lit(1000d)).cast("long").as("x"),
+        floor(log(col("freq").cast("double")) * lit(1000d)).cast("long").as("y"))
+    xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_ranks"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("sxy_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("sxx_den"))
+      .withColumn("slope_milli",
+        when(col("sxx_den") === 0, lit(0L))
+          .when(col("sxy_num") >= 0, expr("sxy_num * 1000L div sxx_den"))
+          .otherwise(-expr("(-sxy_num) * 1000L div sxx_den")))
+  }
+
   /** TextRank keyword extraction: PageRank over the word co-occurrence
     * graph (adjacent-token pairs, undirected, deduplicated; pairs seen
     * fewer than `minCount` times are noise-cut before symmetrizing).

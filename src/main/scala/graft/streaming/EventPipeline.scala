@@ -325,6 +325,43 @@ object EventPipeline {
     * replay records, and `dropDuplicatesWithinWatermark` holds each key
     * only until the watermark passes its event time — unlike plain
     * `dropDuplicates`, whose state grows with the whole stream. */
+  /** Exact integer EWMA over a per-key time series (the trailing-window
+    * smoother next to the z-score anomaly read-out): per key, rows
+    * sorted by `tsCol` fold left with s₁ = 10³·x₁ and
+    * sₜ = sₜ₋₁ + ⌊(10³·xₜ − sₜ₋₁)/alphaDen⌋ (truncation toward zero
+    * spelled sign-explicitly, so Spark's `div` and a replica's floor
+    * division agree on down-moves). α = 1/alphaDen. Returns one row per
+    * input point: (key, ts, value, ewma_milli).
+    *
+    * The recursion is inherently sequential per key, so each key's
+    * series rides ONE fold over its collected (ts, value) array — state
+    * bounded by points-per-key (hours, for hourly rollups: days of data
+    * = hundreds of longs), keys in parallel. The previous state is read
+    * from the tail of the accumulating output array — no duplicated
+    * state expression for the HOF to re-evaluate. */
+  def ewmaMilli(points: DataFrame, keyCol: String, tsCol: String,
+                valCol: String, alphaDen: Int = 4): DataFrame = {
+    require(alphaDen >= 2, s"ewmaMilli needs alphaDen >= 2, got $alphaDen")
+    points
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+        col(valCol).cast("long").as("v")))).as("__a"))
+      .select(col(keyCol), explode(expr(
+        s"""aggregate(__a,
+           |  cast(array() as array<struct<ts:timestamp,v:bigint,e:bigint>>),
+           |  (acc, el) -> acc || array(cast(named_struct('ts', el.ts, 'v', el.v,
+           |    'e', CASE WHEN size(acc) = 0 THEN el.v * 1000L
+           |         WHEN el.v * 1000L >= element_at(acc, -1).e
+           |           THEN element_at(acc, -1).e
+           |             + (el.v * 1000L - element_at(acc, -1).e) div ${alphaDen}L
+           |         ELSE element_at(acc, -1).e
+           |             - (element_at(acc, -1).e - el.v * 1000L) div ${alphaDen}L
+           |    END) as struct<ts:timestamp,v:bigint,e:bigint>)))""".stripMargin))
+        .as("__r"))
+      .select(col(keyCol), col("__r.ts").as(tsCol), col("__r.v").as(valCol),
+        col("__r.e").as("ewma_milli"))
+  }
+
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")

@@ -108,6 +108,34 @@ class EvalSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, 0L)))
   }
 
+  test("ewmaMilli: quarter-step fold exact, sign-explicit truncation") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    // k1: 8 -> 4 -> 10: s = 8000, 8000-4000/4 = 7000, 7000+3000/4 = 7750
+    // k2: 5 -> 2: s = 5000, 5000 - trunc(3000/4) = 4250
+    val pts = Seq(("k1", ts(0), 8L), ("k1", ts(1), 4L), ("k1", ts(2), 10L),
+      ("k2", ts(0), 5L), ("k2", ts(1), 2L)).toDF("key", "ws", "cnt")
+    val out = graft.streaming.EventPipeline.ewmaMilli(pts, "key", "ws", "cnt")
+      .as[(String, Timestamp, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(out(("k1", ts(0))) == 8000L)
+    assert(out(("k1", ts(1))) == 7000L)
+    assert(out(("k1", ts(2))) == 7750L)
+    assert(out(("k2", ts(1))) == 4250L, s"got $out")
+  }
+
+  test("zipfSlope: a perfect 1/r corpus fits slope_milli = -1000 exactly") {
+    // freqs 1000/500/333/250 (∝ 1/rank): x = ⌊1000·ln r⌋ = 0,693,1098,1386
+    // y = ⌊1000·ln f⌋ = 6907,6214,5808,5521 → num = -4335282,
+    // den = 4334067, slope = -⌊4335282000/4334067⌋ = -1000.
+    val text = Seq.fill(1000)("a") ++ Seq.fill(500)("b") ++
+      Seq.fill(333)("c") ++ Seq.fill(250)("d")
+    val docs = Seq((1L, text.mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfSlope(docs, "text", r = 1000)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(out == ((4L, -4335282L, 4334067L, -1000L)), s"got $out")
+  }
+
   test("textrankKeywords: hub word outranks leaves; rank arithmetic exact") {
     // "hub a", "hub b", "hub c" twice each: hub co-occurs with a,b,c;
     // a,b,c each only with hub -> hub outdeg 3, leaves outdeg 1.
