@@ -8,7 +8,7 @@ object Bench {
     * training-data operator family. The FULL per-query map is printed on
     * its own line just above (and the consumer's tail buffer is ~2000
     * chars, which the full 70+-entry map overflows — hence the split). */
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "a02_label_filter", "a06_upsert_vertices", "a08_edge_semi_join",
     "a13_khop2_regions", "a14_reach_fixpoint", "a18_bulk_load_merge",
     "b09_invert_map", "b10_dedup_rank", "q1_pricing_summary",
@@ -34,10 +34,10 @@ object Bench {
     // the third production tokenizer (unigram-LM Viterbi) and the
     // integer betweenness
     "t_unigram_segment", "x22_stress",
-    // round 11 final additions: the fourth sweep read-out, the partition
-    // quality score, one of the late TPC-H shapes, and the eval pair
-    "x26_closeness", "x27_modularity", "q21_waiting_suppliers",
-    "dq3_profile", "ev1_roc_auc", "t_textrank")
+    // round 11 final additions (kept to three: the compact JSON line
+    // must stay under the consumer's ~2000-char tail buffer — measured
+    // 1581 chars at 57 entries)
+    "x26_closeness", "q21_waiting_suppliers", "ev1_roc_auc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -9,6 +9,71 @@ class EvalSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  test("property: rocAuc equals the naive pairwise count on 10 seeded sets") {
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextBoolean()))
+      val got = Eval.rocAuc(rows.toDF("score", "label"), "score", "label")
+        .as[(Long, Long, Long, Long)].collect().head
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      // 2U = 2·#(pos>neg) + #ties over all cross pairs
+      val u2 = pos.map(p => neg.map(n =>
+        if (p > n) 2L else if (p == n) 1L else 0L).sum).sum
+      val want =
+        if (pos.isEmpty || neg.isEmpty) 0L
+        else u2 * 1000000L / (2L * pos.size * neg.size)
+      assert(got._4 == want, s"seed=$seed got=$got want=$want")
+    }
+  }
+
+  test("property: ewmaMilli equals the naive per-key fold on 10 seeded series") {
+    import java.sql.Timestamp
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(100 + seed)
+      val pts = for (k <- Seq("a", "b"); i <- 0 until 20) yield
+        (k, Timestamp.valueOf(f"2026-01-01 ${i % 24}%02d:${i / 24}%02d:00"),
+          rnd.nextInt(50).toLong)
+      val got = graft.streaming.EventPipeline
+        .ewmaMilli(pts.toDF("key", "ws", "cnt"), "key", "ws", "cnt")
+        .as[(String, Timestamp, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._4).toMap
+      for ((k, series) <- pts.groupBy(_._1)) {
+        var s = 0L
+        for (((_, ts, v), i) <- series.sortBy(_._2.getTime).zipWithIndex) {
+          s = if (i == 0) v * 1000L
+              else if (v * 1000L >= s) s + (v * 1000L - s) / 4
+              else s - (s - v * 1000L) / 4
+          assert(got((k, ts)) == s, s"seed=$seed key=$k ts=$ts")
+        }
+      }
+    }
+  }
+
+  test("property: zipfSlope equals the naive regression on 10 seeded corpora") {
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(200 + seed)
+      val words = Seq.fill(300)(s"w${rnd.nextInt(20)}")
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val got = TextAnalysis.zipfSlope(docs, "text", r = 8)
+        .as[(Long, Long, Long, Long)].collect().head
+      val top = words.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+        .toSeq.sortBy { case (w, f) => (-f, w) }.take(8)
+      val xy = top.zipWithIndex.map { case ((_, f), i) =>
+        (math.floor(math.log(i + 1d) * 1000).toLong,
+          math.floor(math.log(f.toDouble) * 1000).toLong)
+      }
+      val n = xy.size.toLong
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val sxy = xy.map { case (x, y) => x * y }.sum
+      val sxx = xy.map { case (x, _) => x * x }.sum
+      val (num, den) = (n * sxy - sx * sy, n * sxx - sx * sx)
+      val want = if (den == 0) 0L
+        else if (num >= 0) num * 1000L / den else -((-num) * 1000L / den)
+      assert(got == ((n, num, den, want)), s"seed=$seed got=$got")
+    }
+  }
+
   test("rocAuc: perfect, inverted, and midrank-tied orderings") {
     // perfect separation: positives all above negatives -> AUC 1
     val perfect = Seq((1L, false), (2L, false), (3L, true), (4L, true))

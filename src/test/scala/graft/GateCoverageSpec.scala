@@ -25,6 +25,15 @@ class GateCoverageSpec extends AnyFunSuite {
       s"gate(s) with neither oracle nor allowlist entry: ${unverified.toSeq.sorted.mkString(", ")}")
   }
 
+  test("every Bench headline entry names a real gate (silent drops otherwise)") {
+    val ghosts = Bench.headline.filterNot(SparkEntry.queries.keySet)
+    assert(ghosts.isEmpty, s"headline names missing gates: ${ghosts.mkString(", ")}")
+    // and the compact JSON line must stay inside the consumer's ~2000-char
+    // tail buffer: entries are ~27 chars each plus ~260 chars of envelope
+    assert(Bench.headline.size * 27 + 260 < 2000,
+      s"headline too long for the tail-buffer parser: ${Bench.headline.size} entries")
+  }
+
   test("the allowlist and oracle map only name real gates (no stale entries)") {
     val staleAllow = rowsOnlyAllowlist.keySet -- SparkEntry.queries.keySet
     val staleOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
