@@ -3134,6 +3134,48 @@ object SparkEntry {
         .unionByName(prof("l_discount")).unionByName(prof("l_tax"))
     }),
 
+    // Pearson correlation of quantity (units) vs discount (cents), exact
+    // integer sufficient statistics; the single float op is ONE
+    // correctly-rounded IEEE sqrt (bit-identical cross-engine, unlike a
+    // float Σ), so the floor is engine-exact. Sums stay inside int64 to
+    // ~10⁸ rows at these magnitudes ((Σx)² is the binding product);
+    // larger corpora shift the statistic to per-partition deltas first.
+    "dq5_correlation" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"),
+          floor(col("l_discount") * 100 + 0.5).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("vary_num"))
+        .withColumn("corr_micro",
+          when(col("varx_num") <= 0 || col("vary_num") <= 0, lit(0L))
+            .otherwise(floor(lit(1000000d) * col("cov_num").cast("double")
+              / sqrt(col("varx_num").cast("double") * col("vary_num").cast("double")))
+              .cast("long")))
+    }),
+
+    // Benford first-digit audit over extendedprice cents: observed
+    // frequency vs the log-law expectation per digit — the fraud/synthetic-
+    // data smell test next to dq1's expectations.
+    "dq6_benford" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val digits = t(s, dir, "lineitem")
+        .select(substring(cents.cast("string"), 1, 1).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+      val tot = digits.agg(sum(col("observed")).as("n"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("observed"),
+          expr("observed * 1000000L div n").as("obs_micro"),
+          floor(lit(1000000d)
+            * log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+            / log(lit(10.0))).cast("long").as("benford_micro"))
+    }),
+
     // Q2-style min-price supplier: for each small part, the EUROPE
     // suppliers quoting the regional minimum lineitem price — the
     // correlated-min pattern. No arithmetic touches the doubles (min +
@@ -6747,6 +6789,33 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(prof).mkString("\nUNION ALL\n")
     },
+
+    "dq5_correlation" ->
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y FROM lineitem),
+        |a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM b)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS varx_num,
+        |  CAST(n * syy - sy * sy AS BIGINT) AS vary_num,
+        |  CAST(CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN 0
+        |    ELSE floor(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n * syy - sy * sy AS DOUBLE)))
+        |    END AS BIGINT) AS corr_micro
+        |FROM a""".stripMargin,
+
+    "dq6_benford" ->
+      """WITH d AS (SELECT substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS digit FROM lineitem),
+        |o AS (SELECT digit, count(*) AS observed FROM d GROUP BY digit),
+        |tt AS (SELECT sum(observed) AS n FROM o)
+        |SELECT digit, CAST(observed AS BIGINT) AS observed,
+        |  CAST(observed * 1000000 // n AS BIGINT) AS obs_micro,
+        |  CAST(floor(1000000.0 * ln(1.0 + 1.0 / CAST(digit AS DOUBLE))
+        |    / ln(10.0)) AS BIGINT) AS benford_micro
+        |FROM o CROSS JOIN tt""".stripMargin,
 
     "q2_min_price_supplier" ->
       """WITH offers AS (
