@@ -2823,6 +2823,30 @@ object SparkEntry {
           length(call_function("nfc_normalize", col("raw"))).as("nfc_len"))
     }),
 
+    // Cross-source contamination matrix: exact Jaccard of shingle SETS
+    // between every source pair — "which ingestion feeds overlap". The
+    // per-source set sizes and pairwise intersections come from one
+    // distinct (source, shingle) table; the self-join's per-shingle
+    // fan-out is bounded by #sources², not corpus size.
+    "d_source_overlap" -> ((s, dir) => {
+      val ss = t(s, dir, "documents")
+        .select(col("source"),
+          explode(operators.Dedup.shingles(col("text"))).as("sh"))
+        .distinct()
+      val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      ss.join(ss.select(col("source").as("source_b"), col("sh")), Seq("sh"))
+        .filter(col("source") < col("source_b"))
+        .groupBy(col("source").as("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("source").as("source_a"), col("sz").as("sz_a")),
+          Seq("source_a"))
+        .join(sizes.select(col("source").as("source_b"), col("sz").as("sz_b")),
+          Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("inter"),
+          col("sz_a"), col("sz_b"),
+          expr("inter * 1000000L div (sz_a + sz_b - inter)").as("jaccard_micro"))
+    }),
+
     // Fuzzy entity-key join: Levenshtein ≤ 1 customer-name pairs via
     // deletion-neighborhood blocking (FastSS) — candidates share a
     // deletion variant, exact levenshtein verifies candidates ONLY;
@@ -3157,6 +3181,47 @@ object SparkEntry {
             .otherwise(floor(lit(1000000d) * col("cov_num").cast("double")
               / sqrt(col("varx_num").cast("double") * col("vary_num").cast("double")))
               .cast("long")))
+    }),
+
+    // PSI drift between 1996- and 1997-shipped price distributions over
+    // 10 fixed $10k buckets — dataset-shift detection between snapshots.
+    // Counts exact; the term is one mirrored IEEE expression (two exact
+    // divides and one ln of an exact-integer ratio, t_bm25 convention).
+    "dq7_psi" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .select(year(col("l_shipdate")).as("yr"),
+          expr("least(9L, cast(floor(l_extendedprice * 100 + 0.5) as bigint) div 1000000)")
+            .as("bucket"))
+        .filter(col("yr").isin(1996, 1997))
+      val agg = base.groupBy(col("bucket")).agg(
+        sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("p"),
+        sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("q"))
+      val tots = agg.agg(sum(col("p")).as("np"), sum(col("q")).as("nq"))
+      agg.crossJoin(broadcast(tots))
+        .filter(col("p") > 0 && col("q") > 0)
+        .select(col("bucket"), col("p"), col("q"),
+          floor(lit(1000000d)
+            * (col("p").cast("double") / col("np").cast("double")
+              - col("q").cast("double") / col("nq").cast("double"))
+            * log((col("p") * col("nq")).cast("double")
+              / (col("q") * col("np")).cast("double")))
+            .cast("long").as("psi_term_micro"))
+    }),
+
+    // Frequent co-ordered part pairs (market-basket mining): distinct
+    // (order, part) pairs self-joined within the order key — per-order
+    // fan-out is (basket choose 2), bounded by basket size, the classic
+    // a-priori first pass. Support ≥ 2, top-20 fully tie-broken.
+    "k2_frequent_pairs" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      op.join(op.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .groupBy(col("pk").as("part_a"), col("pk2").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(20)
     }),
 
     // Benford first-digit audit over extendedprice cents: observed
@@ -6805,6 +6870,43 @@ object SparkEntry {
         |           * CAST(n * syy - sy * sy AS DOUBLE)))
         |    END AS BIGINT) AS corr_micro
         |FROM a""".stripMargin,
+
+    "dq7_psi" ->
+      """WITH b AS (SELECT year(CAST(l_shipdate AS DATE)) AS yr,
+        |  least(9, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 1000000) AS bucket
+        |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) IN (1996, 1997)),
+        |a AS (SELECT bucket, sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS p,
+        |  sum(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS q FROM b GROUP BY bucket),
+        |tt AS (SELECT sum(p) AS np, sum(q) AS nq FROM a)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(p AS BIGINT) AS p,
+        |  CAST(q AS BIGINT) AS q,
+        |  CAST(floor(1000000.0
+        |    * (CAST(p AS DOUBLE) / np - CAST(q AS DOUBLE) / nq)
+        |    * ln(CAST(p * nq AS DOUBLE) / CAST(q * np AS DOUBLE))) AS BIGINT)
+        |    AS psi_term_micro
+        |FROM a CROSS JOIN tt WHERE p > 0 AND q > 0""".stripMargin,
+
+    "k2_frequent_pairs" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pr AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS support
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, CAST(support AS BIGINT) AS support
+        |FROM pr ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    "d_source_overlap" ->
+      s"""$SHINGLE_CTES,
+         |ss AS (SELECT DISTINCT d.source, unnest(s.sh) AS g
+         |  FROM s JOIN documents d ON s.doc_id = d.doc_id),
+         |sz AS (SELECT source, count(*) AS sz FROM ss GROUP BY source),
+         |iv AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+         |  FROM ss a JOIN ss b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, CAST(inter AS BIGINT) AS inter,
+         |  CAST(za.sz AS BIGINT) AS sz_a, CAST(zb.sz AS BIGINT) AS sz_b,
+         |  CAST(inter * 1000000 // (za.sz + zb.sz - inter) AS BIGINT) AS jaccard_micro
+         |FROM iv JOIN sz za ON za.source = iv.source_a
+         |JOIN sz zb ON zb.source = iv.source_b""".stripMargin,
 
     "dq6_benford" ->
       """WITH d AS (SELECT substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
