@@ -831,6 +831,22 @@ object SparkEntry {
             .as("text_hash_sum"))
     }),
 
+    // CSV round trip with an EXPLICIT read schema (inference off — the
+    // 100 TB rule: schema drift must fail loudly, not silently retype a
+    // column), same text-mass digest as o1 proving byte fidelity through
+    // quoting/escaping.
+    "o2_csv_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      docs.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema(docs.schema).option("header", "true").csv(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("char_mass"),
+          sum(functions.Hashing.md5Long(col("text")) % lit(1000000000000L))
+            .as("text_hash_sum"))
+    }),
+
     // Cohen's κ between the langid heuristic and the labeled lang column
     // — chance-corrected agreement over the t_lang_confusion cells,
     // integer sufficient statistics + one sign-explicit micro division.
@@ -1047,6 +1063,15 @@ object SparkEntry {
       operators.Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // EXACT θ=0.8 shingle-Jaccard self-join with NO false negatives:
+    // prefix filtering (AllPairs/PPJoin) under a rarest-shingle-first
+    // global order — the deterministic complement of d_minhash_lsh's
+    // probabilistic banding. The oracle is the brute-force all-pairs
+    // join, so a hash match PROVES the lossless-blocking claim.
+    "d_prefix_join" -> ((s, dir) => {
+      operators.Dedup.prefixFilterJoin(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // Asymmetric containment (|A∩B|/|A|, |A∩B|/|B|) over the same
     // candidate pairs — the quote/excerpt detector symmetric Jaccard
     // systematically under-scores.
@@ -1123,6 +1148,17 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       operators.Similarity.lshTopK(
         emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding", k = 3, bits = 4, native = true)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }),
+
+    // NN-descent k-NN graph (graph-based ANN — the family HNSW lives in):
+    // md5-block seed graph, ONE neighbors-of-neighbors refinement round,
+    // exact rescoring. Deterministic end-to-end, so the oracle replays the
+    // whole descent; O(N·k²) per round where all-pairs is O(N²).
+    "e20_nn_descent" -> ((s, dir) => {
+      operators.Similarity.nnDescentTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, blocks = 16, rounds = 1, native = true)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
     }),
 
@@ -3224,6 +3260,34 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Association rules from the k2 pair supports: confidence and lift
+    // per directed rule in exact integer micro units — the second
+    // a-priori pass (rule generation) that turns co-occurrence counts
+    // into rankable implications. Per-item supports and the basket count
+    // ride broadcast joins; nothing beyond k2's pair aggregate shuffles.
+    "k3_assoc_rules" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val nb = op.agg(countDistinct(col("ok")).as("n"))
+      val item = op.groupBy(col("pk")).agg(count(lit(1)).as("sup"))
+      val pairs = op.join(op.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("sup_ab"))
+        .filter(col("sup_ab") >= 2)
+      val rules = pairs.select(col("pk").as("ante"), col("pk2").as("cons"), col("sup_ab"))
+        .unionByName(pairs.select(col("pk2").as("ante"), col("pk").as("cons"), col("sup_ab")))
+      rules
+        .join(broadcast(item.select(col("pk").as("ante"), col("sup").as("sup_a"))), Seq("ante"))
+        .join(broadcast(item.select(col("pk").as("cons"), col("sup").as("sup_c"))), Seq("cons"))
+        .crossJoin(broadcast(nb))
+        .select(col("ante"), col("cons"), col("sup_ab"),
+          col("sup_a"), col("sup_c"),
+          expr("sup_ab * 1000000L div sup_a").as("conf_micro"),
+          expr("sup_ab * n * 1000000L div (sup_a * sup_c)").as("lift_micro"))
+        .orderBy(col("conf_micro").desc, col("ante"), col("cons"))
+        .limit(40)
+    }),
+
     // Benford first-digit audit over extendedprice cents: observed
     // frequency vs the log-law expectation per digit — the fraud/synthetic-
     // data smell test next to dq1's expectations.
@@ -4737,6 +4801,14 @@ object SparkEntry {
         |    AS BIGINT) AS text_hash_sum
         |FROM documents GROUP BY lang""".stripMargin,
 
+    // same digest through the CSV writer/reader instead of ORC.
+    "o2_csv_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_mass,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000000)
+        |    AS BIGINT) AS text_hash_sum
+        |FROM documents GROUP BY lang""".stripMargin,
+
     // The t_lang_confusion cells reduced to κ's sufficient statistics:
     // marginal row/col masses joined on the class key, one global
     // aggregate, the sign-explicit micro division.
@@ -5343,6 +5415,20 @@ object SparkEntry {
          |   / len(list_distinct(a.shd || b.shd)) * 10000) / 10000 AS jaccard
          |FROM base a JOIN base b ON a.h1 = b.h1 AND a.doc_id < b.doc_id""".stripMargin,
 
+    // brute-force all-pairs exact Jaccard at θ=0.8 — deliberately NOT a
+    // mirror of the prefix-filter plan, so a hash match proves the
+    // blocking is lossless (no false negatives), not just self-consistent.
+    "d_prefix_join" ->
+      s"""$SHINGLE_CTES,
+         |base AS (SELECT doc_id, list_distinct(sh) AS shd FROM s WHERE len(sh) > 0),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.shd, b.shd)) AS BIGINT) AS inter,
+         |  CAST(len(a.shd) AS BIGINT) + CAST(len(b.shd) AS BIGINT) AS szsum
+         |  FROM base a JOIN base b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, inter, szsum - inter AS uni,
+         |  inter * 1000000 // (szsum - inter) AS jaccard_micro
+         |FROM p WHERE inter * 10 >= (szsum - inter) * 8""".stripMargin,
+
     // same candidate pairs, asymmetric containment normalizations.
     "d_ngram_containment" ->
       s"""$SHINGLE_CTES,
@@ -5496,6 +5582,32 @@ object SparkEntry {
          | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          |FROM sc QUALIFY rank <= 3""".stripMargin
     },
+
+    // Full NN-descent replay: TWO independent md5 blockings seed the
+    // top-5 graph (one blocking alone is block-diagonal — see the
+    // operator's scaladoc), undirected 2-hop candidate expansion, exact
+    // rescore — same 6dp-rounded sequential-fold cosine and (cos desc,
+    // id) ties, so the hash proves the whole descent, not just one
+    // round's scores.
+    "e20_nn_descent" ->
+      s"""WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |  ${md5i("CAST(vec_id AS VARCHAR) || '|1'")} % 16 AS b1,
+         |  ${md5i("CAST(vec_id AS VARCHAR) || '|2'")} % 16 AS b2 FROM embeddings),
+         |sp AS (SELECT a.id AS query_id, b.id AS neighbor_id, round(${cosSql("a.e", "b.e")}, 6) AS cos
+         |  FROM v a JOIN v b ON (a.b1 = b.b1 OR a.b2 = b.b2) AND a.id <> b.id),
+         |seed AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r FROM sp)
+         |  WHERE r <= 5),
+         |und AS (SELECT query_id AS u, neighbor_id AS w FROM seed
+         |  UNION SELECT neighbor_id, query_id FROM seed),
+         |two AS (SELECT a.u, b.w FROM und a JOIN und b ON a.w = b.u WHERE a.u <> b.w),
+         |cand AS (SELECT u AS query_id, w AS neighbor_id FROM und
+         |  UNION SELECT u, w FROM two),
+         |sc AS (SELECT c.query_id, c.neighbor_id, round(${cosSql("qa.e", "qb.e")}, 6) AS cos
+         |  FROM cand c JOIN v qa ON qa.id = c.query_id JOIN v qb ON qb.id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |FROM sc QUALIFY rank <= 5""".stripMargin,
 
     // iters=0 IVF: centroids are the 8 corpus vectors with smallest
     // md5(vec_id); assignment/probing argmin over sequential-fold L2 —
@@ -6893,6 +7005,26 @@ object SparkEntry {
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT part_a, part_b, CAST(support AS BIGINT) AS support
         |FROM pr ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    // k2's pairs expanded to directed rules with exact integer-micro
+    // confidence and lift; (conf desc, ante, cons) is a total order so
+    // the LIMIT is deterministic.
+    "k3_assoc_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nb AS (SELECT count(DISTINCT ok) AS n FROM op),
+        |item AS (SELECT pk, count(*) AS sup FROM op GROUP BY 1),
+        |pr AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS sup_ab
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |rules AS (SELECT p1 AS ante, p2 AS cons, sup_ab FROM pr
+        |  UNION ALL SELECT p2, p1, sup_ab FROM pr)
+        |SELECT r.ante, r.cons, CAST(r.sup_ab AS BIGINT) AS sup_ab,
+        |  CAST(ia.sup AS BIGINT) AS sup_a, CAST(ic.sup AS BIGINT) AS sup_c,
+        |  CAST(r.sup_ab * 1000000 // ia.sup AS BIGINT) AS conf_micro,
+        |  CAST(r.sup_ab * nb.n * 1000000 // (ia.sup * ic.sup) AS BIGINT) AS lift_micro
+        |FROM rules r JOIN item ia ON ia.pk = r.ante JOIN item ic ON ic.pk = r.cons
+        |CROSS JOIN nb
+        |ORDER BY conf_micro DESC, ante, cons LIMIT 40""".stripMargin,
 
     "d_source_overlap" ->
       s"""$SHINGLE_CTES,

@@ -1123,4 +1123,80 @@ object Dedup {
       .withColumn("dup_micro",
         expr("1000000L * n_dup_chunks div n_chunks"))
   }
+
+  /** EXACT threshold set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    * every document pair whose shingle-set Jaccard is ≥ thetaNum/thetaDen,
+    * with NO false negatives. The deterministic exact complement of
+    * [[lshCandidates]]: LSH banding is probabilistic (a true near-dup can
+    * miss every band), prefix filtering is a proof — if J(a,b) ≥ θ then
+    * |a∩b| ≥ ⌈θ·max(|a|,|b|)⌉ ≥ ⌈θ·|s|⌉ for each side s, and two sets
+    * sharing ≥ t elements must collide within their first |s| − t + 1
+    * elements under ANY global total order, so prefixes of length
+    * |s| − ⌈θ|s|⌉ + 1 are a lossless blocking key.
+    *
+    * The order that makes this FAST is rarest-token-first (ascending
+    * global document frequency): prefixes then hold each document's
+    * least-common shingles, so the candidate join fans out least where
+    * tokens are hottest. The worst case — a corpus of near-identical
+    * boilerplate whose every prefix lands on one token — is exactly the
+    * case where the true output is all-pairs anyway: prefix-filter
+    * candidate volume tracks RESULT size, not corpus size, which is the
+    * 100 TB argument. Shuffles: shingle-df aggregate, the df join, one
+    * per-doc window for prefix ranks, the candidate self-join keyed on
+    * prefix shingle, and the verify join back to the (persisted) set
+    * table — each moving (id, hash-sized) rows only; full shingle arrays
+    * cross the wire once, into the verify join.
+    *
+    * Verification is exact integer math: thetaDen·|a∩b| ≥ thetaNum·|a∪b|.
+    * Output: (id_a, id_b, inter, uni, jaccard_micro), id_a < id_b. */
+  def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String,
+                       thetaNum: Int = 8, thetaDen: Int = 10,
+                       n: Int = 3): DataFrame = {
+    require(thetaNum > 0 && thetaNum <= thetaDen,
+      s"theta must be in (0, 1]: got $thetaNum/$thetaDen")
+    import org.apache.spark.sql.expressions.Window
+    // Canonical distinct shingle set per doc; persisted because the
+    // verify join reads it twice (same cache contract as lshCandidates).
+    val sets = docs
+      .select(col(idCol).as("id"),
+        array_sort(array_distinct(shingles(col(textCol), n))).as("shd"))
+      .filter(size(col("shd")) > 0)
+      .withColumn("sz", size(col("shd")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Global document frequency — the rarest-first total order (ties
+    // broken by the shingle string itself, so the order is total and
+    // both join sides rank identically).
+    val df = sets.select(col("id"), explode(col("shd")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    // Per-doc prefix: rank shingles by (df asc, sh asc), keep the first
+    // sz − ⌈θ·sz⌉ + 1. ⌈θ·sz⌉ in exact integer math.
+    val need = expr(s"(sz * $thetaNum + ${thetaDen - 1}) div $thetaDen")
+    val rk = row_number().over(Window.partitionBy("id").orderBy("df", "sh"))
+    val prefix = sets.select(col("id"), col("sz"), explode(col("shd")).as("sh"))
+      .join(df, "sh")
+      .withColumn("rk", rk)
+      .filter(col("rk") <= col("sz") - need + 1)
+      .select(col("sh"), col("id"), col("sz"))
+    // Candidates: shared prefix shingle + the size filter (J ≥ θ forces
+    // θ·max(|a|,|b|) ≤ min(|a|,|b|)). distinct BEFORE the verify join so
+    // a pair sharing many prefix shingles verifies once.
+    val l = prefix.select(col("sh"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val r = prefix.select(col("sh"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val cand = l.join(r, Seq("sh"))
+      .filter(col("id_a") < col("id_b") &&
+        greatest(col("sz_a"), col("sz_b")) * thetaNum <=
+          least(col("sz_a"), col("sz_b")) * thetaDen)
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shd").as("shd_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shd").as("shd_b"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("shd_a"), col("shd_b"))).cast("long"))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * thetaDen >= col("uni") * thetaNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        expr("inter * 1000000L div uni").as("jaccard_micro"))
+  }
 }

@@ -1693,4 +1693,98 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Int, Long)].collect().toMap
     assert(out2 == Map(0 -> 636L, 1 -> 1000L), s"got $out2")
   }
+
+  test("prefixFilterJoin equals brute-force all-pairs at three thresholds") {
+    // Word-salad base corpus + planted one-word-edit near-dups, so the
+    // result set is non-trivial at every threshold tested.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val base = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val near = (0 until 8).map { j =>
+      val ws = base(j)._2.split(" ").toBuffer
+      ws(rnd.nextInt(ws.size)) = vocab(rnd.nextInt(vocab.size))
+      (100L + j, ws.mkString(" "))
+    }
+    val all = base ++ near
+    def shingleSet(t: String): Set[String] = {
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sets = all.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val corpus = docs(all: _*)
+    for ((num, den) <- Seq((5, 10), (8, 10), (9, 10))) {
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        ia = (sets(a) & sets(b)).size.toLong
+        ua = (sets(a) | sets(b)).size.toLong
+        if ia * den >= ua * num
+      } yield (a, b, ia, ua, ia * 1000000L / ua)).toSet
+      val got = Dedup.prefixFilterJoin(corpus, "doc_id", "text", num, den)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == expected,
+        s"theta=$num/$den: missing=${expected -- got} extra=${got -- expected}")
+      assert(expected.nonEmpty, s"theta=$num/$den tested nothing")
+    }
+  }
+
+  test("nnDescentTopK with blocks=1 reproduces exact brute-force top-k") {
+    // One block: the seed IS the exact k-NN graph, and a refinement round
+    // ranks over a candidate superset that contains it — so the output
+    // must equal brute force exactly (same rounding, same tie-break).
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 24).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val nnd = Similarity.nnDescentTopK(vecs, "vec_id", "embedding",
+        k = 4, blocks = 1, rounds = 1)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(nnd == exact)
+  }
+
+  test("nnDescent refinement round improves block-seed recall") {
+    // Clustered corpus — the case the algorithm exists for: a node's true
+    // neighbors are its cluster mates, and a mate-of-a-mate is a mate, so
+    // each round chains further into the cluster from whatever mates the
+    // hash-block seed happened to co-locate. (On structureless uniform
+    // vectors the k-NN graph is noise and no amount of rounds helps —
+    // verified while writing this spec.) Cluster size > k so the exact
+    // top-k is always in-cluster; blocks sized so each seed block holds a
+    // few mates per node for the chain to start from.
+    val rnd = new scala.util.Random(11)
+    val centers = Vector.fill(4)(Seq.fill(6)(rnd.nextFloat() * 2f - 1f))
+    val vecs = (0 until 40).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def recall(rounds: Int): Double = {
+      val got = Similarity.nnDescentTopK(vecs, "vec_id", "embedding",
+          k = 5, blocks = 4, rounds = rounds)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val (seed, refined) = (recall(0), recall(2))
+    assert(refined > seed, s"seed=$seed refined=$refined")
+    assert(refined >= 0.8, s"refined recall too low: $refined (seed=$seed)")
+  }
+
+  test("nnDescent single-seeding seed graph is block-diagonal (the trap seedings=2 exists for)") {
+    // One blocking: every seed edge stays inside its md5 block, so the
+    // 2-hop expansion can't leave the block and refinement is a no-op.
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 32).map(i =>
+      (i.toLong, Seq.fill(6)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    def sets(rounds: Int) = Similarity.nnDescentTopK(vecs, "vec_id", "embedding",
+        k = 3, blocks = 8, rounds = rounds, seedings = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(sets(1) == sets(0), "single-seeding refinement should be confined to blocks")
+  }
 }
