@@ -142,6 +142,22 @@ object Probe {
       s2.stop(); return
     }
 
+    // Dev-only NN-descent rounds curve: recall@5 vs refinement rounds.
+    if (args.contains("nnd")) {
+      val dir = args.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.01")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val exact = operators.Similarity.bruteForceTopK(
+        emb, emb, "vec_id", "embedding", k = 5)
+      for (r <- 0 to 4) {
+        val approx = operators.Similarity.nnDescentTopK(
+          emb, "vec_id", "embedding", k = 5, blocks = 16, rounds = r)
+        val row = operators.Similarity.annRecall(exact, approx)
+          .agg(sum(col("n_exact")), sum(col("n_hit"))).head()
+        println(s"[probe] nnd rounds=$r hit=${row.getLong(1)}/${row.getLong(0)}")
+      }
+      spark.stop(); return
+    }
+
     // Dev-only breakdown of the a14 gate: store load vs closure vs count.
     if (args.contains("a14")) {
       sys.props("graft.verbose") = "1"

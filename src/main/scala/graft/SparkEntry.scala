@@ -1266,6 +1266,24 @@ object SparkEntry {
       operators.Similarity.annRecall(exact, approx)
     }),
 
+    // Estimator-quality audit for the descent (the e10 pattern at corpus
+    // scope): every vector is a query; one summary row scores the one-
+    // round k-NN graph against the exact brute-force graph in integer
+    // micro units. The number that says whether one round of
+    // neighbors-of-neighbors is enough at this corpus, or more rounds
+    // are worth their shuffles.
+    "e21_nnd_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = operators.Similarity.bruteForceTopK(
+        emb, emb, "vec_id", "embedding", k = 5, native = true)
+      val approx = operators.Similarity.nnDescentTopK(
+        emb, "vec_id", "embedding", k = 5, blocks = 16, rounds = 1, native = true)
+      operators.Similarity.annRecall(exact, approx)
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_exact")).as("n_exact"), sum(col("n_hit")).as("n_hit"))
+        .withColumn("recall_micro", expr("n_hit * 1000000L div n_exact"))
+    }),
+
     // Embedding-cosine near-dup pairs within coarse clusters (IVF blocking).
     "e3_cosine_neardup" -> ((s, dir) => {
       operators.Similarity.cosineNearDup(
@@ -2410,6 +2428,60 @@ object SparkEntry {
         q.awaitTermination()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name)
+    }),
+
+    // SW18 — the LEFT_OUTER stream-stream join: unconverted clicks ALSO
+    // emit (purchase columns NULL) — but an outer row may only emit once
+    // the watermark PROVES no in-window purchase can still arrive, which
+    // a finite stream's last batch never proves on its own. Two staged
+    // sentinel batches per side (the sw15 pattern: sentinel #1 advances
+    // the watermark, sentinel #2 triggers the batch that evicts with it)
+    // drive the final watermark past every click's deadline, so the
+    // result equals the batch LEFT JOIN exactly — which is the oracle.
+    "sw18_stream_left_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val ev = events(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sw18").toString
+      val maxTs = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head()
+      def stage(sub: String, data: DataFrame, sentinel: Int => DataFrame): String = {
+        val inDir = java.nio.file.Paths.get(tmp, sub)
+        java.nio.file.Files.createDirectories(inDir)
+        Seq(data, sentinel(10), sentinel(20)).zipWithIndex.foreach { case (df, i) =>
+          df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/${sub}_b$i")
+          val part = new java.io.File(s"$tmp/${sub}_b$i").listFiles()
+            .find(_.getName.endsWith(".parquet")).get.toPath
+          val staged = inDir.resolve(f"$i%02d.parquet")
+          java.nio.file.Files.copy(part, staged)
+          // FileStreamSource orders by mtime — pin the replay order
+          java.nio.file.Files.setLastModifiedTime(staged,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+        }
+        inDir.toString
+      }
+      def sentTs(days: Int) = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
+      val clicks = ev.filter(col("event_type") === "click").select(col("user_id"), col("ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val cDir = stage("clicks", clicks,
+        d => Seq((-1L, sentTs(d))).toDF("user_id", "ts"))
+      val bDir = stage("buys", buys,
+        d => Seq((-1L, sentTs(d), 0.0)).toDF("user_id", "ts", "value"))
+      val joined = streaming.EventPipeline.clickAttribution(
+        s.readStream.schema(clicks.schema).option("maxFilesPerTrigger", "1").parquet(cDir),
+        s.readStream.schema(buys.schema).option("maxFilesPerTrigger", "1").parquet(bDir),
+        watermark = "1 hour", joinWindow = "30 minutes", joinType = "left_outer")
+      val name = s"sw18_out_${sinkSeq.incrementAndGet()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ck")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
     }),
 
     // SW13 — foreachBatch incremental graph merge, the reference's
@@ -5609,6 +5681,38 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          |FROM sc QUALIFY rank <= 5""".stripMargin,
 
+    // e20's descent replayed in full, scored against the brute-force
+    // all-pairs top-5, reduced to one integer-micro summary row.
+    "e21_nnd_recall" ->
+      s"""WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         |  ${md5i("CAST(vec_id AS VARCHAR) || '|1'")} % 16 AS b1,
+         |  ${md5i("CAST(vec_id AS VARCHAR) || '|2'")} % 16 AS b2 FROM embeddings),
+         |exsc AS (SELECT a.id AS query_id, b.id AS neighbor_id, round(${cosSql("a.e", "b.e")}, 6) AS cos
+         |  FROM v a JOIN v b ON a.id <> b.id),
+         |ex AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM exsc)
+         |  WHERE rk <= 5),
+         |sp AS (SELECT a.id AS query_id, b.id AS neighbor_id, round(${cosSql("a.e", "b.e")}, 6) AS cos
+         |  FROM v a JOIN v b ON (a.b1 = b.b1 OR a.b2 = b.b2) AND a.id <> b.id),
+         |seed AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r FROM sp)
+         |  WHERE r <= 5),
+         |und AS (SELECT query_id AS u, neighbor_id AS w FROM seed
+         |  UNION SELECT neighbor_id, query_id FROM seed),
+         |two AS (SELECT a.u, b.w FROM und a JOIN und b ON a.w = b.u WHERE a.u <> b.w),
+         |cand AS (SELECT u AS query_id, w AS neighbor_id FROM und
+         |  UNION SELECT u, w FROM two),
+         |sc AS (SELECT c.query_id, c.neighbor_id, round(${cosSql("qa.e", "qb.e")}, 6) AS cos
+         |  FROM cand c JOIN v qa ON qa.id = c.query_id JOIN v qb ON qb.id = c.neighbor_id),
+         |ap AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM sc)
+         |  WHERE rk <= 5)
+         |SELECT CAST(count(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
+         |  CAST(count(ap.neighbor_id) * 1000000 // count(*) AS BIGINT) AS recall_micro
+         |FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id""".stripMargin,
+
     // iters=0 IVF: centroids are the 8 corpus vectors with smallest
     // md5(vec_id); assignment/probing argmin over sequential-fold L2 —
     // identical doubles in both engines, ties broken by cid.
@@ -6085,6 +6189,17 @@ object SparkEntry {
         |FROM events c JOIN events p ON c.user_id = p.user_id
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    // the left_outer form: every click emits; the sentinel batches on the
+    // Spark side force full outer-row eviction, so plain LEFT JOIN is the
+    // exact equivalent.
+    "sw18_stream_left_attribution" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS purchase_ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_ts, p.purchase_ts, p.value
+        |FROM c LEFT JOIN p ON p.user_id = c.user_id
+        |  AND p.purchase_ts >= c.click_ts
+        |  AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE""".stripMargin,
 
     // CMS linearity: the two-micro-batch sketch equals the batch sketch
     // (Kirsch–Mitzenmacher cells, mirrors the cd5 oracle's cell formula)
