@@ -158,6 +158,32 @@ object Probe {
       spark.stop(); return
     }
 
+    // Dev-only e21 cost split: exact side vs descent side vs the audit.
+    if (args.contains("e21parts")) {
+      val dir = "/root/testdata/sf0.1"
+      val s2 = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s2.sparkContext.setLogLevel("ERROR")
+      def t[A](l: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[probe] $l%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+      }
+      val emb = s2.read.parquet(s"$dir/embeddings.parquet")
+      for (i <- 1 to 2) {
+        // native=false: getOrCreate reuses the extension-less smoke session
+        val exact = operators.Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
+        t(s"exact.count $i")(exact.count())
+        val approx = operators.Similarity.nnDescentTopK(emb, "vec_id", "embedding",
+          k = 5, blocks = 16, rounds = 1)
+        t(s"approx.count $i")(approx.count())
+        t(s"audit $i")(operators.Similarity.annRecall(exact, approx)
+          .agg(sum(col("n_hit"))).head())
+      }
+      s2.stop(); return
+    }
+
     // Dev-only breakdown of the a14 gate: store load vs closure vs count.
     if (args.contains("a14")) {
       sys.props("graft.verbose") = "1"

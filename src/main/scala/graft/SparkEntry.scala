@@ -1266,16 +1266,21 @@ object SparkEntry {
       operators.Similarity.annRecall(exact, approx)
     }),
 
-    // Estimator-quality audit for the descent (the e10 pattern at corpus
-    // scope): every vector is a query; one summary row scores the one-
-    // round k-NN graph against the exact brute-force graph in integer
-    // micro units. The number that says whether one round of
-    // neighbors-of-neighbors is enough at this corpus, or more rounds
-    // are worth their shuffles.
+    // Estimator-quality audit for the descent (the e10 pattern): the
+    // descent runs over the FULL corpus; the exact ground truth is built
+    // for a deterministic md5 quarter-sample of queries (the x22b
+    // sampled-pivot precedent — exact all-queries ground truth is the one
+    // O(N²) term in the audit, and a fixed-hash sample keeps the estimate
+    // unbiased and engine-reproducible). One summary row in integer micro
+    // units: the number that says whether one round of neighbors-of-
+    // neighbors is enough at this corpus, or more rounds are worth their
+    // shuffles.
     "e21_nnd_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(
+        graft.functions.Hashing.md5Long(col("vec_id"), 101) % 4 === 0)
       val exact = operators.Similarity.bruteForceTopK(
-        emb, emb, "vec_id", "embedding", k = 5, native = true)
+        emb, qs, "vec_id", "embedding", k = 5, native = true)
       val approx = operators.Similarity.nnDescentTopK(
         emb, "vec_id", "embedding", k = 5, blocks = 16, rounds = 1, native = true)
       operators.Similarity.annRecall(exact, approx)
@@ -1886,6 +1891,36 @@ object SparkEntry {
         (col("s_suppkey") % 5 + 1).cast("long").as("w"))
       val seeds = t(s, dir, "region").select((lit(1L * B) + col("r_regionkey")).as("id"))
       graph.Traversal.sssp(ns.unionByName(sp), seeds)
+    }),
+
+    // Borůvka minimum spanning forest over the containment graph plus two
+    // md5-weighted rings (the base graph is a tree — rings add the cycles
+    // an MST must break). THE parallel MST: Prim/Kruskal are sequential by
+    // construction; Borůvka merges every component each round, ≤ log₂ V
+    // rounds of joins. The (w, u, v) lexicographic edge order makes the
+    // forest unique, so the oracle replays sequential Prim under the same
+    // order and must land on the identical edge set.
+    "x29_boruvka_mst" -> ((s, dir) => {
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"),
+        (lit(1L * B) + col("n_regionkey")).as("dst"))
+      val nring = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"),
+        (lit(2L * B) + (col("n_nationkey") + 1) % 25).as("dst"))
+      val sup = t(s, dir, "supplier")
+      val sn = sup.select(
+        (lit(4L * B) + col("s_suppkey")).as("src"),
+        (lit(2L * B) + col("s_nationkey")).as("dst"))
+      val scnt = sup.agg(count(lit(1)).as("ns"))
+      val sring = sup.crossJoin(broadcast(scnt)).select(
+        (lit(4L * B) + col("s_suppkey")).as("src"),
+        // 0-based s_suppkey in this corpus: wrap with (sk + 1) % count
+        (lit(4L * B) + (col("s_suppkey") + 1) % col("ns")).as("dst"))
+      val e = nr.unionByName(nring).unionByName(sn).unionByName(sring)
+        .withColumn("w", functions.Hashing.md5Long(concat(
+          least(col("src"), col("dst")).cast("string"), lit("_"),
+          greatest(col("src"), col("dst")).cast("string"))) % 1000000)
+      graph.Traversal.boruvkaMst(e)
     }),
 
     // k-core decomposition (k=3): iterative peel of the full containment
@@ -3358,6 +3393,27 @@ object SparkEntry {
           expr("sup_ab * n * 1000000L div (sup_a * sup_c)").as("lift_micro"))
         .orderBy(col("conf_micro").desc, col("ante"), col("cons"))
         .limit(40)
+    }),
+
+    // Functional-dependency audit: for each declared A→B, how many A
+    // values map to >1 distinct B (violations) and the worst fan-out —
+    // the schema-inference / key-discovery primitive next to dq2's
+    // referential check. Each FD is one two-level aggregate (map-side
+    // partial per (A, B), then per-A distinct count); nothing joins.
+    "dq8_fd_check" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ords = t(s, dir, "orders")
+      def fd(df: DataFrame, name: String, a: String, b: String) =
+        df.groupBy(col(a)).agg(countDistinct(col(b)).as("nb"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("nb") > 1, 1L).otherwise(0L)).as("n_violating_lhs"),
+            max(col("nb")).as("max_rhs_distinct"))
+          .select(lit(name).as("fd"), col("n_lhs"),
+            col("n_violating_lhs"), col("max_rhs_distinct"))
+      fd(li, "l_orderkey->l_linestatus", "l_orderkey", "l_linestatus")
+        .unionByName(fd(li, "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"))
+        .unionByName(fd(li, "l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
+        .unionByName(fd(ords, "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
     }),
 
     // Benford first-digit audit over extendedprice cents: observed
@@ -5682,13 +5738,15 @@ object SparkEntry {
          |FROM sc QUALIFY rank <= 5""".stripMargin,
 
     // e20's descent replayed in full, scored against the brute-force
-    // all-pairs top-5, reduced to one integer-micro summary row.
+    // top-5 of the md5 quarter-sample of queries, reduced to one
+    // integer-micro summary row.
     "e21_nnd_recall" ->
       s"""WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
          |  ${md5i("CAST(vec_id AS VARCHAR) || '|1'")} % 16 AS b1,
          |  ${md5i("CAST(vec_id AS VARCHAR) || '|2'")} % 16 AS b2 FROM embeddings),
+         |qs AS (SELECT id, e FROM v WHERE ${md5i("CAST(id AS VARCHAR) || '|101'")} % 4 = 0),
          |exsc AS (SELECT a.id AS query_id, b.id AS neighbor_id, round(${cosSql("a.e", "b.e")}, 6) AS cos
-         |  FROM v a JOIN v b ON a.id <> b.id),
+         |  FROM qs a JOIN v b ON a.id <> b.id),
          |ex AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id,
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM exsc)
          |  WHERE rk <= 5),
@@ -6425,6 +6483,40 @@ object SparkEntry {
         |  FROM d1 FULL OUTER JOIN r2 ON d1.id = r2.id)
         |SELECT id, dist FROM d2""".stripMargin,
 
+    // sequential Prim under the same (w, u, v) total order — a DIFFERENT
+    // algorithm landing on the same unique forest, so the hash match
+    // proves MST-ness, not replay-consistency. Single-row recursion
+    // carrying the visited list; the graph is connected by construction
+    // (nation ring bridges all regions, suppliers hang off nations).
+    "x29_boruvka_mst" -> {
+      val B = "72057594037927936"
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT 2*$B + n_nationkey AS a, 1*$B + n_regionkey AS b FROM nation
+         |  UNION ALL SELECT 2*$B + n_nationkey, 2*$B + ((n_nationkey + 1) % 25) FROM nation
+         |  UNION ALL SELECT 4*$B + s_suppkey, 2*$B + s_nationkey FROM supplier
+         |  UNION ALL SELECT 4*$B + s_suppkey,
+         |    4*$B + ((s_suppkey + 1) % (SELECT count(*) FROM supplier)) FROM supplier),
+         |e2 AS (SELECT u, v, ${md5i("CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)")} % 1000000 AS w
+         |  FROM (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM e0 WHERE a <> b)),
+         |und AS (SELECT u AS fa, v AS fb, u, v, w FROM e2
+         |  UNION ALL SELECT v, u, u, v, w FROM e2),
+         |st AS (
+         |  SELECT [(SELECT min(u) FROM e2)] AS vis,
+         |    CAST([] AS BIGINT[]) AS us, CAST([] AS BIGINT[]) AS vs, CAST([] AS BIGINT[]) AS ws
+         |  UNION ALL
+         |  SELECT list_append(vis, pb), list_append(us, pu), list_append(vs, pv), list_append(ws, pw)
+         |  FROM (
+         |    SELECT st.vis AS vis, st.us AS us, st.vs AS vs, st.ws AS ws,
+         |      und.fb AS pb, und.u AS pu, und.v AS pv, und.w AS pw,
+         |      row_number() OVER (ORDER BY und.w, und.u, und.v) AS rn
+         |    FROM st JOIN und ON list_contains(st.vis, und.fa)
+         |      AND NOT list_contains(st.vis, und.fb)
+         |  ) WHERE rn = 1),
+         |fin AS (SELECT us, vs, ws FROM st ORDER BY len(vis) DESC LIMIT 1)
+         |SELECT CAST(unnest(us) AS BIGINT) AS u, CAST(unnest(vs) AS BIGINT) AS v,
+         |  CAST(unnest(ws) AS BIGINT) AS w FROM fin""".stripMargin
+    },
+
     "x7_ppr_regions" -> {
       // x4's unrolled integer recurrence, reset mass pinned to the seeds.
       val iters = (1 to 3).map { i =>
@@ -7140,6 +7232,18 @@ object SparkEntry {
         |FROM rules r JOIN item ia ON ia.pk = r.ante JOIN item ic ON ic.pk = r.cons
         |CROSS JOIN nb
         |ORDER BY conf_micro DESC, ante, cons LIMIT 40""".stripMargin,
+
+    "dq8_fd_check" -> {
+      def fd(tbl: String, a: String, b: String) =
+        s"""SELECT '$a->$b' AS fd, CAST(count(*) AS BIGINT) AS n_lhs,
+           |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+           |  CAST(max(nb) AS BIGINT) AS max_rhs_distinct
+           |FROM (SELECT $a, count(DISTINCT $b) AS nb FROM $tbl GROUP BY $a)""".stripMargin
+      Seq(fd("lineitem", "l_orderkey", "l_linestatus"),
+        fd("lineitem", "l_orderkey", "l_returnflag"),
+        fd("lineitem", "l_partkey", "l_suppkey"),
+        fd("orders", "o_custkey", "o_orderpriority")).mkString("\nUNION ALL\n")
+    },
 
     "d_source_overlap" ->
       s"""$SHINGLE_CTES,

@@ -1663,4 +1663,123 @@ object Traversal {
     // `e` stays cached for the duration of the job; callers running many
     // metrics over one graph should prefer a pre-cut edge store.
   }
+
+  /** Borůvka minimum spanning forest — the textbook PARALLEL MST (the
+    * sequential classics don't distribute: Prim grows one frontier a
+    * vertex at a time, Kruskal is a global sort feeding a sequential
+    * union-find). Borůvka gives every component one merge per round, so
+    * components at least halve per round: ≤ ⌈log₂ V⌉ rounds of joins, the
+    * MapReduce-era MST recipe.
+    *
+    * Determinism: edges are ordered by the TOTAL order (w, u, v) with
+    * (u, v) canonical min/max endpoints — the standard lexicographic
+    * tie-break that makes the MSF unique even with duplicate weights, so
+    * any engine walking the same order (the oracle replays Prim under it)
+    * lands on the identical edge set. Per round: each component's minimum
+    * outgoing edge via ONE `min(struct(w,u,v))` aggregate (Spark orders
+    * structs lexicographically), then the selected component-graph merges
+    * through [[minLabel]]'s pointer jumping. State is one (id, comp) row
+    * per vertex plus the accumulated forest; per-round shuffles: the two
+    * comp-lookup joins, the half-edge aggregate, and the (tiny —
+    * ≤ #components rows) contraction. Round results are eagerly cut
+    * ([[cut]]) so the loop's plan depth stays constant.
+    *
+    * Size-guarded driver finish (the [[minLabel]] escape-hatch
+    * precedent): once the surviving cross-component edge set fits under
+    * the heap-derived cutoff, the remainder runs as ONE driver Kruskal
+    * over component ids — correct because the contracted graph's MSF is
+    * exactly the not-yet-chosen forest edges (matroid exchange), and
+    * Kruskal under the same (w, u, v) order picks the identical unique
+    * set. Borůvka's log-V rounds each cost several jobs of scheduler
+    * latency; on gate-sized graphs the escape collapses ~11 rounds to 2.
+    * At 100 TB the cutoff is never reached until the graph has contracted
+    * to driver scale — which is precisely when the switch is safe.
+    *
+    * Output: the forest as canonical (u, v, w) rows. Self-loops and
+    * duplicate (u, v) pairs are dropped (min w kept) before any round.
+    * Throws past `maxRounds` — a truncated forest is silently wrong. */
+  def boruvkaMst(edges: DataFrame, maxRounds: Int = 48,
+                 smallCutoff: Long = defaultSmallCutoff): DataFrame = {
+    val spark = edges.sparkSession
+    val canon = edges.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"),
+        col("w").cast("long").as("w"))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var comp = canon.select(explode(array(col("u"), col("v"))).as("id"))
+      .distinct().select(col("id"), col("id").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var forest: DataFrame = null
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      require(round <= maxRounds,
+        s"boruvkaMst did not converge in $maxRounds rounds — raise maxRounds")
+      val ce = canon
+        .join(comp.select(col("id").as("u"), col("comp").as("cu")), Seq("u"))
+        .join(comp.select(col("id").as("v"), col("comp").as("cv")), Seq("v"))
+        .filter(col("cu") =!= col("cv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val integralIds = Seq("u", "v", "cu", "cv").forall(c => ce.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      })
+      val nCross = ce.count()
+      if (nCross == 0) { ce.unpersist(false); done = true }
+      else if (nCross <= smallCutoff && integralIds) {
+        // Driver Kruskal over component ids — one task instead of
+        // log(remaining) more rounds of join+contract job latency.
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val rows = ce.select(col("w").cast("long"), col("u").cast("long"),
+            col("v").cast("long"), col("cu").cast("long"), col("cv").cast("long"))
+          .as[(Long, Long, Long, Long, Long)].collect()
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        val sel = rows.sortBy(t => (t._1, t._2, t._3)).iterator.flatMap { case (w, u, v, cu, cv) =>
+          val (ru, rv) = (find(cu), find(cv))
+          if (ru == rv) None else { parent(ru) = rv; Some((u, v, w)) }
+        }.toSeq
+        val selDf = sel.toDF("u", "v", "w")
+          .select(col("u").cast(ce.schema("u").dataType).as("u"),
+            col("v").cast(ce.schema("v").dataType).as("v"), col("w"))
+        forest = if (forest == null) selDf else cut(forest.unionByName(selDf))
+        ce.unpersist(false)
+        done = true
+      }
+      else {
+        // Each endpoint component nominates its min (w, u, v) cross edge;
+        // an edge picked from both sides dedups in the distinct.
+        val half = ce.select(col("cu").as("c"), struct(col("w"), col("u"), col("v")).as("e"))
+          .unionByName(ce.select(col("cv").as("c"), struct(col("w"), col("u"), col("v")).as("e")))
+        val sel = cut(half.groupBy(col("c")).agg(min(col("e")).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
+          .distinct())
+        forest = if (forest == null) sel else cut(forest.unionByName(sel))
+        // Contract: merge the components the selected edges connect
+        // (minLabel's own size guard applies — the contraction graph is
+        // ≤ #components rows, so it usually rides the driver shortcut).
+        val cg = sel
+          .join(comp.select(col("id").as("u"), col("comp").as("cu")), Seq("u"))
+          .join(comp.select(col("id").as("v"), col("comp").as("cv")), Seq("v"))
+          .select(col("cu").as("src"), col("cv").as("dst"))
+        val relabel = minLabel(cg)
+        val next = cut(comp
+          .join(relabel.select(col("id").as("comp"), col("label")), Seq("comp"), "left")
+          .select(col("id"), coalesce(col("label"), col("comp")).as("comp")))
+        comp.unpersist(false)
+        comp = next.persist(StorageLevel.MEMORY_AND_DISK)
+        ce.unpersist(false)
+      }
+    }
+    canon.unpersist(false)
+    if (forest == null) canon.limit(0) else forest
+  }
 }

@@ -795,4 +795,52 @@ class TraversalSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1L, 1000000L)))
     assert(out(3L) == ((3L, 1L, 333333L)))
   }
+
+  test("boruvkaMst: hand-checked square-with-diagonal and a disconnected forest") {
+    // Square 1-2-3-4 with diagonal: MST drops the two heaviest cycle edges.
+    val sq = Seq((1L, 2L, 1L), (2L, 3L, 7L), (3L, 4L, 2L), (4L, 1L, 9L), (1L, 3L, 3L))
+      .toDF("src", "dst", "w")
+    val got = Traversal.boruvkaMst(sq).as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (3L, 4L, 2L), (1L, 3L, 3L)))
+    // Two components: a spanning FOREST, one tree each.
+    val forest = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 2L),
+      (10L, 11L, 4L), (11L, 12L, 6L), (10L, 12L, 9L)).toDF("src", "dst", "w")
+    val got2 = Traversal.boruvkaMst(forest).as[(Long, Long, Long)].collect().toSet
+    assert(got2 == Set((2L, 3L, 1L), (1L, 3L, 2L), (10L, 11L, 4L), (11L, 12L, 6L)))
+  }
+
+  test("property: boruvkaMst equals naive Kruskal under the (w,u,v) order on 10 seeded graphs") {
+    def kruskal(es: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+      val canon = es.map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+        .filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map { case (_, g) => g.minBy(_._3) }.toSeq
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      canon.sortBy(e => (e._3, e._1, e._2)).flatMap { case (u, v, w) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru == rv) None else { parent(ru) = rv; Some((u, v, w)) }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(2033)
+    (1 to 10).foreach { i =>
+      val n = 5 + rnd.nextInt(12)
+      val es = Seq.fill(6 + rnd.nextInt(25))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(20).toLong))
+      // duplicate weights ON PURPOSE: the (w, u, v) lexicographic order
+      // must make the forest unique for both algorithms.
+      val got = Traversal.boruvkaMst(es.toDF("src", "dst", "w"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == kruskal(es), s"MST mismatch #$i on edges=$es")
+      // smallCutoff=0 forces the distributed Borůvka rounds (the 100 TB
+      // path) — same unique forest as the driver-Kruskal escape.
+      if (i <= 3) {
+        val dist = Traversal.boruvkaMst(es.toDF("src", "dst", "w"), smallCutoff = 0)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(dist == got, s"escape/distributed mismatch #$i on edges=$es")
+      }
+    }
+  }
 }
