@@ -37,7 +37,9 @@ object Bench {
     // round 11 final additions (kept to three: the compact JSON line
     // must stay under the consumer's ~2000-char tail buffer — measured
     // 1581 chars at 57 entries)
-    "x26_closeness", "q21_waiting_suppliers", "ev1_roc_auc")
+    "x26_closeness", "q21_waiting_suppliers", "ev1_roc_auc",
+    // the binary-quantized ANN scale path and the robust outlier screen
+    "e22_binary_rerank", "dq9_mad_outliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -812,11 +812,54 @@ object SparkEntry {
       operators.Eval.precisionRecallAtK(ranked, rel, "query", "doc_id", k = 20)
     }),
 
+    // Decile lift/gains of the Flesch readability score as an is-English
+    // ranker — ev1 asks "does the score order the class correctly"
+    // (AUC), this asks the deployment question "if I keep only the top
+    // k/10 of the corpus by this score, how much of the target class do
+    // I capture": per-decile lift and cumulative gain, all integer
+    // ratios over one deterministic ntile split.
+    "ev5_lift_deciles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = operators.TextAnalysis.readability(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          Seq("doc_id"))
+      operators.Eval.liftDeciles(scored, "flesch_micro", "is_en", "doc_id")
+    }),
+
+    // Per-class precision/recall/F1 of the n-gram language identifier
+    // against the labeled lang column — the class-resolved view of
+    // ev2's single-number kappa over the same confusion cells; F1's
+    // 2pr/(p+r) reduces to 2tp/(2tp+fp+fn), so every figure is one
+    // integer division.
+    "ev6_f1_per_class" -> ((s, dir) => {
+      val cells = operators.TextAnalysis.langConfusion(
+        t(s, dir, "documents"), "doc_id", "text", "lang")
+      operators.Eval.f1PerClass(cells, "lang", "pred_lang", "cnt")
+    }),
+
     // ORC round trip: documents written as ORC (the other columnar
     // container Spark ships a vectorized reader for), read back, and
     // reduced to a per-lang fingerprint (count, char mass, md5 hash-sum).
     // The oracle computes the same fingerprint straight from the parquet
     // table, so the ORC write∘read must be an exact identity.
+    // Hive-partitioned write∘read identity PLUS pruning: documents land
+    // partitionBy(lang), the read-back filters one language — at 100 TB
+    // this layout turns a full-corpus scan into one directory's scan
+    // (the filter must become a PartitionFilter, asserted by
+    // PlanShapeSpec, not merely a row filter). Same text-mass digest as
+    // o1 proving the partitioned writer moved every byte.
+    "o3_partition_prune" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft-part").toString
+      docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read.parquet(path).filter(col("lang") === "en")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("char_mass"),
+          sum(functions.Hashing.md5Long(col("text")) % lit(1000000000000L))
+            .as("text_hash_sum"))
+    }),
+
     "o1_orc_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val path = java.nio.file.Files.createTempDirectory("graft-orc").toString
@@ -1130,6 +1173,19 @@ object SparkEntry {
         emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 5, floor = 0.15, ceil = 0.35, native = true)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }),
+
+    // Binary-quantized ANN: sign-bit signatures (64 dims → two packed
+    // 32-bit words, a 32× memory cut vs float32) generate 20 Hamming
+    // candidates per query, exact cosine reranks to top 5 — the
+    // candidate scan never touches a float vector, the scale path for a
+    // RAM-resident index over a 100 TB embedding corpus. Hamming is kept
+    // in-row so e10-style recall audits can see why a miss missed.
+    "e22_binary_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      operators.Similarity.hammingRerank(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, candidates = 20, k = 5, native = true)
     }),
 
     // kNN classifier eval: majority label of the 5 nearest corpus
@@ -2311,6 +2367,41 @@ object SparkEntry {
         alphaDen = 4)
     }),
 
+    // Holt linear smoothing (level + trend) over per-type hourly counts
+    // — sw17's single-state EWMA lags a steady ramp by αDen buckets
+    // forever; the trend state closes that gap, making forecast = l + b
+    // the capacity-planning read-out. Same exact-milli integer fold,
+    // every division sign-split to truncate toward zero on both engines.
+    "sw20_holt_linear" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          window(col("ts"), "1 hour").getField("start").as("ws"))
+        .agg(count(lit(1)).as("cnt"))
+      streaming.EventPipeline.holtMilli(hourly, "event_type", "ws", "cnt",
+        alphaDen = 4, betaDen = 8)
+    }),
+
+    // Seasonal-profile anomaly: each (event_type, hour) bucket against
+    // ITS OWN hour-of-day baseline — sw10's trailing z-score flags level
+    // shifts but also fires on every benign daily peak; dividing by the
+    // slot's historical mean first ("Tuesday 9am vs all 9ams") is the
+    // standard de-seasonalized form. ratio = cnt·slot_n / slot_total,
+    // flagged at ≥ 2× as floored micro — all integer, both engines agree.
+    "sw19_seasonal_profile" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          window(col("ts"), "1 hour").getField("start").as("ws"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("hod", hour(col("ws")).cast("long"))
+      val base = hourly.groupBy(col("event_type"), col("hod"))
+        .agg(sum(col("cnt")).as("slot_total"), count(lit(1)).as("slot_n"))
+      hourly.join(base, Seq("event_type", "hod"))
+        .withColumn("ratio_micro", expr("cnt * slot_n * 1000000L div slot_total"))
+        .filter(col("ratio_micro") >= 2000000L)
+        .select(col("event_type"), col("ws"), col("hod"), col("cnt"),
+          col("ratio_micro"))
+    }),
+
     "sw10_anomaly" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val hourly = events(s, dir)
@@ -3414,6 +3505,18 @@ object SparkEntry {
         .unionByName(fd(li, "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"))
         .unionByName(fd(li, "l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
         .unionByName(fd(ords, "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
+    }),
+
+    // Median-absolute-deviation outlier screen over extendedprice cents —
+    // the robust alternative to dq1's fixed-range expectations (a mean±3σ
+    // rule moves with the outliers it is hunting; two exact medians do
+    // not). Both medians come from the sort-free quantile refiner, the
+    // 3·1.4826 normal-consistency cut is the exact rational 44478/10000,
+    // so no float enters and both engines count identical outliers.
+    "dq9_mad_outliers" -> ((s, dir) => {
+      val cents = t(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      operators.Sketch.madOutliers(cents, "cents")
     }),
 
     // Benford first-digit audit over extendedprice cents: observed
@@ -4920,6 +5023,84 @@ object SparkEntry {
          |FROM dfq q LEFT JOIN nr ON nr.term = q.term
          |LEFT JOIN ht ON ht.term = q.term""".stripMargin,
 
+    // ev1's flesch scoring replayed, then a deterministic ntile(10) over
+    // (score DESC, doc_id) — the doc_id tie-break makes both engines
+    // assign identical buckets.
+    "ev5_lift_deciles" ->
+      """WITH m AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
+        |  greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |    s -> trim(s) <> '')), 1) AS n_sents
+        |FROM documents),
+        |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(n_sents AS BIGINT) AS n_sents,
+        |  CAST(coalesce(list_sum(list_transform(w, x ->
+        |    len(list_filter(string_split(regexp_replace(lower(x), '[^aeiouy]+', ' ', 'g'), ' '),
+        |      p -> p <> '')))), 0) AS BIGINT) AS n_syllables
+        |FROM m WHERE len(w) > 0),
+        |f AS (SELECT doc_id,
+        |  206835000 - CAST(floor(1015000.0 * n_words / n_sents) AS BIGINT)
+        |            - CAST(floor(84600000.0 * n_syllables / n_words) AS BIGINT) AS flesch_micro
+        |FROM s),
+        |lab AS (SELECT f.doc_id, f.flesch_micro AS sc,
+        |  CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM f JOIN documents d ON f.doc_id = d.doc_id),
+        |b AS (SELECT pos, ntile(10) OVER (ORDER BY sc DESC, doc_id) AS bucket FROM lab),
+        |g AS (SELECT bucket, count(*) AS n, sum(pos) AS n_pos FROM b GROUP BY bucket),
+        |tt AS (SELECT sum(n) AS n_total, sum(n_pos) AS p_total FROM g),
+        |c AS (SELECT bucket, n, n_pos, sum(n_pos) OVER (ORDER BY bucket
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos FROM g)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+        |  CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(CASE WHEN p_total > 0
+        |    THEN n_pos * n_total * 1000000 // (n * p_total) ELSE 0 END AS BIGINT) AS lift_micro,
+        |  CAST(CASE WHEN p_total > 0
+        |    THEN cum_pos * 1000000 // p_total ELSE 0 END AS BIGINT) AS cum_gain_micro
+        |FROM c CROSS JOIN tt""".stripMargin,
+
+    // t_lang_confusion's cells replayed, reduced to per-true-class
+    // tp/fp/fn and the integral F1 = 2tp/(2tp+fp+fn).
+    "ev6_f1_per_class" -> {
+      val scores = Seq(
+        "en" -> Seq("the", "and", "of", "a", "is"),
+        "de" -> Seq("der", "die", "und", "das", "ist"),
+        "es" -> Seq("el", "la", "de", "y", "es"),
+        "fr" -> Seq("le", "la", "et", "les", "est")).map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"CAST(len(list_filter(w, x -> x IN ($inList))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n ")
+      s"""$WORDS_CTE,
+         |sc AS (SELECT doc_id,
+         | $scores
+         | FROM t),
+         |pr AS (SELECT doc_id,
+         | CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |      WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |      WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+         |      WHEN s_fr > 0 THEN 'fr'
+         |      ELSE 'und' END AS pred_lang
+         |FROM sc),
+         |cells AS (SELECT d.lang AS truth, pr.pred_lang AS pred, count(*) AS cnt
+         |  FROM pr JOIN documents d ON pr.doc_id = d.doc_id
+         |  GROUP BY d.lang, pr.pred_lang),
+         |tn AS (SELECT truth AS clazz, sum(cnt) AS truth_n FROM cells GROUP BY truth),
+         |pn AS (SELECT pred AS clazz, sum(cnt) AS pred_n FROM cells GROUP BY pred),
+         |tpx AS (SELECT truth AS clazz, sum(cnt) AS tp FROM cells
+         |  WHERE truth = pred GROUP BY truth),
+         |j AS (SELECT tn.clazz, coalesce(tpx.tp, 0) AS tp,
+         |  coalesce(pn.pred_n, 0) - coalesce(tpx.tp, 0) AS fp,
+         |  tn.truth_n - coalesce(tpx.tp, 0) AS fn
+         |  FROM tn LEFT JOIN tpx ON tpx.clazz = tn.clazz
+         |  LEFT JOIN pn ON pn.clazz = tn.clazz)
+         |SELECT clazz, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(fn AS BIGINT) AS fn,
+         |  CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) ELSE 0 END AS BIGINT) AS prec_micro,
+         |  CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) ELSE 0 END AS BIGINT) AS rec_micro,
+         |  CAST(CASE WHEN 2 * tp + fp + fn > 0
+         |    THEN 2 * tp * 1000000 // (2 * tp + fp + fn) ELSE 0 END AS BIGINT) AS f1_micro
+         |FROM j""".stripMargin
+    },
+
     // The fingerprint recomputed straight from the parquet table — the
     // ORC write∘read on the Spark side must be an exact identity.
     "o1_orc_roundtrip" ->
@@ -4928,6 +5109,14 @@ object SparkEntry {
         |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000000)
         |    AS BIGINT) AS text_hash_sum
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // the o1 digest restricted to the pruned partition.
+    "o3_partition_prune" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_mass,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000000)
+        |    AS BIGINT) AS text_hash_sum
+        |FROM documents WHERE lang = 'en' GROUP BY lang""".stripMargin,
 
     // same digest through the CSV writer/reader instead of ORC.
     "o2_csv_roundtrip" ->
@@ -5665,6 +5854,28 @@ object SparkEntry {
          | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          |FROM sc QUALIFY rank <= 5""".stripMargin,
 
+    // Same Horner sign-packing (two 32-bit words), Hamming candidates,
+    // cosine rerank. DuckDB's ^ is power, so xor() is spelled out.
+    "e22_binary_rerank" -> {
+      def word(lo: Int, hi: Int) =
+        s"list_reduce(list_transform(e[$lo:$hi], x -> CASE WHEN x >= 0 " +
+          "THEN 1::BIGINT ELSE 0::BIGINT END), (a, b) -> a * 2 + b)"
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |w AS (SELECT vec_id, e, ${word(1, 32)} AS w0, ${word(33, 64)} AS w1 FROM v),
+         |q AS (SELECT * FROM w WHERE vec_id < 10),
+         |h AS (SELECT q.vec_id AS query_id, w.vec_id AS neighbor_id,
+         |  CAST(bit_count(xor(q.w0, w.w0)) + bit_count(xor(q.w1, w.w1)) AS BIGINT) AS hamming,
+         |  q.e AS qe, w.e AS ne
+         |  FROM q JOIN w ON w.vec_id <> q.vec_id),
+         |cand AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY hamming, neighbor_id) AS hrank FROM h) WHERE hrank <= 20),
+         |sc AS (SELECT query_id, neighbor_id, hamming,
+         |  round(${cosSql("qe", "ne")}, 6) AS cos FROM cand)
+         |SELECT query_id, neighbor_id, hamming, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |FROM sc QUALIFY rank <= 5""".stripMargin
+    },
+
     "e16_hard_negatives" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
          |q AS (SELECT vec_id, e FROM v WHERE vec_id < 20),
@@ -6283,6 +6494,41 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
         |count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // The two-state fold replayed as a recursive CTE: (l, b) carried
+    // per (event_type, i); sign-split // matches Spark's div exactly.
+    "sw20_holt_linear" -> {
+      def sdiv(x: String, d: Int) =
+        s"(CASE WHEN ($x) >= 0 THEN ($x) // $d ELSE -((-($x)) // $d) END)"
+      val resid = "idx.cnt * 1000 - hw.l - hw.b"
+      s"""WITH RECURSIVE h AS (SELECT event_type,
+         |  time_bucket(INTERVAL 1 HOUR, ts) AS ws, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (SELECT event_type, ws, cnt,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ws) AS i FROM h),
+         |hw(event_type, i, ws, cnt, l, b) AS (
+         |  SELECT event_type, i, ws, cnt, cnt * 1000, CAST(0 AS BIGINT) FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT idx.event_type, idx.i, idx.ws, idx.cnt,
+         |    hw.l + hw.b + ${sdiv(resid, 4)},
+         |    hw.b + ${sdiv(sdiv(resid, 4), 8)}
+         |  FROM hw JOIN idx ON idx.event_type = hw.event_type AND idx.i = hw.i + 1)
+         |SELECT event_type, ws, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(l AS BIGINT) AS level_milli, CAST(b AS BIGINT) AS trend_milli,
+         |  CAST(l + b AS BIGINT) AS forecast_milli FROM hw""".stripMargin
+    },
+
+    "sw19_seasonal_profile" ->
+      """WITH hourly AS (SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS ws,
+        |  count(*) AS cnt FROM events GROUP BY 1, 2),
+        |h AS (SELECT event_type, ws, cnt,
+        |  CAST(extract(hour FROM ws) AS BIGINT) AS hod FROM hourly),
+        |b AS (SELECT event_type, hod, sum(cnt) AS slot_total,
+        |  count(*) AS slot_n FROM h GROUP BY 1, 2)
+        |SELECT h.event_type, h.ws, h.hod, CAST(h.cnt AS BIGINT) AS cnt,
+        |  CAST(h.cnt * b.slot_n * 1000000 // b.slot_total AS BIGINT) AS ratio_micro
+        |FROM h JOIN b ON h.event_type = b.event_type AND h.hod = b.hod
+        |WHERE h.cnt * b.slot_n * 1000000 // b.slot_total >= 2000000""".stripMargin,
 
     "sw2_sliding_window" ->
       """SELECT ws, event_type, count(*) AS cnt FROM (
@@ -7244,6 +7490,25 @@ object SparkEntry {
         fd("lineitem", "l_partkey", "l_suppkey"),
         fd("orders", "o_custkey", "o_orderpriority")).mkString("\nUNION ALL\n")
     },
+
+    // Both medians via the cd6 rank convention (rank = ⌈bp·n/10⁴⌉, the
+    // rank-th smallest), then the exact-rational 44478/10000 cut.
+    "dq9_mad_outliers" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM lineitem),
+        |c AS (SELECT count(*) AS n FROM v),
+        |medr AS (SELECT CAST((5000 * n + 9999) // 10000 AS BIGINT) AS rank FROM c),
+        |s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |med AS (SELECT s.v AS med FROM medr JOIN s ON s.rn = medr.rank),
+        |ad AS (SELECT abs(v.v - med.med) AS ad, med.med FROM v CROSS JOIN med),
+        |s2 AS (SELECT ad, row_number() OVER (ORDER BY ad) AS rn FROM ad),
+        |mad AS (SELECT s2.ad AS mad FROM medr JOIN s2 ON s2.rn = medr.rank)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(ad.med) AS BIGINT) AS median,
+        |  CAST(min(mad.mad) AS BIGINT) AS mad,
+        |  CAST(sum(CASE WHEN ad.ad * 10000 > 44478 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(sum(CASE WHEN ad.ad * 10000 > 44478 * mad.mad THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS outlier_ppm
+        |FROM ad CROSS JOIN mad""".stripMargin,
 
     "d_source_overlap" ->
       s"""$SHINGLE_CTES,

@@ -105,6 +105,80 @@ object Eval {
           .otherwise(lit(0L)))
   }
 
+  /** Decile lift/gains table — "how concentrated are the positives in
+    * the top score deciles", the standard read-out for a quality model
+    * used to RANK training documents rather than hard-threshold them.
+    * Rows are split into `buckets` equal-frequency bins by
+    * (score DESC, id) — the id tie-break makes the ntile deterministic,
+    * so both engines assign identical bins. Per bucket, with corpus
+    * totals N and P:
+    * lift_micro = ⌊n_pos·N·10⁶ / (n·P)⌋ (1.0 ⇒ 10⁶ = no lift) and the
+    * cumulative gain ⌊cum_pos·10⁶ / P⌋ — all integer sufficient
+    * statistics, one floored division each.
+    *
+    * Plan: one unpartitioned ntile window (a global equal-frequency
+    * split needs a global order — at 100 TB, pre-quantize the score and
+    * use the [[Sketch.exactQuantiles]] thresholds instead of a window),
+    * then a `buckets`-row aggregate and a tiny cumulative window. */
+  def liftDeciles(df: DataFrame, scoreCol: String, labelCol: String,
+                  idCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"liftDeciles needs buckets >= 2, got $buckets")
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+    val binned = df.select(col(scoreCol), col(idCol),
+        col(labelCol).cast("long").as("pos"))
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+    val tot = binned.agg(sum(col("n")).as("n_total"),
+      sum(col("n_pos")).as("p_total"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum(col("n_pos")).over(cum))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        when(col("p_total") > 0,
+          expr("n_pos * n_total * 1000000L div (n * p_total)"))
+          .otherwise(lit(0L)).as("lift_micro"),
+        when(col("p_total") > 0,
+          expr("cum_pos * 1000000L div p_total"))
+          .otherwise(lit(0L)).as("cum_gain_micro"))
+  }
+
+  /** Per-class precision / recall / F1 from a confusion-cell table
+    * (`truthCol`, `predCol`, `nCol` = cell count) — [[cohenKappa]]'s
+    * class-resolved sibling, and fully integral: F1's 2pr/(p+r) algebra
+    * reduces to 2·tp / (2·tp + fp + fn), so no float ever appears.
+    * Classes are taken from the TRUTH margin (a predicted-only class has
+    * recall undefined and no row here; its errors still count as fp=0
+    * fn>0 on the true classes). Micro divisions floor; all-zero
+    * denominators emit 0. */
+  def f1PerClass(cells: DataFrame, truthCol: String, predCol: String,
+                 nCol: String): DataFrame = {
+    val tp = cells.filter(col(truthCol) === col(predCol))
+      .groupBy(col(truthCol).as("clazz")).agg(sum(col(nCol)).as("tp"))
+    val truthN = cells.groupBy(col(truthCol).as("clazz"))
+      .agg(sum(col(nCol)).as("truth_n"))
+    val predN = cells.groupBy(col(predCol).as("clazz"))
+      .agg(sum(col(nCol)).as("pred_n"))
+    truthN
+      .join(tp, Seq("clazz"), "left")
+      .join(predN, Seq("clazz"), "left")
+      .select(col("clazz"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("pred_n"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (col("truth_n") - coalesce(col("tp"), lit(0L))).as("fn"))
+      .withColumn("prec_micro",
+        when(col("tp") + col("fp") > 0, expr("tp * 1000000L div (tp + fp)"))
+          .otherwise(lit(0L)))
+      .withColumn("rec_micro",
+        when(col("tp") + col("fn") > 0, expr("tp * 1000000L div (tp + fn)"))
+          .otherwise(lit(0L)))
+      .withColumn("f1_micro",
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          expr("2 * tp * 1000000L div (2 * tp + fp + fn)"))
+          .otherwise(lit(0L)))
+  }
+
   /** Cohen's kappa from a confusion-cell table (`aCol` = one rater /
     * ground truth, `bCol` = the other rater / prediction, `nCol` = cell
     * count) — chance-corrected agreement for label-quality audits. With

@@ -260,6 +260,63 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Sign-bit binary quantization: dimension i collapses to the single
+    * bit (v[i] ≥ 0), Horner-packed into ⌈dim/32⌉ non-negative longs (32
+    * bits per word keeps every intermediate far from the sign bit, so
+    * Spark and any SQL oracle agree without unsigned types). float32 →
+    * 1 bit is the 32× memory cut that lets a 100 TB embedding corpus hold
+    * its candidate-generation index in RAM; angles survive because
+    * P[sign bits differ] = θ/π per dimension (the hyperplane-LSH bound
+    * with axis-aligned planes). Purely built-in expressions — codegen'd,
+    * no UDF. */
+  def signWords(vec: Column, dim: Int): Seq[Column] = {
+    require(dim >= 1, s"signWords needs dim >= 1, got $dim")
+    val v = asDouble(vec)
+    (0 until (dim + 31) / 32).map { b =>
+      val width = math.min(32, dim - b * 32)
+      aggregate(slice(v, b * 32 + 1, width), lit(0L),
+        (acc, x) => acc * 2 + when(x >= 0, lit(1L)).otherwise(lit(0L)))
+    }
+  }
+
+  /** Two-stage binary ANN: Hamming distance over [[signWords]] picks
+    * `candidates` per query (cheap — popcounts on packed longs, never the
+    * float vectors), then the exact 6dp cosine reranks the survivors to
+    * top `k`. The recall/cost dial is `candidates`: the float vectors are
+    * touched for |queries|·candidates rows only, so at corpus scale the
+    * scan is integer-only and the rerank is a bounded broadcast join.
+    * Returns (query_id, neighbor_id, hamming, cos, rank) — hamming kept
+    * in-row so a recall audit can see WHY a truth neighbor was missed. */
+  def hammingRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, dim: Int, candidates: Int, k: Int,
+                    native: Boolean = false): DataFrame = {
+    require(candidates >= k && k >= 1,
+      s"need candidates >= k >= 1, got candidates=$candidates k=$k")
+    import org.apache.spark.sql.expressions.Window
+    def packed(df: DataFrame, id: String, vec: String) = {
+      val ws = signWords(col(vecCol), dim)
+      df.select(col(idCol).as(id) +: col(vecCol).as(vec) +:
+        ws.zipWithIndex.map { case (w, i) => w.as(s"${vec}_w$i") }: _*)
+    }
+    val nWords = (dim + 31) / 32
+    val c = packed(corpus, "neighbor_id", "nv")
+    val q = packed(queries, "query_id", "qv")
+    val ham = (0 until nWords)
+      .map(i => expr(s"bit_count(nv_w$i ^ qv_w$i)"))
+      .reduce(_ + _).cast("long")
+    val wh = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val cand = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", ham)
+      .withColumn("hrank", row_number().over(wh))
+      .filter(col("hrank") <= candidates)
+    topKByCos(
+      cand.select(col("query_id"), col("neighbor_id"), col("hamming"),
+        round(cosineBy(native)(col("qv"), col("nv")), 6).as("cos")),
+      k).select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("cos"), col("rank"))
+  }
+
   /** Product-quantization codes (Jégou et al. 2011): split each vector
     * into `m` contiguous subspaces and store, per subspace, the id of the
     * nearest of `k` codebook centroids — 64 dims of float32 become m=4

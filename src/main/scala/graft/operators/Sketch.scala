@@ -429,4 +429,36 @@ object Sketch {
     targets.map(t => (t.bp.toLong, t.rank, t.resolved.get))
       .toDF("bp", "rank", "value")
   }
+
+  /** Median-absolute-deviation outlier screen — the robust twin of a
+    * mean±3σ cut (one wild value moves a mean; it cannot move a median).
+    * Composes [[exactQuantiles]] twice (median of the values, then median
+    * of |v − med|), so no global sort ever happens; the final pass counts
+    * values with |v − med| · kDenom > kNumer · mad. The default
+    * kNumer/kDenom = 44478/10000 is the conventional 3 · 1.4826
+    * (1/Φ⁻¹(3/4), the normal-consistency constant) expressed as an exact
+    * rational so both engines compare the SAME integers — no float enters
+    * at any point. Returns ONE row:
+    * (n, median, mad, n_outliers, outlier_ppm). A zero MAD (> half the
+    * mass on one value) flags only v ≠ median, the standard degenerate
+    * behavior. */
+  def madOutliers(df: DataFrame, valueCol: String,
+                  kNumer: Long = 44478L, kDenom: Long = 10000L): DataFrame = {
+    require(kNumer > 0 && kDenom > 0, s"need positive k, got $kNumer/$kDenom")
+    val vals = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val med = exactQuantiles(vals, "v", Seq(5000))
+      .select(col("value").as("med"))
+    val absdev = vals.crossJoin(broadcast(med))
+      .select(abs(col("v") - col("med")).as("ad"), col("v"), col("med"))
+    val mad = exactQuantiles(absdev, "ad", Seq(5000))
+      .select(col("value").as("mad"))
+    absdev.crossJoin(broadcast(mad))
+      .agg(count(lit(1)).as("n"),
+        min(col("med")).as("median"),
+        min(col("mad")).as("mad"),
+        sum(when(col("ad") * lit(kDenom) > lit(kNumer) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_ppm", expr("n_outliers * 1000000L div n"))
+  }
 }

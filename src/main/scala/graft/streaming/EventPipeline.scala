@@ -362,6 +362,48 @@ object EventPipeline {
         col("__r.e").as("ewma_milli"))
   }
 
+  /** Holt linear (double-exponential) smoothing, exact in milli units —
+    * [[ewmaMilli]]'s two-state sibling: a level AND a trend, so the
+    * one-step forecast follows a ramp instead of lagging it (the
+    * capacity-planning smoother over per-key hourly series). With
+    * pred = l + b, resid = x·1000 − pred:
+    * l' = pred + ⌊resid/αDen⌋,  b' = b + ⌊(l' − l − b)/βDen⌋ (and
+    * l' − l − b = ⌊resid/αDen⌋ exactly, which is how the fold spells it),
+    * seeded l₁ = x₁·1000, b₁ = 0; every division is sign-split to
+    * truncate toward zero, so Spark's `div` and an oracle's `//` agree
+    * on negatives. Same per-key collected-array fold as ewmaMilli (the
+    * series per key must fit one row — hourly buckets, not raw events;
+    * the recursion is inherently sequential, so the parallelism unit is
+    * the key, which is exactly how a per-metric forecaster shards). */
+  def holtMilli(points: DataFrame, keyCol: String, tsCol: String,
+                valCol: String, alphaDen: Int = 4, betaDen: Int = 8): DataFrame = {
+    require(alphaDen >= 2 && betaDen >= 2,
+      s"holtMilli needs alphaDen, betaDen >= 2, got $alphaDen, $betaDen")
+    def sdiv(x: String, d: Int) =
+      s"(CASE WHEN ($x) >= 0 THEN ($x) div ${d}L ELSE -((-($x)) div ${d}L) END)"
+    points
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+        col(valCol).cast("long").as("v")))).as("__a"))
+      .select(col(keyCol), explode(expr(
+        s"""aggregate(__a,
+           |  cast(array() as array<struct<ts:timestamp,v:bigint,l:bigint,b:bigint>>),
+           |  (acc, el) -> acc || array(CASE WHEN size(acc) = 0
+           |    THEN named_struct('ts', el.ts, 'v', el.v, 'l', el.v * 1000L, 'b', 0L)
+           |    ELSE named_struct('ts', el.ts, 'v', el.v,
+           |      'l', element_at(acc, -1).l + element_at(acc, -1).b
+           |         + ${sdiv("el.v * 1000L - element_at(acc, -1).l - element_at(acc, -1).b", alphaDen)},
+           |      'b', element_at(acc, -1).b
+           |         + ${sdiv(
+                  sdiv("el.v * 1000L - element_at(acc, -1).l - element_at(acc, -1).b",
+                    alphaDen), betaDen)})
+           |  END))""".stripMargin))
+        .as("__r"))
+      .select(col(keyCol), col("__r.ts").as(tsCol), col("__r.v").as(valCol),
+        col("__r.l").as("level_milli"), col("__r.b").as("trend_milli"),
+        (col("__r.l") + col("__r.b")).as("forecast_milli"))
+  }
+
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")

@@ -50,6 +50,33 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("property: holtMilli equals the naive two-state fold on 10 seeded series") {
+    import java.sql.Timestamp
+    def sdiv(x: Long, d: Long) = if (x >= 0) x / d else -((-x) / d)
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(400 + seed)
+      val pts = for (k <- Seq("a", "b"); i <- 0 until 20) yield
+        (k, Timestamp.valueOf(f"2026-01-01 ${i % 24}%02d:${i / 24}%02d:00"),
+          rnd.nextInt(50).toLong - 10L) // negatives exercise the sign-split div
+      val got = graft.streaming.EventPipeline
+        .holtMilli(pts.toDF("key", "ws", "cnt"), "key", "ws", "cnt")
+        .as[(String, Timestamp, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._4, r._5, r._6))).toMap
+      for ((k, series) <- pts.groupBy(_._1)) {
+        var l = 0L; var b = 0L
+        for (((_, ts, v), i) <- series.sortBy(_._2.getTime).zipWithIndex) {
+          if (i == 0) { l = v * 1000L; b = 0L }
+          else {
+            val dl = sdiv(v * 1000L - l - b, 4)
+            l = l + b + dl
+            b = b + sdiv(dl, 8)
+          }
+          assert(got((k, ts)) == ((l, b, l + b)), s"seed=$seed key=$k ts=$ts i=$i")
+        }
+      }
+    }
+  }
+
   test("property: zipfSlope equals the naive regression on 10 seeded corpora") {
     for (seed <- 1 to 10) {
       val rnd = new scala.util.Random(200 + seed)
@@ -226,5 +253,50 @@ class EvalSpec extends AnyFunSuite {
     // r3(leaf) = 150000 + 17*(1254999 div 3) div 20 = 505583
     assert(m("hub") == 2483250L, s"got ${m("hub")}")
     assert(m("alpha") == 505583L, s"got ${m("alpha")}")
+  }
+
+  test("property: liftDeciles equals a naive equal-frequency split on 10 seeded sets") {
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(300 + seed)
+      // 97 rows: n % 10 != 0 exercises ntile's ceil-then-floor split
+      val rows = (1 to 97).map(i =>
+        (i.toLong, rnd.nextInt(10).toLong, rnd.nextBoolean()))
+      val got = Eval.liftDeciles(rows.toDF("id", "score", "label"),
+          "score", "label", "id")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      val sorted = rows.sortBy(r => (-r._2, r._1))
+      val n = rows.size.toLong
+      val p = rows.count(_._3).toLong
+      var idx = 0
+      var cum = 0L
+      for (b <- 1 to 10) {
+        val sz = (n / 10 + (if (b <= n % 10) 1 else 0)).toInt
+        val np = sorted.slice(idx, idx + sz).count(_._3).toLong
+        idx += sz; cum += np
+        val g = got(b - 1)
+        assert(g._1 == b && g._2 == sz && g._3 == np, s"seed=$seed b=$b got=$g")
+        assert(g._4 == (if (p > 0) np * n * 1000000L / (sz * p) else 0L),
+          s"seed=$seed b=$b lift got=$g")
+        assert(g._5 == (if (p > 0) cum * 1000000L / p else 0L),
+          s"seed=$seed b=$b gain got=$g")
+      }
+    }
+  }
+
+  test("f1PerClass: hand confusion matrix, truth-margin classes, integrals exact") {
+    // truth a: 8 right + 2 as b; truth b: 5 right + 1 as a; truth c: 4 as
+    // a, never right AND never predicted — stays on the board via its
+    // truth margin with tp=fp=0.
+    val cells = Seq(("a", "a", 8L), ("a", "b", 2L), ("b", "b", 5L),
+      ("b", "a", 1L), ("c", "a", 4L)).toDF("truth", "pred", "n")
+    val out = Eval.f1PerClass(cells, "truth", "pred", "n")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      // a: tp=8 fp=1+4 fn=2 → 8e6/13, 8e6/10, 16e6/23
+      ("a", 8L, 5L, 2L, 615384L, 800000L, 695652L),
+      // b: tp=5 fp=2 fn=1 → 5e6/7, 5e6/6, 10e6/13
+      ("b", 5L, 2L, 1L, 714285L, 833333L, 769230L),
+      ("c", 0L, 0L, 4L, 0L, 0L, 0L)), s"got $out")
   }
 }

@@ -1787,4 +1787,48 @@ class OperatorsSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(sets(1) == sets(0), "single-seeding refinement should be confined to blocks")
   }
+
+  test("madOutliers: lower-median convention, rational cut, zero-MAD degeneracy") {
+    import graft.operators.Sketch
+    // 1..9 plus a wild 1000: rank ⌈5000·10/10⁴⌉ = 5 → median 5; absdevs
+    // sorted 0,1,1,2,2,3,3,4,4,995 → mad 2; cut ad·10⁴ > 44478·2 keeps
+    // only the 995.
+    val vals = ((1 to 9).map(_.toLong) :+ 1000L).map(Tuple1(_)).toDF("v")
+    val out = Sketch.madOutliers(vals, "v")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(out == ((10L, 5L, 2L, 1L, 100000L)), s"got $out")
+    // >half the mass on one value → mad 0 → only v ≠ median flags
+    val eq = (Seq.fill(5)(7L) :+ 9L).map(Tuple1(_)).toDF("v")
+    val o2 = Sketch.madOutliers(eq, "v")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(o2 == ((6L, 7L, 0L, 1L, 166666L)), s"got $o2")
+  }
+
+  test("signWords: Horner packing, 0.0 counts as non-negative, word spill past 32 dims") {
+    val v = Seq(Tuple1(Seq.fill(32)(1f) :+ -1f)).toDF("e")
+    val ws = Similarity.signWords(col("e"), 33)
+    val out = v.select(ws(0).as("w0"), ws(1).as("w1"))
+      .as[(Long, Long)].collect().head
+    assert(out == (((1L << 32) - 1L, 0L)), s"got $out")
+    val z = Seq(Tuple1(Seq(0f, -1f))).toDF("e")
+    val zw = z.select(Similarity.signWords(col("e"), 2).head.as("w0"))
+      .as[Long].collect().head
+    assert(zw == 2L, s"0.0 must set its bit (sign convention): got $zw")
+  }
+
+  test("hammingRerank: hamming gates candidates, exact cosine reranks survivors") {
+    // query 1: vec 5 h=0 (cos .866), vec 2 h=1 (cos .5), vec 4 h=2
+    // (cos 0), vec 3 h=4 — candidates=3 drops vec 3 BEFORE any cosine.
+    val df = Seq(
+      (1L, Seq(1f, 1f, 1f, 1f)),
+      (2L, Seq(1f, 1f, 1f, -1f)),
+      (3L, Seq(-1f, -1f, -1f, -1f)),
+      (4L, Seq(1f, 1f, -1f, -1f)),
+      (5L, Seq(1f, 0f, 1f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.hammingRerank(df, df.filter(col("vec_id") === 1),
+        "vec_id", "embedding", dim = 4, candidates = 3, k = 3)
+      .select("neighbor_id", "hamming", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(out.toSeq == Seq((5L, 0L, 1), (2L, 1L, 2), (4L, 2L, 3)), s"got ${out.toSeq}")
+  }
 }

@@ -53,6 +53,21 @@ class PlanShapeSpec extends AnyFunSuite {
     (4L, "p q r s t u v w"),
     (5L, "p q r s t zeta eta theta"))
 
+  test("partitioned read-back prunes: the lang filter is a PartitionFilter, not a row filter") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-part").toString
+    Seq((1L, "a", "en"), (2L, "b", "de"), (3L, "c", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val df = spark.read.parquet(dir).filter($"lang" === "en")
+    val scans = finalNodes(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec over the partitioned layout")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      s"lang filter must prune partitions, got filters: ${scans.map(_.partitionFilters)}")
+    assert(df.count() == 2)
+  }
+
   test("substringSpans: shuffles move (id, start, hash) triples, never the text") {
     val nodes = finalNodes(Dedup.substringSpans(corpus, "doc_id", "text", k = 3))
     val cols = shuffledColumns(nodes)
