@@ -1188,6 +1188,21 @@ object SparkEntry {
         dim = 64, candidates = 20, k = 5, native = true)
     }),
 
+    // Recall audit of the binary-quantized path (the e10 pattern): e22's
+    // sign-bit Hamming candidates + cosine rerank vs the exact top-5 —
+    // the number that prices the 32× memory cut in recall. Per-query
+    // (n_exact, n_hit, recall) over the same 10 queries.
+    "e23_binary_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = operators.Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", k = 5, native = true)
+      val approx = operators.Similarity.hammingRerank(
+        emb, qs, "vec_id", "embedding", dim = 64, candidates = 20, k = 5,
+        native = true)
+      operators.Similarity.annRecall(exact, approx)
+    }),
+
     // kNN classifier eval: majority label of the 5 nearest corpus
     // neighbors vs the true label, per-label accuracy over a
     // deterministic 20% eval slice — the training-free embedding-quality
@@ -1956,6 +1971,20 @@ object SparkEntry {
     // rounds of joins. The (w, u, v) lexicographic edge order makes the
     // forest unique, so the oracle replays sequential Prim under the same
     // order and must land on the identical edge set.
+    // Longest-path (topological) layering of the containment DAG — the
+    // lineage-scheduler read-out: layer = what can run in parallel, max
+    // layer = critical-path depth. The FK graph is a DAG by construction
+    // (every 'in' edge points up the hierarchy); customers that never
+    // ordered are in-degree-0 sources at layer 0, so labels can span
+    // layers — the per-(label, layer) census is the gate output.
+    "x30_topo_layers" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      graph.Traversal.topoLayers(g.edges, prepEdges = false)
+        .join(g.vertices.select(col("id"), col("label")), Seq("id"))
+        .groupBy(col("label"), col("layer"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "x29_boruvka_mst" -> ((s, dir) => {
       val nr = t(s, dir, "nation").select(
         (lit(2L * B) + col("n_nationkey")).as("src"),
@@ -2989,6 +3018,32 @@ object SparkEntry {
     // ceil-rank rule as the exact refiner; deterministic sample ⇒ the
     // ESTIMATE itself is oracled, and the in-row abs_err shows the
     // O(1/√k) sketch quality (the cd7 carry-exact pattern).
+    // Bloom-filter cardinality (Swamidass & Baldi): distinct count
+    // estimated from the FILL of an m-bit array with k seeded md5
+    // positions — n̂ = −(m/k)·ln(1 − X/m). The linear-sketch counter
+    // whose state (m bits) is mergeable by OR across partitions/streams,
+    // next to cd2's HLL and cd3's KMV. Self-evaluating (the cd7
+    // pattern): the exact distinct count rides in-row and bloom_ok
+    // asserts the estimate lands within 10% — bit positions and fill are
+    // exact integers any engine reproduces.
+    "cd9_bloom_cardinality" -> ((s, dir) => {
+      val m = 65536L
+      val vals = t(s, dir, "orders")
+        .select(col("o_custkey").cast("string").as("v")).distinct()
+      val pos = (1 to 3).map(i =>
+          vals.select((functions.Hashing.md5Long(col("v"), i) % m).as("pos")))
+        .reduce(_ unionByName _).distinct()
+      vals.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(pos.agg(count(lit(1)).as("bits_set")))
+        .select(lit(m).as("m"), lit(3L).as("k"), col("bits_set"), col("n_exact"),
+          floor(lit(-m.toDouble / 3.0)
+            * log(lit(1.0) - col("bits_set").cast("double") / lit(m.toDouble))
+            * 1000).cast("long").as("est_milli"))
+        .withColumn("bloom_ok",
+          abs(col("est_milli") - col("n_exact") * 1000) * 10
+            <= col("n_exact") * 1000)
+    }),
+
     "cd8_sample_quantiles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
@@ -4475,6 +4530,23 @@ object SparkEntry {
         |SELECT doc_id, length(raw) AS raw_len, nfc_normalize(raw) AS nfc,
         |  length(nfc_normalize(raw)) AS nfc_len FROM r""".stripMargin,
 
+    // Fill and exact count are both integers; the one double (ln of an
+    // exact rational) lands identically, same discipline as t_bm25's ln.
+    "cd9_bloom_cardinality" ->
+      """WITH vals AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+        |pos AS (SELECT DISTINCT ('0x' || substr(md5(v || '|' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 65536 AS pos
+        |  FROM vals CROSS JOIN (VALUES (1), (2), (3)) t(i)),
+        |st AS (SELECT (SELECT count(*) FROM vals) AS n_exact,
+        |  (SELECT count(*) FROM pos) AS bits_set),
+        |es AS (SELECT n_exact, bits_set,
+        |  CAST(floor(-(65536.0/3.0) * ln(1.0 - CAST(bits_set AS DOUBLE)/65536.0) * 1000) AS BIGINT) AS est_milli
+        |  FROM st)
+        |SELECT CAST(65536 AS BIGINT) AS m, CAST(3 AS BIGINT) AS k,
+        |  CAST(bits_set AS BIGINT) AS bits_set, CAST(n_exact AS BIGINT) AS n_exact,
+        |  est_milli,
+        |  (abs(est_milli - n_exact * 1000) * 10 <= n_exact * 1000) AS bloom_ok
+        |FROM es""".stripMargin,
+
     "cd8_sample_quantiles" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
         |    ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS p
@@ -4716,6 +4788,32 @@ object SparkEntry {
         |  SELECT r.origin, e2.dst FROM reach r JOIN e e2 ON r.node = e2.src
         |)
         |SELECT origin, node FROM reach""".stripMargin,
+
+    // a14's edge CTE, longest-path DP: enumerate (vertex, depth) pairs
+    // from the in-degree-0 sources (UNION dedups, the DAG bounds depth),
+    // keep the max per vertex, census by label stride.
+    "x30_topo_layers" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 3*72057594037927936 + c_custkey AS src, 2*72057594037927936 + c_nationkey AS dst FROM customer
+        |  UNION ALL SELECT 4*72057594037927936 + s_suppkey, 2*72057594037927936 + s_nationkey FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation
+        |  UNION ALL SELECT 6*72057594037927936 + o_orderkey, 3*72057594037927936 + o_custkey FROM orders
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 6*72057594037927936 + l_orderkey FROM lineitem
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 5*72057594037927936 + l_partkey FROM lineitem
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 4*72057594037927936 + l_suppkey FROM lineitem
+        |), srcs AS (SELECT DISTINCT src AS id FROM e WHERE src NOT IN (SELECT dst FROM e)),
+        |p(id, layer) AS (
+        |  SELECT id, 0 FROM srcs
+        |  UNION
+        |  SELECT e.dst, p.layer + 1 FROM p JOIN e ON e.src = p.id
+        |),
+        |lay AS (SELECT id, max(layer) AS layer FROM p GROUP BY id)
+        |SELECT CASE id // 72057594037927936
+        |    WHEN 1 THEN 'region' WHEN 2 THEN 'nation' WHEN 3 THEN 'customer'
+        |    WHEN 4 THEN 'supplier' WHEN 5 THEN 'part' WHEN 6 THEN 'orders'
+        |    WHEN 7 THEN 'lineitem' END AS label,
+        |  CAST(layer AS BIGINT) AS layer, count(*) AS n
+        |FROM lay GROUP BY 1, 2""".stripMargin,
 
     "a06_upsert_vertices" ->
       """SELECT 'region' AS label, count(*) AS cnt FROM region
@@ -5853,6 +5951,41 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cos,
          | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          |FROM sc QUALIFY rank <= 5""".stripMargin,
+
+    // e22's candidate/rerank replayed next to the brute-force top-5, the
+    // e10 recall-overlap join on top.
+    "e23_binary_recall" -> {
+      def word(lo: Int, hi: Int) =
+        s"list_reduce(list_transform(e[$lo:$hi], x -> CASE WHEN x >= 0 " +
+          "THEN 1::BIGINT ELSE 0::BIGINT END), (a, b) -> a * 2 + b)"
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |w AS (SELECT vec_id, e, ${word(1, 32)} AS w0, ${word(33, 64)} AS w1 FROM v),
+         |q AS (SELECT * FROM w WHERE vec_id < 10),
+         |exsc AS (SELECT q.vec_id AS query_id, w.vec_id AS neighbor_id,
+         |  round(${cosSql("q.e", "w.e")}, 6) AS cos
+         |  FROM q JOIN w ON w.vec_id <> q.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM exsc) WHERE rk <= 5),
+         |h AS (SELECT q.vec_id AS query_id, w.vec_id AS neighbor_id,
+         |  CAST(bit_count(xor(q.w0, w.w0)) + bit_count(xor(q.w1, w.w1)) AS BIGINT) AS hamming,
+         |  q.e AS qe, w.e AS ne
+         |  FROM q JOIN w ON w.vec_id <> q.vec_id),
+         |cand AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY hamming, neighbor_id) AS hrank FROM h) WHERE hrank <= 20),
+         |apsc AS (SELECT query_id, neighbor_id,
+         |  round(${cosSql("qe", "ne")}, 6) AS cos FROM cand),
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM apsc) WHERE rk <= 5)
+         |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
+         |  floor(CAST(count(ap.neighbor_id) AS DOUBLE) / count(*) * 10000) / 10000 AS recall
+         |FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+         |GROUP BY ex.query_id""".stripMargin
+    },
 
     // Same Horner sign-packing (two 32-bit words), Hamming candidates,
     // cosine rerank. DuckDB's ^ is power, so xor() is spelled out.

@@ -75,6 +75,27 @@ class TraversalSpec extends AnyFunSuite {
     }
   }
 
+  test("topoLayers: longest path wins over shortest; diamond re-relaxes; cycle throws") {
+    // Diamond with a long arm: 1 -> 2 -> 3 -> 4 and 1 -> 4 directly.
+    // BFS would stamp 4 at depth 1; the LAYER of 4 is 3 (longest path).
+    // 4 -> 5 chains one further: 5's layer is 4.
+    val es = edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L)))
+    val lay = Traversal.topoLayers(es).as[(Long, Long)].collect().toMap
+    assert(lay == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L), s"got $lay")
+    // Two sources at different arm lengths: 10 -> 11 -> 12, 20 -> 12 —
+    // 12 takes the LONGER arm (layer 2); source 20 sits at 0.
+    val l2 = Traversal.topoLayers(
+      edgesDF(Seq((10L, 11L), (11L, 12L), (20L, 12L))))
+      .as[(Long, Long)].collect().toMap
+    assert(l2 == Map(10L -> 0L, 20L -> 0L, 11L -> 1L, 12L -> 2L), s"got $l2")
+    // A cycle has no in-degree-0 source feeding it — relaxation can never
+    // reach it, but a cycle REACHABLE from a source relaxes forever:
+    assertThrows[IllegalArgumentException] {
+      Traversal.topoLayers(
+        edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 2L))), maxIter = 8)
+    }
+  }
+
   test("reachFix throws instead of silently truncating") {
     val e = edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
     assertThrows[IllegalStateException] {
