@@ -39,7 +39,9 @@ object Bench {
     // 1581 chars at 57 entries)
     "x26_closeness", "q21_waiting_suppliers", "ev1_roc_auc",
     // the binary-quantized ANN scale path and the robust outlier screen
-    "e22_binary_rerank", "dq9_mad_outliers")
+    "e22_binary_rerank", "dq9_mad_outliers",
+    // DAG layering and the first-claim novelty scorer
+    "x30_topo_layers", "d_novelty")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2130,6 +2130,28 @@ object SparkEntry {
     // near-dup already exists in base. The per-ingest production pattern
     // — the delta probes the corpus's band-bucket index, never self-joins
     // the corpus (see Dedup.incrementalDedup).
+    // First-claim novelty score: a doc's distinct shingles that NO
+    // earlier doc (smaller doc_id) contains — the contribution metric a
+    // curriculum/data-valuation pass ranks sources by ("how much new
+    // text does this feed add"), and the per-doc view of what
+    // d_exact_dup_fingerprint decides wholesale. Shingles travel as
+    // 60-bit md5 hashes; text never crosses an exchange.
+    "d_novelty" -> ((s, dir) => {
+      val ds = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          operators.Dedup.shingles(col("text")))).as("sh"))
+        // distinct AFTER hashing so a (theoretical) 60-bit collision
+        // collapses the same way the oracle's DISTINCT-on-hash does
+        .select(col("doc_id"), functions.Hashing.md5Long(col("sh")).as("g"))
+        .distinct()
+      val own = ds.groupBy(col("g")).agg(min(col("doc_id")).as("owner"))
+      ds.join(own, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum((col("owner") === col("doc_id")).cast("long")).as("n_novel"))
+        .withColumn("novelty_ppm", expr("n_novel * 1000000L div n_shingles"))
+    }),
+
     "d_incremental_dedup" -> ((s, dir) => {
       val slice = graft.functions.Hashing.md5Long(col("doc_id")) % 100
       val docs = t(s, dir, "documents")
@@ -2408,6 +2430,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
       streaming.EventPipeline.holtMilli(hourly, "event_type", "ws", "cnt",
         alphaDen = 4, betaDen = 8)
+    }),
+
+    // One-sided CUSUM changepoint detection over per-type hourly counts:
+    // sw10's z-score sees one bucket, CUSUM accumulates persistent drift
+    // above the per-type mean (+ a mean/4 allowance) until it crosses
+    // 5× the reference — the sequential level-shift alarm. Reference =
+    // the exact integer per-type mean in milli; everything else is the
+    // exact fold.
+    "sw21_cusum" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          window(col("ts"), "1 hour").getField("start").as("ws"))
+        .agg(count(lit(1)).as("cnt"))
+      val base = hourly.groupBy(col("event_type"))
+        .agg(expr("sum(cnt) * 1000L div count(*)").as("ref_milli"))
+      streaming.EventPipeline.cusumMilli(
+        hourly.join(broadcast(base), Seq("event_type")),
+        "event_type", "ws", "cnt", "ref_milli")
     }),
 
     // Seasonal-profile anomaly: each (event_type, hour) bucket against
@@ -3572,6 +3612,35 @@ object SparkEntry {
       val cents = t(s, dir, "lineitem")
         .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       operators.Sketch.madOutliers(cents, "cents")
+    }),
+
+    // Shannon entropy profile of the categorical columns — the
+    // class-balance statistic next to dq3's numeric block (a collapsed
+    // enum shows up as entropy ≈ 0 long before a referential check
+    // fails). Deterministic integer form: each value's surprise
+    // ⌊10⁶·ln(n/cnt)⌋ floors FIRST, the weighted sum and final div are
+    // exact — a ≤1e-6-per-term lower bound both engines compute
+    // identically (the t_bm25 ln discipline).
+    "dq10_entropy" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ords = t(s, dir, "orders")
+      def ent(df: DataFrame, name: String): DataFrame = {
+        val cnts = df.groupBy(col(name).cast("string").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = cnts.agg(sum(col("cnt")).as("n"),
+          count(lit(1)).as("n_distinct"))
+        cnts.crossJoin(broadcast(tot))
+          .select(col("n"), col("n_distinct"),
+            (col("cnt") * floor(log(col("n").cast("double")
+              / col("cnt").cast("double")) * 1000000).cast("long")).as("term"))
+          .groupBy(col("n"), col("n_distinct"))
+          .agg(sum(col("term")).as("mass"))
+          .select(lit(name).as("column"), col("n"), col("n_distinct"),
+            expr("mass div n").as("entropy_micro"))
+      }
+      ent(li, "l_linestatus").unionByName(ent(li, "l_returnflag"))
+        .unionByName(ent(ords, "o_orderstatus"))
+        .unionByName(ent(ords, "o_orderpriority"))
     }),
 
     // Benford first-digit audit over extendedprice cents: observed
@@ -6628,6 +6697,26 @@ object SparkEntry {
         |count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // CUSUM fold replayed recursively; the reference mean is the same
+    // exact integer division on both engines.
+    "sw21_cusum" ->
+      """WITH RECURSIVE h AS (SELECT event_type,
+        |  time_bucket(INTERVAL 1 HOUR, ts) AS ws, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, sum(cnt) * 1000 // count(*) AS ref FROM h GROUP BY 1),
+        |idx AS (SELECT h.event_type, ws, cnt, ref,
+        |  row_number() OVER (PARTITION BY h.event_type ORDER BY ws) AS i
+        |  FROM h JOIN b ON b.event_type = h.event_type),
+        |cu(event_type, i, ws, cnt, ref, s) AS (
+        |  SELECT event_type, i, ws, cnt, ref,
+        |    greatest(0, cnt * 1000 - ref - ref // 4) FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT idx.event_type, idx.i, idx.ws, idx.cnt, idx.ref,
+        |    greatest(0, cu.s + idx.cnt * 1000 - idx.ref - idx.ref // 4)
+        |  FROM cu JOIN idx ON idx.event_type = cu.event_type AND idx.i = cu.i + 1)
+        |SELECT event_type, ws, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(s AS BIGINT) AS cusum_milli, (s > 5 * ref) AS alarm FROM cu""".stripMargin,
+
     // The two-state fold replayed as a recursive CTE: (l, b) carried
     // per (event_type, i); sign-split // matches Spark's div exactly.
     "sw20_holt_linear" -> {
@@ -7006,6 +7095,19 @@ object SparkEntry {
       s"""SELECT doc_id, bucket FROM (
          |  SELECT doc_id, ${md5i("CAST(doc_id AS VARCHAR)")} % 100 AS bucket FROM documents)
          |WHERE bucket < 10""".stripMargin,
+
+    // distinct shingles per doc, min-doc_id owner per shingle hash, the
+    // owner==self count — all exact integers.
+    "d_novelty" ->
+      s"""$SHINGLE_CTES,
+         |u AS (SELECT DISTINCT doc_id, ${md5i("g")} AS g
+         |  FROM (SELECT doc_id, unnest(sh) AS g FROM s)),
+         |own AS (SELECT g, min(doc_id) AS owner FROM u GROUP BY g)
+         |SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN own.owner = u.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN own.owner = u.doc_id THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS novelty_ppm
+         |FROM u JOIN own ON own.g = u.g GROUP BY u.doc_id""".stripMargin,
 
     // mirrors Dedup.incrementalDedup over the 20/80 hash slice: delta
     // band-buckets probe base band-buckets, collisions verified by exact
@@ -7622,6 +7724,20 @@ object SparkEntry {
         fd("lineitem", "l_orderkey", "l_returnflag"),
         fd("lineitem", "l_partkey", "l_suppkey"),
         fd("orders", "o_custkey", "o_orderpriority")).mkString("\nUNION ALL\n")
+    },
+
+    // Surprise floors per value BEFORE the weighted sum — integer from
+    // there on, so the profile is engine-exact.
+    "dq10_entropy" -> {
+      def ent(tbl: String, c: String) =
+        s"""SELECT '$c' AS "column", n, n_distinct, mass // n AS entropy_micro FROM (
+           |  SELECT sum(cnt) AS n, CAST(count(*) AS BIGINT) AS n_distinct,
+           |    sum(cnt * CAST(floor(ln(CAST((SELECT count(*) FROM $tbl) AS DOUBLE) / cnt)
+           |      * 1000000) AS BIGINT)) AS mass
+           |  FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt FROM $tbl GROUP BY 1))""".stripMargin
+      Seq(("lineitem", "l_linestatus"), ("lineitem", "l_returnflag"),
+        ("orders", "o_orderstatus"), ("orders", "o_orderpriority"))
+        .map { case (t, c) => ent(t, c) }.mkString("\nUNION ALL\n")
     },
 
     // Both medians via the cd6 rank convention (rank = ⌈bp·n/10⁴⌉, the

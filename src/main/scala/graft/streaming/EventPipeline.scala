@@ -404,6 +404,42 @@ object EventPipeline {
         (col("__r.l") + col("__r.b")).as("forecast_milli"))
   }
 
+  /** One-sided CUSUM changepoint detector, exact in milli units — the
+    * sequential-analysis complement to sw10's window z-score (a z-score
+    * sees one bucket at a time; CUSUM ACCUMULATES small persistent
+    * upward drift until it crosses a threshold, catching level shifts no
+    * single bucket reveals). Classic Page form with reference μ and
+    * allowance k = μ/allowanceDen:
+    * s_t = max(0, s_{t-1} + x_t·1000 − ref − ⌊ref/allowanceDen⌋),
+    * alarm when s_t > thresholdNum·ref. `refCol` is the per-key
+    * reference level in MILLI units (a mean, a last-week baseline — the
+    * caller chooses); all arithmetic is integer, so engines agree. Same
+    * per-key collected-array fold (and the same bounded-series contract)
+    * as [[ewmaMilli]]/[[holtMilli]]. */
+  def cusumMilli(points: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, refCol: String, allowanceDen: Int = 4,
+                 thresholdNum: Int = 5): DataFrame = {
+    require(allowanceDen >= 1 && thresholdNum >= 1,
+      s"cusumMilli needs allowanceDen, thresholdNum >= 1, " +
+        s"got $allowanceDen, $thresholdNum")
+    points
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+        col(valCol).cast("long").as("v"),
+        col(refCol).cast("long").as("ref")))).as("__a"))
+      .select(col(keyCol), explode(expr(
+        s"""aggregate(__a,
+           |  cast(array() as array<struct<ts:timestamp,v:bigint,ref:bigint,s:bigint>>),
+           |  (acc, el) -> acc || array(named_struct('ts', el.ts, 'v', el.v, 'ref', el.ref,
+           |    's', greatest(0L,
+           |      (CASE WHEN size(acc) = 0 THEN 0L ELSE element_at(acc, -1).s END)
+           |      + el.v * 1000L - el.ref - el.ref div ${allowanceDen}L))))""".stripMargin))
+        .as("__r"))
+      .select(col(keyCol), col("__r.ts").as(tsCol), col("__r.v").as(valCol),
+        col("__r.s").as("cusum_milli"),
+        (col("__r.s") > lit(thresholdNum.toLong) * col("__r.ref")).as("alarm"))
+  }
+
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")

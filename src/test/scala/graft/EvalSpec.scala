@@ -77,6 +77,32 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("property: cusumMilli equals the naive fold; an injected level shift alarms") {
+    import java.sql.Timestamp
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(500 + seed)
+      // stationary ~10 for 30 buckets, then a +15 level shift — the kind
+      // sw10's per-bucket z-score underweights but CUSUM accumulates
+      val pts = for (i <- 0 until 60) yield
+        ("k", Timestamp.valueOf(f"2026-01-01 10:$i%02d:00"),
+          (if (i < 30) 8 + rnd.nextInt(5) else 33 + rnd.nextInt(5)).toLong)
+      val ref = pts.map(_._3).sum * 1000L / pts.size
+      val got = graft.streaming.EventPipeline.cusumMilli(
+          pts.map { case (k, ts, v) => (k, ts, v, ref) }
+            .toDF("key", "ws", "cnt", "ref"),
+          "key", "ws", "cnt", "ref")
+        .as[(String, Timestamp, Long, Long, Boolean)].collect()
+        .sortBy(_._2.getTime)
+      var s = 0L
+      for (((_, ts, v), g) <- pts.zip(got)) {
+        s = math.max(0L, s + v * 1000L - ref - ref / 4)
+        assert(g._4 == s && g._5 == (s > 5 * ref), s"seed=$seed ts=$ts got=$g")
+      }
+      assert(got.exists(_._5), s"seed=$seed: the level shift must raise an alarm")
+      assert(!got.take(25).exists(_._5), s"seed=$seed: no alarm before the shift")
+    }
+  }
+
   test("property: zipfSlope equals the naive regression on 10 seeded corpora") {
     for (seed <- 1 to 10) {
       val rnd = new scala.util.Random(200 + seed)
