@@ -443,6 +443,28 @@ object SparkEntry {
     }),
 
     // Window: top-3 customers by balance per segment.
+    // Exact-integer percent_rank / cume_dist over per-nation balances:
+    // rank handles ties (same balance → same rank), n_le counts the
+    // RANGE frame through the tie group, and both read-outs are floored
+    // integer divisions — no double percent ever materializes.
+    "w4_percent_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"))
+      val wAll = Window.partitionBy(col("c_nationkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"),
+          col("c_nationkey").as("nationkey"),
+          rank().over(wOrd).cast("long").as("rnk"),
+          count(lit(1)).over(wOrd.rangeBetween(
+            Window.unboundedPreceding, Window.currentRow)).as("n_le"),
+          count(lit(1)).over(wAll).as("n"))
+        .select(col("custkey"), col("nationkey"), col("rnk"),
+          when(col("n") > 1,
+            expr("(rnk - 1) * 1000000L div (n - 1)")).otherwise(lit(0L))
+            .as("pr_micro"),
+          expr("n_le * 1000000L div n").as("cume_ppm"))
+    }),
+
     "w1_window_top3" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("c_mktsegment"))
@@ -2204,6 +2226,17 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
     }),
 
+    // Stratified EXACT-proportion 80/10/10 split per language —
+    // d_train_split's per-row hash hits proportions only in expectation
+    // (a small stratum can miss a split entirely); the eval-set builder
+    // wants them exact per stratum. Deterministic (md5, id) order inside
+    // each stratum.
+    "d_stratified_split" -> ((s, dir) => {
+      operators.Dedup.stratifiedSplit(
+        t(s, dir, "documents"), "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("split"))
+    }),
+
     // Multi-source BFS: minimum hop distance from the lineitem layer to
     // everything it reaches (lineitem=0 -> orders/part/supplier=1 ->
     // customer/nation=2 -> nation/region=3/4; nation's min is 2 via the
@@ -3612,6 +3645,25 @@ object SparkEntry {
       val cents = t(s, dir, "lineitem")
         .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       operators.Sketch.madOutliers(cents, "cents")
+    }),
+
+    // Join-cardinality statistic (what a cost-based optimizer estimates
+    // from per-key histograms, here computed exactly): |A ⋈ B| =
+    // Σ_k cnt_A(k)·cnt_B(k) from two tiny per-key aggregates — then
+    // self-proved against the actual join count in the same row. The
+    // 100 TB use is running the PREDICTION side only: two aggregates
+    // instead of materializing a join you may not afford.
+    "dq11_join_size" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ords = t(s, dir, "orders")
+      val lc = li.groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+      val oc = ords.groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+      val pred = lc.join(oc, Seq("k"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("predicted"))
+      val actual = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("actual"))
+      pred.crossJoin(actual)
+        .withColumn("stat_exact", col("predicted") === col("actual"))
     }),
 
     // Shannon entropy profile of the categorical columns — the
@@ -7725,6 +7777,39 @@ object SparkEntry {
         fd("lineitem", "l_partkey", "l_suppkey"),
         fd("orders", "o_custkey", "o_orderpriority")).mkString("\nUNION ALL\n")
     },
+
+    "dq11_join_size" ->
+      """WITH lc AS (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
+        |oc AS (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS predicted
+        |  FROM lc JOIN oc ON lc.k = oc.k),
+        |a AS (SELECT count(*) AS actual FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT predicted, CAST(actual AS BIGINT) AS actual,
+        |  (predicted = actual) AS stat_exact FROM p CROSS JOIN a""".stripMargin,
+
+    "w4_percent_rank" ->
+      """SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(CASE WHEN cnt > 1
+        |    THEN (rank() OVER w - 1) * 1000000 // (cnt - 1) ELSE 0 END AS BIGINT) AS pr_micro,
+        |  CAST(count(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 // cnt
+        |    AS BIGINT) AS cume_ppm
+        |FROM (SELECT *, count(*) OVER (PARTITION BY c_nationkey) AS cnt FROM customer)
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)""".stripMargin,
+
+    "d_stratified_split" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+         |  ${md5i("CAST(doc_id AS VARCHAR)")} AS hh FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY lang) AS n FROM h)
+         |SELECT doc_id, lang,
+         |  CASE WHEN rn * 10000 <= n * 8000 THEN 'train'
+         |       WHEN rn * 10000 <= n * 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM r""".stripMargin,
 
     // Surprise floors per value BEFORE the weighted sum — integer from
     // there on, so the profile is engine-exact.

@@ -954,6 +954,36 @@ object Dedup {
         .otherwise(lit("test")))
   }
 
+  /** Stratified EXACT-proportion split: within each stratum, rows order
+    * by (md5(key), key) and the first ⌊trainBp·n/10⁴⌋ are train, the
+    * next slice val, the rest test — the eval-set builder's form.
+    * [[trainValTestSplit]] is per-row independent (stable as the corpus
+    * grows, but a 90/5/5 TARGET lands only in expectation and a small
+    * stratum can miss a split entirely); this one hits the proportions
+    * exactly per stratum at the cost of re-assignment when the stratum
+    * changes. One window per stratum — the parallelism unit is the
+    * stratum, the standard shape for per-domain eval carving. */
+  def stratifiedSplit(df: DataFrame, keyCol: String, stratumCol: String,
+                      trainBp: Int = 8000, valBp: Int = 1000): DataFrame = {
+    require(trainBp >= 0 && valBp >= 0 && trainBp + valBp <= 10000,
+      s"invalid split basis points: train=$trainBp val=$valBp")
+    require(!df.columns.contains("__h") && !df.columns.contains("__rn") &&
+      !df.columns.contains("__n"),
+      "stratifiedSplit uses temp columns __h/__rn/__n; rename them first")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", md5Long(col(keyCol)))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+      .withColumn("split",
+        when(col("__rn") * 10000 <= col("__n") * trainBp, lit("train"))
+          .when(col("__rn") * 10000 <= col("__n") * (trainBp + valBp), lit("val"))
+          .otherwise(lit("test")))
+      .drop("__h", "__rn", "__n")
+  }
+
   /** Deterministic weighted sampling: `draws` independent draws WITH
     * replacement, P(key wins a draw) = weight / Σweights EXACTLY — via
     * the ticket/min-hash construction: a row of integer weight w holds w

@@ -1788,6 +1788,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sets(1) == sets(0), "single-seeding refinement should be confined to blocks")
   }
 
+  test("stratifiedSplit: exact per-stratum proportions, partition-invariant") {
+    // stratum a: 10 rows → 8/1/1 exactly; stratum b: 3 rows → ⌊2.4⌋=2
+    // train, ⌊2.7⌋−2=0 val (floor boundary!), 1 test.
+    val rows = ((1 to 10).map(i => (i.toLong, "a")) ++
+      (11 to 13).map(i => (i.toLong, "b"))).toDF("doc_id", "lang")
+    val out = Dedup.stratifiedSplit(rows, "doc_id", "lang")
+      .as[(Long, String, String)].collect()
+    val byStratum = out.groupBy(_._2).view.mapValues(
+      _.groupBy(_._3).view.mapValues(_.length).toMap).toMap
+    assert(byStratum("a") == Map("train" -> 8, "val" -> 1, "test" -> 1), s"got $byStratum")
+    assert(byStratum("b") == Map("train" -> 2, "test" -> 1), s"got $byStratum")
+    // same assignment under a different physical partitioning
+    val re = Dedup.stratifiedSplit(rows.repartition(7), "doc_id", "lang")
+      .as[(Long, String, String)].collect()
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("madOutliers: lower-median convention, rational cut, zero-MAD degeneracy") {
     import graft.operators.Sketch
     // 1..9 plus a wild 1000: rank ⌈5000·10/10⁴⌉ = 5 → median 5; absdevs
