@@ -1210,6 +1210,31 @@ object SparkEntry {
         dim = 64, candidates = 20, k = 5, native = true)
     }),
 
+    // IVF recall-vs-nprobe curve: the SAME deterministic iters=0 index
+    // probed at nprobe ∈ {1, 2, 4}, each sweep point summarized as
+    // corpus recall vs the exact top-3 — the dial chart an operator
+    // reads before picking the serving nprobe (e4b fixes one point;
+    // this prices the whole dial). Index builds once; three probes
+    // share it.
+    "e24_nprobe_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 20)
+      val exact = operators.Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", k = 3, native = true)
+      val (cent, lists) = operators.Similarity.buildIvfIndex(
+        emb, "vec_id", "embedding", nlist = 8, iters = 0)
+      Seq(1, 2, 4).map { np =>
+        val ap = operators.Similarity.ivfQueryIndex(
+          cent, lists, qs, "vec_id", "embedding", k = 3, nprobe = np,
+          native = true)
+        operators.Similarity.annRecall(exact, ap)
+          .agg(coalesce(sum(col("n_exact")), lit(0L)).as("n_exact"),
+            coalesce(sum(col("n_hit")), lit(0L)).as("n_hit"))
+          .select(lit(np.toLong).as("nprobe"), col("n_exact"), col("n_hit"),
+            expr("n_hit * 1000000L div n_exact").as("recall_ppm"))
+      }.reduce(_ unionByName _)
+    }),
+
     // Recall audit of the binary-quantized path (the e10 pattern): e22's
     // sign-bit Hamming candidates + cosine rerank vs the exact top-5 —
     // the number that prices the 32× memory cut in recall. Per-query
@@ -3099,6 +3124,39 @@ object SparkEntry {
     // pattern): the exact distinct count rides in-row and bloom_ok
     // asserts the estimate lands within 10% — bit positions and fill are
     // exact integers any engine reproduces.
+    // CountSketch (Charikar–Chen–Farach-Colton): the UNBIASED frequency
+    // sketch next to cd5's count-min (which only over-estimates) —
+    // signed hashing cancels collision noise in expectation, and the
+    // median of d=3 signed cells is exact integer algebra
+    // (median-of-3 = sum − max − min). Estimates for cd5's 16 heaviest
+    // keys ride next to their exact counts; everything is md5-derived,
+    // so both engines build the identical sketch.
+    "cd10_countsketch" -> ((s, dir) => {
+      val w = 1024L
+      val keys = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("string").as("k"))
+      def hb(i: Int) = functions.Hashing.md5Long(col("k"), 10 + i) % w
+      def sg(i: Int) = when(
+        functions.Hashing.md5Long(col("k"), 20 + i) % 2 === 0, 1L)
+        .otherwise(-1L)
+      val cells = (1 to 3).map(i =>
+          keys.select(lit(i).as("i"), hb(i).as("b"), sg(i).as("s")))
+        .reduce(_ unionByName _)
+        .groupBy(col("i"), col("b")).agg(sum(col("s")).as("c"))
+      val top = keys.groupBy(col("k")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("k")).limit(16)
+      val probes = (1 to 3).map(i =>
+          top.select(col("k"), col("exact"), lit(i).as("i"),
+            hb(i).as("b"), sg(i).as("s")))
+        .reduce(_ unionByName _)
+      probes.join(cells, Seq("i", "b"))
+        .select(col("k"), col("exact"), (col("s") * col("c")).as("est_i"))
+        .groupBy(col("k"), col("exact"))
+        .agg((sum(col("est_i")) - max(col("est_i")) - min(col("est_i")))
+          .as("est"))
+        .withColumn("err", col("est") - col("exact"))
+    }),
+
     "cd9_bloom_cardinality" -> ((s, dir) => {
       val m = 65536L
       val vals = t(s, dir, "orders")
@@ -4650,6 +4708,33 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, length(raw) AS raw_len, nfc_normalize(raw) AS nfc,
         |  length(nfc_normalize(raw)) AS nfc_len FROM r""".stripMargin,
+
+    // Identical md5-derived cells; median-of-3 as sum − max − min.
+    "cd10_countsketch" -> {
+      def b(i: Int) = s"${md5i(s"k || '|1$i'")} % 1024"
+      def sgn(i: Int) = s"(CASE WHEN ${md5i(s"k || '|2$i'")} % 2 = 0 THEN 1 ELSE -1 END)"
+      val cellRows = (1 to 3).map(i =>
+        s"SELECT $i AS i, ${b(i)} AS b, ${sgn(i)} AS s FROM keys")
+        .mkString("\nUNION ALL\n")
+      val probeRows = (1 to 3).map(i =>
+        s"SELECT k, exact, $i AS i, ${b(i)} AS b, ${sgn(i)} AS s FROM top")
+        .mkString("\nUNION ALL\n")
+      s"""WITH keys AS (SELECT CAST(l_suppkey AS VARCHAR) AS k FROM lineitem),
+         |cells AS (SELECT i, b, sum(s) AS c FROM (
+         |$cellRows
+         |) GROUP BY i, b),
+         |top AS (SELECT k, count(*) AS exact FROM keys GROUP BY k
+         |  ORDER BY exact DESC, k LIMIT 16),
+         |probes AS (
+         |$probeRows
+         |),
+         |e AS (SELECT probes.k, probes.exact, probes.s * cells.c AS est_i
+         |  FROM probes JOIN cells ON cells.i = probes.i AND cells.b = probes.b)
+         |SELECT k, CAST(exact AS BIGINT) AS exact,
+         |  CAST(sum(est_i) - max(est_i) - min(est_i) AS BIGINT) AS est,
+         |  CAST(sum(est_i) - max(est_i) - min(est_i) - exact AS BIGINT) AS err
+         |FROM e GROUP BY k, exact""".stripMargin
+    },
 
     // Fill and exact count are both integers; the one double (ln of an
     // exact rational) lands identically, same discipline as t_bm25's ln.
@@ -6240,6 +6325,49 @@ object SparkEntry {
     // md5(vec_id); assignment/probing argmin over sequential-fold L2 —
     // identical doubles in both engines, ties broken by cid.
     "e4b_ivf_fixed" -> ivfFixedOracleSql,
+
+    // The e4b index replayed at three probe depths; shared CTEs, one
+    // summary row per nprobe.
+    "e24_nprobe_curve" -> {
+      def rec(np: Int) =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+           |  CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
+           |  CAST(count(ap.neighbor_id) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+           |FROM ex LEFT JOIN (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT sc.query_id, sc.neighbor_id,
+           |      row_number() OVER (PARTITION BY sc.query_id ORDER BY sc.cos DESC, sc.neighbor_id) AS rk
+           |    FROM (SELECT pr.query_id, a.vec_id AS neighbor_id,
+           |        round(${cosSql("pr.qv", "a.e")}, 6) AS cos
+           |      FROM pra pr JOIN asg a ON a.cid = pr.cid AND a.vec_id <> pr.query_id
+           |      WHERE pr.r <= $np) sc) WHERE rk <= 3
+           |) ap ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id""".stripMargin
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |sd AS (SELECT vec_id, e, row_number() OVER (ORDER BY ${md5i("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn FROM v),
+         |cent AS (SELECT CAST(rn - 1 AS INT) AS cid, e AS cvec FROM sd WHERE rn <= 8),
+         |asg AS (SELECT vec_id, e, cid FROM (
+         |  SELECT v.vec_id, v.e, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${l2Sql("v.e", "c.cvec")}, c.cid) AS r
+         |  FROM v CROSS JOIN cent c) WHERE r = 1),
+         |q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 20),
+         |exsc AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+         |  round(${cosSql("q.qv", "v.e")}, 6) AS cos
+         |  FROM q JOIN v ON v.vec_id <> q.query_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM exsc) WHERE rk <= 3),
+         |pra AS (SELECT query_id, qv, cid, r FROM (
+         |  SELECT q.query_id, q.qv, c.cid,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY ${l2Sql("q.qv", "c.cvec")}, c.cid) AS r
+         |  FROM q CROSS JOIN cent c))
+         |${rec(1)}
+         |UNION ALL
+         |${rec(2)}
+         |UNION ALL
+         |${rec(4)}""".stripMargin
+    },
 
     // The persisted-index gate serves the SAME deterministic IVF from
     // reloaded parquet tables — one oracle proves both paths (and that
