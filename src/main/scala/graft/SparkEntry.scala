@@ -2018,6 +2018,39 @@ object SparkEntry {
     // rounds of joins. The (w, u, v) lexicographic edge order makes the
     // forest unique, so the oracle replays sequential Prim under the same
     // order and must land on the identical edge set.
+    // Condensation layering: collapse every cycle to its SCC, then
+    // longest-path-layer the quotient DAG — the composition that lifts
+    // x30's DAG-only layering to ARBITRARY digraphs (the condensation of
+    // any digraph is acyclic, so topoLayers' cycle-throw can never
+    // fire). Graph: suppliers → the 25-nation directed ring (one
+    // genuine SCC) → regions; output (component, layer, n_members) —
+    // suppliers singletons at 0, the ring SCC at 1, regions at 2.
+    "x31_condensation_layers" -> ((s, dir) => {
+      val sn = t(s, dir, "supplier").select(
+        (lit(4L * B) + col("s_suppkey")).as("src"),
+        (lit(2L * B) + col("s_nationkey")).as("dst"))
+      val nring = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"),
+        (lit(2L * B) + (col("n_nationkey") + 1) % 25).as("dst"))
+      val nr = t(s, dir, "nation").select(
+        (lit(2L * B) + col("n_nationkey")).as("src"),
+        (lit(1L * B) + col("n_regionkey")).as("dst"))
+      val e = sn.unionByName(nring).unionByName(nr)
+      val comp = graph.Traversal.scc(e).localCheckpoint()
+      val ce = e
+        .join(comp.select(col("id").as("src"), col("component").as("csrc")),
+          Seq("src"))
+        .join(comp.select(col("id").as("dst"), col("component").as("cdst")),
+          Seq("dst"))
+        .filter(col("csrc") =!= col("cdst"))
+        .select(col("csrc").as("src"), col("cdst").as("dst")).distinct()
+      graph.Traversal.topoLayers(ce)
+        .withColumnRenamed("id", "component")
+        .join(comp, Seq("component"))
+        .groupBy(col("component"), col("layer"))
+        .agg(count(lit(1)).as("n_members"))
+    }),
+
     // Longest-path (topological) layering of the containment DAG — the
     // lineage-scheduler read-out: layer = what can run in parallel, max
     // layer = critical-path depth. The FK graph is a DAG by construction
@@ -5009,6 +5042,38 @@ object SparkEntry {
         |  SELECT r.origin, e2.dst FROM reach r JOIN e e2 ON r.node = e2.src
         |)
         |SELECT origin, node FROM reach""".stripMargin,
+
+    // scc by co-reachability (x10's recursion on the strided id graph),
+    // condensation edges distinct across components, layer DP on the
+    // quotient, member census per (component, layer).
+    "x31_condensation_layers" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 4*72057594037927936 + s_suppkey AS src, 2*72057594037927936 + s_nationkey AS dst FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 2*72057594037927936 + (n_nationkey + 1) % 25 FROM nation
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation),
+        |verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |reach(a, z) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON r.z = e.src),
+        |co AS (SELECT r1.a AS id, r1.z AS m FROM reach r1
+        |  JOIN reach r2 ON r1.a = r2.z AND r1.z = r2.a),
+        |comp AS (SELECT id, min(m) AS component FROM (
+        |  SELECT id, id AS m FROM verts UNION ALL SELECT id, m FROM co)
+        |  GROUP BY id),
+        |ce AS (SELECT DISTINCT cs.component AS src, cd.component AS dst
+        |  FROM e JOIN comp cs ON cs.id = e.src JOIN comp cd ON cd.id = e.dst
+        |  WHERE cs.component <> cd.component),
+        |srcs AS (SELECT DISTINCT src AS id FROM ce WHERE src NOT IN (SELECT dst FROM ce)),
+        |p(id, layer) AS (
+        |  SELECT id, 0 FROM srcs
+        |  UNION
+        |  SELECT ce.dst, p.layer + 1 FROM p JOIN ce ON ce.src = p.id),
+        |lay AS (SELECT id AS component, max(layer) AS layer FROM p GROUP BY id)
+        |SELECT c.component, CAST(l.layer AS BIGINT) AS layer,
+        |  count(*) AS n_members
+        |FROM comp c JOIN lay l ON l.component = c.component
+        |GROUP BY 1, 2""".stripMargin,
 
     // a14's edge CTE, longest-path DP: enumerate (vertex, depth) pairs
     // from the in-degree-0 sources (UNION dedups, the DAG bounds depth),
