@@ -864,6 +864,30 @@ object SparkEntry {
     // reduced to a per-lang fingerprint (count, char mass, md5 hash-sum).
     // The oracle computes the same fingerprint straight from the parquet
     // table, so the ORC write∘read must be an exact identity.
+    // Schema evolution under mergeSchema: snapshot v1 lacks `source`,
+    // snapshot v2 adds a new `rev` column — the read must union the
+    // schemas, NULL-fill the gaps, and lose nothing (the crawl-over-
+    // crawl reality at 100 TB: column sets drift between ingests). The
+    // per-lang fingerprint proves both halves and both schema deltas
+    // survived the merged read.
+    "j2_schema_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = java.nio.file.Files.createTempDirectory("graft-evo").toString
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$path/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          col("source"), lit(2L).as("rev"))
+        .write.mode("overwrite").parquet(s"$path/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("source").isNull.cast("long")).as("n_no_source"),
+          sum(coalesce(col("rev"), lit(0L))).as("rev_mass"),
+          sum(col("n_chars")).as("char_mass"))
+    }),
+
     // Hive-partitioned write∘read identity PLUS pruning: documents land
     // partitionBy(lang), the read-back filters one language — at 100 TB
     // this layout turns a full-corpus scan into one directory's scan
@@ -3768,6 +3792,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("actual"))
       pred.crossJoin(actual)
         .withColumn("stat_exact", col("predicted") === col("actual"))
+    }),
+
+    // k-anonymity audit over quasi-identifiers (nation, market
+    // segment): any combination shared by fewer than k=5 customers is a
+    // re-identification risk — the privacy gate a training-data release
+    // runs next to t_redact's PII scrub. Per-cell census with the
+    // at-risk verdict in-row; one map-side-combinable aggregate.
+    "dq12_k_anonymity" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nationkey"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", col("n") < 5)
     }),
 
     // Shannon entropy profile of the categorical columns — the
@@ -7985,6 +8022,20 @@ object SparkEntry {
         fd("lineitem", "l_partkey", "l_suppkey"),
         fd("orders", "o_custkey", "o_orderpriority")).mkString("\nUNION ALL\n")
     },
+
+    "dq12_k_anonymity" ->
+      """SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+        |  count(*) AS n, (count(*) < 5) AS at_risk
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    // even doc_ids carry no source, odd ones carry source + rev=2; the
+    // merged read must reproduce exactly that NULL/mass pattern.
+    "j2_schema_evolution" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_source,
+        |  CAST(2 * sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rev_mass,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_mass
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "dq11_join_size" ->
       """WITH lc AS (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
