@@ -3258,6 +3258,32 @@ object SparkEntry {
           abs(col("est") - col("exact")).as("abs_err"))
     }),
 
+    // A23 — GraphML interchange ROUND TRIP as a BOARD GATE: the
+    // write→read loop was spec-only (StorageAndExportSpec on a toy
+    // graph); here the real supplier→nation→region subgraph goes
+    // GraphML text → DOM parse → PropertyGraph and must census
+    // identically to g6's GraphSON loop — one oracle serves both
+    // interchange formats, and the reference's Cytoscape export
+    // (README.md:386) gains its read direction.
+    "a23_graphml_roundtrip" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      val sub = PropertyGraph(
+        g.V.filter(col("label").isin("supplier", "nation", "region")),
+        g.E.filter(expr(s"src div $B").isin(4L, 2L)))
+      val tmp = java.nio.file.Files.createTempFile("graft-a23", ".xml").toString
+      graph.GraphExport.writeGraphML(sub, tmp)
+      val back = graph.GraphExport.readGraphML(s, tmp)
+      val vc = back.vertices.groupBy(col("label").as("part"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("key")).as("n_keys"),
+          count_distinct(col("props").getItem("name")).as("n_names"))
+      val ec = back.edges.agg(count(lit(1)).as("n"),
+        sum(col("weight")).cast("long").as("n_keys"),
+        count_distinct(col("src")).as("n_names"))
+        .select(lit("edges").as("part"), col("n"), col("n_keys"), col("n_names"))
+      vc.unionByName(ec)
+    }),
+
     // G6 — typed-GraphSON interchange ROUND TRIP: the supplier→nation→
     // region subgraph exports in the TinkerPop 2.0 module shape
     // (README.md:484-489) and reads back through the schema-pinned
@@ -4772,6 +4798,17 @@ object SparkEntry {
 
     // every edge has weight 1, so sum(weight) = edge count; supplier and
     // nation each contribute one out-edge per row
+    // the same census through the GraphML text loop.
+    "a23_graphml_roundtrip" ->
+      """SELECT 'supplier' AS part, count(*) AS n,
+        |  count(DISTINCT s_suppkey) AS n_keys, count(DISTINCT s_name) AS n_names FROM supplier
+        |UNION ALL SELECT 'nation', count(*), count(DISTINCT n_nationkey), count(DISTINCT n_name) FROM nation
+        |UNION ALL SELECT 'region', count(*), count(DISTINCT r_regionkey), count(DISTINCT r_name) FROM region
+        |UNION ALL SELECT 'edges',
+        |  (SELECT count(*) FROM supplier) + (SELECT count(*) FROM nation),
+        |  (SELECT count(*) FROM supplier) + (SELECT count(*) FROM nation),
+        |  (SELECT count(DISTINCT s_suppkey) FROM supplier) + (SELECT count(DISTINCT n_nationkey) FROM nation)""".stripMargin,
+
     "g6_graphson_roundtrip" ->
       """SELECT 'supplier' AS part, count(*) AS n,
         |  count(DISTINCT s_suppkey) AS n_keys, count(DISTINCT s_name) AS n_names FROM supplier
