@@ -300,16 +300,30 @@ object Traversal {
     var levels = List(cur.withColumn("layer", lit(0L)))
     var live = List(cur)
     var k = 0L
-    while (!cur.isEmpty) {
-      k += 1
-      require(k <= maxIter,
+    var done = false
+    while (!done) {
+      require(k < maxIter,
         s"topoLayers did not converge in $maxIter rounds — a cycle in the " +
           "input? longest-path layering is defined on DAGs only")
-      val nxt = stepIds(cur, e).distinct()
+      // TWO levels per convergence probe (the bfsDepth trick): counting
+      // S_{k+2} runs through S_{k+1}'s distinct shuffle, so one job
+      // fills both caches and answers "done?" for both.
+      val n1 = stepIds(cur, e).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      levels ::= nxt.withColumn("layer", lit(k))
-      live ::= nxt
-      cur = nxt
+      val n2 = stepIds(n1, e).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (n2.isEmpty) {
+        n2.unpersist(false)
+        if (n1.isEmpty) n1.unpersist(false)
+        else { levels ::= n1.withColumn("layer", lit(k + 1)); live ::= n1 }
+        done = true
+      } else {
+        levels ::= n1.withColumn("layer", lit(k + 1))
+        levels ::= n2.withColumn("layer", lit(k + 2))
+        live = n2 :: n1 :: live
+        cur = n2
+        k += 2
+      }
     }
     val out = levels.reduce(_ unionByName _)
       .groupBy(col("id")).agg(max(col("layer")).as("layer"))
