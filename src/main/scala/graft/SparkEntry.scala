@@ -1259,6 +1259,29 @@ object SparkEntry {
       }.reduce(_ unionByName _)
     }),
 
+    // The binary path's OTHER dial: recall vs candidate-pool size at
+    // fixed 64 bits — candidates ∈ {10, 20, 40}, one corpus-recall row
+    // per point. Completes the ANN price-chart trio (e21: descent
+    // rounds, e24: IVF nprobe, e25: Hamming pool) — each dial costs
+    // integer work only until the rerank, so widening the pool is the
+    // cheap recall lever.
+    "e25_candidates_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = operators.Similarity.bruteForceTopK(
+        emb, qs, "vec_id", "embedding", k = 5, native = true)
+      Seq(10, 20, 40).map { c =>
+        val ap = operators.Similarity.hammingRerank(
+          emb, qs, "vec_id", "embedding", dim = 64, candidates = c, k = 5,
+          native = true)
+        operators.Similarity.annRecall(exact, ap)
+          .agg(coalesce(sum(col("n_exact")), lit(0L)).as("n_exact"),
+            coalesce(sum(col("n_hit")), lit(0L)).as("n_hit"))
+          .select(lit(c.toLong).as("candidates"), col("n_exact"), col("n_hit"),
+            expr("n_hit * 1000000L div n_exact").as("recall_ppm"))
+      }.reduce(_ unionByName _)
+    }),
+
     // Recall audit of the binary-quantized path (the e10 pattern): e22's
     // sign-bit Hamming candidates + cosine rerank vs the exact top-5 —
     // the number that prices the 32× memory cut in recall. Per-query
@@ -6311,6 +6334,47 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cos,
          | CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
          |FROM sc QUALIFY rank <= 5""".stripMargin,
+
+    // e23's replay swept over three pool sizes from shared CTEs.
+    "e25_candidates_curve" -> {
+      def word(lo: Int, hi: Int) =
+        s"list_reduce(list_transform(e[$lo:$hi], x -> CASE WHEN x >= 0 " +
+          "THEN 1::BIGINT ELSE 0::BIGINT END), (a, b) -> a * 2 + b)"
+      def rec(c: Int) =
+        s"""SELECT CAST($c AS BIGINT) AS candidates,
+           |  CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit,
+           |  CAST(count(ap.neighbor_id) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+           |FROM ex LEFT JOIN (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT sc.query_id, sc.neighbor_id,
+           |      row_number() OVER (PARTITION BY sc.query_id ORDER BY sc.cos DESC, sc.neighbor_id) AS rk
+           |    FROM (SELECT h.query_id, h.neighbor_id,
+           |        round(${cosSql("h.qe", "h.ne")}, 6) AS cos
+           |      FROM h WHERE h.hrank <= $c) sc) WHERE rk <= 5
+           |) ap ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id""".stripMargin
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         |w AS (SELECT vec_id, e, ${word(1, 32)} AS w0, ${word(33, 64)} AS w1 FROM v),
+         |q AS (SELECT * FROM w WHERE vec_id < 10),
+         |exsc AS (SELECT q.vec_id AS query_id, w.vec_id AS neighbor_id,
+         |  round(${cosSql("q.e", "w.e")}, 6) AS cos
+         |  FROM q JOIN w ON w.vec_id <> q.vec_id),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM exsc) WHERE rk <= 5),
+         |h AS (SELECT query_id, neighbor_id, qe, ne,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hrank
+         |  FROM (SELECT q.vec_id AS query_id, w.vec_id AS neighbor_id,
+         |    CAST(bit_count(xor(q.w0, w.w0)) + bit_count(xor(q.w1, w.w1)) AS BIGINT) AS hamming,
+         |    q.e AS qe, w.e AS ne
+         |    FROM q JOIN w ON w.vec_id <> q.vec_id))
+         |${rec(10)}
+         |UNION ALL
+         |${rec(20)}
+         |UNION ALL
+         |${rec(40)}""".stripMargin
+    },
 
     // e22's candidate/rerank replayed next to the brute-force top-5, the
     // e10 recall-overlap join on top.
