@@ -21,6 +21,31 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraphBuilder.table(s, dir, name)
 
+  /** Exact money arithmetic. Every money column in the testdata is
+    * 2dp-exact (measured: max |x·100 − round(x·100)| ≤ 4e-9 across all
+    * tables), so ⌊x·100 + 0.5⌋ recovers the integer cents identically in
+    * Spark and DuckDB — the dq9 idiom. Sums over these integers are
+    * order-invariant, unlike round(sum(double), 2), which legitimately
+    * flips on half-cent ties under different partial-agg orders (q9 had
+    * 3 of 175 sf0.1 groups within 0.01 cents of a boundary). Terms are
+    * widened to decimal(38,0) before summing so a 100 TB row count cannot
+    * silently wrap a BIGINT; DuckDB's sum(BIGINT) → HUGEINT matches. */
+  private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+  /** Order-invariant sum of exact integer units (widened past BIGINT). */
+  private def sumExact(units: Column): Column = sum(units.cast("decimal(38,0)"))
+  /** Revenue term price·(1−disc) in exact 10⁻⁴-dollar units. */
+  private def c4(price: Column, disc: Column): Column =
+    cents(price) * (lit(100L) - cents(disc))
+  /** Exact integer units → DOUBLE dollars: one IEEE division both engines
+    * perform identically on identical inputs — no round() anywhere. */
+  private def money(unitsSum: Column, scale: Long): Column =
+    unitsSum.cast("double") / lit(scale.toDouble)
+
+  /** Oracle-side (DuckDB SQL) twins of cents/c4. */
+  private def centsSql(c: String): String = s"CAST(floor($c * 100 + 0.5) AS BIGINT)"
+  private def c4Sql(price: String, disc: String): String =
+    s"${centsSql(price)} * (100 - ${centsSql(disc)})"
+
   /** The symmetrized supplier–nation–region containment graph — the
     * x11/x14/x21 family's shared input. */
   private def snrUndirected(s: SparkSession, dir: String): DataFrame = {
@@ -3926,7 +3951,9 @@ object SparkEntry {
 
     // Q9-style product-type profit (no supplycost column, so cost =
     // half retail per unit): profit by supplier nation × order year over
-    // the widget product line.
+    // the widget product line. Exact 10⁻⁴-dollar integer per line (prices
+    // 2dp-exact, quantity integral; 0.5·retail·qty = 50·retail_cents·qty),
+    // summed order-invariantly, one division at the end.
     "q9_product_profit" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .join(t(s, dir, "part").filter(col("p_name").contains("widget")),
@@ -3936,8 +3963,9 @@ object SparkEntry {
         .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          - lit(0.5) * col("p_retailprice") * col("l_quantity")), 2).as("profit"))
+        .agg(money(sumExact(c4(col("l_extendedprice"), col("l_discount"))
+          - lit(50L) * cents(col("p_retailprice")) * col("l_quantity").cast("long")),
+          10000L).as("profit"))
     }),
 
     // Q11-style important stock: parts whose NATION_1-supplied revenue
@@ -4585,10 +4613,12 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) * 1000000 // count(*) AS BIGINT) AS avg_qty_micro
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
+    // DuckDB sum(BIGINT) returns HUGEINT — cast the aggregates back to
+    // BIGINT or the driver's value hash diverges (the r4 pattern).
     "p3_pivot" ->
       """SELECT l_returnflag AS returnflag,
-        |  sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS qty_o,
-        |  sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS qty_f
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     // grouping() bit order matches Spark's grouping_id (leftmost column =
@@ -8174,8 +8204,11 @@ object SparkEntry {
     // Surprise floors per value BEFORE the weighted sum — integer from
     // there on, so the profile is engine-exact.
     "dq10_entropy" -> {
+      // sum(BIGINT) → HUGEINT in DuckDB: cast n and the floored quotient
+      // back to BIGINT to match Spark's LongType hash.
       def ent(tbl: String, c: String) =
-        s"""SELECT '$c' AS "column", n, n_distinct, mass // n AS entropy_micro FROM (
+        s"""SELECT '$c' AS "column", CAST(n AS BIGINT) AS n, n_distinct,
+           |  CAST(mass // n AS BIGINT) AS entropy_micro FROM (
            |  SELECT sum(cnt) AS n, CAST(count(*) AS BIGINT) AS n_distinct,
            |    sum(cnt * CAST(floor(ln(CAST((SELECT count(*) FROM $tbl) AS DOUBLE) / cnt)
            |      * 1000000) AS BIGINT)) AS mass
@@ -8247,16 +8280,17 @@ object SparkEntry {
         |WHERE p_size < 10""".stripMargin,
 
     "q9_product_profit" ->
-      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)
-        |    - 0.5 * p_retailprice * l_quantity), 2) AS profit
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE p_name LIKE '%widget%'
-        |GROUP BY 1, 2""".stripMargin,
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum(${c4Sql("l_extendedprice", "l_discount")}
+         |    - 50 * ${centsSql("p_retailprice")} * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         |    / 10000 AS profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2""".stripMargin,
 
     "q11_important_stock" ->
       """WITH nl AS (
