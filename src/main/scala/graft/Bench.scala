@@ -34,9 +34,10 @@ object Bench {
     // the third production tokenizer (unigram-LM Viterbi) and the
     // integer betweenness
     "t_unigram_segment", "x22_stress",
-    // round 11 final additions (kept to three: the compact JSON line
-    // must stay under the consumer's ~2000-char tail buffer — measured
-    // 1581 chars at 57 entries)
+    // round 11 final additions (the compact JSON line must stay under
+    // the consumer's ~2000-char tail buffer; main() enforces that by
+    // dropping tail entries with a stderr note instead of trusting this
+    // list to stay short)
     "x26_closeness", "q21_waiting_suppliers", "ev1_roc_auc",
     // the binary-quantized ANN scale path and the robust outlier screen
     "e22_binary_rerank", "dq9_mad_outliers",
@@ -126,8 +127,23 @@ object Bench {
     // The compact headline line LAST so a tail-window parser always sees
     // one complete JSON object; its `queries` subset is the per-query MIN
     // (queries_kind labels it; the complete maps live at `full`).
-    val head = headline.flatMap(n => results.get(n).map(n -> _))
-    println(s"""{"metric":"total","value":$totalR,"value_median":$medTotalR,"unit":"sec","n_queries":${results.size},"queries_kind":"min","full":"$fullPath","queries":${fmt(head)},"failed":$failedJson,"sf":"$sfDir"}""")
+    // Budget guard: the consumer's tail buffer is ~2000 chars. Growing
+    // `headline` past it would silently truncate the JSON mid-object, so
+    // drop tail entries until the line fits and say what was dropped —
+    // the full maps above carry every query regardless.
+    def compactLine(head: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":$totalR,"value_median":$medTotalR,"unit":"sec","n_queries":${results.size},"queries_kind":"min","full":"$fullPath","queries":${fmt(head)},"failed":$failedJson,"sf":"$sfDir"}"""
+    var head = headline.flatMap(n => results.get(n).map(n -> _))
+    val budget = 2000
+    if (compactLine(head).length > budget) {
+      val fits = head.indices.reverse
+        .find(i => compactLine(head.take(i + 1)).length <= budget)
+        .map(_ + 1).getOrElse(0)
+      Console.err.println(s"bench: compact line over $budget chars — " +
+        s"dropped headline entries: ${head.drop(fits).map(_._1).mkString(", ")}")
+      head = head.take(fits)
+    }
+    println(compactLine(head))
     spark.stop()
   }
 }

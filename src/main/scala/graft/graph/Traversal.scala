@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -288,8 +288,10 @@ object Traversal {
     * relaxation form this replaced paid all three per round — measured
     * 12.4 s → the level-set form at sf0.1). One max-aggregate over the
     * stacked levels (Σ|S_k| ≤ V·critical-path rows) finishes. Rounds =
-    * critical path length; a cycle keeps S_k nonempty forever — maxIter
-    * throws, naming the cause (longest path is only defined on DAGs). */
+    * critical path length. Cycles throw either way: one fed by a source
+    * keeps S_k nonempty until maxIter fires, and a source-less one is
+    * unreachable from S₀, which the final every-vertex-layered guard
+    * catches (longest path is only defined on DAGs). */
   def topoLayers(edges: DataFrame, maxIter: Int = 64,
                  prepEdges: Boolean = true): DataFrame = {
     val e = prep(edges, prepEdges)
@@ -328,8 +330,20 @@ object Traversal {
     val out = levels.reduce(_ unionByName _)
       .groupBy(col("id")).agg(max(col("layer")).as("layer"))
     val frozen = cut(out)
+    // Contract guard: every edge-touching vertex must be layered. A
+    // source-less cycle is unreachable from S₀, so the loop above
+    // converges with those vertices silently MISSING — a wrong answer
+    // maxIter alone cannot catch (it only fires when a cycle is fed by a
+    // source). Both counts are cheap: `frozen` is materialized and the
+    // distinct rides the same shuffle layout as S₀'s.
+    val nVerts = srcIds.unionByName(dstIds).distinct().count()
+    val nLayered = frozen.count()
     live.foreach(_.unpersist(false))
     if (prepEdges) e.unpersist(false)
+    require(nLayered == nVerts,
+      s"topoLayers: ${nVerts - nLayered} of $nVerts edge-touching vertices " +
+        "are unreachable from any in-degree-0 source — the graph contains " +
+        "a source-less cycle; longest-path layering is defined on DAGs only")
     frozen
   }
 
@@ -979,17 +993,43 @@ object Traversal {
         .filter(col("origin") =!= col("node"))
         .groupBy(col("origin"), col("hop").cast("long").as("hop"))
         .agg(count(lit(1)).as("n"))
-      (verts.schema, verts.collect().toSeq, hist.schema, hist.collect().toSeq)
+      (memoize(verts), memoize(hist))
     })
-    import scala.jdk.CollectionConverters._
-    (spark.createDataFrame(cached._2.asJava, cached._1),
-      spark.createDataFrame(cached._4.asJava, cached._3))
+    (rehydrate(spark, cached._1), rehydrate(spark, cached._2))
   }
 
   private val sweepMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-    (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
+    (MemoVal, MemoVal)]()
+
+  /** Size-guarded session-memo payload: at or under the heap-derived
+    * [[defaultSmallCutoff]] (the minLabel discipline) the frame collects to
+    * driver rows — cheap replays, no cluster state held. Above it, the
+    * frame is persisted + materialized and handed back DISTRIBUTED: the
+    * driver never holds an unbounded O(V·maxHop) copy, which is what a
+    * 100× vertex count would otherwise OOM on. `memoCutoff` is a test
+    * hook (TraversalSpec forces 0 to drive the distributed branch on
+    * gate-sized graphs). */
+  private type MemoVal =
+    Either[(org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row]),
+      DataFrame]
+  @volatile private[graft] var memoCutoff: Option[Long] = None
+  private def memoize(df: DataFrame): MemoVal = {
+    val cutoff = memoCutoff.getOrElse(defaultSmallCutoff)
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = p.count()
+    if (n <= cutoff) {
+      val out = (p.schema, p.collect().toSeq)
+      p.unpersist(false)
+      Left(out)
+    } else Right(p)
+  }
+  private def rehydrate(spark: SparkSession, v: MemoVal): DataFrame = v match {
+    case Left((schema, rows)) =>
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, schema)
+    case Right(df) => df
+  }
 
   /** Densest-subgraph parallel peeling (Bahmani–Kumar–Vassilvitskii,
     * ε = 0 form): each round removes EVERY vertex whose degree is at most
@@ -1049,16 +1089,13 @@ object Traversal {
     val key = (edges.queryExecution.analyzed.canonicalized, rounds)
     val spark = edges.sparkSession
     val cached = lpaMemo.computeIfAbsent(key, { _ =>
-      val out = labelPropagation(edges, rounds)
-      (out.schema, out.collect().toSeq)
+      memoize(labelPropagation(edges, rounds))
     })
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(cached._2.asJava, cached._1)
+    rehydrate(spark, cached)
   }
 
   private val lpaMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-    (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), MemoVal]()
 
   def neighborhoodFunction(edges: DataFrame, maxHop: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1289,16 +1326,13 @@ object Traversal {
     val key = (edges.queryExecution.analyzed.canonicalized, maxHop)
     val spark = edges.sparkSession
     val cached = stressMemo.computeIfAbsent(key, { _ =>
-      val out = stressCentralityUncached(edges, maxHop)
-      (out.schema, out.collect().toSeq)
+      memoize(stressCentralityUncached(edges, maxHop))
     })
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(cached._2.asJava, cached._1)
+    rehydrate(spark, cached)
   }
 
   private val stressMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-    (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])]()
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), MemoVal]()
 
   private def stressCentralityUncached(edges: DataFrame, maxHop: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()

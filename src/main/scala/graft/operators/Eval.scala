@@ -133,14 +133,18 @@ object Eval {
       sum(col("n_pos")).as("p_total"))
     val cum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // n_pos·n_total·10⁶ wraps a BIGINT past ~3M rows — widen through
+    // DECIMAL(38,0) (div on decimals still floors and returns LONG;
+    // DuckDB's HUGEINT // does the same on the oracle side).
     binned.crossJoin(broadcast(tot))
       .withColumn("cum_pos", sum(col("n_pos")).over(cum))
       .select(col("bucket"), col("n"), col("n_pos"),
         when(col("p_total") > 0,
-          expr("n_pos * n_total * 1000000L div (n * p_total)"))
+          expr("CAST(n_pos AS DECIMAL(38,0)) * n_total * 1000000" +
+            " div (CAST(n AS DECIMAL(38,0)) * p_total)"))
           .otherwise(lit(0L)).as("lift_micro"),
         when(col("p_total") > 0,
-          expr("cum_pos * 1000000L div p_total"))
+          expr("CAST(cum_pos AS DECIMAL(38,0)) * 1000000 div p_total"))
           .otherwise(lit(0L)).as("cum_gain_micro"))
   }
 

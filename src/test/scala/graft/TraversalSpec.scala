@@ -94,6 +94,17 @@ class TraversalSpec extends AnyFunSuite {
       Traversal.topoLayers(
         edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 2L))), maxIter = 8)
     }
+    // A SOURCE-LESS cycle converges instantly with its vertices missing a
+    // layer — the every-vertex-layered guard must throw, not return an
+    // empty/partial layering:
+    assertThrows[IllegalArgumentException] {
+      Traversal.topoLayers(edgesDF(Seq((1L, 2L), (2L, 1L))))
+    }
+    // ...including when a healthy sourced component sits NEXT TO the
+    // source-less cycle (the partial-wrong-answer mode):
+    assertThrows[IllegalArgumentException] {
+      Traversal.topoLayers(edgesDF(Seq((1L, 2L), (7L, 8L), (8L, 7L))))
+    }
   }
 
   test("reachFix throws instead of silently truncating") {
@@ -484,6 +495,40 @@ class TraversalSpec extends AnyFunSuite {
     val got = Traversal.labelPropagation(edgesDF(Seq((1L, 2L), (7L, 7L))), rounds = 2)
       .as[(Long, Long)].collect().toMap
     assert(got(7L) == 7L && got.contains(1L) && got.contains(2L))
+  }
+
+  test("memoized metrics over the spill cutoff stay distributed AND equal the small path") {
+    // memoCutoff = 0 forces every memo payload onto the persisted-
+    // DataFrame branch (what a 100× graph takes automatically via the
+    // heap-derived defaultSmallCutoff) — outputs must be identical to
+    // the unmemoized ground truth, and a second hit must rehydrate the
+    // same values. Graphs here are distinct from every other test's so
+    // the session-lifetime memos can't serve stale collected payloads.
+    def sym(es: Seq[(Long, Long)]) = es ++ es.map(_.swap)
+    Traversal.memoCutoff = Some(0L)
+    try {
+      val lpaEdges = Seq((21L, 22L), (22L, 23L), (31L, 32L))
+      val viaMemo = Traversal.labelPropagationMemo(edgesDF(lpaEdges), rounds = 4)
+        .as[(Long, Long)].collect().toMap
+      val direct = Traversal.labelPropagation(edgesDF(lpaEdges), rounds = 4)
+        .as[(Long, Long)].collect().toMap
+      assert(viaMemo == direct)
+      assert(Traversal.labelPropagationMemo(edgesDF(lpaEdges), rounds = 4)
+        .as[(Long, Long)].collect().toMap == direct) // memo hit, rehydrated
+
+      // path 41–42–43–44: interior vertices carry 2·(ordered pairs through)
+      val stress = Traversal.stressCentrality(
+        edgesDF(sym(Seq((41L, 42L), (42L, 43L), (43L, 44L)))), maxHop = 4)
+        .as[(Long, Long)].collect().toMap
+      assert(stress == Map(41L -> 0L, 42L -> 4L, 43L -> 4L, 44L -> 0L))
+
+      // directed path 51→52→53→54, maxHop 3: N(0)=4 self-pairs,
+      // +3 at hop 1, +2 at hop 2, +1 at hop 3
+      val nf = Traversal.neighborhoodFunction(
+        edgesDF(Seq((51L, 52L), (52L, 53L), (53L, 54L))), maxHop = 3)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(nf == Map(0L -> (4L, 4L), 1L -> (3L, 7L), 2L -> (2L, 9L), 3L -> (1L, 10L)))
+    } finally Traversal.memoCutoff = None
   }
 
   test("harmonicCentrality exact values; hyperBall twin matches in the exact regime") {
