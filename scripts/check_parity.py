@@ -19,7 +19,12 @@ def canon(val):
     if val is None:
         return "NULL"
     if isinstance(val, float):
-        return f"{val:.6g}"
+        # 12 significant digits: tight enough to catch the q9-class
+        # rounding-tie drift (absolute 0.01 differences) that %.6g masked
+        # through rounds 11-12, loose enough to ignore last-ulp libm noise
+        # the driver also tolerates. Money gates are exact-integer-derived
+        # since round 13 and match at full precision anyway.
+        return f"{val:.12g}"
     if isinstance(val, bool):
         return str(int(val))
     if isinstance(val, (list, tuple)):

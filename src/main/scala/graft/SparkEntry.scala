@@ -271,13 +271,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     }),
 
-    // M5 — TPC-H Q1-style aggregation.
+    // M5 — TPC-H Q1-style aggregation. Base price in exact cents (the
+    // cents/money discipline): the sum is order-invariant, so no
+    // partial-agg order can flip a rounding tie.
     "q1_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          money(sumExact(cents(col("l_extendedprice"))), 100L).as("sum_base_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -448,7 +450,8 @@ object SparkEntry {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey").as("orderkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(money(sumExact(c4(col("l_extendedprice"), col("l_discount"))), 10000L)
+          .as("revenue"))
         .orderBy(col("revenue").desc, col("orderkey"))
         .limit(10)
     }),
@@ -464,7 +467,8 @@ object SparkEntry {
         .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
         .filter(col("r_name") === "ASIA")
         .groupBy(col("n_name").as("nation"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(money(sumExact(c4(col("l_extendedprice"), col("l_discount"))), 10000L)
+          .as("revenue"))
     }),
 
     // Window: top-3 customers by balance per segment.
@@ -507,7 +511,8 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders").select(col("o_custkey").as("custkey"),
         col("o_orderkey").as("orderkey"),
-        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        money(sum(cents(col("o_totalprice")).cast("decimal(38,0)")).over(w), 100L)
+          .as("running_total"))
     }),
 
     // Window: delta vs previous order of the same customer (lag).
@@ -660,7 +665,7 @@ object SparkEntry {
         .agg(avg(col("l_quantity")).as("avg_qty"))
       li.join(avgQ, col("l_partkey") === col("pk"))
         .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+        .agg(money(sumExact(cents(col("l_extendedprice"))), 700L).as("avg_yearly"))
     }),
 
     // HAVING: segments with more than 15% of customers. The total is a
@@ -905,10 +910,15 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
           col("source"), lit(2L).as("rev"))
         .write.mode("overwrite").parquet(s"$path/v2")
+      // The NULL-filled probe counts on `rev`, which v2 writes as the
+      // LITERAL 2 — so rev IS NULL holds exactly for v1 rows by
+      // construction, matching the oracle's doc_id parity predicate
+      // structurally. (Counting source IS NULL would agree only while
+      // the source column happens to contain no NULLs of its own.)
       s.read.option("mergeSchema", "true").parquet(s"$path/v1", s"$path/v2")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"),
-          sum(col("source").isNull.cast("long")).as("n_no_source"),
+          sum(col("rev").isNull.cast("long")).as("n_null_filled"),
           sum(coalesce(col("rev"), lit(0L))).as("rev_mass"),
           sum(col("n_chars")).as("char_mass"))
     }),
@@ -996,14 +1006,18 @@ object SparkEntry {
     // driver-side .first() round-trip), then anti-join.
     "q22_dormant_accounts" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
+      // bal > avg(bal) as the exact cross-multiplied integer comparison
+      // bal_cents·n > Σbal_cents — avg(double) would depend on partial-sum
+      // order; this cannot.
       val avgBal = cust.filter(col("c_acctbal") > 0)
-        .agg(avg(col("c_acctbal")).as("avg_bal"))
+        .agg(sum(cents(col("c_acctbal"))).as("bal_sum_c"), count(lit(1)).as("n_pos"))
       val finished = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       cust.crossJoin(broadcast(avgBal))
-        .filter(col("c_acctbal") > col("avg_bal"))
+        .filter(cents(col("c_acctbal")) * col("n_pos") > col("bal_sum_c"))
         .join(finished, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment").as("segment"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .agg(count(lit(1)).as("cnt"),
+          money(sumExact(cents(col("c_acctbal"))), 100L).as("total_bal"))
     }),
 
     // Q7-style volume shipping: revenue between one nation pair (both
@@ -1024,7 +1038,7 @@ object SparkEntry {
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(money(sumExact(c4(col("l_extendedprice"), col("l_discount"))), 10000L)
           .as("revenue"))
     }),
 
@@ -1032,7 +1046,7 @@ object SparkEntry {
     // customer revenue by order year, floor-micro over the pinned
     // 2dp-rounded sums (the q14 exactness pattern).
     "q8_market_share" -> ((s, dir) => {
-      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val vol = c4(col("l_extendedprice"), col("l_discount"))
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -1045,9 +1059,11 @@ object SparkEntry {
         .filter(col("r_name") === "AMERICA")
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(
-          round(sum(when(col("supp_nation") === "NATION_3", vol).otherwise(0d)), 2)
-            .as("nation_volume"),
-          round(sum(vol), 2).as("total_volume"))
+          money(sumExact(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0L))),
+            10000L).as("nation_volume"),
+          money(sumExact(vol), 10000L).as("total_volume"))
+        // both operands are bit-identical doubles derived from exact
+        // integers, so the floored ratio is engine-exact too
         .withColumn("share_micro",
           floor(lit(1000000d) * col("nation_volume") / col("total_volume")).cast("long"))
     }),
@@ -1059,7 +1075,9 @@ object SparkEntry {
         .filter(col("l_shipdate") >= lit("1998-01-01") &&
           col("l_shipdate") < lit("1999-01-01") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+        // price_cents·disc_hundredths is the exact 10⁻⁴-dollar term
+        .agg(money(sumExact(cents(col("l_extendedprice")) * cents(col("l_discount"))),
+          10000L).as("revenue"))
     }),
 
     // Q10-style returned-item report: top 20 customers by revenue lost to
@@ -1073,7 +1091,7 @@ object SparkEntry {
         .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey").as("custkey"), col("c_name").as("name"),
           col("n_name").as("nation"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(money(sumExact(c4(col("l_extendedprice"), col("l_discount"))), 10000L)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("custkey"))
         .limit(20)
@@ -1101,10 +1119,10 @@ object SparkEntry {
         .filter(col("l_shipdate") >= lit("1998-01-01") && col("l_shipdate") < lit("1999-01-01"))
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .agg(
-          round(sum(when(col("p_type") === "PROMO",
-            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0d)), 2)
+          money(sumExact(when(col("p_type") === "PROMO",
+            c4(col("l_extendedprice"), col("l_discount"))).otherwise(lit(0L))), 10000L)
             .as("promo_revenue"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          money(sumExact(c4(col("l_extendedprice"), col("l_discount"))), 10000L)
             .as("total_revenue"))
         .withColumn("promo_micro",
           floor(lit(1000000d) * col("promo_revenue") / col("total_revenue")).cast("long"))
@@ -1135,7 +1153,7 @@ object SparkEntry {
           (col("p_brand") === "Brand#13" && col("l_quantity").between(1, 20)) ||
           (col("p_brand") === "Brand#19" && col("l_quantity").between(10, 30)) ||
           (col("p_brand") === "Brand#25" && col("l_quantity").between(20, 40)))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(money(sumExact(c4(col("l_extendedprice"), col("l_discount"))), 10000L)
           .as("revenue"))
     }),
 
@@ -1731,6 +1749,18 @@ object SparkEntry {
       operators.Multimodal.frameSample(t(s, dir, "documents"), "doc_id", "text", 64)
     }),
 
+    // Multimodal: REAL MP4 container metadata — each document encoded as
+    // a valid ISO BMFF box tree (ftyp/moov/mvhd/trak/tkhd/mdat), then
+    // decodeMp4's version-aware box walk reads back brand, timescale,
+    // duration, 16.16 dimensions, and mdat byte count. The oracle
+    // recomputes every field from the text's byte length alone, so the
+    // walk is verified against an independent engine (the m4/m5 pattern).
+    "m12_mp4_boxwalk" -> ((s, dir) => {
+      operators.Multimodal.decodeMp4(s,
+        operators.Multimodal.encodeMp4(s, t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+    }),
+
     // Multimodal: real feature extraction on the opaque blob — 4-bucket
     // byte-value histogram (no codec required).
     "m3_byte_histogram" -> ((s, dir) => {
@@ -1856,7 +1886,8 @@ object SparkEntry {
     "sw1_tumbling_window" -> ((s, dir) => {
       events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"),
+          money(sumExact(cents(col("value"))), 100L).as("sum_value"))
         .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("sum_value"))
     }),
 
@@ -1955,7 +1986,8 @@ object SparkEntry {
       events(s, dir)
         .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
         .groupBy(col("band_id"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"),
+          money(sumExact(cents(col("value"))), 100L).as("sum_value"))
     }),
 
     // Interval × interval overlap join with BOTH sides data-sized (what
@@ -3978,13 +4010,14 @@ object SparkEntry {
         .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
         .filter(col("n_name") === "NATION_1")
         .select(col("l_partkey"), col("l_extendedprice"))
+      // part_cents·1000 > nation_cents is the exact form of
+      // part_value > 0.1% of nation value — no FP threshold.
       val perPart = natLines.groupBy(col("l_partkey").as("partkey"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("part_value"))
-      val thr = natLines
-        .agg(round(sum(col("l_extendedprice")) * 0.001, 2).as("threshold"))
+        .agg(sumExact(cents(col("l_extendedprice"))).as("pv_c"))
+      val thr = natLines.agg(sumExact(cents(col("l_extendedprice"))).as("tot_c"))
       perPart.crossJoin(broadcast(thr))
-        .filter(col("part_value") > col("threshold"))
-        .select(col("partkey"), col("part_value"))
+        .filter(col("pv_c") * 1000 > col("tot_c"))
+        .select(col("partkey"), money(col("pv_c"), 100L).as("part_value"))
     }),
 
     // Q13-style customer distribution: how many customers placed k
@@ -4006,18 +4039,19 @@ object SparkEntry {
     // rounded value both sides of the equality (the q22 broadcast-
     // aggregate pattern, no driver round-trip).
     "q15_top_supplier" -> ((s, dir) => {
+      // max + equality over the exact integer revenue, so ties at the
+      // top are genuine ties, not rounding accidents
       val rev = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-07-01") &&
           col("l_shipdate") < lit("1997-10-01"))
         .groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("total_revenue"))
-      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+        .agg(sumExact(c4(col("l_extendedprice"), col("l_discount"))).as("rev_c4"))
+      val mx = rev.agg(max(col("rev_c4")).as("mx"))
       rev.crossJoin(broadcast(mx))
-        .filter(col("total_revenue") === col("mx"))
+        .filter(col("rev_c4") === col("mx"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .select(col("l_suppkey").as("suppkey"), col("s_name").as("name"),
-          col("total_revenue"))
+          money(col("rev_c4"), 10000L).as("total_revenue"))
     }),
 
     // Q16-style parts/supplier relationship census: distinct suppliers
@@ -5247,9 +5281,10 @@ object SparkEntry {
         |WHERE o_orderstatus = 'O' GROUP BY o_orderpriority""".stripMargin,
 
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        |round(sum(l_extendedprice), 2) AS sum_base_price, count(*) AS count_order
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         |CAST(sum(${centsSql("l_extendedprice")}) AS DOUBLE) / 100 AS sum_base_price,
+         |count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "t_token_count" ->
       """SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
@@ -5774,24 +5809,24 @@ object SparkEntry {
         |r_name, r_regionkey) AS stmt FROM region""".stripMargin,
 
     "q3_top_revenue" ->
-      """SELECT l_orderkey AS orderkey,
-        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1997-06-01'
-        |  AND l_shipdate > TIMESTAMP '1997-06-01'
-        |GROUP BY l_orderkey ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin,
+      s"""SELECT l_orderkey AS orderkey,
+         |CAST(sum(${c4Sql("l_extendedprice", "l_discount")}) AS DOUBLE) / 10000 AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-06-01'
+         |  AND l_shipdate > TIMESTAMP '1997-06-01'
+         |GROUP BY l_orderkey ORDER BY revenue DESC, orderkey LIMIT 10""".stripMargin,
 
     "q5_region_revenue" ->
-      """SELECT n_name AS nation,
-        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+      s"""SELECT n_name AS nation,
+         |CAST(sum(${c4Sql("l_extendedprice", "l_discount")}) AS DOUBLE) / 10000 AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
 
     "w1_window_top3" ->
       """SELECT c_mktsegment AS segment,
@@ -5800,10 +5835,10 @@ object SparkEntry {
         |QUALIFY rank <= 3""".stripMargin,
 
     "w2_running_sum" ->
-      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-        |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
-        |FROM orders""".stripMargin,
+      s"""SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+         |CAST(sum(${centsSql("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS running_total
+         |FROM orders""".stripMargin,
 
     "w3_lag_delta" ->
       """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
@@ -5935,11 +5970,11 @@ object SparkEntry {
         |GROUP BY o_orderpriority""".stripMargin,
 
     "q17_avg_quantity_outliers" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
-        |FROM lineitem JOIN (
-        |  SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
-        |  FROM lineitem GROUP BY l_partkey) a ON l_partkey = pk
-        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+      s"""SELECT CAST(sum(${centsSql("l_extendedprice")}) AS DOUBLE) / 700 AS avg_yearly
+         |FROM lineitem JOIN (
+         |  SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+         |  FROM lineitem GROUP BY l_partkey) a ON l_partkey = pk
+         |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
 
     "h1_having" ->
       """SELECT c_mktsegment AS segment, count(*) AS cnt FROM customer
@@ -5969,25 +6004,28 @@ object SparkEntry {
         |FROM orders""".stripMargin,
 
     "q22_dormant_accounts" ->
-      """SELECT c_mktsegment AS segment, count(*) AS cnt,
-        |round(sum(c_acctbal), 2) AS total_bal
-        |FROM customer
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-        |  AND NOT EXISTS (SELECT 1 FROM orders
-        |      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-        |GROUP BY c_mktsegment""".stripMargin,
+      s"""SELECT c_mktsegment AS segment, count(*) AS cnt,
+         |CAST(sum(${centsSql("c_acctbal")}) AS DOUBLE) / 100 AS total_bal
+         |FROM customer
+         |WHERE ${centsSql("c_acctbal")}
+         |    * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+         |  > (SELECT sum(${centsSql("c_acctbal")}) FROM customer WHERE c_acctbal > 0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         |GROUP BY c_mktsegment""".stripMargin,
 
     "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
-        |FROM lineitem
-        |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
-        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+      s"""SELECT CAST(sum(${centsSql("l_extendedprice")} * ${centsSql("l_discount")})
+         |  AS DOUBLE) / 10000 AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q7_volume_shipping" ->
-      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(sum(${c4Sql("l_extendedprice", "l_discount")}) AS DOUBLE) / 10000 AS revenue
+         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -5998,11 +6036,13 @@ object SparkEntry {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     "q8_market_share" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |    round(sum(CASE WHEN sn.n_name = 'NATION_3'
-        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS nation_volume,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+        |    CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN ${c4Sql("l_extendedprice", "l_discount")} ELSE 0 END) AS DOUBLE)
+        |      / 10000 AS nation_volume,
+        |    CAST(sum(${c4Sql("l_extendedprice", "l_discount")}) AS DOUBLE)
+        |      / 10000 AS total_volume
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
@@ -6017,8 +6057,8 @@ object SparkEntry {
         |FROM s""".stripMargin,
 
     "q10_returned_items" ->
-      """SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT c_custkey AS custkey, c_name AS name, n_name AS nation,
+        |  CAST(sum(${c4Sql("l_extendedprice", "l_discount")}) AS DOUBLE) / 10000 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -6038,10 +6078,12 @@ object SparkEntry {
         |GROUP BY o_orderpriority""".stripMargin,
 
     "q14_promo_effect" ->
-      """WITH s AS (SELECT
-        |  round(sum(CASE WHEN p_type = 'PROMO'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS promo_revenue,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      s"""WITH s AS (SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN ${c4Sql("l_extendedprice", "l_discount")} ELSE 0 END) AS DOUBLE)
+        |    / 10000 AS promo_revenue,
+        |  CAST(sum(${c4Sql("l_extendedprice", "l_discount")}) AS DOUBLE)
+        |    / 10000 AS total_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01')
         |SELECT promo_revenue, total_revenue,
@@ -6057,7 +6099,8 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "q19_branded_revenue" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT CAST(sum(${c4Sql("l_extendedprice", "l_discount")}) AS DOUBLE)
+        |  / 10000 AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 10 AND 30)
@@ -6918,6 +6961,16 @@ object SparkEntry {
         |CAST(ascii(substr(text, CAST(u.i * 64 + 1 AS INTEGER), 1)) AS BIGINT) AS frame_code
         |FROM documents, UNNEST(generate_series(0, (length(text) - 1) // 64)) AS u(i)""".stripMargin,
 
+    // every encodeMp4 field is a pure function of the utf-8 byte length,
+    // so the box walk's output is recomputable without parsing anything
+    "m12_mp4_boxwalk" ->
+      """SELECT doc_id AS id, 'isom' AS brand, CAST(1000 AS BIGINT) AS timescale,
+        |  CAST(len AS BIGINT) AS duration,
+        |  CAST(16 * (1 + len % 30) AS BIGINT) AS width,
+        |  CAST(16 * (1 + (len // 7) % 30) AS BIGINT) AS height,
+        |  CAST(len AS BIGINT) AS n_mdat
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)""".stripMargin,
+
     "m3_byte_histogram" ->
       """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
         |c AS (SELECT doc_id, list_transform(generate_series(1, CAST(length(hx) // 2 AS INTEGER)),
@@ -7121,8 +7174,8 @@ object SparkEntry {
         |  (SELECT DISTINCT user_id, event_type FROM events)""".stripMargin,
 
     "sw1_tumbling_window" ->
-      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
-        |count(*) AS cnt, round(sum(value), 2) AS sum_value
+      s"""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, event_type,
+        |count(*) AS cnt, CAST(sum(${centsSql("value")}) AS DOUBLE) / 100 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // CUSUM fold replayed recursively; the reference mean is the same
@@ -7244,11 +7297,11 @@ object SparkEntry {
         |FROM a JOIN b ON a.s <= b.e2 AND b.s2 <= a.e""".stripMargin,
 
     "z2_range_join" ->
-      """WITH b(band_id, lo, hi) AS (VALUES
+      s"""WITH b(band_id, lo, hi) AS (VALUES
         |  (0, 0.0, 100.0), (1, 100.0, 200.0), (2, 200.0, 300.0),
         |  (3, 300.0, 400.0), (4, 400.0, 1e9))
         |SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS cnt,
-        |  round(sum(value), 2) AS sum_value
+        |  CAST(sum(${centsSql("value")}) AS DOUBLE) / 100 AS sum_value
         |FROM events JOIN b ON value >= lo AND value < hi
         |GROUP BY band_id""".stripMargin,
 
@@ -8159,11 +8212,13 @@ object SparkEntry {
         |  count(*) AS n, (count(*) < 5) AS at_risk
         |FROM customer GROUP BY 1, 2""".stripMargin,
 
-    // even doc_ids carry no source, odd ones carry source + rev=2; the
-    // merged read must reproduce exactly that NULL/mass pattern.
+    // even doc_ids land in v1 (no rev column → NULL-filled on merge),
+    // odd ones in v2 with literal rev=2; the merged read must reproduce
+    // exactly that NULL/mass pattern. The parity predicate here IS the
+    // v1/v2 split rule, so the agreement is structural, not data-luck.
     "j2_schema_evolution" ->
       """SELECT lang, count(*) AS n,
-        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_source,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_filled,
         |  CAST(2 * sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rev_mass,
         |  CAST(sum(n_chars) AS BIGINT) AS char_mass
         |FROM documents GROUP BY lang""".stripMargin,
@@ -8293,16 +8348,17 @@ object SparkEntry {
          |GROUP BY 1, 2""".stripMargin,
 
     "q11_important_stock" ->
-      """WITH nl AS (
-        |  SELECT l_partkey, l_extendedprice
-        |  FROM lineitem
-        |  JOIN supplier ON l_suppkey = s_suppkey
-        |  JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name = 'NATION_1'),
-        |pp AS (SELECT l_partkey AS partkey, round(sum(l_extendedprice), 2) AS part_value
-        |  FROM nl GROUP BY 1),
-        |thr AS (SELECT round(sum(l_extendedprice) * 0.001, 2) AS threshold FROM nl)
-        |SELECT partkey, part_value FROM pp, thr WHERE part_value > threshold""".stripMargin,
+      s"""WITH nl AS (
+         |  SELECT l_partkey, l_extendedprice
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_1'),
+         |pp AS (SELECT l_partkey AS partkey, sum(${centsSql("l_extendedprice")}) AS pv_c
+         |  FROM nl GROUP BY 1),
+         |thr AS (SELECT sum(${centsSql("l_extendedprice")}) AS tot_c FROM nl)
+         |SELECT partkey, CAST(pv_c AS DOUBLE) / 100 AS part_value
+         |FROM pp, thr WHERE pv_c * 1000 > tot_c""".stripMargin,
 
     "q13_customer_distribution" ->
       """SELECT c_count, count(*) AS custdist FROM (
@@ -8313,14 +8369,15 @@ object SparkEntry {
         |GROUP BY c_count""".stripMargin,
 
     "q15_top_supplier" ->
-      """WITH rev AS (
-        |  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-        |  FROM lineitem
-        |  WHERE l_shipdate >= '1997-07-01' AND l_shipdate < '1997-10-01'
-        |  GROUP BY 1)
-        |SELECT l_suppkey AS suppkey, s_name AS name, total_revenue
-        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, sum(${c4Sql("l_extendedprice", "l_discount")}) AS rev_c4
+         |  FROM lineitem
+         |  WHERE l_shipdate >= '1997-07-01' AND l_shipdate < '1997-10-01'
+         |  GROUP BY 1)
+         |SELECT l_suppkey AS suppkey, s_name AS name,
+         |  CAST(rev_c4 AS DOUBLE) / 10000 AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev_c4 = (SELECT max(rev_c4) FROM rev)""".stripMargin,
 
     "q16_parts_supplier" ->
       """SELECT p_brand AS brand, p_type AS ptype, CAST(p_size AS BIGINT) AS psize,

@@ -16,14 +16,17 @@ import org.apache.spark.sql.functions._
   * JDK's own `javax.imageio` codecs — [[decodeImage]] is a REAL decoder
   * too, and [[encodeImage]] writes genuinely compressed blobs so the PNG
   * round trip is oracle-verified like the BMP one (PNG is lossless, so
-  * the per-channel sums are exact). Only formats with NO JDK codec
-  * (MP4/video) keep [[decodeStub]], a clearly-marked deterministic FAKE
-  * — but everything around it is the real production shape:
+  * the per-channel sums are exact). VIDEO containers (MP4/ISO BMFF) have
+  * no JDK codec for frame data, but the container METADATA is pure byte
+  * grammar — [[encodeMp4]] writes a valid ftyp/moov/mdat box tree and
+  * [[decodeMp4]] is a real version-aware box walk (largesize and v1
+  * headers included); only frame/sample decode stays out of scope, loudly
+  * absent rather than faked. Shared production shape everywhere:
   *   - schema: (id, blob BINARY, meta STRUCT<n_bytes BIGINT, mime STRING>)
   *   - cheap metadata ops (size, digest) stay codegen'd column exprs;
   *   - the decode stage runs as a typed `mapPartitions` over an iterator —
   *     the same per-partition batch shape a real decoder (or a Pandas UDF
-  *     in PySpark) would use, so swapping in a real codec touches ONE
+  *     in PySpark) would use, so swapping in a full codec touches ONE
   *     function;
   *   - partitioning: blobs are heavy, so repartition by size bucket before
   *     decode to level batch memory (`spark.sql.files.maxPartitionBytes`
@@ -32,8 +35,6 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaRow(id: Long, blob: Array[Byte], mime: String)
-  case class DecodedRow(id: Long, width: Int, height: Int, channels: Int,
-                        feature: Long)
 
   /** Wrap a text corpus as opaque media blobs (utf-8 bytes) with metadata —
     * the ingestion shape for real media files. */
@@ -49,23 +50,134 @@ object Multimodal {
     media.select(col("id"), col("meta.n_bytes").as("n_bytes"),
       sha2(col("blob"), 256).as("sha256"))
 
-  /** STUB decoder for formats with no JDK codec (MP4/video): deterministic
-    * fake "dimensions" derived from the blob bytes. A real deployment
-    * replaces the body with an actual codec call; the iterator-in/
-    * iterator-out shape (and the schema) stay. PNG/JPEG do NOT go through
-    * here — [[decodeImage]] decodes them for real via `javax.imageio`. */
-  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
+  case class Mp4Decoded(id: Long, brand: String, timescale: Long,
+                        duration: Long, width: Long, height: Long, n_mdat: Long)
+
+  private def putMatrix(buf: java.nio.ByteBuffer): Unit = {
+    buf.putInt(0x00010000).putInt(0).putInt(0)
+    buf.putInt(0).putInt(0x00010000).putInt(0)
+    buf.putInt(0).putInt(0).putInt(0x40000000)
+  }
+
+  /** REAL minimal MP4 (ISO BMFF, 14496-12) writer: a fully valid box tree
+    * `ftyp` (brand isom) + `moov`(`mvhd` v0 timescale 1000 + `trak`/`tkhd`
+    * v0 with 16.16 fixed-point dimensions) + `mdat` carrying the text's
+    * utf-8 bytes — everything big-endian per the spec. Frame DATA stays
+    * out of scope (that needs a video codec, which no JDK ships), but the
+    * container metadata a 100 TB media-curation pass actually filters on
+    * (dimensions, duration, payload size) is genuinely encoded here and
+    * genuinely parsed back by [[decodeMp4]]'s box walk — the m4/m5
+    * encode∘decode-vs-independent-oracle pattern. Dimensions derive
+    * deterministically from the payload length so the DuckDB oracle can
+    * recompute them from the text alone. */
+  def encodeMp4(spark: SparkSession, docs: DataFrame, idCol: String,
+                textCol: String): Dataset[MediaRow] = {
     import spark.implicits._
-    media.select(col("id"), col("blob"), col("meta.mime").as("mime"))
-      .as[MediaRow]
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { rows =>
-        rows.map { r =>
-          // ??? real codec goes here; fake dims derived from content:
-          val len = r.blob.length
-          val head = r.blob.take(8).foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
-          DecodedRow(r.id, 64 + (len % 512), 64 + ((len / 7) % 512), 3, head)
+        rows.map { case (id, text) =>
+          val payload = Option(text).getOrElse("").getBytes("UTF-8")
+          val len = payload.length
+          val w = 16 * (1 + len % 30)
+          val h = 16 * (1 + (len / 7) % 30)
+          val buf = java.nio.ByteBuffer.allocate(24 + 216 + 8 + len) // big-endian
+          buf.putInt(24).put("ftyp".getBytes("US-ASCII"))            // ftyp
+            .put("isom".getBytes("US-ASCII")).putInt(0x200)
+            .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+          buf.putInt(216).put("moov".getBytes("US-ASCII"))           // moov
+          buf.putInt(108).put("mvhd".getBytes("US-ASCII")).putInt(0) //  mvhd v0
+            .putInt(0).putInt(0)                 // creation, modification
+            .putInt(1000).putInt(len)            // timescale 1000, duration = len ms
+            .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume
+            .putInt(0).putInt(0)                 // reserved
+          putMatrix(buf)
+          (0 until 6).foreach(_ => buf.putInt(0)) // pre_defined
+          buf.putInt(2)                           // next_track_ID
+          buf.putInt(100).put("trak".getBytes("US-ASCII"))           //  trak
+          buf.putInt(92).put("tkhd".getBytes("US-ASCII")).putInt(7)  //   tkhd v0
+            .putInt(0).putInt(0)                 // creation, modification
+            .putInt(1).putInt(0).putInt(len)     // track 1, reserved, duration
+            .putLong(0).putShort(0).putShort(0).putShort(0).putShort(0)
+          putMatrix(buf)
+          buf.putInt(w << 16).putInt(h << 16)    // 16.16 fixed
+          buf.putInt(8 + len).put("mdat".getBytes("US-ASCII")).put(payload)
+          MediaRow(id, buf.array(), "video/mp4")
         }
       }
+  }
+
+  /** REAL ISO BMFF box walk (pure JVM, no codec): parses the actual box
+    * grammar — 32-bit size, `size == 1` → 64-bit largesize, `size == 0` →
+    * to-end-of-enclosure, version-dependent mvhd/tkhd field offsets (v0
+    * AND v1) — and extracts the container metadata: major brand, movie
+    * timescale + duration, track dimensions (16.16 fixed → integer part),
+    * total mdat payload bytes. This is the metadata a media curation
+    * pipeline filters/dedups on before ever paying a frame decode. It is
+    * NOT tied to [[encodeMp4]]'s choices: v1 headers and largesize mdat
+    * boxes (which that writer never emits) parse correctly, spec-proven
+    * on hand-built bytes. Frame/sample decode (stsd/stbl and below) needs
+    * a video codec — out of scope on a codec-less JVM, and loudly absent
+    * rather than faked. */
+  def decodeMp4(spark: SparkSession, media: Dataset[MediaRow]): Dataset[Mp4Decoded] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = java.nio.ByteBuffer.wrap(r.blob) // BIG_ENDIAN by default
+        def tag(at: Int) = new String(r.blob, at, 4, "US-ASCII")
+        def u32(at: Int): Long = b.getInt(at) & 0xffffffffL
+        // Walk the boxes in [from, to): f(type, payloadStart, payloadEnd).
+        def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+          var pos = from
+          while (pos + 8 <= to) {
+            val sz = u32(pos)
+            val ty = tag(pos + 4)
+            val (hdr, end) =
+              if (sz == 1L) {
+                require(pos + 16 <= to, s"id=${r.id}: box $ty largesize header overruns")
+                (16L, pos + b.getLong(pos + 8))
+              } else if (sz == 0L) (8L, to.toLong) // extends to end of enclosure
+              else (8L, pos + sz)
+            require(end >= pos + hdr && end <= to,
+              s"id=${r.id}: box $ty overruns its enclosure ($end > $to)")
+            f(ty, (pos + hdr).toInt, end.toInt)
+            pos = end.toInt
+          }
+        }
+        var brand = ""; var timescale = -1L; var duration = -1L
+        var width = -1L; var height = -1L; var nMdat = 0L; var sawMoov = false
+        walk(0, r.blob.length) { (ty, s, e) =>
+          ty match {
+            case "ftyp" => brand = tag(s)
+            case "mdat" => nMdat += e - s
+            case "moov" =>
+              sawMoov = true
+              walk(s, e) { (mty, ms, me) =>
+                mty match {
+                  case "mvhd" =>
+                    if ((r.blob(ms) & 0xff) == 0) { // version 0: 32-bit times
+                      timescale = u32(ms + 12); duration = u32(ms + 16)
+                    } else {                        // version 1: 64-bit times
+                      timescale = u32(ms + 20); duration = b.getLong(ms + 24)
+                    }
+                  case "trak" =>
+                    walk(ms, me) { (tty, ks, _) =>
+                      if (tty == "tkhd") {
+                        val wAt = if ((r.blob(ks) & 0xff) == 0) ks + 76 else ks + 88
+                        width = u32(wAt) >> 16   // 16.16 fixed → integer part
+                        height = u32(wAt + 4) >> 16
+                      }
+                    }
+                  case _ =>
+                }
+              }
+            case _ =>
+          }
+        }
+        require(brand.nonEmpty, s"id=${r.id}: no ftyp box — not an ISO BMFF file")
+        require(sawMoov, s"id=${r.id}: no moov box")
+        Mp4Decoded(r.id, brand, timescale, duration, width, height, nMdat)
+      }
+    }
   }
 
   /** REAL feature extraction over the opaque blob (no codec needed): a
@@ -87,10 +199,11 @@ object Multimodal {
     media.select(col("id") +: buckets: _*)
   }
 
-  /** STUB resize: deterministic fake downsample keeping every 4th byte of
-    * the blob (marked fake like [[decodeStub]] — a real deployment calls a
-    * codec resize; the binary-in/binary-out column shape and the metadata
-    * update are the production plumbing). */
+  /** STUB resize: deterministic byte decimation keeping every factor-th
+    * byte of the blob — marked a stub because a content-aware resize needs
+    * a codec ([[resizeImage]] is the real one for image formats); the
+    * binary-in/binary-out column shape and the metadata update are the
+    * production plumbing. */
   def resizeStub(media: DataFrame, factor: Int = 4): DataFrame = {
     require(factor >= 1, s"resize factor must be >= 1, got $factor")
     val hx = hex(col("blob"))
@@ -122,8 +235,8 @@ object Multimodal {
     * text, so encode∘decode is hash-verified against an independent
     * engine). Uncompressed formats need only byte arithmetic — this is a
     * real decoder path, NOT a stub; PNG/JPEG also decode for real
-    * ([[decodeImage]], JDK `javax.imageio`); only codec-less formats
-    * (MP4/video) remain behind [[decodeStub]]. */
+    * ([[decodeImage]], JDK `javax.imageio`), and MP4 container metadata
+    * parses for real too ([[decodeMp4]]). */
   def encodeBmp(spark: SparkSession, docs: DataFrame, idCol: String,
                 textCol: String, width: Int = 16): Dataset[MediaRow] = {
     import spark.implicits._
@@ -302,7 +415,8 @@ object Multimodal {
     * data, and reduces each channel to the same exact BIGINT sums as
     * [[decodeBmp]] — identical output shape, so the lossless PNG round
     * trip shares the BMP gate's oracle. Unrecognized formats fail loudly
-    * (a video blob belongs in [[decodeStub]] until a codec exists).
+    * (a video blob belongs in [[decodeMp4]]'s metadata walk — frame
+    * decode needs a codec no JDK ships).
     * Iterator-in/iterator-out `mapPartitions`, the per-partition batch
     * shape any codec stage uses; pixels never leave the decode task. */
   def decodeImage(spark: SparkSession, media: Dataset[MediaRow]): Dataset[BmpDecoded] = {

@@ -395,15 +395,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1L) != out(2L))
   }
 
-  test("multimodal: meta digest + typed decode stub keep schema and determinism") {
+  test("multimodal: meta digest keeps schema and determinism") {
     val media = Multimodal.asMedia(docs((7L, "hello world")), "doc_id", "text")
     val meta = Multimodal.mediaMeta(media).collect()(0)
     assert(meta.getAs[Long]("n_bytes") == 11L)
     assert(meta.getAs[String]("sha256").length == 64)
-    val dec = Multimodal.decodeStub(spark, media).collect()
-    assert(dec.length == 1 && dec(0).id == 7L && dec(0).channels == 3)
-    val again = Multimodal.decodeStub(spark, media).collect()
-    assert(dec(0) == again(0)) // deterministic fake
+  }
+
+  test("encodeMp4/decodeMp4: box-walk round trip recovers the container metadata") {
+    val text = "an mp4 container payload long enough to matter " * 2
+    val len = text.getBytes("UTF-8").length
+    val d = docs((7L, text), (8L, ""))
+    val dec = Multimodal.decodeMp4(spark,
+      Multimodal.encodeMp4(spark, d, "doc_id", "text"))
+      .collect().map(r => r.id -> r).toMap
+    val r7 = dec(7L)
+    assert(r7.brand == "isom" && r7.timescale == 1000L && r7.duration == len.toLong)
+    assert(r7.width == 16L * (1 + len % 30) && r7.height == 16L * (1 + (len / 7) % 30))
+    assert(r7.n_mdat == len.toLong)
+    val r8 = dec(8L) // empty payload: minimal dims, zero duration/mdat
+    assert(r8.width == 16L && r8.height == 16L && r8.duration == 0L && r8.n_mdat == 0L)
+  }
+
+  test("decodeMp4 is a real parser: v1 headers and largesize mdat it never writes") {
+    import spark.implicits._
+    // Hand-built ISO BMFF: ftyp(mp42) + moov(mvhd v1 + trak(tkhd v1)) +
+    // mdat with size=1 largesize — shapes encodeMp4 never emits.
+    def box(ty: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(ty.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val mvhdV1 = {
+      val b = java.nio.ByteBuffer.allocate(112 - 8)
+      b.putInt(0x01000000)            // version 1
+        .putLong(0L).putLong(0L)      // creation, modification (64-bit)
+        .putInt(90000)                // timescale
+        .putLong(123456L)             // duration (64-bit)
+      b.array()                       // trailing rate/matrix bytes stay 0
+    }
+    val tkhdV1 = {
+      val b = java.nio.ByteBuffer.allocate(104 - 8)
+      b.putInt(0x01000007)
+        .putLong(0L).putLong(0L)      // creation, modification
+        .putInt(1).putInt(0)          // track, reserved
+        .putLong(123456L)             // duration (64-bit)
+      b.position(88)                  // width at box+96 → payload+88
+      b.putInt(640 << 16).putInt(480 << 16)
+      b.array()
+    }
+    val payload = Array.tabulate[Byte](10)(_.toByte)
+    val largeMdat = {
+      val b = java.nio.ByteBuffer.allocate(16 + payload.length)
+      b.putInt(1).put("mdat".getBytes("US-ASCII"))
+        .putLong(16L + payload.length).put(payload)
+      b.array()
+    }
+    val blob = box("ftyp", "mp42".getBytes ++ Array.fill[Byte](4)(0) ++ "mp42".getBytes) ++
+      box("moov", box("mvhd", mvhdV1) ++ box("trak", box("tkhd", tkhdV1))) ++ largeMdat
+    val media = Seq(Multimodal.MediaRow(1L, blob, "video/mp4")).toDS()
+    val out = Multimodal.decodeMp4(spark, media).collect()(0)
+    assert(out.brand == "mp42" && out.timescale == 90000L && out.duration == 123456L)
+    assert(out.width == 640L && out.height == 480L && out.n_mdat == 10L)
   }
 
   test("hammingOverflow flags hot fingerprint bands (degenerate all-equal fingerprints)") {
