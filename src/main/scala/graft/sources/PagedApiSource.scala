@@ -9,26 +9,42 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** B1 — paginated source scan as a proper DataSource V2 connector.
+/** B1 — paginated source scan as a proper DataSource V2 connector with a
+  * PLUGGABLE transport.
   *
   * The reference walks the Directory API page by page in one goroutine,
-  * throttled to 4 req/s (main.go:193-218, 100-102) — pagination there is a
-  * *serial* concern. Here each page is an [[InputPartition]], so a
-  * 1000-executor cluster fetches 1000 pages concurrently and Spark's
-  * scheduler handles retry/locality; per-partition rate limiting would sit
-  * inside the reader where the transport call goes.
+  * throttled to 4 req/s with retries (main.go:189-219, 100-102) —
+  * pagination there is a *serial* concern. Here the transport is a real
+  * HTTP client ([[HttpPageTransport]]: JDK `HttpURLConnection`, no
+  * dependencies) behind a [[PageTransport]] trait, and the connector
+  * supports both pagination disciplines real APIs come in:
   *
-  * The transport is STUBBED (this container has no egress): rows are
-  * deterministic fakes derived from (page, index) — the same pattern as
-  * [[graft.operators.Multimodal.decodeStub]]. The connector surface
-  * (TableProvider → ScanBuilder → Batch → PartitionReaderFactory →
-  * PartitionReader) is the real production shape; a live implementation
-  * replaces only [[PagedApiPartitionReader]]'s row synthesis with an HTTP
-  * call using `page` as the page token.
+  *   - `mode=indexed` (default): the API addresses pages by number, so
+  *     each page is an [[InputPartition]] — a 1000-executor cluster
+  *     fetches 1000 pages concurrently and Spark's scheduler handles
+  *     retry/locality. This is the 100 TB shape.
+  *   - `mode=token`: the API only hands out opaque `nextPageToken`s (the
+  *     reference's Directory API shape), which serializes the walk by
+  *     construction — ONE partition whose reader chains tokens exactly
+  *     like main.go:193-218, with the same per-client rate limit and
+  *     retry. No fake parallelism where the protocol forbids it.
+  *
+  * Rate limiting and retry live in the transport (per-reader minimum
+  * request interval + exponential backoff on 429/5xx/IO errors), which is
+  * where the reference hooks its limiter (main.go:100-102).
+  *
+  * Without a `url` option the reader synthesizes deterministic rows —
+  * the zero-egress test/bench mode, clearly marked, same schema.
+  * PagedApiSourceSpec drives the REAL HTTP path against an in-process
+  * `com.sun.net.httpserver` fixture: pagination, retry-on-503, and
+  * request spacing are all exercised over genuine sockets.
   *
   * Usage:
   *   spark.read.format("graft.sources.PagedApiSource")
-  *     .option("pages", 8).option("pageSize", 250).load()
+  *     .option("pages", 8).option("pageSize", 250)          // synthetic
+  *   spark.read.format("graft.sources.PagedApiSource")
+  *     .option("url", "http://host/users").option("pages", 8)
+  *     .option("mode", "indexed")                            // live HTTP
   */
 class PagedApiSource extends TableProvider {
 
@@ -39,7 +55,13 @@ class PagedApiSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     // properties arrive case-preserved here (unlike inferSchema's map).
     val opts = new CaseInsensitiveStringMap(properties)
-    new PagedApiTable(opts.getInt("pages", 4), opts.getInt("pagesize", 100))
+    new PagedApiTable(PagedApiOptions(
+      pages = opts.getInt("pages", 4),
+      pageSize = opts.getInt("pagesize", 100),
+      url = Option(opts.get("url")),
+      mode = opts.getOrDefault("mode", "indexed"),
+      minIntervalMs = opts.getLong("minintervalms", 250L),
+      maxRetries = opts.getInt("maxretries", 3)))
   }
 }
 
@@ -51,8 +73,103 @@ object PagedApiSource {
     StructField("isExternal", BooleanType, nullable = false)))
 }
 
-private class PagedApiTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
-  override def name(): String = s"paged_api(pages=$pages, pageSize=$pageSize)"
+private case class PagedApiOptions(pages: Int, pageSize: Int,
+                                   url: Option[String], mode: String,
+                                   minIntervalMs: Long, maxRetries: Int) {
+  require(mode == "indexed" || mode == "token",
+    s"mode must be 'indexed' or 'token', got '$mode'")
+}
+
+/** One page of users, as returned by a transport. */
+case class PagedUser(email: String, isExternal: Boolean)
+case class PageResponse(users: Seq[PagedUser], nextPageToken: Option[String])
+
+/** Transport abstraction — one page fetch by token. Implementations run
+  * INSIDE executor tasks (construct them there; they need not be
+  * serializable when built per-reader). */
+trait PageTransport {
+  def fetch(pageToken: String): PageResponse
+}
+
+/** Real HTTP transport on the JDK's built-in client: GET
+  * `url?pageToken=T&pageSize=N`, expecting the fixture/API JSON shape
+  * `{"users":[{"email":"...","isExternal":false},...],"nextPageToken":"T"}`.
+  *
+  *   - Rate limit: a minimum interval between requests of THIS transport
+  *     instance (one instance per partition reader ⇒ per-task limiting —
+  *     the cluster-wide rate is interval × parallelism, sized by the
+  *     `pages`/`minIntervalMs` options exactly like the reference's
+  *     4 req/s client limiter).
+  *   - Retry: HTTP 429/5xx and IO errors back off exponentially
+  *     (interval, 2×, 4×, ...) up to `maxRetries`, then throw — Spark's
+  *     task retry is the outer loop, as the scheduler owns re-execution.
+  */
+class HttpPageTransport(url: String, pageSize: Int,
+                        minIntervalMs: Long = 250L,
+                        maxRetries: Int = 3) extends PageTransport {
+  private var lastRequestAt = 0L
+
+  private def pace(): Unit = synchronized {
+    val wait = lastRequestAt + minIntervalMs - System.currentTimeMillis()
+    if (wait > 0) Thread.sleep(wait)
+    lastRequestAt = System.currentTimeMillis()
+  }
+
+  override def fetch(pageToken: String): PageResponse = {
+    var attempt = 0
+    while (true) {
+      pace()
+      try {
+        val sep = if (url.contains("?")) "&" else "?"
+        val full = s"$url${sep}pageToken=${java.net.URLEncoder.encode(pageToken, "UTF-8")}&pageSize=$pageSize"
+        val conn = new java.net.URL(full).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setConnectTimeout(5000)
+        conn.setReadTimeout(10000)
+        val code = conn.getResponseCode
+        if (code == 200) {
+          val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+          conn.disconnect()
+          return HttpPageTransport.parse(body)
+        }
+        conn.disconnect()
+        if (code != 429 && code < 500) // 4xx (bar 429) = caller bug, no retry
+          throw new IllegalArgumentException(s"GET $full -> HTTP $code")
+        throw new HttpPageTransport.Retryable(s"HTTP $code")
+      } catch {
+        case e @ (_: HttpPageTransport.Retryable | _: java.io.IOException) =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new java.io.IOException(
+              s"page '$pageToken' failed after $maxRetries retries: ${e.getMessage}", e)
+          Thread.sleep(minIntervalMs.max(1L) << (attempt - 1)) // exponential backoff
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+object HttpPageTransport {
+  private class Retryable(msg: String) extends RuntimeException(msg)
+
+  /** Minimal parser for the fixed response shape above — hand-rolled so
+    * the connector stays dependency-free (the classpath ships no JSON
+    * library beyond Spark's internals). Handles whitespace and the two
+    * field orders; escapes inside emails are out of contract. */
+  private[sources] def parse(body: String): PageResponse = {
+    val userRe = """\{\s*"email"\s*:\s*"([^"]*)"\s*,\s*"isExternal"\s*:\s*(true|false)\s*\}""".r
+    val users = userRe.findAllMatchIn(body)
+      .map(m => PagedUser(m.group(1), m.group(2).toBoolean)).toSeq
+    val tokenRe = """"nextPageToken"\s*:\s*"([^"]*)"""".r
+    val next = tokenRe.findFirstMatchIn(body).map(_.group(1)).filter(_.nonEmpty)
+    PageResponse(users, next)
+  }
+}
+
+private class PagedApiTable(opts: PagedApiOptions) extends Table with SupportsRead {
+  override def name(): String =
+    s"paged_api(pages=${opts.pages}, pageSize=${opts.pageSize}, " +
+      s"mode=${opts.mode}, url=${opts.url.getOrElse("<synthetic>")})"
   override def schema(): StructType = PagedApiSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
@@ -61,23 +178,33 @@ private class PagedApiTable(pages: Int, pageSize: Int) extends Table with Suppor
       override def build(): Scan = this
       override def readSchema(): StructType = PagedApiSource.schema
       override def toBatch: Batch = this
-      // One partition per API page — the pagination boundary IS the
-      // parallelism boundary.
+      // indexed: one partition per API page — the pagination boundary IS
+      // the parallelism boundary. token: the protocol serializes the walk,
+      // so it is ONE partition by construction.
       override def planInputPartitions(): Array[InputPartition] =
-        (0 until pages).map(p => PagedApiPartition(p, pageSize): InputPartition).toArray
+        if (opts.mode == "token") Array(PagedApiPartition(0, opts))
+        else (0 until opts.pages).map(p => PagedApiPartition(p, opts): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         (partition: InputPartition) => {
           val p = partition.asInstanceOf[PagedApiPartition]
-          new PagedApiPartitionReader(p.page, p.pageSize)
+          p.opts.url match {
+            case Some(u) =>
+              val transport = new HttpPageTransport(u, p.opts.pageSize,
+                p.opts.minIntervalMs, p.opts.maxRetries)
+              if (p.opts.mode == "token") new TokenWalkReader(transport)
+              else new IndexedPageReader(p.page, transport)
+            case None => new SyntheticPageReader(p.page, p.opts.pageSize)
+          }
         }
     }
 }
 
-private case class PagedApiPartition(page: Int, pageSize: Int) extends InputPartition
+private case class PagedApiPartition(page: Int, opts: PagedApiOptions)
+  extends InputPartition
 
-/** One "API page" of deterministic fake directory rows. A live reader
-  * performs the HTTP fetch (with local rate limiting) here. */
-private class PagedApiPartitionReader(page: Int, pageSize: Int)
+/** Deterministic fake rows — the zero-egress test/bench mode (this
+  * container has no network). Same schema as the live readers. */
+private class SyntheticPageReader(page: Int, pageSize: Int)
   extends PartitionReader[InternalRow] {
   private var i = -1
   override def next(): Boolean = { i += 1; i < pageSize }
@@ -87,5 +214,46 @@ private class PagedApiPartitionReader(page: Int, pageSize: Int)
       UTF8String.fromString(s"user$n@domain.example"),
       page, i, n % 7 == 0)
   }
+  override def close(): Unit = ()
+}
+
+/** Live reader, indexed mode: fetches exactly one page (token = the page
+  * number) over the real transport. Runs in the executor task. */
+private class IndexedPageReader(page: Int, transport: PageTransport)
+  extends PartitionReader[InternalRow] {
+  private lazy val users = transport.fetch(page.toString).users
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < users.length }
+  override def get(): InternalRow = InternalRow(
+    UTF8String.fromString(users(i).email), page, i, users(i).isExternal)
+  override def close(): Unit = ()
+}
+
+/** Live reader, token mode: chains nextPageToken serially — the
+  * reference's main.go:193-218 loop, rate-limited by the transport. */
+private class TokenWalkReader(transport: PageTransport)
+  extends PartitionReader[InternalRow] {
+  private var page = -1
+  private var token: Option[String] = Some("")
+  private var users: Seq[PagedUser] = Nil
+  private var i = -1
+  @annotation.tailrec
+  private def advance(): Boolean = {
+    i += 1
+    if (i < users.length) true
+    else token match {
+      case Some(t) =>
+        val resp = transport.fetch(t)
+        page += 1 // page = fetch ordinal, matching indexed mode's numbering
+        users = resp.users
+        token = resp.nextPageToken
+        i = -1
+        advance()
+      case None => false
+    }
+  }
+  override def next(): Boolean = advance()
+  override def get(): InternalRow = InternalRow(
+    UTF8String.fromString(users(i).email), page, i, users(i).isExternal)
   override def close(): Unit = ()
 }

@@ -28,6 +28,118 @@ class PagedApiSourceSpec extends AnyFunSuite {
       df.orderBy("page", "idx").collect().toSeq)
   }
 
+  // ---------------------------------------------------------- live HTTP
+  // An in-process com.sun.net.httpserver fixture (JDK built-in, loopback
+  // socket): the connector's REAL transport path — pagination, retry on
+  // 503, and request pacing — exercised over genuine HTTP, zero egress.
+
+  /** Serves /users with `pages` pages of `pageSize` users each; fails the
+    * FIRST attempt at each token in `failOnce` with a 503. */
+  private def withFixture(pages: Int, pageSize: Int, failOnce: Set[String] = Set())(
+      body: String => Unit): (Int, Int) = {
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/users", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val params = q.split("&").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+      val tok = params.getOrElse("pageToken", "")
+      val page = if (tok.isEmpty) 0 else tok.toInt
+      if (failOnce.contains(tok) && failed.add(tok)) {
+        retries.incrementAndGet()
+        ex.sendResponseHeaders(503, -1); ex.close()
+      } else {
+        val users = (0 until pageSize).map { i =>
+          val n = page * pageSize + i
+          s"""{"email":"fix$n@example.test","isExternal":${n % 5 == 0}}"""
+        }.mkString(",")
+        val next = if (page + 1 < pages) s""","nextPageToken":"${page + 1}"""" else ""
+        val bytes = s"""{"users":[$users]$next}""".getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes); ex.close()
+      }
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/users")
+    finally server.stop(0)
+    (hits.get(), retries.get())
+  }
+
+  test("indexed mode reads real HTTP pages in parallel partitions") {
+    val (hits, _) = withFixture(pages = 4, pageSize = 5) { url =>
+      val df = spark.read.format("graft.sources.PagedApiSource")
+        .option("url", url).option("pages", 4).option("pageSize", 5)
+        .option("minIntervalMs", 0).load()
+      assert(df.rdd.getNumPartitions == 4)
+      // sort client-side: a global orderBy adds a range-partitioner
+      // SAMPLING pass over the scan, which would double the fetches
+      val rows = df.collect().sortBy(r => (r.getInt(1), r.getInt(2)))
+      assert(rows.length == 20)
+      assert(rows.head.getString(0) == "fix0@example.test" && rows.head.getBoolean(3))
+      assert(rows.last.getString(0) == "fix19@example.test" && !rows.last.getBoolean(3))
+    }
+    assert(hits == 4) // one request per page, no over-fetch
+  }
+
+  test("token mode walks nextPageToken serially in one partition") {
+    withFixture(pages = 3, pageSize = 4) { url =>
+      val df = spark.read.format("graft.sources.PagedApiSource")
+        .option("url", url).option("mode", "token").option("pageSize", 4)
+        .option("minIntervalMs", 0).load()
+      assert(df.rdd.getNumPartitions == 1) // the protocol serializes the walk
+      val rows = df.orderBy("page", "idx").collect()
+      assert(rows.length == 12 && rows.map(_.getInt(1)).distinct.toSeq == Seq(0, 1, 2))
+      assert(rows.map(_.getString(0)).toSeq ==
+        (0 until 12).map(n => s"fix$n@example.test"))
+    }
+  }
+
+  test("transport retries a 503 with backoff and still delivers every row once") {
+    val (hits, retries) = withFixture(pages = 3, pageSize = 2, failOnce = Set("1")) { url =>
+      val df = spark.read.format("graft.sources.PagedApiSource")
+        .option("url", url).option("mode", "token").option("pageSize", 2)
+        .option("minIntervalMs", 1).load()
+      assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+        (0 until 6).map(n => s"fix$n@example.test").sorted)
+    }
+    assert(retries == 1 && hits == 4) // 3 pages + 1 failed attempt, rows not doubled
+  }
+
+  test("transport fails loudly once retries are exhausted") {
+    val always503 = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    always503.createContext("/users", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(503, -1); ex.close()
+    })
+    always503.start()
+    try {
+      val t = new graft.sources.HttpPageTransport(
+        s"http://127.0.0.1:${always503.getAddress.getPort}/users",
+        pageSize = 2, minIntervalMs = 1, maxRetries = 2)
+      val e = intercept[java.io.IOException](t.fetch("0"))
+      assert(e.getMessage.contains("after 2 retries"))
+    } finally always503.stop(0)
+  }
+
+  test("rate hook spaces consecutive requests of one transport instance") {
+    withFixture(pages = 4, pageSize = 1) { url =>
+      val t = new graft.sources.HttpPageTransport(url, pageSize = 1,
+        minIntervalMs = 60, maxRetries = 0)
+      val t0 = System.nanoTime()
+      (0 until 3).foreach(p => t.fetch(p.toString))
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      // 3 requests at a 60 ms floor ⇒ ≥ 120 ms between first and last
+      // (generous: only LOWER-bounds the pacing, timing-safe in CI)
+      assert(elapsedMs >= 120, s"requests not paced: ${elapsedMs}ms")
+    }
+  }
+
   test("feeds the standard upsert pipeline") {
     val users = read(2, 10).select(
       (lit(100L) + col("page") * 10 + col("idx")).as("id"),
