@@ -91,17 +91,19 @@ object SparkEntry {
   private def khop2Regions(s: SparkSession, dir: String,
                            salted: Boolean = false): DataFrame = {
     val g = GraphStore.get(s, dir)
-    // salted: the same walk through the skew-aware hop join
-    // (graft.hop.salt — see Traversal.saltBuckets): the edge layout keys
-    // on (src, hash(dst) mod N) and the frontier replicates N ways, so a
-    // celebrity vertex's expansion runs as N tasks instead of one
-    // straggler. khop materializes eagerly inside the call, so the conf
-    // flip is scoped here and identical rows prove the path correct.
+    // salted: the same walk through the skew-aware hop join with
+    // graft.hop.salt=auto (see Traversal.autoSaltBuckets): the degree
+    // probe measures the skew and picks the salt width itself — on this
+    // UNskewed containment graph it measures 0 and the walk costs what
+    // a13 costs (a static salt of 8 used to cost 2.5× here), while
+    // SkewSpec's celebrity graph measures >0 and keeps the straggler
+    // win. khop materializes eagerly inside the call, so the conf flip
+    // is scoped here and identical rows prove the path correct.
     val reached =
       if (!salted) g.reach(g.hasLabel("customer"), 2, dedupStart = false)
       else {
         val prev = s.conf.get("graft.hop.salt", "0")
-        s.conf.set("graft.hop.salt", "8")
+        s.conf.set("graft.hop.salt", "auto")
         try graph.Traversal.khop(g.E.filter(col("label") === "in"),
           g.hasLabel("customer"), 2, prepEdges = true, dedupStart = false)
         finally s.conf.set("graft.hop.salt", prev)

@@ -76,27 +76,61 @@ object Traversal {
     }
 
   /** Salt buckets for the frontier⋈edges hop join — session conf
-    * `graft.hop.salt`, default 0 = off. A power-law graph puts a celebrity
-    * vertex's ENTIRE edge list in one partition of the plain src-hash
-    * layout, so every hop that expands through it runs one straggler task
-    * however many executors exist. With N > 0 the prepped layout keys on
-    * (src, hash(dst) mod N): the hot vertex's edges spread over up to N
-    * partitions, and the (small) frontier replicates N ways so the join
-    * stays a local key match. Costs: N× frontier shuffle volume, and the
-    * salted layout no longer matches [[GraphStore]]'s plain-src cache
-    * (prep rebuilds it) — so it is opt-in for measured degree skew, not a
-    * default. AQE's skew-join split does NOT cover this case: the edge
+    * `graft.hop.salt`: `0` (default) = off, `N` = fixed width, `auto` =
+    * measure the skew and decide ([[autoSaltBuckets]]). A power-law graph
+    * puts a celebrity vertex's ENTIRE edge list in one partition of the
+    * plain src-hash layout, so every hop that expands through it runs one
+    * straggler task however many executors exist. With N > 0 the prepped
+    * layout keys on (src, hash(dst) mod N): the hot vertex's edges spread
+    * over up to N partitions, and the (small) frontier replicates N ways
+    * so the join stays a local key match. Costs: N× frontier shuffle
+    * volume, and the salted layout no longer matches [[GraphStore]]'s
+    * plain-src cache (prep rebuilds it) — which is why `auto` measures
+    * rather than defaulting on (static salt cost 2.5× on the UNskewed
+    * a13 walk). AQE's skew-join split does NOT cover this case: the edge
     * side is a cached, already-partitioned frame, not a fresh sort-merge
     * exchange AQE can re-plan. */
-  private def saltBuckets(df: DataFrame): Int =
-    df.sparkSession.conf.get("graft.hop.salt", "0").toInt
+  private def saltBuckets(df: DataFrame): Int = {
+    val v = df.sparkSession.conf.get("graft.hop.salt", "0")
+    if (v == "auto") autoSaltBuckets(df) else v.toInt
+  }
+
+  /** `graft.hop.salt=auto`: ONE map-side-combinable degree aggregate
+    * decides whether the hop join needs salting, and how wide. A src key
+    * straggles when its edge list dominates a shuffle partition: with E
+    * edges over P partitions a uniform task holds E/P rows, so salt only
+    * when maxDeg > 2·E/P, width ⌈maxDeg/(E/P)⌉ capped at P — the hot list
+    * splits into partition-sized slices, and a uniform graph measures 0
+    * (salting stays OFF where it can only cost). The probe is one
+    * partial-agg job over the edge set prep() is about to shuffle anyway
+    * — strictly cheaper than the repartition it tunes. */
+  private[graft] def autoSaltBuckets(edges: DataFrame): Int = {
+    val parts = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val row = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .agg(sum(col("deg")), max(col("deg"))).head()
+    if (row.isNullAt(0)) 0
+    else {
+      val total = row.getLong(0)
+      val maxDeg = row.getLong(1)
+      val perPart = math.max(1L, total / parts)
+      if (maxDeg <= 2 * perPart) 0
+      else math.min(parts.toLong, (maxDeg + perPart - 1) / perPart).toInt
+    }
+  }
 
   private[graft] def prep(edges: DataFrame, prepEdges: Boolean): DataFrame = {
     val n = saltBuckets(edges)
     val base =
-      if (n > 0) edges.select(col("src"), col("dst"),
-        pmod(xxhash64(col("dst")), lit(n.toLong)).cast("int").as("__salt"))
-      else edges.select(col("src"), col("dst"))
+      if (n > 0) {
+        // the chosen width rides in column metadata so the per-hop joins
+        // (stepPairs/stepIds) replicate the frontier by exactly the same
+        // N the layout used — `auto` must not re-measure per hop
+        val meta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("buckets", n.toLong).build()
+        edges.select(col("src"), col("dst"),
+          pmod(xxhash64(col("dst")), lit(n.toLong)).cast("int").as("__salt", meta))
+      } else edges.select(col("src"), col("dst"))
     if (prepEdges) {
       val parted =
         if (n > 0) base.repartition(col("src"), col("__salt"))
@@ -105,6 +139,11 @@ object Traversal {
         .persist(StorageLevel.MEMORY_AND_DISK)
     } else base
   }
+
+  /** The salt width a prepped edge frame was built with (0 = unsalted). */
+  private def saltOf(e: DataFrame): Int =
+    if (!e.columns.contains("__salt")) 0
+    else e.schema("__salt").metadata.getLong("buckets").toInt
 
   /** One expansion hop for (origin, node) pair frontiers: frontier⋈edges
     * on node = src, emitting (origin, dst-as-node). When the prepped edge
@@ -120,7 +159,7 @@ object Traversal {
       frontier.join(e, frontier("node") === e("src"))
         .select(col("origin"), col("dst").as("node"))
     else {
-      val n = saltBuckets(e)
+      val n = saltOf(e)
       val f = frontier.select(col("origin"), col("node"),
         explode(typedLit((0 until n).toArray)).as("__fsalt"))
       f.join(e, f("node") === e("src") && f("__fsalt") === e("__salt"))
@@ -134,7 +173,7 @@ object Traversal {
       frontier.join(e, frontier("id") === e("src"))
         .select(col("dst").as("id"))
     else {
-      val n = saltBuckets(e)
+      val n = saltOf(e)
       val f = frontier.select(col("id"),
         explode(typedLit((0 until n).toArray)).as("__fsalt"))
       f.join(e, f("id") === e("src") && f("__fsalt") === e("__salt"))

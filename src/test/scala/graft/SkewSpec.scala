@@ -126,6 +126,39 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("auto salt: celebrity graph measures a positive width, uniform graph measures 0") {
+    import graft.graph.Traversal
+    // powerLaw: maxDeg 5000 over 8000 edges / 4 shuffle partitions ⇒
+    // 5000 > 2·2000 ⇒ salt on, width ⌈5000/2000⌉ = 3 (exact value depends
+    // on the session's shuffle partitions, so assert the decision, not it)
+    assert(Traversal.autoSaltBuckets(powerLaw) > 0)
+    // uniform out-degree 1: maxDeg can never beat 2× the per-partition avg
+    val uniform = (1L to 4000L).map(i => (i, i + 10000L)).toDF("src", "dst")
+    assert(Traversal.autoSaltBuckets(uniform) == 0)
+    assert(Traversal.autoSaltBuckets(uniform.limit(0)) == 0) // empty input
+  }
+
+  test("graft.hop.salt=auto khop == plain khop, and salts the celebrity layout") {
+    import graft.graph.Traversal
+    val start = Seq(0L, 17L, 4242L).toDF("id")
+    val plain = Traversal.khop(powerLaw, start, 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val prev = spark.conf.get("graft.hop.salt", "0")
+    spark.conf.set("graft.hop.salt", "auto")
+    try {
+      val auto = Traversal.khop(powerLaw, start, 3)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(auto == plain)
+      // and the auto-prepped layout actually carries the salt column with
+      // its measured width in the metadata the hop joins replicate by
+      val e = Traversal.prep(powerLaw, prepEdges = true)
+      assert(e.columns.contains("__salt"))
+      assert(e.schema("__salt").metadata.getLong("buckets") ==
+        Traversal.autoSaltBuckets(powerLaw).toLong)
+      e.unpersist(false)
+    } finally spark.conf.set("graft.hop.salt", prev)
+  }
+
   test("saltedSum == plain groupBy sum/count") {
     val plain = big.groupBy("member")
       .agg(sum("amount").as("sum_amount"), count(lit(1)).as("cnt"))
