@@ -266,6 +266,22 @@ object SparkEntry {
         .select(col("segment"), col("nations"))
     }),
 
+    // B1 LIVE — the paginated connector reading over REAL HTTP: an
+    // in-process loopback fixture (PagedApiFixture) serves the
+    // deterministic user corpus with zero egress, the DSv2 reader
+    // fetches one page per partition through HttpPageTransport (retry +
+    // pacing hooks active; interval 0 for the gate), and the oracle
+    // recomputes the fixture's row formula in SQL — live ingestion is
+    // driver-gated, not just spec-tested. The sf dir is unused: the
+    // "table" is the API.
+    "b01_paged_http_ingest" -> ((s, dir) => {
+      val url = sources.PagedApiFixture.baseUrl
+      s.read.format("graft.sources.PagedApiSource")
+        .option("url", s"$url?pages=6").option("pages", 6)
+        .option("pageSize", 50).option("minIntervalMs", 0)
+        .load()
+    }),
+
     // B11 — active filter: lifecycle filter analogue (main.go:722).
     "b11_filter_active" -> ((s, dir) => {
       t(s, dir, "orders").filter(col("o_orderstatus") === "O")
@@ -5277,6 +5293,14 @@ object SparkEntry {
       """SELECT c_mktsegment AS segment,
         |array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nations
         |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY c_mktsegment""".stripMargin,
+
+    // the fixture's row formula, recomputed without HTTP: 6 pages × 50
+    "b01_paged_http_ingest" ->
+      """SELECT 'fix' || n || '@example.test' AS email,
+        |  CAST(n // 50 AS INTEGER) AS page,
+        |  CAST(n % 50 AS INTEGER) AS idx,
+        |  (n % 5 = 0) AS isExternal
+        |FROM (SELECT unnest(generate_series(0, 299)) AS n)""".stripMargin,
 
     "b11_filter_active" ->
       """SELECT o_orderpriority AS priority, count(*) AS cnt FROM orders
