@@ -218,4 +218,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles.isEmpty,
       s"readability is a pure per-row projection but planned ${shuffles.size} exchanges")
   }
+
+  test("exact-cents aggregate keeps the partial/final HashAggregate pair (map-side combine)") {
+    // The round-13 money discipline sums DECIMAL(38,0) cent units. A
+    // decimal sum MUST still split into a map-side partial_sum + final
+    // merge — if it ever degrades to a single post-shuffle aggregate, all
+    // raw rows cross the exchange and every q-gate's scan-bound scaling
+    // story breaks. Shape-asserted here on a q1-style aggregate.
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val money = Seq(("A", 12.34), ("A", 56.78), ("B", 9.99))
+      .toDF("k", "price")
+    val df = money.groupBy($"k").agg(
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.floor($"price" * 100 +
+          org.apache.spark.sql.functions.lit(0.5)).cast("long")
+          .cast("decimal(38,0)")).as("cents"))
+    val aggs = finalNodes(df).collect { case h: HashAggregateExec => h }
+    assert(aggs.size >= 2,
+      s"expected partial+final HashAggregate pair, got ${aggs.size}:\n" +
+        df.queryExecution.executedPlan)
+    val partials = aggs.filter(_.aggregateExpressions.exists(_.mode ==
+      org.apache.spark.sql.catalyst.expressions.aggregate.Partial))
+    assert(partials.nonEmpty,
+      s"no map-side partial aggregate in:\n${df.queryExecution.executedPlan}")
+  }
 }
