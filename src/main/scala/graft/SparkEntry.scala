@@ -282,6 +282,30 @@ object SparkEntry {
         .load()
     }),
 
+    // SW22 — STREAMING paged ingestion, run as a real Structured
+    // Streaming query: the live HTTP connector as a micro-batch source
+    // (offset = page number, 2 pages per trigger via admission control,
+    // checkpointed so a restart resumes mid-corpus) against the loopback
+    // fixture, drained with Trigger.AvailableNow — b01's incremental twin
+    // and the reference's continuous-directory-sync shape. Oracle = the
+    // same deterministic row formula.
+    "sw22_stream_paged_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val url = sources.PagedApiFixture.baseUrl
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sw22").toString
+      val name = s"sw22_out_${sinkSeq.incrementAndGet()}"
+      val q = s.readStream.format("graft.sources.PagedApiSource")
+        .option("url", s"$url?pages=6").option("pages", 6)
+        .option("pageSize", 50).option("minIntervalMs", 0)
+        .option("pagesPerTrigger", 2)
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$tmp/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // B11 — active filter: lifecycle filter analogue (main.go:722).
     "b11_filter_active" -> ((s, dir) => {
       t(s, dir, "orders").filter(col("o_orderstatus") === "O")
@@ -5296,6 +5320,14 @@ object SparkEntry {
 
     // the fixture's row formula, recomputed without HTTP: 6 pages × 50
     "b01_paged_http_ingest" ->
+      """SELECT 'fix' || n || '@example.test' AS email,
+        |  CAST(n // 50 AS INTEGER) AS page,
+        |  CAST(n % 50 AS INTEGER) AS idx,
+        |  (n % 5 = 0) AS isExternal
+        |FROM (SELECT unnest(generate_series(0, 299)) AS n)""".stripMargin,
+
+    // the streamed ingest must land exactly the batch rows — same formula
+    "sw22_stream_paged_ingest" ->
       """SELECT 'fix' || n || '@example.test' AS email,
         |  CAST(n // 50 AS INTEGER) AS page,
         |  CAST(n % 50 AS INTEGER) AS idx,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -61,7 +62,8 @@ class PagedApiSource extends TableProvider {
       url = Option(opts.get("url")),
       mode = opts.getOrDefault("mode", "indexed"),
       minIntervalMs = opts.getLong("minintervalms", 250L),
-      maxRetries = opts.getInt("maxretries", 3)))
+      maxRetries = opts.getInt("maxretries", 3),
+      pagesPerTrigger = opts.getInt("pagespertrigger", 1)))
   }
 }
 
@@ -75,9 +77,12 @@ object PagedApiSource {
 
 private case class PagedApiOptions(pages: Int, pageSize: Int,
                                    url: Option[String], mode: String,
-                                   minIntervalMs: Long, maxRetries: Int) {
+                                   minIntervalMs: Long, maxRetries: Int,
+                                   pagesPerTrigger: Int = 1) {
   require(mode == "indexed" || mode == "token",
     s"mode must be 'indexed' or 'token', got '$mode'")
+  require(pagesPerTrigger >= 1,
+    s"pagesPerTrigger must be >= 1, got $pagesPerTrigger")
 }
 
 /** One page of users, as returned by a transport. */
@@ -166,13 +171,31 @@ object HttpPageTransport {
   }
 }
 
+private object PagedApiSourceInternals {
+  /** Shared by the batch Scan and the micro-batch stream: construct the
+    * right reader for one page partition (live HTTP, token walk, or the
+    * synthetic zero-egress default). */
+  val readerFactory: PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[PagedApiPartition]
+      p.opts.url match {
+        case Some(u) =>
+          val transport = new HttpPageTransport(u, p.opts.pageSize,
+            p.opts.minIntervalMs, p.opts.maxRetries)
+          if (p.opts.mode == "token") new TokenWalkReader(transport)
+          else new IndexedPageReader(p.page, transport)
+        case None => new SyntheticPageReader(p.page, p.opts.pageSize)
+      }
+    }
+}
+
 private class PagedApiTable(opts: PagedApiOptions) extends Table with SupportsRead {
   override def name(): String =
     s"paged_api(pages=${opts.pages}, pageSize=${opts.pageSize}, " +
       s"mode=${opts.mode}, url=${opts.url.getOrElse("<synthetic>")})"
   override def schema(): StructType = PagedApiSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
       override def build(): Scan = this
@@ -185,18 +208,74 @@ private class PagedApiTable(opts: PagedApiOptions) extends Table with SupportsRe
         if (opts.mode == "token") Array(PagedApiPartition(0, opts))
         else (0 until opts.pages).map(p => PagedApiPartition(p, opts): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        (partition: InputPartition) => {
-          val p = partition.asInstanceOf[PagedApiPartition]
-          p.opts.url match {
-            case Some(u) =>
-              val transport = new HttpPageTransport(u, p.opts.pageSize,
-                p.opts.minIntervalMs, p.opts.maxRetries)
-              if (p.opts.mode == "token") new TokenWalkReader(transport)
-              else new IndexedPageReader(p.page, transport)
-            case None => new SyntheticPageReader(p.page, p.opts.pageSize)
-          }
-        }
+        PagedApiSourceInternals.readerFactory
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new PagedApiMicroBatchStream(opts)
     }
+}
+
+/** Incremental ingestion: the paged API as a Structured Streaming
+  * micro-batch source. The offset IS the page number (pages fully
+  * ingested so far), so restart-from-checkpoint resumes mid-corpus with
+  * exactly-once page accounting — the production shape for "keep pulling
+  * the directory while it grows". Admission control bounds each trigger
+  * to `pagesPerTrigger` pages (default 1), the `maxOffsetsPerTrigger`
+  * discipline every long-running ingest needs so one trigger never
+  * swallows the whole backlog. Indexed pagination only: a token-chained
+  * API cannot seek to an offset, so streaming it is a contradiction —
+  * rejected loudly at stream construction. */
+private class PagedApiMicroBatchStream(opts: PagedApiOptions)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  require(opts.mode == "indexed",
+    "streaming needs offset-addressable pages (mode=indexed); a " +
+      "nextPageToken chain cannot seek and so cannot be a streaming offset")
+
+  // Trigger.AvailableNow contract: capture the availability bound once at
+  // query start. Ours is the configured page count already (a growing API
+  // would snapshot its current page count here), so this is a no-op —
+  // implementing the trait keeps Spark from wrapping the source and
+  // overriding per-batch admission with allAvailable().
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  private def page(o: Offset): Int = o match {
+    case p: PagedApiPageOffset => p.page
+    case other => throw new IllegalArgumentException(s"alien offset $other")
+  }
+  override def initialOffset(): Offset = PagedApiPageOffset(0)
+  override def deserializeOffset(json: String): Offset =
+    PagedApiPageOffset("""\d+""".r.findFirstIn(json).getOrElse(
+      throw new IllegalArgumentException(s"bad offset json: $json")).toInt)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called (SupportsAdmissionControl)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = page(start)
+    val step = limit match {
+      case r: ReadMaxRows => math.max(1L, r.maxRows() / opts.pageSize).toInt
+      // Trigger.AvailableNow's wrapper captures the availability bound
+      // with allAvailable() once at start; per-trigger admission still
+      // comes from getDefaultReadLimit on each micro-batch.
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+        opts.pages
+      case _ => opts.pagesPerTrigger
+    }
+    PagedApiPageOffset(math.min(opts.pages, from + step))
+  }
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(opts.pagesPerTrigger.toLong * opts.pageSize)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    (page(start) until page(end))
+      .map(p => PagedApiPartition(p, opts): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    PagedApiSourceInternals.readerFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private case class PagedApiPageOffset(page: Int)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"page":$page}"""
 }
 
 private case class PagedApiPartition(page: Int, opts: PagedApiOptions)

@@ -140,6 +140,50 @@ class PagedApiSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("streams the API incrementally: page-number offsets, pagesPerTrigger admission") {
+    withFixture(pages = 5, pageSize = 4) { url =>
+      val tmp = java.nio.file.Files.createTempDirectory("paged-stream").toString
+      val q = spark.readStream.format("graft.sources.PagedApiSource")
+        .option("url", url).option("pages", 5).option("pageSize", 4)
+        .option("minIntervalMs", 0).option("pagesPerTrigger", 2)
+        .load()
+        .writeStream.format("memory").queryName("paged_stream_out")
+        .option("checkpointLocation", s"$tmp/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = spark.table("paged_stream_out").collect()
+      // every fixture row exactly once, across ⌈5/2⌉ = 3 micro-batches
+      assert(rows.length == 20)
+      assert(rows.map(_.getString(0)).sorted.toSeq ==
+        (0 until 20).map(n => s"fix$n@example.test").sorted)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3,
+        s"expected 3 admission-bounded micro-batches, got ${batches.length}: " +
+          batches.map(_.numInputRows).mkString(","))
+      assert(batches.map(_.numInputRows).toSeq == Seq(8L, 8L, 4L))
+    }
+  }
+
+  test("token mode refuses to stream (tokens cannot seek)") {
+    withFixture(pages = 2, pageSize = 2) { url =>
+      val e = intercept[Exception] {
+        spark.readStream.format("graft.sources.PagedApiSource")
+          .option("url", url).option("mode", "token").load()
+          .writeStream.format("memory").queryName("paged_stream_bad")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+      assert(causes(e).exists(_.getMessage != null) &&
+        causes(e).exists(c => Option(c.getMessage).exists(_.contains("cannot seek"))),
+        s"expected the cannot-seek rejection, got: $e")
+    }
+  }
+
   test("feeds the standard upsert pipeline") {
     val users = read(2, 10).select(
       (lit(100L) + col("page") * 10 + col("idx")).as("id"),
