@@ -131,19 +131,31 @@ object Bench {
     // `headline` past it would silently truncate the JSON mid-object, so
     // drop tail entries until the line fits and say what was dropped —
     // the full maps above carry every query regardless.
-    def compactLine(head: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":$totalR,"value_median":$medTotalR,"unit":"sec","n_queries":${results.size},"queries_kind":"min","full":"$fullPath","queries":${fmt(head)},"failed":$failedJson,"sf":"$sfDir"}"""
+    def compactLine(head: Seq[(String, Double)], failedField: String): String =
+      s"""{"metric":"total","value":$totalR,"value_median":$medTotalR,"unit":"sec","n_queries":${results.size},"queries_kind":"min","full":"$fullPath","queries":${fmt(head)},"failed":$failedField,"sf":"$sfDir"}"""
     var head = headline.flatMap(n => results.get(n).map(n -> _))
+    var failedField = failedJson
     val budget = 2000
-    if (compactLine(head).length > budget) {
+    if (compactLine(head, failedField).length > budget) {
       val fits = head.indices.reverse
-        .find(i => compactLine(head.take(i + 1)).length <= budget)
+        .find(i => compactLine(head.take(i + 1), failedField).length <= budget)
         .map(_ + 1).getOrElse(0)
       Console.err.println(s"bench: compact line over $budget chars — " +
         s"dropped headline entries: ${head.drop(fits).map(_._1).mkString(", ")}")
       head = head.take(fits)
     }
-    println(compactLine(head))
+    // A mass failure can blow the budget through `failed` alone (70 names
+    // ≈ 1.6 KB): truncate the list, keep the count — a parseable line
+    // that says "N failed, see full" beats a complete one cut mid-object.
+    if (compactLine(head, failedField).length > budget) {
+      val keep = failed.take(5)
+      failedField = (keep.map("\"" + _ + "\"") :+
+        s""""...and ${failed.size - keep.size} more (see full)"""")
+        .mkString("[", ",", "]")
+      Console.err.println(s"bench: failed list truncated to ${keep.size} of " +
+        s"${failed.size} names to fit the tail buffer")
+    }
+    println(compactLine(head, failedField))
     spark.stop()
   }
 }

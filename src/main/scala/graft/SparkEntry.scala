@@ -232,6 +232,29 @@ object SparkEntry {
     // against the same oracle prove the skew path correct end-to-end.
     "a13b_khop_salted" -> ((s, dir) => khop2Regions(s, dir, salted = true)),
 
+    // A24 — the SALTED hop join itself under the driver oracle: a13b's
+    // auto probe correctly measures 0 on the unskewed containment walk
+    // (and takes the plain path), so this gate builds a genuinely skewed
+    // hub graph — 3 hub vertices each owning ~|lineitem|/3 edges — where
+    // graft.hop.salt=auto measures a positive width at the board's
+    // parallelism (threshold is relative to E/P: positive for P ≥ 8 —
+    // Verify cpus=8, Bench 32 — SkewSpec pins both sides) and the salted
+    // explode+equi-join produces the oracle-checked rows. SkewSpec covers
+    // the mechanics; this covers them on the driver's board.
+    "a24_khop_salted_hub" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").select(
+        (lit(9L * B) + col("l_suppkey") % 3).as("src"),
+        (lit(8L * B) + col("l_orderkey")).as("dst"))
+      val start = s.range(3).select((lit(9L * B) + col("id")).as("id"))
+      val prev = s.conf.get("graft.hop.salt", "0")
+      s.conf.set("graft.hop.salt", "auto")
+      // khop materializes eagerly (one localCheckpoint job), so the conf
+      // flip is scoped here — the a13b pattern
+      try graph.Traversal.khop(edges, start, 1, prepEdges = true, dedupStart = false)
+        .select(col("origin"), col("node"), col("hop").cast("long").as("hop"))
+      finally s.conf.set("graft.hop.salt", prev)
+    }),
+
     // A14 — cycle-safe transitive closure over the full graph, via
     // recursive doubling (log-diameter rounds; ≡ reachFix(V) — the
     // frontier form stays exercised by TraversalSpec + khop gates).
@@ -553,7 +576,7 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders").select(col("o_custkey").as("custkey"),
         col("o_orderkey").as("orderkey"),
-        money(sum(cents(col("o_totalprice")).cast("decimal(38,0)")).over(w), 100L)
+        money(sumExact(cents(col("o_totalprice"))).over(w), 100L)
           .as("running_total"))
     }),
 
@@ -1050,12 +1073,15 @@ object SparkEntry {
       val cust = t(s, dir, "customer")
       // bal > avg(bal) as the exact cross-multiplied integer comparison
       // bal_cents·n > Σbal_cents — avg(double) would depend on partial-sum
-      // order; this cannot.
+      // order; this cannot. Both sides decimal-widened (the sumExact
+      // discipline): a LongType sum/product would wrap silently at scale
+      // while the oracle's HUGEINT never does.
       val avgBal = cust.filter(col("c_acctbal") > 0)
-        .agg(sum(cents(col("c_acctbal"))).as("bal_sum_c"), count(lit(1)).as("n_pos"))
+        .agg(sumExact(cents(col("c_acctbal"))).as("bal_sum_c"), count(lit(1)).as("n_pos"))
       val finished = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       cust.crossJoin(broadcast(avgBal))
-        .filter(cents(col("c_acctbal")) * col("n_pos") > col("bal_sum_c"))
+        .filter(cents(col("c_acctbal")).cast("decimal(38,0)") * col("n_pos")
+          > col("bal_sum_c"))
         .join(finished, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment").as("segment"))
         .agg(count(lit(1)).as("cnt"),
@@ -5229,6 +5255,11 @@ object SparkEntry {
       """SELECT c_custkey AS custkey, r_name AS region_name, 2 AS hop
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "a24_khop_salted_hub" ->
+      """SELECT DISTINCT 9*72057594037927936 + l_suppkey % 3 AS origin,
+        |  8*72057594037927936 + l_orderkey AS node, CAST(1 AS BIGINT) AS hop
+        |FROM lineitem""".stripMargin,
 
     "a14_reach_fixpoint" ->
       """WITH RECURSIVE e AS (

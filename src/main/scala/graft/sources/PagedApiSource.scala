@@ -83,6 +83,11 @@ private case class PagedApiOptions(pages: Int, pageSize: Int,
     s"mode must be 'indexed' or 'token', got '$mode'")
   require(pagesPerTrigger >= 1,
     s"pagesPerTrigger must be >= 1, got $pagesPerTrigger")
+  // the synthetic (no-url) reader is page-addressed; a token walk over it
+  // would silently emit ONE page instead of `pages` — reject the combo
+  require(mode == "indexed" || url.isDefined,
+    "mode=token needs a url: the zero-egress synthetic reader is " +
+      "page-addressed and cannot chain tokens")
 }
 
 /** One page of users, as returned by a transport. */
@@ -131,16 +136,19 @@ class HttpPageTransport(url: String, pageSize: Int,
           .asInstanceOf[java.net.HttpURLConnection]
         conn.setConnectTimeout(5000)
         conn.setReadTimeout(10000)
-        val code = conn.getResponseCode
-        if (code == 200) {
-          val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
-          conn.disconnect()
-          return HttpPageTransport.parse(body)
-        }
-        conn.disconnect()
-        if (code != 429 && code < 500) // 4xx (bar 429) = caller bug, no retry
-          throw new IllegalArgumentException(s"GET $full -> HTTP $code")
-        throw new HttpPageTransport.Retryable(s"HTTP $code")
+        try {
+          val code = conn.getResponseCode
+          if (code == 200) {
+            val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+            return HttpPageTransport.parse(body)
+          }
+          // drain the error body so the keep-alive connection can be
+          // reused instead of leaking a socket per failed attempt
+          Option(conn.getErrorStream).foreach(s => { s.readAllBytes(); s.close() })
+          if (code != 429 && code < 500) // 4xx (bar 429) = caller bug, no retry
+            throw new IllegalArgumentException(s"GET $full -> HTTP $code")
+          throw new HttpPageTransport.Retryable(s"HTTP $code")
+        } finally conn.disconnect() // also covers IOException mid-body
       } catch {
         case e @ (_: HttpPageTransport.Retryable | _: java.io.IOException) =>
           attempt += 1
@@ -157,14 +165,29 @@ class HttpPageTransport(url: String, pageSize: Int,
 object HttpPageTransport {
   private class Retryable(msg: String) extends RuntimeException(msg)
 
-  /** Minimal parser for the fixed response shape above — hand-rolled so
-    * the connector stays dependency-free (the classpath ships no JSON
-    * library beyond Spark's internals). Handles whitespace and the two
-    * field orders; escapes inside emails are out of contract. */
+  /** Minimal parser for the response contract above — hand-rolled so the
+    * connector stays dependency-free (the classpath ships no JSON library
+    * beyond Spark's internals). Each object inside `"users":[...]` is
+    * parsed field-by-field (any field order, extra fields tolerated), and
+    * an object MISSING email or isExternal throws — a response the parser
+    * cannot fully account for must fail loudly, never silently drop rows
+    * (ingestion that quietly loses users is worse than one that stops).
+    * String escapes inside emails are out of contract. */
   private[sources] def parse(body: String): PageResponse = {
-    val userRe = """\{\s*"email"\s*:\s*"([^"]*)"\s*,\s*"isExternal"\s*:\s*(true|false)\s*\}""".r
-    val users = userRe.findAllMatchIn(body)
-      .map(m => PagedUser(m.group(1), m.group(2).toBoolean)).toSeq
+    val arrStart = """"users"\s*:\s*\[""".r.findFirstMatchIn(body).getOrElse(
+      throw new java.io.IOException(s"no \"users\" array in response: ${body.take(200)}")).end
+    val arrEnd = body.indexOf(']', arrStart)
+    if (arrEnd < 0) throw new java.io.IOException("unterminated \"users\" array")
+    val arr = body.substring(arrStart, arrEnd)
+    val emailRe = """"email"\s*:\s*"([^"]*)"""".r
+    val extRe = """"isExternal"\s*:\s*(true|false)""".r
+    val users = """\{[^{}]*\}""".r.findAllIn(arr).map { obj =>
+      val email = emailRe.findFirstMatchIn(obj).map(_.group(1)).getOrElse(
+        throw new java.io.IOException(s"user object without email: $obj"))
+      val ext = extRe.findFirstMatchIn(obj).map(_.group(1).toBoolean).getOrElse(
+        throw new java.io.IOException(s"user object without isExternal: $obj"))
+      PagedUser(email, ext)
+    }.toSeq
     val tokenRe = """"nextPageToken"\s*:\s*"([^"]*)"""".r
     val next = tokenRe.findFirstMatchIn(body).map(_.group(1)).filter(_.nonEmpty)
     PageResponse(users, next)
@@ -182,7 +205,9 @@ private object PagedApiSourceInternals {
         case Some(u) =>
           val transport = new HttpPageTransport(u, p.opts.pageSize,
             p.opts.minIntervalMs, p.opts.maxRetries)
-          if (p.opts.mode == "token") new TokenWalkReader(transport)
+          // in token mode `pages` is the safety CEILING on the walk (the
+          // API says where it ends; exceeding the ceiling throws loudly)
+          if (p.opts.mode == "token") new TokenWalkReader(transport, p.opts.pages)
           else new IndexedPageReader(p.page, transport)
         case None => new SyntheticPageReader(p.page, p.opts.pageSize)
       }
@@ -309,11 +334,16 @@ private class IndexedPageReader(page: Int, transport: PageTransport)
 }
 
 /** Live reader, token mode: chains nextPageToken serially — the
-  * reference's main.go:193-218 loop, rate-limited by the transport. */
-private class TokenWalkReader(transport: PageTransport)
+  * reference's main.go:193-218 loop, rate-limited by the transport.
+  * Guarded against misbehaving APIs: a token seen before (a cycle, e.g.
+  * from an inconsistent load balancer) and a walk longer than `maxPages`
+  * both throw instead of looping forever / silently truncating. */
+private class TokenWalkReader(transport: PageTransport,
+                              maxPages: Int = Int.MaxValue)
   extends PartitionReader[InternalRow] {
   private var page = -1
   private var token: Option[String] = Some("")
+  private val seen = scala.collection.mutable.Set.empty[String]
   private var users: Seq[PagedUser] = Nil
   private var i = -1
   @annotation.tailrec
@@ -322,6 +352,12 @@ private class TokenWalkReader(transport: PageTransport)
     if (i < users.length) true
     else token match {
       case Some(t) =>
+        if (!seen.add(t)) throw new IllegalStateException(
+          s"pageToken '$t' re-issued by the API — token cycle detected, " +
+            "the walk would loop forever emitting duplicate rows")
+        if (page + 1 >= maxPages) throw new IllegalStateException(
+          s"token walk exceeded maxPages=$maxPages with more pages " +
+            "pending — raise the 'pages' ceiling or fix the API")
         val resp = transport.fetch(t)
         page += 1 // page = fetch ordinal, matching indexed mode's numbering
         users = resp.users

@@ -159,6 +159,23 @@ class SkewSpec extends AnyFunSuite {
     } finally spark.conf.set("graft.hop.salt", prev)
   }
 
+  test("auto salt fires on the a24 hub shape at verify/bench partition counts") {
+    import graft.graph.Traversal
+    // the a24_khop_salted_hub gate's edge distribution: 3 hubs, each
+    // owning ~E/3 edges. The skew threshold is relative to E/P, so the
+    // decision depends on the session's parallelism — positive at the
+    // driver's P >= 8 (Verify cpus=8, Bench 32), correctly off at P = 4
+    // where 3 hot keys over 4 partitions are not a straggler.
+    val hubs = (1L to 6000L).map(i => (9000000L + i % 3, i)).toDF("src", "dst")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      assert(Traversal.autoSaltBuckets(hubs) > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(Traversal.autoSaltBuckets(hubs) == 0)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("saltedSum == plain groupBy sum/count") {
     val plain = big.groupBy("member")
       .agg(sum("amount").as("sum_amount"), count(lit(1)).as("cnt"))
