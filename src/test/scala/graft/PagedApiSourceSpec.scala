@@ -166,6 +166,38 @@ class PagedApiSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpointed restart resumes mid-corpus: pages ingested before never refetch") {
+    // memory sink refuses checkpoint recovery, so the exactly-once loop
+    // runs through the parquet sink (its commit log + the source offsets
+    // are the real production recovery pair)
+    withFixture(pages = 5, pageSize = 4) { url =>
+      val tmp = java.nio.file.Files.createTempDirectory("paged-resume").toString
+      def drain(pages: Int): Unit = {
+        val q = spark.readStream.format("graft.sources.PagedApiSource")
+          .option("url", url).option("pages", pages).option("pageSize", 4)
+          .option("minIntervalMs", 0).option("pagesPerTrigger", 2)
+          .load()
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ck") // SAME checkpoint
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // first run sees only 3 pages "available" → ingests 0-2
+      drain(pages = 3)
+      val first = spark.read.parquet(s"$tmp/out").collect().map(_.getString(0))
+      assert(first.toSet == (0 until 12).map(n => s"fix$n@example.test").toSet)
+      // the corpus "grows" to 5 pages; the restart must resume AT page 3 —
+      // no refetch (would duplicate rows), no skip (would lose rows)
+      drain(pages = 5)
+      val all = spark.read.parquet(s"$tmp/out").collect().map(_.getString(0))
+      assert(all.length == 20, s"expected 20 rows exactly once, got ${all.length}")
+      assert(all.toSet == (0 until 20).map(n => s"fix$n@example.test").toSet)
+    }
+  }
+
   test("token mode refuses to stream (tokens cannot seek)") {
     withFixture(pages = 2, pageSize = 2) { url =>
       val e = intercept[Exception] {
