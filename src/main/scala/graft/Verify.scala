@@ -84,6 +84,38 @@ object Verify {
           s"[verify] CAP-AUDIT VIOLATION: $n hot $what bucket(s) exceed the " +
             s"8192 bound at this sf — $why")
       }
+      // libm-portability audit (ADVICE r11's secondary dq10 theory): the
+      // ln-discipline gates floor ln(·)·10⁶ to integers, which assumes
+      // Spark's Math.log and DuckDB's ln agree on THIS data. IEEE does
+      // not mandate correctly-rounded log, so a term landing within ~1
+      // ulp (~3e-9 at these magnitudes) of an integer boundary could
+      // floor differently per engine. Probe the dq10 surprise terms'
+      // distance to the nearest integer — loud when any value sits
+      // within 1e-6, three orders of margin above a 1-ulp flip. (The
+      // other ln sites — BM25 idf, zipf, perplexity — share the same
+      // floor-micro discipline and coarser effective scales.)
+      locally {
+        import org.apache.spark.sql.functions.{abs, col, count, lit, log, round}
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val ords = spark.read.parquet(s"$sfDir/orders.parquet")
+        def surprises(df: org.apache.spark.sql.DataFrame, c: String) = {
+          val n = df.count().toDouble
+          df.groupBy(col(c).cast("string").as("v"))
+            .agg(count(lit(1)).as("cnt"))
+            .select((log(lit(n) / col("cnt")) * 1000000d).as("t"))
+        }
+        val close = surprises(li, "l_linestatus")
+          .unionByName(surprises(li, "l_returnflag"))
+          .unionByName(surprises(ords, "o_orderstatus"))
+          .unionByName(surprises(ords, "o_orderpriority"))
+          .select(abs(col("t") - round(col("t"))).as("d"))
+          .filter(col("d") < 1e-6).count()
+        if (close > 0) System.err.println(
+          s"[verify] LN-BOUNDARY AUDIT: $close dq10 surprise term(s) sit " +
+            "within 1e-6 of an integer floor boundary — a 1-ulp " +
+            "Math.log-vs-DuckDB-ln difference could flip the gate; make " +
+            "the surprise term integer-exact before trusting a red dq10")
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[verify] cap audit skipped: ${e.getMessage}")
     }
