@@ -136,6 +136,20 @@ object Bench {
     var head = headline.flatMap(n => results.get(n).map(n -> _))
     var failedField = failedJson
     val budget = 2000
+    // Order matters: a mass failure can blow the budget through `failed`
+    // alone (70 names ≈ 1.6 KB), and cutting headline entries first would
+    // throw away the timings the line exists to carry. So: 1. truncate
+    // the failed list (keep a count pointing at `full`), 2. then fit the
+    // headline, 3. final hard check — a line the consumer's ~2000-char
+    // tail buffer would cut mid-object must never print.
+    if (compactLine(head, failedField).length > budget && failed.size > 5) {
+      val keep = failed.take(5)
+      failedField = (keep.map("\"" + _ + "\"") :+
+        s""""...and ${failed.size - keep.size} more (see full)"""")
+        .mkString("[", ",", "]")
+      Console.err.println(s"bench: failed list truncated to ${keep.size} of " +
+        s"${failed.size} names to fit the tail buffer")
+    }
     if (compactLine(head, failedField).length > budget) {
       val fits = head.indices.reverse
         .find(i => compactLine(head.take(i + 1), failedField).length <= budget)
@@ -144,16 +158,9 @@ object Bench {
         s"dropped headline entries: ${head.drop(fits).map(_._1).mkString(", ")}")
       head = head.take(fits)
     }
-    // A mass failure can blow the budget through `failed` alone (70 names
-    // ≈ 1.6 KB): truncate the list, keep the count — a parseable line
-    // that says "N failed, see full" beats a complete one cut mid-object.
     if (compactLine(head, failedField).length > budget) {
-      val keep = failed.take(5)
-      failedField = (keep.map("\"" + _ + "\"") :+
-        s""""...and ${failed.size - keep.size} more (see full)"""")
-        .mkString("[", ",", "]")
-      Console.err.println(s"bench: failed list truncated to ${keep.size} of " +
-        s"${failed.size} names to fit the tail buffer")
+      failedField = s"""["${failed.size} failed (see full)"]"""
+      Console.err.println("bench: failed detail dropped entirely to fit the tail buffer")
     }
     println(compactLine(head, failedField))
     spark.stop()

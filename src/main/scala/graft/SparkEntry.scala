@@ -46,6 +46,15 @@ object SparkEntry {
   private def c4Sql(price: String, disc: String): String =
     s"${centsSql(price)} * (100 - ${centsSql(disc)})"
 
+  /** PagedApiFixture.pageBody's row formula in SQL — shared by b01 (batch
+    * HTTP ingest) and sw22 (streamed ingest), both at 6 pages × 50. */
+  private val pagedFixtureOracleSql: String =
+    """SELECT 'fix' || n || '@example.test' AS email,
+      |  CAST(n // 50 AS INTEGER) AS page,
+      |  CAST(n % 50 AS INTEGER) AS idx,
+      |  (n % 5 = 0) AS isExternal
+      |FROM (SELECT unnest(generate_series(0, 299)) AS n)""".stripMargin
+
   /** The symmetrized supplier–nation–region containment graph — the
     * x11/x14/x21 family's shared input. */
   private def snrUndirected(s: SparkSession, dir: String): DataFrame = {
@@ -235,19 +244,20 @@ object SparkEntry {
     // A24 — the SALTED hop join itself under the driver oracle: a13b's
     // auto probe correctly measures 0 on the unskewed containment walk
     // (and takes the plain path), so this gate builds a genuinely skewed
-    // hub graph — 3 hub vertices each owning ~|lineitem|/3 edges — where
-    // graft.hop.salt=auto measures a positive width at the board's
-    // parallelism (threshold is relative to E/P: positive for P ≥ 8 —
-    // Verify cpus=8, Bench 32 — SkewSpec pins both sides) and the salted
-    // explode+equi-join produces the oracle-checked rows. SkewSpec covers
-    // the mechanics; this covers them on the driver's board.
+    // hub graph — 3 hub vertices each owning ~|lineitem|/3 edges — and
+    // runs the hop at the MEASURED auto width, floored at 2: the salted
+    // explode+equi-join is guaranteed to execute under the oracle at ANY
+    // session parallelism (the auto threshold is relative to E/P, so a
+    // P=4 session would measure 0 and silently oracle-check the plain
+    // path instead — SkewSpec pins the decision at both parallelisms).
     "a24_khop_salted_hub" -> ((s, dir) => {
       val edges = t(s, dir, "lineitem").select(
         (lit(9L * B) + col("l_suppkey") % 3).as("src"),
         (lit(8L * B) + col("l_orderkey")).as("dst"))
       val start = s.range(3).select((lit(9L * B) + col("id")).as("id"))
+      val width = math.max(graph.Traversal.autoSaltBuckets(edges), 2)
       val prev = s.conf.get("graft.hop.salt", "0")
-      s.conf.set("graft.hop.salt", "auto")
+      s.conf.set("graft.hop.salt", width.toString)
       // khop materializes eagerly (one localCheckpoint job), so the conf
       // flip is scoped here — the a13b pattern
       try graph.Traversal.khop(edges, start, 1, prepEdges = true, dedupStart = false)
@@ -5350,20 +5360,10 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY c_mktsegment""".stripMargin,
 
     // the fixture's row formula, recomputed without HTTP: 6 pages × 50
-    "b01_paged_http_ingest" ->
-      """SELECT 'fix' || n || '@example.test' AS email,
-        |  CAST(n // 50 AS INTEGER) AS page,
-        |  CAST(n % 50 AS INTEGER) AS idx,
-        |  (n % 5 = 0) AS isExternal
-        |FROM (SELECT unnest(generate_series(0, 299)) AS n)""".stripMargin,
+    "b01_paged_http_ingest" -> pagedFixtureOracleSql,
 
     // the streamed ingest must land exactly the batch rows — same formula
-    "sw22_stream_paged_ingest" ->
-      """SELECT 'fix' || n || '@example.test' AS email,
-        |  CAST(n // 50 AS INTEGER) AS page,
-        |  CAST(n % 50 AS INTEGER) AS idx,
-        |  (n % 5 = 0) AS isExternal
-        |FROM (SELECT unnest(generate_series(0, 299)) AS n)""".stripMargin,
+    "sw22_stream_paged_ingest" -> pagedFixtureOracleSql,
 
     "b11_filter_active" ->
       """SELECT o_orderpriority AS priority, count(*) AS cnt FROM orders

@@ -98,16 +98,16 @@ object Verify {
         import org.apache.spark.sql.functions.{abs, col, count, lit, log, round}
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
         val ords = spark.read.parquet(s"$sfDir/orders.parquet")
-        def surprises(df: org.apache.spark.sql.DataFrame, c: String) = {
-          val n = df.count().toDouble
+        val nLi = li.count().toDouble   // counted once per table,
+        val nOrd = ords.count().toDouble // reused for both columns
+        def surprises(df: org.apache.spark.sql.DataFrame, c: String, n: Double) =
           df.groupBy(col(c).cast("string").as("v"))
             .agg(count(lit(1)).as("cnt"))
             .select((log(lit(n) / col("cnt")) * 1000000d).as("t"))
-        }
-        val close = surprises(li, "l_linestatus")
-          .unionByName(surprises(li, "l_returnflag"))
-          .unionByName(surprises(ords, "o_orderstatus"))
-          .unionByName(surprises(ords, "o_orderpriority"))
+        val close = surprises(li, "l_linestatus", nLi)
+          .unionByName(surprises(li, "l_returnflag", nLi))
+          .unionByName(surprises(ords, "o_orderstatus", nOrd))
+          .unionByName(surprises(ords, "o_orderpriority", nOrd))
           .select(abs(col("t") - round(col("t"))).as("d"))
           .filter(col("d") < 1e-6).count()
         if (close > 0) System.err.println(

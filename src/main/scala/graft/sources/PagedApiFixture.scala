@@ -17,25 +17,38 @@ package graft.sources
   * and `nextPageToken` chains for the token-walk mode.
   */
 object PagedApiFixture {
+
+  /** The deterministic page body — THE single definition of the row
+    * formula (PagedApiSourceSpec's fail-injecting fixture and the b01/
+    * sw22 oracles all replay this exact contract). */
+  def pageBody(pages: Int, pageSize: Int, page: Int): String = {
+    val users = (0 until pageSize).map { i =>
+      val n = page * pageSize + i
+      s"""{"email":"fix$n@example.test","isExternal":${n % 5 == 0}}"""
+    }.mkString(",")
+    val next = if (page + 1 < pages) s""","nextPageToken":"${page + 1}"""" else ""
+    s"""{"users":[$users]$next}"""
+  }
+
+  /** Parse pages/pageSize/pageToken from a fixture request query. */
+  def pageParams(query: String): (Int, Int, Int) = {
+    val params = Option(query).getOrElse("").split("&").filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    val tok = params.getOrElse("pageToken", "")
+    (params.getOrElse("pages", "4").toInt,
+      params.getOrElse("pageSize", "100").toInt,
+      if (tok.isEmpty) 0 else tok.toInt)
+  }
+
   lazy val baseUrl: String = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/users", (ex: com.sun.net.httpserver.HttpExchange) => {
-      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-      val params = q.split("&").filter(_.contains("=")).map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        k -> java.net.URLDecoder.decode(v, "UTF-8")
-      }.toMap
-      val pages = params.getOrElse("pages", "4").toInt
-      val pageSize = params.getOrElse("pageSize", "100").toInt
-      val tok = params.getOrElse("pageToken", "")
-      val page = if (tok.isEmpty) 0 else tok.toInt
-      val users = (0 until pageSize).map { i =>
-        val n = page * pageSize + i
-        s"""{"email":"fix$n@example.test","isExternal":${n % 5 == 0}}"""
-      }.mkString(",")
-      val next = if (page + 1 < pages) s""","nextPageToken":"${page + 1}"""" else ""
-      val bytes = s"""{"users":[$users]$next}""".getBytes("UTF-8")
+      val (pages, pageSize, page) = pageParams(ex.getRequestURI.getQuery)
+      val bytes = pageBody(pages, pageSize, page).getBytes("UTF-8")
       ex.getResponseHeaders.add("Content-Type", "application/json")
       ex.sendResponseHeaders(200, bytes.length)
       ex.getResponseBody.write(bytes)

@@ -58,6 +58,7 @@ class PagedApiSource extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     new PagedApiTable(PagedApiOptions(
       pages = opts.getInt("pages", 4),
+      pagesExplicit = opts.containsKey("pages"),
       pageSize = opts.getInt("pagesize", 100),
       url = Option(opts.get("url")),
       mode = opts.getOrDefault("mode", "indexed"),
@@ -78,7 +79,8 @@ object PagedApiSource {
 private case class PagedApiOptions(pages: Int, pageSize: Int,
                                    url: Option[String], mode: String,
                                    minIntervalMs: Long, maxRetries: Int,
-                                   pagesPerTrigger: Int = 1) {
+                                   pagesPerTrigger: Int = 1,
+                                   pagesExplicit: Boolean = true) {
   require(mode == "indexed" || mode == "token",
     s"mode must be 'indexed' or 'token', got '$mode'")
   require(pagesPerTrigger >= 1,
@@ -88,6 +90,12 @@ private case class PagedApiOptions(pages: Int, pageSize: Int,
   require(mode == "indexed" || url.isDefined,
     "mode=token needs a url: the zero-egress synthetic reader is " +
       "page-addressed and cannot chain tokens")
+  /** Token-walk safety ceiling: the user's explicit `pages` bounds the
+    * walk; with no explicit option the walk is unbounded by design (a
+    * token API's page count is unknowable up front — only the cycle
+    * guard applies), so the indexed-mode DEFAULT of 4 never converts a
+    * working long walk into a runtime failure. */
+  def tokenWalkCeiling: Int = if (pagesExplicit) pages else Int.MaxValue
 }
 
 /** One page of users, as returned by a transport. */
@@ -173,15 +181,46 @@ object HttpPageTransport {
     * cannot fully account for must fail loudly, never silently drop rows
     * (ingestion that quietly loses users is worse than one that stops).
     * String escapes inside emails are out of contract. */
-  private[sources] def parse(body: String): PageResponse = {
+  private[graft] def parse(body: String): PageResponse = {
     val arrStart = """"users"\s*:\s*\[""".r.findFirstMatchIn(body).getOrElse(
       throw new java.io.IOException(s"no \"users\" array in response: ${body.take(200)}")).end
-    val arrEnd = body.indexOf(']', arrStart)
+    // Find the array's own closing ']': track string state (a ']' or '}'
+    // inside an email is in-contract data, not structure) and brace depth.
+    var i = arrStart
+    var depth = 0
+    var inStr = false
+    var arrEnd = -1
+    while (arrEnd < 0 && i < body.length) {
+      body.charAt(i) match {
+        case '"' => inStr = !inStr // escaped quotes are out of contract
+        case '{' if !inStr => depth += 1
+        case '}' if !inStr => depth -= 1
+        case ']' if !inStr && depth == 0 => arrEnd = i
+        case _ =>
+      }
+      i += 1
+    }
     if (arrEnd < 0) throw new java.io.IOException("unterminated \"users\" array")
     val arr = body.substring(arrStart, arrEnd)
+    // Slice the array into objects with the same string-aware scan (a
+    // brace inside an email must not split an object).
+    val objs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    var objStart = -1
+    var d = 0
+    var s = false
+    while (j < arr.length) {
+      arr.charAt(j) match {
+        case '"' => s = !s
+        case '{' if !s => if (d == 0) objStart = j; d += 1
+        case '}' if !s => d -= 1; if (d == 0) objs += arr.substring(objStart, j + 1)
+        case _ =>
+      }
+      j += 1
+    }
     val emailRe = """"email"\s*:\s*"([^"]*)"""".r
     val extRe = """"isExternal"\s*:\s*(true|false)""".r
-    val users = """\{[^{}]*\}""".r.findAllIn(arr).map { obj =>
+    val users = objs.map { obj =>
       val email = emailRe.findFirstMatchIn(obj).map(_.group(1)).getOrElse(
         throw new java.io.IOException(s"user object without email: $obj"))
       val ext = extRe.findFirstMatchIn(obj).map(_.group(1).toBoolean).getOrElse(
@@ -205,9 +244,11 @@ private object PagedApiSourceInternals {
         case Some(u) =>
           val transport = new HttpPageTransport(u, p.opts.pageSize,
             p.opts.minIntervalMs, p.opts.maxRetries)
-          // in token mode `pages` is the safety CEILING on the walk (the
-          // API says where it ends; exceeding the ceiling throws loudly)
-          if (p.opts.mode == "token") new TokenWalkReader(transport, p.opts.pages)
+          // in token mode an EXPLICIT `pages` is the safety ceiling on
+          // the walk (exceeding it throws loudly); with no explicit
+          // option only the cycle guard bounds it — see tokenWalkCeiling
+          if (p.opts.mode == "token")
+            new TokenWalkReader(transport, p.opts.tokenWalkCeiling)
           else new IndexedPageReader(p.page, transport)
         case None => new SyntheticPageReader(p.page, p.opts.pageSize)
       }
@@ -285,7 +326,10 @@ private class PagedApiMicroBatchStream(opts: PagedApiOptions)
         opts.pages
       case _ => opts.pagesPerTrigger
     }
-    PagedApiPageOffset(math.min(opts.pages, from + step))
+    // never below `from`: a restart with a SMALLER pages option must not
+    // rewind the checkpointed offset (a later restart with the original
+    // value would then re-ingest pages — duplicate rows in append sinks)
+    PagedApiPageOffset(math.max(from, math.min(opts.pages, from + step)))
   }
   override def getDefaultReadLimit: ReadLimit =
     ReadLimit.maxRows(opts.pagesPerTrigger.toLong * opts.pageSize)

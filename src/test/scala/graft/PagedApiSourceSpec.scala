@@ -45,21 +45,17 @@ class PagedApiSourceSpec extends AnyFunSuite {
     server.createContext("/users", (ex: com.sun.net.httpserver.HttpExchange) => {
       hits.incrementAndGet()
       val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-      val params = q.split("&").filter(_.contains("=")).map { kv =>
-        val Array(k, v) = kv.split("=", 2); k -> java.net.URLDecoder.decode(v, "UTF-8")
-      }.toMap
-      val tok = params.getOrElse("pageToken", "")
+      val tok = q.split("&").filter(_.startsWith("pageToken="))
+        .map(_.stripPrefix("pageToken=")).headOption.getOrElse("")
       val page = if (tok.isEmpty) 0 else tok.toInt
       if (failOnce.contains(tok) && failed.add(tok)) {
         retries.incrementAndGet()
         ex.sendResponseHeaders(503, -1); ex.close()
       } else {
-        val users = (0 until pageSize).map { i =>
-          val n = page * pageSize + i
-          s"""{"email":"fix$n@example.test","isExternal":${n % 5 == 0}}"""
-        }.mkString(",")
-        val next = if (page + 1 < pages) s""","nextPageToken":"${page + 1}"""" else ""
-        val bytes = s"""{"users":[$users]$next}""".getBytes("UTF-8")
+        // the row formula lives ONCE, in PagedApiFixture.pageBody — this
+        // fixture only adds the 503 fail-injection on top of it
+        val bytes = graft.sources.PagedApiFixture.pageBody(pages, pageSize, page)
+          .getBytes("UTF-8")
         ex.getResponseHeaders.add("Content-Type", "application/json")
         ex.sendResponseHeaders(200, bytes.length)
         ex.getResponseBody.write(bytes); ex.close()
@@ -195,6 +191,49 @@ class PagedApiSourceSpec extends AnyFunSuite {
       val all = spark.read.parquet(s"$tmp/out").collect().map(_.getString(0))
       assert(all.length == 20, s"expected 20 rows exactly once, got ${all.length}")
       assert(all.toSet == (0 until 20).map(n => s"fix$n@example.test").toSet)
+    }
+  }
+
+  test("parse: brackets/braces inside strings are data; missing fields throw") {
+    import graft.sources.HttpPageTransport.parse
+    // ']' and '}' need no JSON escaping — they must not truncate the array
+    val tricky = """{"users":[{"email":"a]b}c@x.test","isExternal":true},
+      |{"name":"extra ] field","isExternal":false,"email":"d@x.test"}],
+      |"nextPageToken":"7"}""".stripMargin
+    val r = parse(tricky)
+    assert(r.users.map(_.email) == Seq("a]b}c@x.test", "d@x.test"))
+    assert(r.users.map(_.isExternal) == Seq(true, false))
+    assert(r.nextPageToken.contains("7"))
+    // last page: token absent → None; empty users array is legal
+    assert(parse("""{"users":[]}""") == graft.sources.PageResponse(Nil, None))
+    // an object the parser cannot fully account for must THROW, not drop
+    intercept[java.io.IOException](parse("""{"users":[{"email":"x@y.z"}]}"""))
+    intercept[java.io.IOException](parse("""{"users":[{"isExternal":true}]}"""))
+    intercept[java.io.IOException](parse("""{"nope":[]}"""))
+  }
+
+  test("restart with a SMALLER pages option never rewinds the checkpointed offset") {
+    withFixture(pages = 5, pageSize = 4) { url =>
+      val tmp = java.nio.file.Files.createTempDirectory("paged-norewind").toString
+      def drain(pages: Int): Unit = {
+        val q = spark.readStream.format("graft.sources.PagedApiSource")
+          .option("url", url).option("pages", pages).option("pageSize", 4)
+          .option("minIntervalMs", 0).option("pagesPerTrigger", 2)
+          .load()
+          .writeStream.format("parquet").option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ck")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain(pages = 5) // full corpus, committed offset 5
+      // restart claiming only 3 pages exist: the offset must HOLD at 5 —
+      // a rewind to 3 would re-ingest pages 3-4 on the next full restart
+      drain(pages = 3)
+      drain(pages = 5)
+      val all = spark.read.parquet(s"$tmp/out").collect().map(_.getString(0))
+      assert(all.length == 20, s"rows duplicated or lost: ${all.length}")
     }
   }
 
