@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.util
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -30,15 +31,46 @@ import org.apache.spark.unsafe.types.UTF8String
   *     like main.go:193-218, with the same per-client rate limit and
   *     retry. No fake parallelism where the protocol forbids it.
   *
+  * Response shape is an OPTION, not a hard-coded struct — the reference
+  * walks six entity kinds with the same pagination discipline (users,
+  * groups, members, service accounts, roles, buckets; main.go:221-713),
+  * and one connector class per shape is not the DSv2 way:
+  *
+  *   - `itemsKey` (default `users`): the top-level array holding the
+  *     page's items.
+  *   - `fields` (default `email:string,isExternal:boolean`): ordered
+  *     `name:type` list projected out of each item object (types:
+  *     string|boolean|int|long|double). Missing field or wrong type in
+  *     any item throws — ingestion that silently drops or coerces rows
+  *     is worse than one that stops. The output schema appends `page`
+  *     and `idx` provenance columns.
+  *
+  * Authentication mirrors the reference's authorized Directory client
+  * (main.go:740-776 builds a JWT config and walks with its token):
+  *
+  *   - `header.<Name>=<value>` options attach arbitrary HTTP headers to
+  *     every request (API keys, custom auth schemes).
+  *   - `bearerTokenEnv=<VAR>` resolves `$VAR` INSIDE the partition reader
+  *     (executor-side) and sends `Authorization: Bearer <token>` — the
+  *     secret never rides the query plan or the options map that Spark
+  *     logs/checkpoints; each executor reads it from its own environment,
+  *     the standard secret-distribution channel on a real cluster. A
+  *     missing variable fails loudly at first fetch.
+  *   - `bearerToken=<value>` inlines the token (tests/dev only — it IS
+  *     visible in the plan; production uses `bearerTokenEnv`).
+  *
   * Rate limiting and retry live in the transport (per-reader minimum
   * request interval + exponential backoff on 429/5xx/IO errors), which is
-  * where the reference hooks its limiter (main.go:100-102).
+  * where the reference hooks its limiter (main.go:100-102). 401/403 fail
+  * immediately with a credentials hint — retrying a rejected credential
+  * only burns the rate budget.
   *
   * Without a `url` option the reader synthesizes deterministic rows —
-  * the zero-egress test/bench mode, clearly marked, same schema.
-  * PagedApiSourceSpec drives the REAL HTTP path against an in-process
-  * `com.sun.net.httpserver` fixture: pagination, retry-on-503, and
-  * request spacing are all exercised over genuine sockets.
+  * the zero-egress test/bench mode, clearly marked, same (default)
+  * schema. PagedApiSourceSpec drives the REAL HTTP path against an
+  * in-process `com.sun.net.httpserver` fixture: pagination, retry-on-503,
+  * request spacing, auth headers, and the field mapping are all exercised
+  * over genuine sockets.
   *
   * Usage:
   *   spark.read.format("graft.sources.PagedApiSource")
@@ -46,16 +78,30 @@ import org.apache.spark.unsafe.types.UTF8String
   *   spark.read.format("graft.sources.PagedApiSource")
   *     .option("url", "http://host/users").option("pages", 8)
   *     .option("mode", "indexed")                            // live HTTP
+  *   spark.read.format("graft.sources.PagedApiSource")
+  *     .option("url", "http://host/groups")
+  *     .option("itemsKey", "groups")
+  *     .option("fields", "groupEmail:string,directMembers:long")
+  *     .option("bearerTokenEnv", "DIRECTORY_API_TOKEN")      // other shapes
   */
 class PagedApiSource extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PagedApiSource.schema
+    PagedApiSource.schemaFor(
+      Option(options.get("fields")).map(PageField.parseList))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     // properties arrive case-preserved here (unlike inferSchema's map).
     val opts = new CaseInsensitiveStringMap(properties)
+    // header.<Name> options → request headers. CaseInsensitiveStringMap
+    // lowercases keys, which is harmless: HTTP header NAMES are
+    // case-insensitive (RFC 9110 §5.1); values keep their case. Sorted
+    // for a deterministic send order.
+    val headers = opts.entrySet().asScala.toSeq
+      .filter(_.getKey.startsWith("header."))
+      .map(e => e.getKey.stripPrefix("header.") -> e.getValue)
+      .sortBy(_._1)
     new PagedApiTable(PagedApiOptions(
       pages = opts.getInt("pages", 4),
       pagesExplicit = opts.containsKey("pages"),
@@ -64,23 +110,85 @@ class PagedApiSource extends TableProvider {
       mode = opts.getOrDefault("mode", "indexed"),
       minIntervalMs = opts.getLong("minintervalms", 250L),
       maxRetries = opts.getInt("maxretries", 3),
-      pagesPerTrigger = opts.getInt("pagespertrigger", 1)))
+      pagesPerTrigger = opts.getInt("pagespertrigger", 1),
+      itemsKey = opts.getOrDefault("itemskey", "users"),
+      fieldsOpt = Option(opts.get("fields")).map(PageField.parseList),
+      headers = headers,
+      bearerToken = Option(opts.get("bearertoken")),
+      bearerTokenEnv = Option(opts.get("bearertokenenv"))))
   }
 }
 
 object PagedApiSource {
+  /** The default (Directory-users) schema — field columns first, then the
+    * `page`/`idx` provenance pair. Kept in this exact legacy order so the
+    * long-standing b01/sw22 gate contract is byte-stable. */
   val schema: StructType = StructType(Seq(
     StructField("email", StringType, nullable = false),
     StructField("page", IntegerType, nullable = false),
     StructField("idx", IntegerType, nullable = false),
     StructField("isExternal", BooleanType, nullable = false)))
+
+  /** Output schema for a field mapping: mapped fields in option order,
+    * then `page`/`idx`. `None` = the legacy default layout above. */
+  def schemaFor(fields: Option[Seq[PageField]]): StructType = fields match {
+    case None => schema
+    case Some(fs) =>
+      StructType(fs.map(f => StructField(f.name, f.sparkType, nullable = false)) ++ Seq(
+        StructField("page", IntegerType, nullable = false),
+        StructField("idx", IntegerType, nullable = false)))
+  }
+}
+
+/** One `name:type` entry of the `fields` option — a typed projection out
+  * of each page item. */
+case class PageField(name: String, typ: String) {
+  require(PageField.types.contains(typ),
+    s"field '$name': unsupported type '$typ' (supported: ${PageField.types.mkString("|")})")
+  require(name.nonEmpty, "field name must be non-empty")
+  require(!name.equalsIgnoreCase("page") && !name.equalsIgnoreCase("idx"),
+    s"field name '$name' collides with the connector's provenance columns")
+  def sparkType: DataType = typ match {
+    case "string" => StringType
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "double" => DoubleType
+  }
+}
+
+object PageField {
+  private[sources] val types = Set("string", "boolean", "int", "long", "double")
+  /** The Directory-users shape the connector defaults to. */
+  val legacy: Seq[PageField] =
+    Seq(PageField("email", "string"), PageField("isExternal", "boolean"))
+
+  /** Parse `name:type,name:type,...`. */
+  def parseList(spec: String): Seq[PageField] = {
+    val fs = spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+      part.split(":") match {
+        case Array(n, t) => PageField(n.trim, t.trim.toLowerCase)
+        case _ => throw new IllegalArgumentException(
+          s"bad fields entry '$part' — expected name:type")
+      }
+    }
+    require(fs.nonEmpty, s"fields option is empty: '$spec'")
+    require(fs.map(_.name.toLowerCase).distinct.length == fs.length,
+      s"duplicate field names in '$spec'")
+    fs
+  }
 }
 
 private case class PagedApiOptions(pages: Int, pageSize: Int,
                                    url: Option[String], mode: String,
                                    minIntervalMs: Long, maxRetries: Int,
                                    pagesPerTrigger: Int = 1,
-                                   pagesExplicit: Boolean = true) {
+                                   pagesExplicit: Boolean = true,
+                                   itemsKey: String = "users",
+                                   fieldsOpt: Option[Seq[PageField]] = None,
+                                   headers: Seq[(String, String)] = Nil,
+                                   bearerToken: Option[String] = None,
+                                   bearerTokenEnv: Option[String] = None) {
   require(mode == "indexed" || mode == "token",
     s"mode must be 'indexed' or 'token', got '$mode'")
   require(pagesPerTrigger >= 1,
@@ -90,6 +198,16 @@ private case class PagedApiOptions(pages: Int, pageSize: Int,
   require(mode == "indexed" || url.isDefined,
     "mode=token needs a url: the zero-egress synthetic reader is " +
       "page-addressed and cannot chain tokens")
+  // the synthetic reader emits exactly the legacy users shape; a custom
+  // mapping against it would silently produce the WRONG columns
+  require(url.isDefined || (fieldsOpt.isEmpty && itemsKey == "users"),
+    "itemsKey/fields need a url: the zero-egress synthetic reader only " +
+      "emits the default users shape")
+  /** Effective field mapping (explicit option or the legacy default). */
+  def fields: Seq[PageField] = fieldsOpt.getOrElse(PageField.legacy)
+  /** Legacy column layout (email, page, idx, isExternal)? Only when no
+    * explicit mapping was given — explicit mappings append page/idx. */
+  def legacyLayout: Boolean = fieldsOpt.isEmpty
   /** Token-walk safety ceiling: the user's explicit `pages` bounds the
     * walk; with no explicit option the walk is unbounded by design (a
     * token API's page count is unknowable up front — only the cycle
@@ -98,9 +216,9 @@ private case class PagedApiOptions(pages: Int, pageSize: Int,
   def tokenWalkCeiling: Int = if (pagesExplicit) pages else Int.MaxValue
 }
 
-/** One page of users, as returned by a transport. */
-case class PagedUser(email: String, isExternal: Boolean)
-case class PageResponse(users: Seq[PagedUser], nextPageToken: Option[String])
+/** One page of typed items, as returned by a transport: each item is the
+  * field values in mapping order (String/Boolean/Int/Long/Double). */
+case class PageResponse(items: Seq[Seq[Any]], nextPageToken: Option[String])
 
 /** Transport abstraction — one page fetch by token. Implementations run
   * INSIDE executor tasks (construct them there; they need not be
@@ -111,7 +229,7 @@ trait PageTransport {
 
 /** Real HTTP transport on the JDK's built-in client: GET
   * `url?pageToken=T&pageSize=N`, expecting the fixture/API JSON shape
-  * `{"users":[{"email":"...","isExternal":false},...],"nextPageToken":"T"}`.
+  * `{"<itemsKey>":[{...},...],"nextPageToken":"T"}`.
   *
   *   - Rate limit: a minimum interval between requests of THIS transport
   *     instance (one instance per partition reader ⇒ per-task limiting —
@@ -121,11 +239,33 @@ trait PageTransport {
   *   - Retry: HTTP 429/5xx and IO errors back off exponentially
   *     (interval, 2×, 4×, ...) up to `maxRetries`, then throw — Spark's
   *     task retry is the outer loop, as the scheduler owns re-execution.
+  *   - Auth: `headers` are sent verbatim on every request; `bearerTokenEnv`
+  *     resolves lazily HERE (executor-side) so the secret never transits
+  *     the driver's plan, and a 401/403 aborts without retry.
   */
 class HttpPageTransport(url: String, pageSize: Int,
                         minIntervalMs: Long = 250L,
-                        maxRetries: Int = 3) extends PageTransport {
+                        maxRetries: Int = 3,
+                        itemsKey: String = "users",
+                        fields: Seq[PageField] = PageField.legacy,
+                        headers: Seq[(String, String)] = Nil,
+                        bearerToken: Option[String] = None,
+                        bearerTokenEnv: Option[String] = None) extends PageTransport {
   private var lastRequestAt = 0L
+
+  /** Headers actually sent: explicit pairs + the resolved bearer token.
+    * Lazy so the env lookup happens in the executor task that first
+    * fetches, and a missing variable names itself in the task failure. */
+  private lazy val resolvedHeaders: Seq[(String, String)] = {
+    val bearer = bearerTokenEnv match {
+      case Some(v) => Some(sys.env.getOrElse(v, throw new IllegalStateException(
+        s"bearerTokenEnv '$v' is not set in this executor's environment — " +
+          "export it on every executor (e.g. via spark.executorEnv) or use " +
+          "explicit header options")))
+      case None => bearerToken
+    }
+    headers ++ bearer.map(t => "Authorization" -> s"Bearer $t")
+  }
 
   private def pace(): Unit = synchronized {
     val wait = lastRequestAt + minIntervalMs - System.currentTimeMillis()
@@ -144,15 +284,20 @@ class HttpPageTransport(url: String, pageSize: Int,
           .asInstanceOf[java.net.HttpURLConnection]
         conn.setConnectTimeout(5000)
         conn.setReadTimeout(10000)
+        resolvedHeaders.foreach { case (k, v) => conn.setRequestProperty(k, v) }
         try {
           val code = conn.getResponseCode
           if (code == 200) {
             val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
-            return HttpPageTransport.parse(body)
+            return HttpPageTransport.parse(body, itemsKey, fields)
           }
           // drain the error body so the keep-alive connection can be
           // reused instead of leaking a socket per failed attempt
           Option(conn.getErrorStream).foreach(s => { s.readAllBytes(); s.close() })
+          if (code == 401 || code == 403) // rejected credential: retry can't fix it
+            throw new IllegalArgumentException(
+              s"GET $full -> HTTP $code — credentials rejected (check " +
+                "header.*/bearerToken/bearerTokenEnv options)")
           if (code != 429 && code < 500) // 4xx (bar 429) = caller bug, no retry
             throw new IllegalArgumentException(s"GET $full -> HTTP $code")
           throw new HttpPageTransport.Retryable(s"HTTP $code")
@@ -173,63 +318,59 @@ class HttpPageTransport(url: String, pageSize: Int,
 object HttpPageTransport {
   private class Retryable(msg: String) extends RuntimeException(msg)
 
-  /** Minimal parser for the response contract above — hand-rolled so the
-    * connector stays dependency-free (the classpath ships no JSON library
-    * beyond Spark's internals). Each object inside `"users":[...]` is
-    * parsed field-by-field (any field order, extra fields tolerated), and
-    * an object MISSING email or isExternal throws — a response the parser
-    * cannot fully account for must fail loudly, never silently drop rows
-    * (ingestion that quietly loses users is worse than one that stops).
-    * String escapes inside emails are out of contract. */
-  private[graft] def parse(body: String): PageResponse = {
-    val arrStart = """"users"\s*:\s*\[""".r.findFirstMatchIn(body).getOrElse(
-      throw new java.io.IOException(s"no \"users\" array in response: ${body.take(200)}")).end
-    // Find the array's own closing ']': track string state (a ']' or '}'
-    // inside an email is in-contract data, not structure) and brace depth.
-    var i = arrStart
-    var depth = 0
-    var inStr = false
-    var arrEnd = -1
-    while (arrEnd < 0 && i < body.length) {
-      body.charAt(i) match {
-        case '"' => inStr = !inStr // escaped quotes are out of contract
-        case '{' if !inStr => depth += 1
-        case '}' if !inStr => depth -= 1
-        case ']' if !inStr && depth == 0 => arrEnd = i
-        case _ =>
-      }
-      i += 1
+  /** Legacy entry point — the default Directory-users shape. */
+  private[graft] def parse(body: String): PageResponse =
+    parse(body, "users", PageField.legacy)
+
+  /** Parse one page body with a REAL JSON parser ([[JsonLite]] — escape-
+    * aware, nesting-exact), then project the typed fields out of each
+    * item. An item MISSING a mapped field, or carrying it at the wrong
+    * type, throws — a response the parser cannot fully account for must
+    * fail loudly, never silently drop or coerce rows (ingestion that
+    * quietly loses users is worse than one that stops). Extra fields are
+    * tolerated (APIs add fields; a projection ignores them).
+    *
+    * `nextPageToken` is read ONLY as a top-level key of the response
+    * object — a token-lookalike inside an item's string value or a nested
+    * object can never be mistaken for the real one (this was the round-13
+    * regex scanner's blind spot). */
+  private[graft] def parse(body: String, itemsKey: String,
+                           fields: Seq[PageField]): PageResponse = {
+    def bad(msg: String): Nothing = throw new java.io.IOException(msg)
+    val root = JsonLite.parse(body) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case other => bad(s"response root is not a JSON object: ${body.take(80)}")
     }
-    if (arrEnd < 0) throw new java.io.IOException("unterminated \"users\" array")
-    val arr = body.substring(arrStart, arrEnd)
-    // Slice the array into objects with the same string-aware scan (a
-    // brace inside an email must not split an object).
-    val objs = scala.collection.mutable.ArrayBuffer.empty[String]
-    var j = 0
-    var objStart = -1
-    var d = 0
-    var s = false
-    while (j < arr.length) {
-      arr.charAt(j) match {
-        case '"' => s = !s
-        case '{' if !s => if (d == 0) objStart = j; d += 1
-        case '}' if !s => d -= 1; if (d == 0) objs += arr.substring(objStart, j + 1)
-        case _ =>
-      }
-      j += 1
+    val arr = root.get(itemsKey) match {
+      case Some(v: Vector[_]) => v
+      case Some(other) => bad(s""""$itemsKey" is not an array""")
+      case None => bad(s"""no "$itemsKey" array in response: ${body.take(200)}""")
     }
-    val emailRe = """"email"\s*:\s*"([^"]*)"""".r
-    val extRe = """"isExternal"\s*:\s*(true|false)""".r
-    val users = objs.map { obj =>
-      val email = emailRe.findFirstMatchIn(obj).map(_.group(1)).getOrElse(
-        throw new java.io.IOException(s"user object without email: $obj"))
-      val ext = extRe.findFirstMatchIn(obj).map(_.group(1).toBoolean).getOrElse(
-        throw new java.io.IOException(s"user object without isExternal: $obj"))
-      PagedUser(email, ext)
-    }.toSeq
-    val tokenRe = """"nextPageToken"\s*:\s*"([^"]*)"""".r
-    val next = tokenRe.findFirstMatchIn(body).map(_.group(1)).filter(_.nonEmpty)
-    PageResponse(users, next)
+    val items = arr.map {
+      case o: Map[_, _] =>
+        val obj = o.asInstanceOf[Map[String, Any]]
+        fields.map { f =>
+          val raw = obj.getOrElse(f.name,
+            bad(s"item without ${f.name}: ${obj.keys.mkString("{", ",", "}")}"))
+          (f.typ, raw) match {
+            case ("string", s: String) => s
+            case ("boolean", b: java.lang.Boolean) => b
+            case ("int", l: java.lang.Long) if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+            case ("long", l: java.lang.Long) => l
+            case ("double", d: java.lang.Double) => d
+            case ("double", l: java.lang.Long) => l.toDouble // 3 and 3.0 both legal JSON doubles
+            case _ => bad(s"field ${f.name}: expected ${f.typ}, got " +
+              s"${if (raw == null) "null" else raw.getClass.getSimpleName} ($raw)")
+          }
+        }
+      case other => bad(s""""$itemsKey" entry is not an object: $other""")
+    }
+    val next = root.get("nextPageToken") match {
+      case Some(s: String) => Some(s).filter(_.nonEmpty)
+      case Some(other) => bad(s"nextPageToken is not a string: $other")
+      case None => None
+    }
+    PageResponse(items, next)
   }
 }
 
@@ -243,29 +384,45 @@ private object PagedApiSourceInternals {
       p.opts.url match {
         case Some(u) =>
           val transport = new HttpPageTransport(u, p.opts.pageSize,
-            p.opts.minIntervalMs, p.opts.maxRetries)
+            p.opts.minIntervalMs, p.opts.maxRetries,
+            p.opts.itemsKey, p.opts.fields,
+            p.opts.headers, p.opts.bearerToken, p.opts.bearerTokenEnv)
           // in token mode an EXPLICIT `pages` is the safety ceiling on
           // the walk (exceeding it throws loudly); with no explicit
           // option only the cycle guard bounds it — see tokenWalkCeiling
           if (p.opts.mode == "token")
-            new TokenWalkReader(transport, p.opts.tokenWalkCeiling)
-          else new IndexedPageReader(p.page, transport)
+            new TokenWalkReader(transport, p.opts.tokenWalkCeiling, p.opts.legacyLayout)
+          else new IndexedPageReader(p.page, transport, p.opts.legacyLayout)
         case None => new SyntheticPageReader(p.page, p.opts.pageSize)
       }
     }
+
+  /** Item values (parse-typed) + provenance → an InternalRow in the
+    * table's schema order. The legacy layout interleaves page/idx between
+    * email and isExternal (the long-standing b01 contract); explicit
+    * mappings append them after the mapped fields. */
+  def toRow(item: Seq[Any], page: Int, idx: Int, legacyLayout: Boolean): InternalRow = {
+    def cat(v: Any): Any = v match {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    }
+    if (legacyLayout) InternalRow(cat(item.head), page, idx, item(1))
+    else InternalRow.fromSeq(item.map(cat) ++ Seq(page, idx))
+  }
 }
 
 private class PagedApiTable(opts: PagedApiOptions) extends Table with SupportsRead {
   override def name(): String =
     s"paged_api(pages=${opts.pages}, pageSize=${opts.pageSize}, " +
-      s"mode=${opts.mode}, url=${opts.url.getOrElse("<synthetic>")})"
-  override def schema(): StructType = PagedApiSource.schema
+      s"mode=${opts.mode}, itemsKey=${opts.itemsKey}, " +
+      s"url=${opts.url.getOrElse("<synthetic>")})"
+  override def schema(): StructType = PagedApiSource.schemaFor(opts.fieldsOpt)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
       override def build(): Scan = this
-      override def readSchema(): StructType = PagedApiSource.schema
+      override def readSchema(): StructType = PagedApiSource.schemaFor(opts.fieldsOpt)
       override def toBatch: Batch = this
       // indexed: one partition per API page — the pagination boundary IS
       // the parallelism boundary. token: the protocol serializes the walk,
@@ -351,7 +508,8 @@ private case class PagedApiPartition(page: Int, opts: PagedApiOptions)
   extends InputPartition
 
 /** Deterministic fake rows — the zero-egress test/bench mode (this
-  * container has no network). Same schema as the live readers. */
+  * container has no network). Same schema as the live readers' default
+  * shape. */
 private class SyntheticPageReader(page: Int, pageSize: Int)
   extends PartitionReader[InternalRow] {
   private var i = -1
@@ -367,13 +525,14 @@ private class SyntheticPageReader(page: Int, pageSize: Int)
 
 /** Live reader, indexed mode: fetches exactly one page (token = the page
   * number) over the real transport. Runs in the executor task. */
-private class IndexedPageReader(page: Int, transport: PageTransport)
+private class IndexedPageReader(page: Int, transport: PageTransport,
+                                legacyLayout: Boolean)
   extends PartitionReader[InternalRow] {
-  private lazy val users = transport.fetch(page.toString).users
+  private lazy val items = transport.fetch(page.toString).items
   private var i = -1
-  override def next(): Boolean = { i += 1; i < users.length }
-  override def get(): InternalRow = InternalRow(
-    UTF8String.fromString(users(i).email), page, i, users(i).isExternal)
+  override def next(): Boolean = { i += 1; i < items.length }
+  override def get(): InternalRow =
+    PagedApiSourceInternals.toRow(items(i), page, i, legacyLayout)
   override def close(): Unit = ()
 }
 
@@ -383,17 +542,18 @@ private class IndexedPageReader(page: Int, transport: PageTransport)
   * from an inconsistent load balancer) and a walk longer than `maxPages`
   * both throw instead of looping forever / silently truncating. */
 private class TokenWalkReader(transport: PageTransport,
-                              maxPages: Int = Int.MaxValue)
+                              maxPages: Int = Int.MaxValue,
+                              legacyLayout: Boolean = true)
   extends PartitionReader[InternalRow] {
   private var page = -1
   private var token: Option[String] = Some("")
   private val seen = scala.collection.mutable.Set.empty[String]
-  private var users: Seq[PagedUser] = Nil
+  private var items: Seq[Seq[Any]] = Nil
   private var i = -1
   @annotation.tailrec
   private def advance(): Boolean = {
     i += 1
-    if (i < users.length) true
+    if (i < items.length) true
     else token match {
       case Some(t) =>
         if (!seen.add(t)) throw new IllegalStateException(
@@ -404,7 +564,7 @@ private class TokenWalkReader(transport: PageTransport,
             "pending — raise the 'pages' ceiling or fix the API")
         val resp = transport.fetch(t)
         page += 1 // page = fetch ordinal, matching indexed mode's numbering
-        users = resp.users
+        items = resp.items
         token = resp.nextPageToken
         i = -1
         advance()
@@ -412,7 +572,7 @@ private class TokenWalkReader(transport: PageTransport,
     }
   }
   override def next(): Boolean = advance()
-  override def get(): InternalRow = InternalRow(
-    UTF8String.fromString(users(i).email), page, i, users(i).isExternal)
+  override def get(): InternalRow =
+    PagedApiSourceInternals.toRow(items(i), page, i, legacyLayout)
   override def close(): Unit = ()
 }

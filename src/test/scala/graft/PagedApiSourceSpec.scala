@@ -34,8 +34,11 @@ class PagedApiSourceSpec extends AnyFunSuite {
   // 503, and request pacing — exercised over genuine HTTP, zero egress.
 
   /** Serves /users with `pages` pages of `pageSize` users each; fails the
-    * FIRST attempt at each token in `failOnce` with a 503. */
-  private def withFixture(pages: Int, pageSize: Int, failOnce: Set[String] = Set())(
+    * FIRST attempt at each token in `failOnce` with a 503; when
+    * `requireHeader` is set, any request missing that exact header is
+    * rejected with 401 — the auth round-trip's test double. */
+  private def withFixture(pages: Int, pageSize: Int, failOnce: Set[String] = Set(),
+                          requireHeader: Option[(String, String)] = None)(
       body: String => Unit): (Int, Int) = {
     val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val hits = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -48,12 +51,16 @@ class PagedApiSourceSpec extends AnyFunSuite {
       val tok = q.split("&").filter(_.startsWith("pageToken="))
         .map(_.stripPrefix("pageToken=")).headOption.getOrElse("")
       val page = if (tok.isEmpty) 0 else tok.toInt
-      if (failOnce.contains(tok) && failed.add(tok)) {
+      val unauthorized = requireHeader.exists { case (k, v) =>
+        ex.getRequestHeaders.getFirst(k) != v }
+      if (unauthorized) {
+        ex.sendResponseHeaders(401, -1); ex.close()
+      } else if (failOnce.contains(tok) && failed.add(tok)) {
         retries.incrementAndGet()
         ex.sendResponseHeaders(503, -1); ex.close()
       } else {
         // the row formula lives ONCE, in PagedApiFixture.pageBody — this
-        // fixture only adds the 503 fail-injection on top of it
+        // fixture only adds fail-injection and the auth check on top
         val bytes = graft.sources.PagedApiFixture.pageBody(pages, pageSize, page)
           .getBytes("UTF-8")
         ex.getResponseHeaders.add("Content-Type", "application/json")
@@ -66,6 +73,11 @@ class PagedApiSourceSpec extends AnyFunSuite {
     finally server.stop(0)
     (hits.get(), retries.get())
   }
+
+  private def causes(t: Throwable): Seq[Throwable] =
+    Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+  private def anyCauseContains(t: Throwable, needle: String): Boolean =
+    causes(t).exists(c => Option(c.getMessage).exists(_.contains(needle)))
 
   test("indexed mode reads real HTTP pages in parallel partitions") {
     val (hits, _) = withFixture(pages = 4, pageSize = 5) { url =>
@@ -201,8 +213,8 @@ class PagedApiSourceSpec extends AnyFunSuite {
       |{"name":"extra ] field","isExternal":false,"email":"d@x.test"}],
       |"nextPageToken":"7"}""".stripMargin
     val r = parse(tricky)
-    assert(r.users.map(_.email) == Seq("a]b}c@x.test", "d@x.test"))
-    assert(r.users.map(_.isExternal) == Seq(true, false))
+    assert(r.items.map(_.head) == Seq("a]b}c@x.test", "d@x.test"))
+    assert(r.items.map(_(1)) == Seq(true, false))
     assert(r.nextPageToken.contains("7"))
     // last page: token absent → None; empty users array is legal
     assert(parse("""{"users":[]}""") == graft.sources.PageResponse(Nil, None))
@@ -210,6 +222,143 @@ class PagedApiSourceSpec extends AnyFunSuite {
     intercept[java.io.IOException](parse("""{"users":[{"email":"x@y.z"}]}"""))
     intercept[java.io.IOException](parse("""{"users":[{"isExternal":true}]}"""))
     intercept[java.io.IOException](parse("""{"nope":[]}"""))
+  }
+
+  test("parse: escaped quotes decode; token-lookalikes inside values are data") {
+    import graft.sources.HttpPageTransport.parse
+    // the round-13 blind spots: a legal \" inside a value must not flip
+    // the string tracker, and a literal "nextPageToken":"..." INSIDE a
+    // string value (or as an item's own extra field) must not be read as
+    // the real page token
+    val body = """{"users":[{"email":"a\"b@x.test","isExternal":false},
+      |{"email":"\"nextPageToken\":\"evil\"","isExternal":true}],
+      |"nextPageToken":"9"}""".stripMargin
+    val r = parse(body)
+    assert(r.items.map(_.head) == Seq("a\"b@x.test", "\"nextPageToken\":\"evil\""))
+    assert(r.nextPageToken.contains("9"))
+    // an extra nextPageToken field on a USER object (in-contract: extra
+    // fields are tolerated) is not the top-level token — last page ends
+    val lastPage =
+      """{"users":[{"email":"u@x.test","isExternal":false,"nextPageToken":"7"}]}"""
+    assert(parse(lastPage).nextPageToken.isEmpty)
+    // unicode escapes decode; empty token string means "no more pages"
+    val uni = """{"users":[{"email":"café@x.test","isExternal":true}],"nextPageToken":""}"""
+    val ru = parse(uni)
+    assert(ru.items.head.head == "café@x.test" && ru.nextPageToken.isEmpty)
+  }
+
+  test("parse: field mapping projects typed columns and rejects type drift") {
+    import graft.sources.{HttpPageTransport, PageField}
+    val fields = Seq(PageField("name", "string"), PageField("n", "int"),
+      PageField("score", "double"), PageField("big", "long"))
+    val body = """{"items":[{"name":"a","n":3,"score":1.5,"big":9999999999,"extra":[1,{"x":2}]}]}"""
+    val r = HttpPageTransport.parse(body, "items", fields)
+    assert(r.items == Seq(Seq("a", 3, 1.5, 9999999999L)))
+    // integral JSON numbers are legal doubles
+    val rd = HttpPageTransport.parse("""{"items":[{"name":"b","n":1,"score":2,"big":0}]}""",
+      "items", fields)
+    assert(rd.items.head(2) == 2.0)
+    // wrong type, int overflow, wrong itemsKey: all loud
+    intercept[java.io.IOException](HttpPageTransport.parse(
+      """{"items":[{"name":"c","n":"x","score":1.0,"big":0}]}""", "items", fields))
+    intercept[java.io.IOException](HttpPageTransport.parse(
+      """{"items":[{"name":"c","n":3000000000,"score":1.0,"big":0}]}""", "items", fields))
+    intercept[java.io.IOException](HttpPageTransport.parse(
+      """{"rows":[]}""", "items", fields))
+  }
+
+  // ------------------------------------------------------------- auth
+  test("auth: header.* options round-trip — 401 without, 200 with") {
+    withFixture(pages = 2, pageSize = 3,
+      requireHeader = Some("X-Api-Key" -> "sesame")) { url =>
+      def rd(withKey: Boolean) = {
+        val r = spark.read.format("graft.sources.PagedApiSource")
+          .option("url", url).option("pages", 2).option("pageSize", 3)
+          .option("minIntervalMs", 0)
+        (if (withKey) r.option("header.X-Api-Key", "sesame") else r).load()
+      }
+      val e = intercept[Exception](rd(withKey = false).collect())
+      assert(anyCauseContains(e, "401") && anyCauseContains(e, "credentials rejected"),
+        s"expected a loud 401 credentials failure, got: $e")
+      assert(rd(withKey = true).count() == 6)
+    }
+  }
+
+  test("auth: bearerToken sends Authorization: Bearer and 401 is not retried") {
+    val (hits, retries) = withFixture(pages = 2, pageSize = 3,
+      requireHeader = Some("Authorization" -> "Bearer tok123")) { url =>
+      def rd(tok: String) = spark.read.format("graft.sources.PagedApiSource")
+        .option("url", url).option("pages", 2).option("pageSize", 3)
+        .option("minIntervalMs", 0).option("bearerToken", tok).load()
+      val e = intercept[Exception](rd("wrong").collect())
+      assert(anyCauseContains(e, "credentials rejected"), s"got: $e")
+      assert(rd("tok123").count() == 6)
+    }
+    // 401s are terminal: total hits = failed partitions (≤2, no retries)
+    // + the 2 successful pages; the 503-retry counter never moved
+    assert(retries == 0 && hits <= 4, s"401 was retried: hits=$hits")
+  }
+
+  test("auth: bearerTokenEnv resolves in the reader; a missing var fails loudly") {
+    // PATH is guaranteed present: prove executor-side env resolution by
+    // requiring exactly "Bearer $PATH"
+    val path = sys.env("PATH")
+    withFixture(pages = 2, pageSize = 2,
+      requireHeader = Some("Authorization" -> s"Bearer $path")) { url =>
+      val ok = spark.read.format("graft.sources.PagedApiSource")
+        .option("url", url).option("pages", 2).option("pageSize", 2)
+        .option("minIntervalMs", 0).option("bearerTokenEnv", "PATH").load()
+      assert(ok.count() == 4)
+      val e = intercept[Exception] {
+        spark.read.format("graft.sources.PagedApiSource")
+          .option("url", url).option("pages", 2).option("pageSize", 2)
+          .option("minIntervalMs", 0)
+          .option("bearerTokenEnv", "GRAFT_NO_SUCH_VAR_12345").load().collect()
+      }
+      assert(anyCauseContains(e, "GRAFT_NO_SUCH_VAR_12345") &&
+        anyCauseContains(e, "not set"), s"got: $e")
+    }
+  }
+
+  // ------------------------------------------------------ mapped shapes
+  test("field mapping ingests a second entity kind (groups) over live HTTP") {
+    val url = graft.sources.PagedApiFixture.groupsUrl
+    val df = spark.read.format("graft.sources.PagedApiSource")
+      .option("url", s"$url?pages=3").option("pages", 3).option("pageSize", 4)
+      .option("minIntervalMs", 0)
+      .option("itemsKey", "groups")
+      .option("fields", "groupEmail:string,directMembers:long,adminCreated:boolean")
+      .load()
+    assert(df.columns.toSeq ==
+      Seq("groupEmail", "directMembers", "adminCreated", "page", "idx"))
+    assert(df.schema("directMembers").dataType.typeName == "long")
+    val rows = df.collect().sortBy(r => (r.getInt(3), r.getInt(4)))
+    assert(rows.length == 12)
+    assert(rows.head.getString(0) == "grp0@example.test" &&
+      rows.head.getLong(1) == 0L && rows.head.getBoolean(2))
+    assert(rows.last.getString(0) == "grp11@example.test" &&
+      rows.last.getLong(1) == 11L && !rows.last.getBoolean(2))
+  }
+
+  test("field mapping works on the serial token walk too") {
+    val url = graft.sources.PagedApiFixture.groupsUrl
+    val df = spark.read.format("graft.sources.PagedApiSource")
+      .option("url", s"$url?pages=2").option("mode", "token")
+      .option("pageSize", 3).option("minIntervalMs", 0)
+      .option("itemsKey", "groups")
+      .option("fields", "groupEmail:string,directMembers:long,adminCreated:boolean")
+      .load()
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      (0 until 6).map(n => s"grp$n@example.test").sorted)
+  }
+
+  test("custom fields without a url are rejected (synthetic reader is users-shaped)") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.PagedApiSource")
+        .option("fields", "a:string").option("pages", 1).load().collect()
+    }
+    assert(anyCauseContains(e, "need a url"), s"got: $e")
   }
 
   test("restart with a SMALLER pages option never rewinds the checkpointed offset") {
@@ -247,10 +396,7 @@ class PagedApiSourceSpec extends AnyFunSuite {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start().awaitTermination()
       }
-      def causes(t: Throwable): Seq[Throwable] =
-        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
-      assert(causes(e).exists(_.getMessage != null) &&
-        causes(e).exists(c => Option(c.getMessage).exists(_.contains("cannot seek"))),
+      assert(anyCauseContains(e, "cannot seek"),
         s"expected the cannot-seek rejection, got: $e")
     }
   }
