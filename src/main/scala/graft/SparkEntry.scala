@@ -23,14 +23,22 @@ object SparkEntry {
 
   /** Exact money arithmetic. Every money column in the testdata is
     * 2dp-exact (measured: max |x·100 − round(x·100)| ≤ 4e-9 across all
-    * tables), so ⌊x·100 + 0.5⌋ recovers the integer cents identically in
-    * Spark and DuckDB — the dq9 idiom. Sums over these integers are
-    * order-invariant, unlike round(sum(double), 2), which legitimately
-    * flips on half-cent ties under different partial-agg orders (q9 had
-    * 3 of 175 sf0.1 groups within 0.01 cents of a boundary). Terms are
-    * widened to decimal(38,0) before summing so a 100 TB row count cannot
-    * silently wrap a BIGINT; DuckDB's sum(BIGINT) → HUGEINT matches. */
-  private def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+    * tables — and ENFORCED per run by Verify's cents-precondition audit,
+    * which names any column that drifts past 1e-6 on a future regen), so
+    * rounding x·100 half-away-from-zero recovers the integer cents
+    * identically in Spark and DuckDB — the dq9 idiom. Half-AWAY-FROM-ZERO,
+    * not ⌊x·100+0.5⌋: the latter truncates toward −∞ on negative ties,
+    * which is latent on 2dp-exact data (ties never occur) but wrong the
+    * day the pattern is reused on a signed measure (refunds, deltas) with
+    * >2dp values. Sums over these integers are order-invariant, unlike
+    * round(sum(double), 2), which legitimately flips on half-cent ties
+    * under different partial-agg orders (q9 had 3 of 175 sf0.1 groups
+    * within 0.01 cents of a boundary). Terms are widened to
+    * decimal(38,0) before summing so a 100 TB row count cannot silently
+    * wrap a BIGINT; DuckDB's sum(BIGINT) → HUGEINT matches. */
+  private def cents(c: Column): Column =
+    when(c >= 0, floor(c * 100 + lit(0.5)))
+      .otherwise(-floor(-c * 100 + lit(0.5))).cast("long")
   /** Order-invariant sum of exact integer units (widened past BIGINT). */
   private def sumExact(units: Column): Column = sum(units.cast("decimal(38,0)"))
   /** Revenue term price·(1−disc) in exact 10⁻⁴-dollar units. */
@@ -41,8 +49,12 @@ object SparkEntry {
   private def money(unitsSum: Column, scale: Long): Column =
     unitsSum.cast("double") / lit(scale.toDouble)
 
-  /** Oracle-side (DuckDB SQL) twins of cents/c4. */
-  private def centsSql(c: String): String = s"CAST(floor($c * 100 + 0.5) AS BIGINT)"
+  /** Oracle-side (DuckDB SQL) twins of cents/c4 — the same
+    * half-away-from-zero branch, so both engines round identically on
+    * any sign. */
+  private def centsSql(c: String): String =
+    s"CAST(CASE WHEN $c >= 0 THEN floor($c * 100 + 0.5) " +
+      s"ELSE -floor(-$c * 100 + 0.5) END AS BIGINT)"
   private def c4Sql(price: String, disc: String): String =
     s"${centsSql(price)} * (100 - ${centsSql(disc)})"
 
@@ -312,6 +324,24 @@ object SparkEntry {
       s.read.format("graft.sources.PagedApiSource")
         .option("url", s"$url?pages=6").option("pages", 6)
         .option("pageSize", 50).option("minIntervalMs", 0)
+        .load()
+    }),
+
+    // B1 MAPPED SHAPE — the same live connector reading a SECOND entity
+    // kind (groups) through the itemsKey/fields options instead of the
+    // built-in users shape: the reference walks six entity kinds with one
+    // pagination discipline (main.go:221-713), and the field mapping is
+    // what makes one DSv2 connector cover them all. The fixture's group
+    // objects carry an extra unprojected field (`kind`), so extra-field
+    // tolerance is proven on the live path too. Oracle = the fixture's
+    // groups row formula in SQL.
+    "b02_paged_groups_ingest" -> ((s, dir) => {
+      val url = sources.PagedApiFixture.groupsUrl
+      s.read.format("graft.sources.PagedApiSource")
+        .option("url", s"$url?pages=4").option("pages", 4)
+        .option("pageSize", 25).option("minIntervalMs", 0)
+        .option("itemsKey", "groups")
+        .option("fields", "groupEmail:string,directMembers:long,adminCreated:boolean")
         .load()
     }),
 
@@ -5364,6 +5394,16 @@ object SparkEntry {
 
     // the streamed ingest must land exactly the batch rows — same formula
     "sw22_stream_paged_ingest" -> pagedFixtureOracleSql,
+
+    // the groups fixture's row formula (4 pages × 25), recomputed without
+    // HTTP — the mapped-shape twin of b01
+    "b02_paged_groups_ingest" ->
+      """SELECT 'grp' || n || '@example.test' AS groupEmail,
+        |  CAST(n % 17 AS BIGINT) AS directMembers,
+        |  (n % 3 = 0) AS adminCreated,
+        |  CAST(n // 25 AS INTEGER) AS page,
+        |  CAST(n % 25 AS INTEGER) AS idx
+        |FROM (SELECT unnest(generate_series(0, 99)) AS n)""".stripMargin,
 
     "b11_filter_active" ->
       """SELECT o_orderpriority AS priority, count(*) AS cnt FROM orders

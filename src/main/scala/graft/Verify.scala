@@ -116,6 +116,31 @@ object Verify {
             "Math.log-vs-DuckDB-ln difference could flip the gate; make " +
             "the surprise term integer-exact before trusting a red dq10")
       }
+      // cents-precondition audit: SparkEntry.cents() turns every money
+      // gate into sum-of-per-row-rounded-cents, which equals the
+      // reference's round-after-sum meaning ONLY while the source columns
+      // are 2dp-exact (then per-row rounding is the identity on x·100).
+      // The 4e-9 measurement in the cents() doc is enforced HERE so a
+      // future data regen emitting >2dp values fails loudly instead of
+      // silently changing gate semantics while the parity check stays
+      // green (both engines would apply the same now-lossy transform).
+      locally {
+        import org.apache.spark.sql.functions.{abs, col, max, round}
+        val centsCols = Seq(
+          "lineitem" -> "l_extendedprice", "lineitem" -> "l_discount",
+          "customer" -> "c_acctbal", "part" -> "p_retailprice",
+          "orders" -> "o_totalprice", "events" -> "value")
+        centsCols.foreach { case (table, c) =>
+          val d = spark.read.parquet(s"$sfDir/$table.parquet")
+            .select(abs(col(c) * 100 - round(col(c) * 100)).as("d"))
+            .agg(max(col("d"))).head.getDouble(0)
+          if (d > 1e-6) System.err.println(
+            s"[verify] CENTS-PRECONDITION VIOLATION: $table.$c has values " +
+              f"up to $d%.3g cents away from 2dp-exact — cents()-based " +
+              "gates no longer mean round-after-sum; re-derive the money " +
+              "discipline for this column before trusting green gates")
+        }
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[verify] cap audit skipped: ${e.getMessage}")
     }
