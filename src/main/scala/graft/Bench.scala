@@ -94,6 +94,30 @@ object Bench {
     // median alongside so a reader can see the spread without rerunning.
     // A failure in any pass keeps the -1 sentinel for that query.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+
+    // Noise self-calibration: this host's timings swing ±2-5× between
+    // same-day windows (BASELINE.md's control readings), which has cost a
+    // manual adjudication in three separate rounds (r7/r11/r13). So the
+    // record carries its OWN calibration: a pinned 10-gate control prefix
+    // runs once before and once after the full board, and window_factor =
+    // end-total / start-total. A factor near 1 means the window was
+    // stable and deltas vs last round are real; a factor of 1.3+ means
+    // the box drifted mid-record and per-gate regressions inside the
+    // envelope should be read as noise. The control gates are pinned
+    // (never edit this list — comparability across rounds is the point)
+    // and span the plan families: scan-agg, join, traversal, dedup, ANN,
+    // streaming-state, text, window.
+    val controlGates = Seq(
+      "a02_label_filter", "a08_edge_semi_join", "a13_khop2_regions",
+      "q1_pricing_summary", "q5_region_revenue", "b10_dedup_rank",
+      "d_minhash_lsh", "e3_cosine_neardup", "t_quality_score",
+      "z1_asof_join")
+    def controlTotal(): Double =
+      controlGates.filter(SparkEntry.queries.contains).map(run).filter(_ >= 0).sum
+    // dev-mode single-gate adjudication runs skip the calibration passes
+    val calibrate = args.isEmpty
+    val controlStart = if (calibrate) controlTotal() else 0.0
+
     val samples = scala.collection.mutable.Map[String, List[Double]]()
     for (_ <- 1 to passes; n <- wanted)
       samples(n) = run(n) :: samples.getOrElse(n, Nil)
@@ -106,6 +130,14 @@ object Bench {
     val results = samples.map { case (n, ts) => n -> minOf(ts) }.toMap
     val medians = samples.map { case (n, ts) => n -> medOf(ts) }.toMap
     val failed = results.filter(_._2 < 0).keys.toSeq.sorted
+
+    val controlEnd = if (calibrate) controlTotal() else 0.0
+    // -1.0 = calibration unavailable (dev-mode subset run or a control
+    // gate failed); consumers treat it as "no self-calibration recorded"
+    val windowFactor =
+      if (calibrate && controlStart > 0 && controlEnd > 0)
+        math.rint(controlEnd / controlStart * 1000) / 1000
+      else -1.0
     def fmt(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
         .mkString("{", ",", "}")
@@ -118,7 +150,7 @@ object Bench {
     // (136 entries ≈ 3.5 KB vs the consumer's ~2 KB buffer), so they go to
     // a file the compact line points at, plus a log line for humans.
     val fullJson =
-      s"""{"metric":"total_full","value_min":$totalR,"value_median":$medTotalR,"unit":"sec","passes":$passes,"queries_min":${fmt(results.toSeq.sortBy(_._1))},"queries_median":${fmt(medians.toSeq.sortBy(_._1))},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value_min":$totalR,"value_median":$medTotalR,"unit":"sec","passes":$passes,"window_factor":$windowFactor,"queries_min":${fmt(results.toSeq.sortBy(_._1))},"queries_median":${fmt(medians.toSeq.sortBy(_._1))},"failed":$failedJson,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
@@ -132,7 +164,7 @@ object Bench {
     // drop tail entries until the line fits and say what was dropped —
     // the full maps above carry every query regardless.
     def compactLine(head: Seq[(String, Double)], failedField: String): String =
-      s"""{"metric":"total","value":$totalR,"value_median":$medTotalR,"unit":"sec","n_queries":${results.size},"queries_kind":"min","full":"$fullPath","queries":${fmt(head)},"failed":$failedField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalR,"value_median":$medTotalR,"unit":"sec","n_queries":${results.size},"queries_kind":"min","window_factor":$windowFactor,"full":"$fullPath","queries":${fmt(head)},"failed":$failedField,"sf":"$sfDir"}"""
     var head = headline.flatMap(n => results.get(n).map(n -> _))
     var failedField = failedJson
     val budget = 2000

@@ -330,9 +330,22 @@ object Traversal {
     * critical path length. Cycles throw either way: one fed by a source
     * keeps S_k nonempty until maxIter fires, and a source-less one is
     * unreachable from S₀, which the final every-vertex-layered guard
-    * catches (longest path is only defined on DAGs). */
+    * catches (longest path is only defined on DAGs).
+    *
+    * Depth escape hatch: the level-set form serializes into one
+    * scheduler round-trip per TWO levels, which is right for this
+    * domain's shallow containment DAGs but wrong for a deep dependency
+    * chain (depth 10⁵ ⇒ 5·10⁴ serial jobs). Past `switchDepth` levels
+    * without converging, the loop abandons frontiers and restarts as
+    * [[topoLayersDoubling]] — max-plus relation squaring, ⌈log₂ depth⌉+1
+    * rounds — so layering cost grows with log(depth), never depth. The
+    * switch is depth-triggered rather than default-on because doubling
+    * materializes the reachability CLOSURE (O(pairs) rows, like
+    * [[hopPower]]/[[closureDoubling]]) where level sets only ever hold
+    * Σ|S_k| ≤ V·depth rows — on a shallow wide DAG the frontier form is
+    * strictly cheaper. */
   def topoLayers(edges: DataFrame, maxIter: Int = 64,
-                 prepEdges: Boolean = true): DataFrame = {
+                 prepEdges: Boolean = true, switchDepth: Int = 32): DataFrame = {
     val e = prep(edges, prepEdges)
     val srcIds = e.select(col("src").as("id")).distinct()
     val dstIds = e.select(col("dst").as("id")).distinct()
@@ -346,6 +359,14 @@ object Traversal {
       require(k < maxIter,
         s"topoLayers did not converge in $maxIter rounds — a cycle in the " +
           "input? longest-path layering is defined on DAGs only")
+      if (k >= switchDepth) {
+        // deep DAG: stop paying a scheduler round-trip per two levels —
+        // restart as log-depth doubling (its own cycle guard applies)
+        live.foreach(_.unpersist(false))
+        val out = topoLayersDoubling(e, prepEdges = false)
+        if (prepEdges) e.unpersist(false)
+        return out
+      }
       // TWO levels per convergence probe (the bfsDepth trick): counting
       // S_{k+2} runs through S_{k+1}'s distinct shuffle, so one job
       // fills both caches and answers "done?" for both.
@@ -383,6 +404,111 @@ object Traversal {
       s"topoLayers: ${nVerts - nLayered} of $nVerts edge-touching vertices " +
         "are unreachable from any in-degree-0 source — the graph contains " +
         "a source-less cycle; longest-path layering is defined on DAGs only")
+    frozen
+  }
+
+  /** Log-depth [[topoLayers]]: longest-path layering by MAX-PLUS RELATION
+    * SQUARING — the [[hopPower]] pattern lifted from the boolean semiring
+    * (walk existence) to max-plus (walk length). R_s(u,v) = the longest
+    * directed path length from u to v among paths of length ≤ 2^s; one
+    * squaring round is `R ∘ R` (compose on the mid vertex, lengths ADD)
+    * max-merged with R, so s rounds cover depth 2^s and a depth-10⁵
+    * dependency DAG layers in 18 composition rounds instead of 5·10⁴
+    * frontier jobs. Convergence = the (pairs, Σd) fingerprint stops
+    * moving — both are monotone under squaring, so equality IS the
+    * fixpoint, and the probe rides the same aggregate job that
+    * materializes the round's cache. Then layer(v) = max R*(source, v)
+    * with sources (in-degree-0 vertices) at 0 — on a DAG every longest
+    * path starts at a source.
+    *
+    * Cycles cannot hide: the closure of any cycle contains a self-pair
+    * (v,v), and each round's fingerprint job counts self-pairs in the
+    * same pass — one appears, the round throws. That subsumes the
+    * frontier form's two separate cycle guards (maxIter for sourced
+    * cycles, the layered-count check for source-less ones).
+    *
+    * Scale trade, same as [[closureDoubling]]: the relation holds
+    * O(reachable pairs) rows — bounded by V², not E — where the frontier
+    * form holds only level sets. Use this form when depth is the enemy
+    * ([[topoLayers]] auto-switches past its `switchDepth`); use the
+    * frontier form when the DAG is shallow and wide.
+    *
+    * `onRound` is a test/telemetry hook called once per squaring round
+    * (TraversalSpec proves a 63-level chain converges in ≤ 7). */
+  def topoLayersDoubling(edges: DataFrame, maxRounds: Int = 40,
+                         prepEdges: Boolean = true,
+                         onRound: Int => Unit = _ => ()): DataFrame = {
+    val e = prep(edges, prepEdges)
+    val base = e.select(col("src"), col("dst")) // salt-free view for compose joins
+    var r = base.distinct().withColumn("d", lit(1L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var live = List(r)
+    // one job per round: materializes the round's cache AND answers
+    // (pairs, Σd widened past BIGINT, self-pairs) for convergence + cycles
+    def stats(df: DataFrame): (Long, java.math.BigDecimal, Long) = {
+      val row = df.agg(count(lit(1)), sum(col("d").cast("decimal(38,0)")),
+        count(when(col("src") === col("dst"), 1))).head
+      (row.getLong(0), row.getDecimal(1), row.getLong(2))
+    }
+    def assertAcyclic(selfPairs: Long): Unit =
+      if (selfPairs > 0) {
+        live.foreach(_.unpersist(false))
+        if (prepEdges) e.unpersist(false)
+        throw new IllegalArgumentException(
+          s"topoLayersDoubling: $selfPairs vertex(es) reach themselves — " +
+            "the graph contains a cycle; longest-path layering is defined " +
+            "on DAGs only")
+      }
+    var (n0, s0, cyc0) = stats(r)
+    assertAcyclic(cyc0)
+    var round = 0
+    var done = n0 == 0 // edge-less input layers nothing
+    while (!done) {
+      round += 1
+      onRound(round)
+      require(round <= maxRounds,
+        s"topoLayersDoubling did not converge in $maxRounds rounds — " +
+          s"a DAG deeper than 2^${maxRounds - 1}?")
+      val squared = r.select(col("src"), col("dst").as("__m"), col("d").as("d1"))
+        .join(r.select(col("src").as("__m"), col("dst"), col("d").as("d2"))
+          .hint("shuffle_hash"), "__m")
+        .select(col("src"), col("dst"), (col("d1") + col("d2")).as("d"))
+        .unionByName(r)
+        .groupBy(col("src"), col("dst")).agg(max(col("d")).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      live ::= squared
+      val (n1, s1, cyc1) = stats(squared)
+      assertAcyclic(cyc1)
+      if (n1 == n0 && s1.compareTo(s0) == 0) done = true
+      else {
+        n0 = n1; s0 = s1; r = squared
+        if (round % checkpointEvery == 0) {
+          // cap the self-composed plan depth on very deep graphs
+          val cutR = cut(r)
+          live.foreach(_.unpersist(false)); live = Nil
+          r = cutR.persist(StorageLevel.MEMORY_AND_DISK)
+          live = List(r)
+        }
+      }
+    }
+    val srcIds = base.select(col("src").as("id")).distinct()
+    val dstIds = base.select(col("dst").as("id")).distinct()
+    val sources = srcIds.join(dstIds, Seq("id"), "left_anti")
+    val out = sources.withColumn("layer", lit(0L))
+      .unionByName(
+        r.join(sources.select(col("id").as("src")), "src")
+          .select(col("dst").as("id"), col("d").as("layer")))
+      .groupBy(col("id")).agg(max(col("layer")).as("layer"))
+    val frozen = cut(out)
+    // belt-and-braces twin of the frontier form's guard (a cycle throws
+    // above, so this can only fire on a logic regression)
+    val nVerts = srcIds.unionByName(dstIds).distinct().count()
+    val nLayered = frozen.count()
+    live.foreach(_.unpersist(false))
+    if (prepEdges) e.unpersist(false)
+    require(nLayered == nVerts,
+      s"topoLayersDoubling: ${nVerts - nLayered} of $nVerts edge-touching " +
+        "vertices are unreachable from any in-degree-0 source")
     frozen
   }
 
@@ -1026,20 +1152,20 @@ object Traversal {
   private def hopSweep(edges: DataFrame, maxHop: Int): (DataFrame, DataFrame) = {
     val key = (edges.queryExecution.analyzed.canonicalized, maxHop)
     val spark = edges.sparkSession
-    val cached = sweepMemo.computeIfAbsent(key, { _ =>
+    val cached = sweepMemo.getOrElseUpdate(key) {
       val verts = vertices(edges)
       val hist = khop(edges, verts, maxHop, dedupStart = false)
         .filter(col("origin") =!= col("node"))
         .groupBy(col("origin"), col("hop").cast("long").as("hop"))
         .agg(count(lit(1)).as("n"))
       (memoize(verts), memoize(hist))
-    })
+    }
     (rehydrate(spark, cached._1), rehydrate(spark, cached._2))
   }
 
-  private val sweepMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val sweepMemo = new MemoCache[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-    (MemoVal, MemoVal)]()
+    (MemoVal, MemoVal)](8, { case (a, b) => unpersistMemo(a); unpersistMemo(b) })
 
   /** Size-guarded session-memo payload: at or under the heap-derived
     * [[defaultSmallCutoff]] (the minLabel discipline) the frame collects to
@@ -1068,6 +1194,33 @@ object Traversal {
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(rows.asJava, schema)
     case Right(df) => df
+  }
+  private def unpersistMemo(v: MemoVal): Unit = v match {
+    case Right(df) => df.unpersist(false)
+    case Left(_) => ()
+  }
+
+  /** Bounded session memo: LRU over the last `maxEntries` distinct keys,
+    * evicting oldest-used with an unpersist hook. Unbounded memos were
+    * ADVICE r13's leak — a long session touching many distinct
+    * over-cutoff graphs (each memo entry = a persisted frame + its full
+    * canonicalized logical plan as the key) would accumulate cached
+    * blocks and plan trees for the JVM lifetime. 8 entries comfortably
+    * covers the gate board's sharing pattern (each memo serves 2-4 gates
+    * over 1-2 distinct graphs) while capping session growth at a handful
+    * of persisted frames per memo. Value computation runs inside the
+    * lock — same single-flight discipline computeIfAbsent gave. */
+  private final class MemoCache[K, V](maxEntries: Int, onEvict: V => Unit) {
+    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        if (size() > maxEntries) { onEvict(e.getValue); true } else false
+    }
+    def getOrElseUpdate(k: K)(v: => V): V = m.synchronized {
+      val got = m.get(k)
+      if (got != null) got
+      else { val nv = v; m.put(k, nv); nv }
+    }
+    private[graft] def size: Int = m.synchronized(m.size())
   }
 
   /** Densest-subgraph parallel peeling (Bahmani–Kumar–Vassilvitskii,
@@ -1127,14 +1280,17 @@ object Traversal {
   def labelPropagationMemo(edges: DataFrame, rounds: Int = 4): DataFrame = {
     val key = (edges.queryExecution.analyzed.canonicalized, rounds)
     val spark = edges.sparkSession
-    val cached = lpaMemo.computeIfAbsent(key, { _ =>
+    val cached = lpaMemo.getOrElseUpdate(key) {
       memoize(labelPropagation(edges, rounds))
-    })
+    }
     rehydrate(spark, cached)
   }
 
-  private val lpaMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), MemoVal]()
+  private val lpaMemo = new MemoCache[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), MemoVal](
+    8, unpersistMemo)
+  /** Test hook: the LRU bound is the observable (TraversalSpec). */
+  private[graft] def lpaMemoSize: Int = lpaMemo.size
 
   def neighborhoodFunction(edges: DataFrame, maxHop: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1364,14 +1520,15 @@ object Traversal {
     // assumes immutable sources.
     val key = (edges.queryExecution.analyzed.canonicalized, maxHop)
     val spark = edges.sparkSession
-    val cached = stressMemo.computeIfAbsent(key, { _ =>
+    val cached = stressMemo.getOrElseUpdate(key) {
       memoize(stressCentralityUncached(edges, maxHop))
-    })
+    }
     rehydrate(spark, cached)
   }
 
-  private val stressMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), MemoVal]()
+  private val stressMemo = new MemoCache[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), MemoVal](
+    8, unpersistMemo)
 
   private def stressCentralityUncached(edges: DataFrame, maxHop: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()

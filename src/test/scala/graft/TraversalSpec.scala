@@ -107,6 +107,67 @@ class TraversalSpec extends AnyFunSuite {
     }
   }
 
+  test("topoLayersDoubling: log-depth layering — 63-level chain in ≤7 rounds") {
+    // 64-vertex path 0->1->...->63: critical path 63. The frontier form
+    // needs ~32 probe jobs; max-plus squaring must do it in ⌈log₂ 63⌉+1=7
+    // composition rounds (6 to cover depth 63, 1 to observe the fixpoint).
+    val chain = edgesDF((0L until 63L).map(i => (i, i + 1)))
+    var rounds = 0
+    val lay = Traversal.topoLayersDoubling(chain, onRound = r => rounds = r)
+      .as[(Long, Long)].collect().toMap
+    assert(lay == (0L to 63L).map(i => i -> i).toMap)
+    assert(rounds <= 7, s"expected ≤7 composition rounds, took $rounds")
+    // agreement with the frontier form on a branchy DAG (diamond + tail)
+    val dag = edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L)))
+    val dbl = Traversal.topoLayersDoubling(dag).as[(Long, Long)].collect().toMap
+    assert(dbl == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L), s"got $dbl")
+    // cycles throw via the self-pair guard — sourced or source-less alike
+    assertThrows[IllegalArgumentException] {
+      Traversal.topoLayersDoubling(edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 2L))))
+    }
+    assertThrows[IllegalArgumentException] {
+      Traversal.topoLayersDoubling(edgesDF(Seq((1L, 2L), (7L, 8L), (8L, 7L))))
+    }
+  }
+
+  test("topoLayers auto-switches to doubling past switchDepth, same answer") {
+    // depth-40 chain with switchDepth=4: the frontier loop hands off to
+    // doubling after 4 levels and the result must be identical
+    val chain = edgesDF((0L until 40L).map(i => (i, i + 1)))
+    val lay = Traversal.topoLayers(chain, maxIter = 64, switchDepth = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(lay == (0L to 40L).map(i => i -> i).toMap)
+    // a cycle fed by a source still throws on the doubling path
+    assertThrows[IllegalArgumentException] {
+      Traversal.topoLayers(
+        edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 2L))), maxIter = 64, switchDepth = 2)
+    }
+  }
+
+  test("session memos are LRU-bounded: 8 entries, evicted keys recompute right") {
+    // force the distributed (persisted) memo branch, then touch 12
+    // distinct graphs — the 8-entry LRU must cap the memo (each entry
+    // holds a persisted frame + its canonicalized plan; unbounded growth
+    // was ADVICE r13's leak) and an evicted key must recompute correctly
+    Traversal.memoCutoff = Some(0L)
+    try {
+      val first = edgesDF(Seq((1L, 2L), (2L, 3L)))
+      val r0 = Traversal.labelPropagationMemo(first, rounds = 2).collect()
+        .map(_.toString).sorted.toSeq
+      (1 until 12).foreach { i =>
+        val base = 100L * i
+        val es = edgesDF(Seq((base + 1, base + 2), (base + 2, base + 3)))
+        assert(Traversal.labelPropagationMemo(es, rounds = 2).collect().nonEmpty)
+      }
+      assert(Traversal.lpaMemoSize <= 8,
+        s"memo grew past the LRU bound: ${Traversal.lpaMemoSize}")
+      // `first` was evicted (11 newer keys) — recomputation must agree
+      val r1 = Traversal.labelPropagationMemo(first, rounds = 2).collect()
+        .map(_.toString).sorted.toSeq
+      assert(r1 == r0)
+    } finally Traversal.memoCutoff = None
+  }
+
   test("reachFix throws instead of silently truncating") {
     val e = edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
     assertThrows[IllegalStateException] {
