@@ -133,7 +133,7 @@ object Verify {
         centsCols.foreach { case (table, c) =>
           val d = spark.read.parquet(s"$sfDir/$table.parquet")
             .select(abs(col(c) * 100 - round(col(c) * 100)).as("d"))
-            .agg(max(col("d"))).head.getDouble(0)
+            .agg(max(col("d"))).head().getDouble(0)
           if (d > 1e-6) System.err.println(
             s"[verify] CENTS-PRECONDITION VIOLATION: $table.$c has values " +
               f"up to $d%.3g cents away from 2dp-exact — cents()-based " +

@@ -447,7 +447,7 @@ object Traversal {
     // (pairs, Σd widened past BIGINT, self-pairs) for convergence + cycles
     def stats(df: DataFrame): (Long, java.math.BigDecimal, Long) = {
       val row = df.agg(count(lit(1)), sum(col("d").cast("decimal(38,0)")),
-        count(when(col("src") === col("dst"), 1))).head
+        count(when(col("src") === col("dst"), 1))).head()
       (row.getLong(0), row.getDecimal(1), row.getLong(2))
     }
     def assertAcyclic(selfPairs: Long): Unit =
