@@ -55,6 +55,54 @@ object Probe {
         .groupBy(col("key")).agg(count(lit(1)).as("n_customers"))
         .explain("formatted")
     }
+    // Dev-only connector-scaling measurement (SCALE.md round 14): the
+    // paged connector's scale axis is PAGE COUNT, not the sf dir (the
+    // gate corpus is fixture-served and constant-size). Batch: one
+    // partition per page, so wall-clock should track pages/parallelism.
+    // Stream: trigger count = pages/pagesPerTrigger — at a FIXED
+    // pagesPerTrigger the cost is micro-batch scheduling, which is why
+    // production sizes admission to the arrival rate (the proportional
+    // row keeps trigger count constant across the 10× step).
+    if (args.contains("paged-scale")) {
+      val s2 = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s2.sparkContext.setLogLevel("ERROR")
+      val url = sources.PagedApiFixture.baseUrl
+      def time(pages: Int): Double = {
+        val t0 = System.nanoTime()
+        val n = s2.read.format("graft.sources.PagedApiSource")
+          .option("url", s"$url?pages=$pages").option("pages", pages)
+          .option("pageSize", 50).option("minIntervalMs", 0)
+          .load().count()
+        require(n == pages * 50L)
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq(12, 120, 1200).foreach { p =>
+        val best = (1 to 3).map(_ => time(p)).min
+        println(f"[probe] paged batch  pages=$p%5d rows=${p * 50}%7d best=$best%.3f s")
+      }
+      def timeStream(pages: Int, perTrigger: Int): Double = {
+        val tmp = java.nio.file.Files.createTempDirectory("probe-sw").toString
+        val t0 = System.nanoTime()
+        val q = s2.readStream.format("graft.sources.PagedApiSource")
+          .option("url", s"$url?pages=$pages").option("pages", pages)
+          .option("pageSize", 50).option("minIntervalMs", 0)
+          .option("pagesPerTrigger", perTrigger)
+          .load()
+          .writeStream.format("parquet").option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ck").outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq((12, 2), (120, 2), (120, 20)).foreach { case (p, pt) =>
+        val best = (1 to 3).map(_ => timeStream(p, pt)).min
+        println(f"[probe] paged stream pages=$p%5d perTrigger=$pt%3d triggers=${p / pt}%3d best=$best%.3f s")
+      }
+      s2.stop(); return
+    }
+
     // Dev-only repro of the closureDoubling union/constraint analysis trap.
     if (args.contains("dbg")) {
       val chain = (0L until 63L).map(i => (i, i + 1))
