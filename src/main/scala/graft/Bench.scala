@@ -116,6 +116,10 @@ object Bench {
       controlGates.filter(SparkEntry.queries.contains).map(run).filter(_ >= 0).sum
     // dev-mode single-gate adjudication runs skip the calibration passes
     val calibrate = args.isEmpty
+    // one UNTIMED control pass first: the factor must read host drift,
+    // not first-run JIT/cache warmup (the uncalibrated r14 dry run read
+    // 0.33 — i.e. 3× "speedup" — purely from measuring a cold start)
+    if (calibrate) controlTotal()
     val controlStart = if (calibrate) controlTotal() else 0.0
 
     val samples = scala.collection.mutable.Map[String, List[Double]]()
