@@ -32,8 +32,15 @@ private[graft] object JsonLite {
     v
   }
 
+  /** Nesting ceiling: a hostile/broken server streaming `[[[[...` must
+    * fail as the transport's IOException, not kill the executor task with
+    * a StackOverflowError (an Error escapes every retry classifier). 500
+    * is two orders past any real API response shape. */
+  private val MaxDepth = 500
+
   private final class Parser(s: String) {
     var i = 0
+    private var depth = 0
 
     def fail(msg: String): Nothing =
       throw new java.io.IOException(s"JSON error at offset $i: $msg")
@@ -51,8 +58,8 @@ private[graft] object JsonLite {
     def value(): Any = {
       if (i >= s.length) fail("unexpected end of input")
       s.charAt(i) match {
-        case '{' => obj()
-        case '[' => arr()
+        case '{' => nested(obj())
+        case '[' => nested(arr())
         case '"' => str()
         case 't' => word("true", java.lang.Boolean.TRUE)
         case 'f' => word("false", java.lang.Boolean.FALSE)
@@ -60,6 +67,14 @@ private[graft] object JsonLite {
         case c if c == '-' || (c >= '0' && c <= '9') => num()
         case c => fail(s"unexpected character '$c'")
       }
+    }
+
+    private def nested[A](body: => A): A = {
+      depth += 1
+      if (depth > MaxDepth) fail(s"nesting deeper than $MaxDepth")
+      val v = body
+      depth -= 1
+      v
     }
 
     private def word(w: String, v: Any): Any = {
@@ -162,10 +177,17 @@ private[graft] object JsonLite {
       }
       val text = s.substring(start, i)
       if (text.isEmpty || text == "-") fail("malformed number")
-      if (integral)
-        try java.lang.Long.parseLong(text): Any
-        catch { case _: NumberFormatException => java.lang.Double.parseDouble(text): Any }
-      else java.lang.Double.parseDouble(text)
+      // parse failures (e.g. a bare "1e" the scanner let through) must be
+      // the transport's IOException, not a raw NumberFormatException that
+      // escapes its malformed-response classification
+      try {
+        if (integral)
+          try java.lang.Long.parseLong(text): Any
+          catch { case _: NumberFormatException => java.lang.Double.parseDouble(text): Any }
+        else java.lang.Double.parseDouble(text)
+      } catch {
+        case _: NumberFormatException => fail(s"malformed number '$text'")
+      }
     }
   }
 }

@@ -308,7 +308,9 @@ class HttpPageTransport(url: String, pageSize: Int,
           if (attempt > maxRetries)
             throw new java.io.IOException(
               s"page '$pageToken' failed after $maxRetries retries: ${e.getMessage}", e)
-          Thread.sleep(minIntervalMs.max(1L) << (attempt - 1)) // exponential backoff
+          // exponential backoff; shift clamped so a large maxRetries can
+          // never overflow the Long into a negative sleep
+          Thread.sleep(minIntervalMs.max(1L) << math.min(attempt - 1, 20))
       }
     }
     throw new IllegalStateException("unreachable")

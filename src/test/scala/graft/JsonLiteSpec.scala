@@ -55,4 +55,20 @@ class JsonLiteSpec extends AnyFunSuite {
       intercept[java.io.IOException](JsonLite.parse(b))
     }
   }
+
+  test("malformed exponent fails as IOException, not NumberFormatException") {
+    // the scanner accepts a dangling 'e'; the parse step must still fail
+    // inside the transport's IOException classification
+    Seq("1e", "[3.e]", """{"a":2E+}""").foreach { b =>
+      intercept[java.io.IOException](JsonLite.parse(b))
+    }
+  }
+
+  test("hostile nesting fails as IOException, not StackOverflowError") {
+    val deep = "[" * 100000 // a server streaming brackets must not kill the task
+    intercept[java.io.IOException](JsonLite.parse(deep))
+    // legitimate nesting well inside the ceiling still parses
+    val ok = ("[" * 100) + "1" + ("]" * 100)
+    assert(JsonLite.parse(ok) != null)
+  }
 }
