@@ -348,11 +348,17 @@ object Traversal {
                  prepEdges: Boolean = true, switchDepth: Int = 32): DataFrame = {
     val e = prep(edges, prepEdges)
     val srcIds = e.select(col("src").as("id")).distinct()
+    // persisted: the anti-join below probes it AND the final guard counts
+    // it — |srcIds ∪ dstIds| = |S₀| + |dstIds| exactly (S₀ = srcIds \
+    // dstIds is disjoint from dstIds), so the census needs NO extra
+    // union-distinct shuffle over the full vertex set
     val dstIds = e.select(col("dst").as("id")).distinct()
-    var cur = srcIds.join(dstIds, Seq("id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val s0 = srcIds.join(dstIds, Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = s0
     var levels = List(cur.withColumn("layer", lit(0L)))
-    var live = List(cur)
+    var live = List(cur, dstIds)
     var k = 0L
     var done = false
     while (!done) {
@@ -374,7 +380,7 @@ object Traversal {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val n2 = stepIds(n1, e).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (n2.isEmpty) {
+      if (timed(s"topo levels ${k + 1}-${k + 2}")(n2.isEmpty)) {
         n2.unpersist(false)
         if (n1.isEmpty) n1.unpersist(false)
         else { levels ::= n1.withColumn("layer", lit(k + 1)); live ::= n1 }
@@ -389,15 +395,15 @@ object Traversal {
     }
     val out = levels.reduce(_ unionByName _)
       .groupBy(col("id")).agg(max(col("layer")).as("layer"))
-    val frozen = cut(out)
+    val frozen = timed("topo final max-agg")(cut(out))
     // Contract guard: every edge-touching vertex must be layered. A
     // source-less cycle is unreachable from S₀, so the loop above
     // converges with those vertices silently MISSING — a wrong answer
     // maxIter alone cannot catch (it only fires when a cycle is fed by a
-    // source). Both counts are cheap: `frozen` is materialized and the
-    // distinct rides the same shuffle layout as S₀'s.
-    val nVerts = srcIds.unionByName(dstIds).distinct().count()
-    val nLayered = frozen.count()
+    // source). All three counts read persisted/materialized frames; no
+    // new shuffle runs for the guard.
+    val nVerts = timed("topo vertex census")(s0.count() + dstIds.count())
+    val nLayered = timed("topo layered count")(frozen.count())
     live.foreach(_.unpersist(false))
     if (prepEdges) e.unpersist(false)
     require(nLayered == nVerts,
@@ -469,31 +475,40 @@ object Traversal {
       require(round <= maxRounds,
         s"topoLayersDoubling did not converge in $maxRounds rounds — " +
           s"a DAG deeper than 2^${maxRounds - 1}?")
-      val squared = r.select(col("src"), col("dst").as("__m"), col("d").as("d1"))
-        .join(r.select(col("src").as("__m"), col("dst"), col("d").as("d2"))
-          .hint("shuffle_hash"), "__m")
-        .select(col("src"), col("dst"), (col("d1") + col("d2")).as("d"))
-        .unionByName(r)
-        .groupBy(col("src"), col("dst")).agg(max(col("d")).as("d"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      live ::= squared
+      // cut() EVERY round (the closureDoubling discipline): the squaring
+      // self-joins r with itself, so without a lineage cut the LOGICAL
+      // plan doubles per round — 2^rounds subtrees that the analyzer and
+      // optimizer re-walk on every subsequent round even though the data
+      // is persisted (caching short-circuits execution, not analysis;
+      // measured: the 63-level chain spec went minutes → seconds). The
+      // checkpoint IS the round's materialization and cache — no extra
+      // persist layer; superseded rounds drop via the context cleaner.
+      val squared = cut(
+        r.select(col("src"), col("dst").as("__m"), col("d").as("d1"))
+          .join(r.select(col("src").as("__m"), col("dst"), col("d").as("d2"))
+            .hint("shuffle_hash"), "__m")
+          .select(col("src"), col("dst"), (col("d1") + col("d2")).as("d"))
+          .unionByName(r)
+          .groupBy(col("src"), col("dst")).agg(max(col("d")).as("d")))
       val (n1, s1, cyc1) = stats(squared)
       assertAcyclic(cyc1)
+      live.foreach(_.unpersist(false))
+      live = Nil
+      // on the fixpoint round squared == r in content; using squared (the
+      // freshly materialized frame) either way keeps exactly one live frame
+      r = squared
       if (n1 == n0 && s1.compareTo(s0) == 0) done = true
-      else {
-        n0 = n1; s0 = s1; r = squared
-        if (round % checkpointEvery == 0) {
-          // cap the self-composed plan depth on very deep graphs
-          val cutR = cut(r)
-          live.foreach(_.unpersist(false)); live = Nil
-          r = cutR.persist(StorageLevel.MEMORY_AND_DISK)
-          live = List(r)
-        }
-      }
+      else { n0 = n1; s0 = s1 }
     }
     val srcIds = base.select(col("src").as("id")).distinct()
+    // persisted: probed by the anti-join, fed to the layer join, and
+    // counted by the guard — |srcIds ∪ dstIds| = |sources| + |dstIds|
+    // exactly (disjoint by construction), no union-distinct shuffle
     val dstIds = base.select(col("dst").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sources = srcIds.join(dstIds, Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    live = sources :: dstIds :: live
     val out = sources.withColumn("layer", lit(0L))
       .unionByName(
         r.join(sources.select(col("id").as("src")), "src")
@@ -502,7 +517,7 @@ object Traversal {
     val frozen = cut(out)
     // belt-and-braces twin of the frontier form's guard (a cycle throws
     // above, so this can only fire on a logic regression)
-    val nVerts = srcIds.unionByName(dstIds).distinct().count()
+    val nVerts = sources.count() + dstIds.count()
     val nLayered = frozen.count()
     live.foreach(_.unpersist(false))
     if (prepEdges) e.unpersist(false)
