@@ -197,6 +197,34 @@ private[graft] object GatesEtl extends GateFamily {
             .as("text_hash_sum"))
     }),
 
+    // Parquet BLOOM-FILTER point lookup: orders written UNSORTED (rows
+    // scrambled by a hash sort, so every row group's o_orderkey min/max
+    // spans ~the whole key range and stats pruning is structurally
+    // impossible) with a bloom filter on o_orderkey and small row
+    // groups. The point lookup's pushed filter then reaches parquet-mr's
+    // RowGroupFilter, whose bloom level drops whole row groups the keys
+    // cannot be in — the 100 TB answer to "find 5 keys in an unsorted
+    // corpus": O(row groups) bloom probes instead of a full scan, no
+    // sort, no shuffle, no external index. StorageAndExportSpec proves
+    // the footer carries the filter, that absent keys reject groups, and
+    // that omitting the option leaves no index; this gate proves the
+    // lookup through the real Spark scan is exact (keys chosen so some
+    // exist at every SF and some never do).
+    "o4_bloom_skipping" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val path = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(4)
+        .sortWithinPartitions(functions.Hashing.md5Long(col("o_orderkey")))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_orderkey", "200000")
+        .option("parquet.block.size", (256 * 1024).toString)
+        .parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_orderkey").isin(1L, 7L, 4099L, 65541L, 999999999L))
+    }),
+
     "o1_orc_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val path = java.nio.file.Files.createTempDirectory("graft-orc").toString
@@ -278,6 +306,11 @@ private[graft] object GatesEtl extends GateFamily {
         |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000000)
         |    AS BIGINT) AS text_hash_sum
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // the bloom-indexed point lookup is the identity on the filtered keys
+    "o4_bloom_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (1, 7, 4099, 65541, 999999999)""".stripMargin,
 
     // the o1 digest restricted to the pruned partition.
     "o3_partition_prune" ->

@@ -221,4 +221,67 @@ class StorageAndExportSpec extends AnyFunSuite {
       rm(dir)
     }
   }
+
+  test("parquet bloom filters: footer carries the index, absent keys reject groups") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    // 20k scrambled ids in small row groups: min/max stats are useless by
+    // construction (every group spans ~the full range), so the bloom
+    // index is the ONLY thing that can skip a group on a point lookup —
+    // the o4 gate's layout, verified here at the parquet-mr footer level.
+    val n = 20000L
+    val rows = spark.range(n).select(col("id"))
+      .repartition(2)
+      .sortWithinPartitions(graft.functions.Hashing.md5Long(col("id")))
+    val dir = Files.createTempDirectory("graft-bloomspec").toString
+    rows.write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#id", "true")
+      .option("parquet.bloom.filter.expected.ndv#id", n.toString)
+      .option("parquet.block.size", (64 * 1024).toString)
+      .parquet(s"$dir/indexed")
+    rows.write.mode("overwrite").parquet(s"$dir/plain")
+    def withReaders[A](sub: String)(f: Seq[ParquetFileReader] => A): A = {
+      val readers = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(p => ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.getAbsolutePath), new Configuration())))
+        .toSeq
+      try f(readers) finally readers.foreach(_.close())
+    }
+    def idCol(g: org.apache.parquet.hadoop.metadata.BlockMetaData) =
+      g.getColumns.asScala.find(_.getPath.toDotString == "id").get
+    withReaders("indexed") { readers =>
+      val groups = readers.flatMap(r =>
+        r.getFooter.getBlocks.asScala.toSeq.map(r -> _))
+      assert(groups.length >= 2, s"expected >=2 row groups, got ${groups.length}")
+      // 1) every group's footer carries a bloom filter for id
+      groups.foreach { case (_, g) => assert(idCol(g).getBloomFilterOffset >= 0,
+        "bloom filter missing from a row group footer") }
+      // 2) a PRESENT key is claimed by at least one group somewhere; an
+      //    ABSENT key is rejected by at least one group (every-group
+      //    false-positive on a 20k-ndv filter is ~impossible, and the
+      //    write is deterministic either way)
+      val blooms = groups.map { case (r, g) =>
+        r.getBloomFilterDataReader(g).readBloomFilter(idCol(g))
+      }
+      def contains(v: Long) = blooms.count(b => b.findHash(b.hash(v)))
+      assert(contains(123L) >= 1, "present key rejected by every group's bloom")
+      assert(contains(987654321L) < blooms.length,
+        "absent key accepted by every group — index content is broken")
+    }
+    // 3) the control write carries NO index
+    withReaders("plain") { readers =>
+      readers.flatMap(_.getFooter.getBlocks.asScala).foreach { g =>
+        assert(idCol(g).getBloomFilterOffset < 0,
+          "bloom filter present without the option")
+      }
+    }
+    // 4) end-to-end through the real Spark scan: the point lookup is exact
+    val got = spark.read.parquet(s"$dir/indexed")
+      .filter(col("id").isin(123L, 4567L, 987654321L))
+      .as[Long].collect().sorted
+    assert(got.toSeq == Seq(123L, 4567L))
+  }
 }
