@@ -34,3 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC thrash and 2-3x run-to-run variance; the box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+// Per-test durations in the report (-oD): the suite is ~360 Spark tests
+// across 20 suites — without durations a slow test hides inside an
+// 11-minute total (the round-14 topoLayersDoubling plan-blowup sat
+// invisible at ~10 min until timed by hand).
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
