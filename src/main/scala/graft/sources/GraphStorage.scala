@@ -21,11 +21,27 @@ import graft.graph.PropertyGraph
   */
 object GraphStorage {
 
-  /** B13 — partitioned multi-sink write of a whole graph. */
+  /** B13 — partitioned multi-sink write of a whole graph.
+    *
+    * Bloom indexes ride the layout (the o4 mechanism, see PLANS.md §o4):
+    * a point lookup is `(label, key)` — the label half is the directory
+    * prune, and the bloom on `key`/`id` is the in-file half, dropping
+    * whole row groups of a big label's many files without any sort.
+    * Edges sort by `src` (min/max stats already prune that side), so the
+    * bloom goes on `dst`, the reverse-lookup key that crosses the sort
+    * order. Filters are ADAPTIVE-sized (parquet-mr sizes each from the
+    * row group's observed ndv) — no hand-tuned ndv hint to go stale. */
   def write(g: PropertyGraph, path: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
-    g.vertices.write.mode(mode).partitionBy("label").parquet(s"$path/vertices")
+    g.vertices.write.mode(mode)
+      .option("parquet.bloom.filter.enabled#id", "true")
+      .option("parquet.bloom.filter.enabled#key", "true")
+      .option("parquet.bloom.filter.adaptive.enabled", "true")
+      .partitionBy("label").parquet(s"$path/vertices")
     g.edges.repartition(col("src")).sortWithinPartitions(col("src"))
-      .write.mode(mode).parquet(s"$path/edges")
+      .write.mode(mode)
+      .option("parquet.bloom.filter.enabled#dst", "true")
+      .option("parquet.bloom.filter.adaptive.enabled", "true")
+      .parquet(s"$path/edges")
   }
 
   /** A18 — bulk load: reconstruct the graph from storage. */

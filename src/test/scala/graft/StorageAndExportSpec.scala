@@ -147,6 +147,26 @@ class StorageAndExportSpec extends AnyFunSuite {
     val back = GraphStorage.load(spark, dir)
     assert(back.vertices.count() == 2 && back.edges.count() == 1)
     assert(back.hasLabel("user").select("key").as[String].head() == "a")
+    // the layout carries its point-lookup index: every vertex file blooms
+    // id+key (the in-file half of the (label, key) lookup), every edge
+    // file blooms dst (the reverse-lookup key the src sort cannot prune)
+    def bloomCols(sub: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$dir/$sub")).flatMap { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.getAbsolutePath),
+            new org.apache.hadoop.conf.Configuration()))
+        try r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala
+          .filter(_.getBloomFilterOffset >= 0).map(_.getPath.toDotString))
+        finally r.close()
+      }.toSet
+    }
+    assert(bloomCols("vertices") == Set("id", "key"))
+    assert(bloomCols("edges") == Set("dst"))
   }
 
   test("bulk merge is idempotent across replays (A18)") {
