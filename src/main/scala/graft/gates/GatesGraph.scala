@@ -91,6 +91,25 @@ private[graft] object GatesGraph extends GateFamily {
       g.lookup("customer", "42").select(col("id"), col("label"), col("key"))
     }),
 
+    // A20 AT REST — the same point lookup through a FRESH disk store
+    // written by GraphStorage.write's bloom-indexed layout: hasLabel is
+    // the label=customer directory prune (no other label's file is even
+    // opened), and key = '42' is a pushed string filter parquet's key
+    // bloom answers per row group (the o4 mechanism on the store's own
+    // files — the lookup path that exists after a restart, when no
+    // session cache does). Oracle identical in shape to a20's: the disk
+    // path must be indistinguishable from the cache path.
+    "a20b_point_lookup_disk" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      val sub = PropertyGraph(
+        g.V.filter(col("label").isin("customer", "nation", "region")),
+        g.E.filter(expr(s"src div $B") === 2)) // the nation→region edges
+      val path = java.nio.file.Files.createTempDirectory("graft-a20b").toString
+      sources.GraphStorage.write(sub, path)
+      sources.GraphStorage.load(s, path)
+        .lookup("customer", "42").select(col("id"), col("label"), col("key"))
+    }),
+
     // A7 — out-edge expansion: all out-edges of nation vertices.
     "a07_out_edges" -> ((s, dir) => {
       val g = GraphStore.get(s, dir)
@@ -447,6 +466,11 @@ private[graft] object GatesGraph extends GateFamily {
         |  CAST((SELECT count(*) FROM e) AS BIGINT) AS edges""".stripMargin,
 
     "a20_point_lookup" ->
+      """SELECT 3*72057594037927936 + c_custkey AS id, 'customer' AS label,
+        |CAST(c_custkey AS VARCHAR) AS key FROM customer WHERE c_custkey = 42""".stripMargin,
+
+    // the disk-store twin returns the identical row
+    "a20b_point_lookup_disk" ->
       """SELECT 3*72057594037927936 + c_custkey AS id, 'customer' AS label,
         |CAST(c_custkey AS VARCHAR) AS key FROM customer WHERE c_custkey = 42""".stripMargin,
 
