@@ -347,6 +347,35 @@ private[graft] object GatesQuality extends GateFamily {
         .withColumn("err", col("est") - col("exact"))
     }),
 
+    // Datasketches HLL with PERSISTABLE, MERGEABLE state — the fourth
+    // distinct-count design point (cd2 approx_count_distinct: one-shot;
+    // cd3 KMV: mergeable order stats; cd9 bloom: fill-based) and the one
+    // production actually stores: per-day sketches land as binary columns,
+    // and "distinct users any date range" is hll_union_agg over the
+    // range's rows — no recount of raw events, ever. The raw estimates
+    // are Datasketches-internal (not replayable in the DuckDB oracle), so
+    // the gate hash-pins what IS exact — day count, exact distinct — and
+    // self-evaluates both estimate paths in-row at 3σ for lgK=12
+    // (|est − exact| ≤ 5%·exact): the whole-corpus sketch AND the
+    // union-of-daily-sketches must both land inside the bound, proving
+    // the merge path loses nothing a user would notice. Deterministic
+    // data ⇒ deterministic booleans.
+    "cd11_hll_union" -> ((s, dir) => {
+      val ev = events(s, dir).select(to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      val merged = daily.agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+          .as("est_merged"))
+      val whole = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("est_whole"),
+        countDistinct(col("user_id")).as("n_exact"))
+      merged.crossJoin(whole).select(
+        col("n_days"), col("n_exact"),
+        (abs(col("est_whole") - col("n_exact")) * 20 <= col("n_exact")).as("whole_ok"),
+        (abs(col("est_merged") - col("n_exact")) * 20 <= col("n_exact")).as("merged_ok"))
+    }),
+
     "cd9_bloom_cardinality" -> ((s, dir) => {
       val m = 65536L
       val vals = t(s, dir, "orders")
@@ -645,6 +674,15 @@ private[graft] object GatesQuality extends GateFamily {
          |  CAST(sum(est_i) - max(est_i) - min(est_i) - exact AS BIGINT) AS err
          |FROM e GROUP BY k, exact""".stripMargin
     },
+
+    // The Datasketches estimates are not replayable in SQL; the oracle
+    // pins the exact columns and asserts the in-row 3σ self-evaluations
+    // hold (a broken merge or estimator flips a pinned boolean).
+    "cd11_hll_union" ->
+      """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS whole_ok, TRUE AS merged_ok
+        |FROM events""".stripMargin,
 
     // Fill and exact count are both integers; the one double (ln of an
     // exact rational) lands identically, same discipline as t_bm25's ln.
