@@ -622,6 +622,48 @@ object Traversal {
     * Convergence witness: empty delta — exact, type-agnostic, and the
     * delta's eager checkpoint doubles as the cache fill. */
   def closureDoubling(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // SOURCE PEEL (round 14): an in-degree-0 vertex cannot sit on a cycle
+    // and no path passes THROUGH it (an edge into it would give it
+    // in-degree), so
+    //   closure(G) = closure(core) ⊎ (srcE ∪ srcE∘closure(core))
+    // with srcE = the edges LEAVING in-degree-0 vertices and core = the
+    // rest (every out-edge of a reached vertex is a core edge, so the
+    // decomposition is exact). On fact-over-dimension graphs — the a14
+    // shape: 600k lineitem sources over a 190k-vertex upper graph at
+    // sf0.1, or fact tables over dimension chains at 100 TB — this keeps
+    // every iterative round on the SMALL core; source rows pay one
+    // compose join and one distinct, never a per-round recompose. The
+    // two origin sets are disjoint (a source origin is never a core
+    // vertex), so the outer union needs no cross-set dedup. Cycles, if
+    // any, live entirely in the core and keep their set-semantics
+    // treatment there.
+    val e0 = edges.select(col("src"), col("dst"))
+    val dstIds = e0.select(col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcE = e0.join(dstIds.select(col("dst").as("src")), Seq("src"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ckptOut: DataFrame => DataFrame = df =>
+      org.apache.spark.sql.graft.CheckpointUtil.dropConstraints(cut(df))
+    val coreE = e0.join(dstIds.select(col("dst").as("src")), Seq("src"), "left_semi")
+    val cCore = doublingBody(coreE, maxIter)
+    // one eager job covers the whole peeled side — direct edges plus the
+    // compose — and a graph with no sources just checkpoints an empty
+    // frame here (cheaper than probing emptiness with its own count job)
+    val srcPairs = timed("peel: source compose")(ckptOut(
+      srcE.select(col("src").as("origin"), col("dst").as("node"))
+        .unionByName(
+          srcE.join(cCore.hint("shuffle_hash"),
+            srcE("dst") === cCore("origin"))
+            .select(srcE("src").as("origin"), cCore("node").as("node")))
+        .distinct()))
+    srcE.unpersist(false)
+    dstIds.unpersist(false)
+    cCore.unionByName(srcPairs)
+  }
+
+  /** The recursive-doubling loop proper, on a (src, dst) edge frame —
+    * see [[closureDoubling]] for the semi-naive derivation. */
+  private def doublingBody(edges: DataFrame, maxIter: Int): DataFrame = {
     // Seed with TWO levels (E ∪ E∘E) in one job: a doubling round costs a
     // full compose-distinct-anti cycle whatever its size, so folding the
     // first compose into the seed drops one round from every run. Using
