@@ -25,6 +25,18 @@ private[graft] object GateSupport {
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraphBuilder.table(s, dir, name)
 
+  /** Scope a streaming gate's query to `n` shuffle partitions: shuffle
+    * count = state-store instances per stateful operator per micro-batch
+    * (a stream-stream join provisions FOUR per partition), and 32 stores
+    * for a 150k-row gate feed is pure setup overhead — real deployments
+    * size this to state volume. The conf pins at query START and is
+    * restored right after, so batch gates are unaffected. */
+  private[graft] def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Exact money arithmetic. Every money column in the testdata is
     * 2dp-exact (measured: max |x·100 − round(x·100)| ≤ 4e-9 across all
     * tables — and ENFORCED per run by Verify's cents-precondition audit,

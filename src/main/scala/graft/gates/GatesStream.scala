@@ -229,12 +229,14 @@ private[graft] object GatesStream extends GateFamily {
       ev.unionByName(ev.filter(col("event_id") % 3 === 0))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in")
       val name = s"sw11_out_${sinkSeq.incrementAndGet()}"
-      val q = streaming.EventPipeline.dedupStream(
-          s.readStream.schema(ev.schema).parquet(s"$tmp/in"), "1 hour")
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", s"$tmp/ck")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = streaming.EventPipeline.dedupStream(
+            s.readStream.schema(ev.schema).parquet(s"$tmp/in"), "1 hour")
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ck")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name)
     }),
 
@@ -298,13 +300,15 @@ private[graft] object GatesStream extends GateFamily {
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
       val name = s"sw15_out_${sinkSeq.incrementAndGet()}"
-      val q = streaming.EventPipeline.sessionize(
-          stream.as[streaming.EventPipeline.SessionEvent], gapMs)
-        .toDF()
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", s"$tmp/ck")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = streaming.EventPipeline.sessionize(
+            stream.as[streaming.EventPipeline.SessionEvent], gapMs)
+          .toDF()
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ck")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).filter(col("user_id") >= 0)
         .select(col("user_id"), col("start").as("session_start"),
           col("end").as("session_end"), col("n_events"))
@@ -332,17 +336,14 @@ private[graft] object GatesStream extends GateFamily {
         watermark = "1 hour", joinWindow = "30 minutes", joinType = "inner")
       val name = s"sw12_out_${sinkSeq.incrementAndGet()}"
       // A stream-stream join provisions FOUR state stores per shuffle
-      // partition; at this volume store setup dominates the join, so the
-      // streaming query runs at 8 partitions (the conf pins at query
-      // START and is restored right after — batch gates are unaffected).
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      // partition; at this volume store setup dominates the join
+      // (see GateSupport.withShufflePartitions).
+      withShufflePartitions(s, 8) {
         val q = joined.writeStream.format("memory").queryName(name)
           .option("checkpointLocation", s"$tmp/ck")
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(name)
     }),
 
@@ -388,14 +389,12 @@ private[graft] object GatesStream extends GateFamily {
         s.readStream.schema(buys.schema).option("maxFilesPerTrigger", "1").parquet(bDir),
         watermark = "1 hour", joinWindow = "30 minutes", joinType = "left_outer")
       val name = s"sw18_out_${sinkSeq.incrementAndGet()}"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      withShufflePartitions(s, 8) {
         val q = joined.writeStream.format("memory").queryName(name)
           .option("checkpointLocation", s"$tmp/ck")
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(name).filter(col("user_id") >= 0)
         .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
     }),
@@ -419,14 +418,16 @@ private[graft] object GatesStream extends GateFamily {
           .toDF("id", "label", "key", "props"),
         Seq.empty[(Long, Long, String, Int)].toDF("src", "dst", "label", "weight"))
       val state = new streaming.EventPipeline.GraphState(empty)
-      val q = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1") // force the replay into its own batch
-        .parquet(s"$tmp/in/*")
-        .writeStream
-        .option("checkpointLocation", s"$tmp/ck")
-        .foreachBatch(streaming.EventPipeline.graphMergeBatch(state, 8L * B, 9L * B) _)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1") // force the replay into its own batch
+          .parquet(s"$tmp/in/*")
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ck")
+          .foreachBatch(streaming.EventPipeline.graphMergeBatch(state, 8L * B, 9L * B) _)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val g = state.graph
       g.vertices.groupBy(col("label")).agg(count(lit(1)).as("n"))
         .select(col("label").as("part"), col("n"))
@@ -449,15 +450,17 @@ private[graft] object GatesStream extends GateFamily {
       ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.parquet(s"$tmp/in/b2")
       val state = new streaming.EventPipeline.CmState(
         Seq.empty[(Int, Long, Long)].toDF("r", "b", "c"))
-      val q = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(s"$tmp/in/*")
-        .writeStream
-        .option("checkpointLocation", s"$tmp/ck")
-        .foreachBatch(
-          streaming.EventPipeline.cmMergeBatch(state, "event_type", 4, 16) _)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$tmp/in/*")
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ck")
+          .foreachBatch(
+            streaming.EventPipeline.cmMergeBatch(state, "event_type", 4, 16) _)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val probe = operators.Sketch.cmsCells(
         ev.select(col("event_type")).distinct(), "event_type", 4, 16)
       val est = probe.join(broadcast(state.cells), Seq("r", "b"))
