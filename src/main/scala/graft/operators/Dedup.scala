@@ -782,7 +782,12 @@ object Dedup {
       .select(col("__id"), col("__s"),
         explode(concat(array(s), dels)).as("__v"))
       .dropDuplicates("__id", "__v") // adjacent equal chars repeat a variant
+    // persisted (the lshCandidates contract: evictable MEMORY_AND_DISK,
+    // no in-function unpersist on a lazily-returned result): BOTH sides
+    // of the self-join read this frame — without the cache the variant
+    // explode and the cap's count aggregate execute twice per run
     val capped = Skew.capBuckets(variants, Seq("__v"), "__id", maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col("__v"), col("__id").as("id_a"), col("__s").as("s_a"))
     val b = capped.select(col("__v"), col("__id").as("id_b"), col("__s").as("s_b"))
     a.join(b, Seq("__v"))
