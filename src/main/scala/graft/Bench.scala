@@ -112,15 +112,15 @@ object Bench {
       "q1_pricing_summary", "q5_region_revenue", "b10_dedup_rank",
       "d_minhash_lsh", "e3_cosine_neardup", "t_quality_score",
       "z1_asof_join")
-    def controlTotal(): Double =
-      controlGates.filter(SparkEntry.queries.contains).map(run).filter(_ >= 0).sum
+    def controlPass(): Map[String, Double] =
+      controlGates.filter(SparkEntry.queries.contains).map(n => n -> run(n)).toMap
     // dev-mode single-gate adjudication runs skip the calibration passes
     val calibrate = args.isEmpty
     // one UNTIMED control pass first: the factor must read host drift,
     // not first-run JIT/cache warmup (the uncalibrated r14 dry run read
     // 0.33 — i.e. 3× "speedup" — purely from measuring a cold start)
-    if (calibrate) controlTotal()
-    val controlStart = if (calibrate) controlTotal() else 0.0
+    if (calibrate) controlPass()
+    val controlStart = if (calibrate) controlPass() else Map.empty[String, Double]
 
     val samples = scala.collection.mutable.Map[String, List[Double]]()
     for (_ <- 1 to passes; n <- wanted)
@@ -135,13 +135,24 @@ object Bench {
     val medians = samples.map { case (n, ts) => n -> medOf(ts) }.toMap
     val failed = results.filter(_._2 < 0).keys.toSeq.sorted
 
-    val controlEnd = if (calibrate) controlTotal() else 0.0
-    // -1.0 = calibration unavailable (dev-mode subset run or a control
-    // gate failed); consumers treat it as "no self-calibration recorded"
+    val controlEnd = if (calibrate) controlPass() else Map.empty[String, Double]
+    // The factor compares the SAME gate set on both sides: a gate that
+    // failed in only one calibration pass would otherwise shift one sum
+    // but not the other and fabricate exactly the drift signal the
+    // feature exists to rule out. -1.0 = calibration unavailable
+    // (dev-mode subset run, or no control gate succeeded in both passes).
+    val controlBoth = controlGates.filter(n =>
+      controlStart.getOrElse(n, -1.0) >= 0 && controlEnd.getOrElse(n, -1.0) >= 0)
+    val startSum = controlBoth.map(controlStart).sum
+    val endSum = controlBoth.map(controlEnd).sum
     val windowFactor =
-      if (calibrate && controlStart > 0 && controlEnd > 0)
-        math.rint(controlEnd / controlStart * 1000) / 1000
+      if (calibrate && controlBoth.nonEmpty && startSum > 0)
+        math.rint(endSum / startSum * 1000) / 1000
       else -1.0
+    if (calibrate && controlBoth.size < controlGates.size)
+      Console.err.println("bench: window_factor computed over " +
+        s"${controlBoth.size}/${controlGates.size} control gates (rest " +
+        "failed in at least one calibration pass)")
     def fmt(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
         .mkString("{", ",", "}")

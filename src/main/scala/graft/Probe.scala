@@ -6,6 +6,24 @@ import graft.graph.{PropertyGraph, Traversal}
 
 /** Scratch verification driver (not part of the driver contract). */
 object Probe {
+  /** A genuinely-local[32] session for the dev measurement blocks.
+    * `getOrCreate()` after the smoke session exists would silently
+    * return THAT session (master/extensions are create-time-only
+    * configs), so every probe block must stop the old session first —
+    * otherwise its "local[32]" timings actually run at local[8]. */
+  private def fresh32(old: SparkSession,
+                      extensions: Boolean = false): SparkSession = {
+    old.stop()
+    val b = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+    val s2 = (if (extensions) b.config("spark.sql.extensions", "graft.GraftExtensions")
+              else b).getOrCreate()
+    require(s2.sparkContext.master == "local[32]",
+      s"expected a fresh local[32] session, got ${s2.sparkContext.master}")
+    s2.sparkContext.setLogLevel("ERROR")
+    s2
+  }
   def main(args: Array[String]): Unit = {
     // Simulate the round driver's smoke check: a PLAIN session (no graft
     // extensions, no warm store) calling SparkEntry.entry.
@@ -64,10 +82,7 @@ object Probe {
     // production sizes admission to the arrival rate (the proportional
     // row keeps trigger count constant across the 10× step).
     if (args.contains("paged-scale")) {
-      val s2 = SparkSession.builder().master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false").getOrCreate()
-      s2.sparkContext.setLogLevel("ERROR")
+      val s2 = fresh32(spark)
       val url = sources.PagedApiFixture.baseUrl
       def time(pages: Int): Double = {
         val t0 = System.nanoTime()
@@ -121,10 +136,7 @@ object Probe {
     // Dev-only skew experiment: salted vs plain khop on a celebrity graph
     // (one vertex holding 20% of all edges). Records the SCALE.md numbers.
     if (args.contains("skew")) {
-      val s2 = SparkSession.builder().master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false").getOrCreate()
-      s2.sparkContext.setLogLevel("ERROR")
+      val s2 = fresh32(spark)
       def tt[A](l: String)(f: => A): A = {
         val t0 = System.nanoTime(); val r = f
         println(f"[probe-skew] $l%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
@@ -155,9 +167,7 @@ object Probe {
     if (args.contains("g5")) {
       sys.props("graft.verbose") = "1"
       val dir = "/root/testdata/sf0.1"
-      val s2 = SparkSession.builder().master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false").getOrCreate()
+      val s2 = fresh32(spark)
       def tt[A](l: String)(f: => A): A = {
         val t0 = System.nanoTime(); val r = f
         println(f"[probe-g5] $l%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
@@ -209,18 +219,13 @@ object Probe {
     // Dev-only e21 cost split: exact side vs descent side vs the audit.
     if (args.contains("e21parts")) {
       val dir = "/root/testdata/sf0.1"
-      val s2 = SparkSession.builder().master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.extensions", "graft.GraftExtensions")
-        .config("spark.ui.enabled", "false").getOrCreate()
-      s2.sparkContext.setLogLevel("ERROR")
+      val s2 = fresh32(spark, extensions = true)
       def t[A](l: String)(f: => A): A = {
         val t0 = System.nanoTime(); val r = f
         println(f"[probe] $l%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
       }
       val emb = s2.read.parquet(s"$dir/embeddings.parquet")
       for (i <- 1 to 2) {
-        // native=false: getOrCreate reuses the extension-less smoke session
         val exact = operators.Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
         t(s"exact.count $i")(exact.count())
         val approx = operators.Similarity.nnDescentTopK(emb, "vec_id", "embedding",
@@ -236,9 +241,7 @@ object Probe {
     if (args.contains("a14")) {
       sys.props("graft.verbose") = "1"
       val dir = "/root/testdata/sf0.1"
-      val s2 = SparkSession.builder().master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false").getOrCreate()
+      val s2 = fresh32(spark)
       def t[A](l: String)(f: => A): A = {
         val t0 = System.nanoTime(); val r = f
         println(f"[probe] $l%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r

@@ -1265,17 +1265,56 @@ object Traversal {
     * blocks and plan trees for the JVM lifetime. 8 entries comfortably
     * covers the gate board's sharing pattern (each memo serves 2-4 gates
     * over 1-2 distinct graphs) while capping session growth at a handful
-    * of persisted frames per memo. Value computation runs inside the
-    * lock — same single-flight discipline computeIfAbsent gave. */
-  private final class MemoCache[K, V](maxEntries: Int, onEvict: V => Unit) {
-    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
-        if (size() > maxEntries) { onEvict(e.getValue); true } else false
+    * of persisted frames per memo.
+    *
+    * Single-flight is per KEY, not per cache: map bookkeeping is O(1)
+    * under the cache lock, but the value computation (a multi-second
+    * distributed job) runs OUTSIDE it in a per-key holder — two callers
+    * memoizing DIFFERENT graphs proceed concurrently, while two racing
+    * the SAME key still share one computation. A failed computation is
+    * not cached; the next caller retries. */
+  private[graft] final class MemoCache[K, V](maxEntries: Int, onEvict: V => Unit) {
+    private final class Holder(compute: () => V) {
+      private val done = new java.util.concurrent.atomic.AtomicReference[Option[V]](None)
+      private val evictReq = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def value: V = done.get() match {
+        case Some(v) => v
+        case None => this.synchronized {
+          done.get() match {
+            case Some(v) => v
+            case None =>
+              val v = compute()
+              done.set(Some(v))
+              // Dekker handshake with evict(): each side sets its flag
+              // then reads the other's; whoever wins getAndSet(false)
+              // performs the at-most-once release.
+              if (evictReq.get() && evictReq.getAndSet(false)) onEvict(v)
+              v
+          }
+        }
+      }
+      /** Non-blocking: if the value is still computing, the computing
+        * thread releases it on completion (the entry already left the
+        * LRU, so nobody else will see it). */
+      def evict(): Unit = {
+        evictReq.set(true)
+        done.get() match {
+          case Some(v) => if (evictReq.getAndSet(false)) onEvict(v)
+          case None => ()
+        }
+      }
     }
-    def getOrElseUpdate(k: K)(v: => V): V = m.synchronized {
-      val got = m.get(k)
-      if (got != null) got
-      else { val nv = v; m.put(k, nv); nv }
+    private val m = new java.util.LinkedHashMap[K, Holder](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, Holder]): Boolean =
+        if (this.size() > maxEntries) { e.getValue.evict(); true } else false
+    }
+    def getOrElseUpdate(k: K)(v: => V): V = {
+      val h = m.synchronized {
+        val got = m.get(k)
+        if (got != null) got
+        else { val nh = new Holder(() => v); m.put(k, nh); nh }
+      }
+      h.value
     }
     private[graft] def size: Int = m.synchronized(m.size())
   }

@@ -147,9 +147,13 @@ private[graft] object JsonLite {
               case 'u' =>
                 if (i + 4 >= s.length) fail("truncated \\u escape")
                 val hex = s.substring(i + 1, i + 5)
-                val cp = try Integer.parseInt(hex, 16)
-                catch { case _: NumberFormatException => fail(s"bad \\u escape '\\u$hex'") }
-                sb.append(cp.toChar)
+                // strict hex-digit check: Integer.parseInt alone would
+                // accept a leading +/- ("\u+bc1") and silently decode a
+                // character the document never contained
+                if (!hex.forall(h => (h >= '0' && h <= '9') ||
+                    (h >= 'a' && h <= 'f') || (h >= 'A' && h <= 'F')))
+                  fail(s"bad \\u escape '\\u$hex'")
+                sb.append(Integer.parseInt(hex, 16).toChar)
                 i += 5
               case e => fail(s"bad escape '\\$e'")
             }

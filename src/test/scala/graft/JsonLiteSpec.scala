@@ -49,6 +49,10 @@ class JsonLiteSpec extends AnyFunSuite {
       """{"a":tru}""",       // bad literal
       """{"a":"\q"}""",      // bad escape
       """{"a":"\""" + """u12g4"}""", // bad unicode escape (split so scalac's own \u pre-scan ignores it)
+      // signed "hex": Integer.parseInt would accept these and decode a
+      // character the document never contained (r14 review finding)
+      """{"a":"\""" + """u+bc1"}""",
+      """{"a":"\""" + """u-bc1"}""",
       """{1:2}""",           // non-string key
       "")                    // empty input
     bad.foreach { b =>

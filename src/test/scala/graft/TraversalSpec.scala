@@ -168,6 +168,57 @@ class TraversalSpec extends AnyFunSuite {
     } finally Traversal.memoCutoff = None
   }
 
+  test("memo single-flight is per key: a slow compute never blocks other keys") {
+    // r14 review finding: the first LRU rework computed values INSIDE the
+    // cache-wide lock, so a multi-second memoization of graph A stalled a
+    // cache HIT on graph B. Deterministic handshake: key "slow" blocks in
+    // its compute until released; a concurrent lookup of the already-
+    // cached key "fast" must complete while "slow" is still computing.
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val evicted = new java.util.concurrent.atomic.AtomicInteger
+    val cache = new Traversal.MemoCache[String, Int](8, _ => evicted.incrementAndGet())
+    assert(cache.getOrElseUpdate("fast")(1) == 1)
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val slow = new Thread(() =>
+      cache.getOrElseUpdate("slow") { entered.countDown(); release.await(); 2 })
+    slow.start()
+    assert(entered.await(5, TimeUnit.SECONDS), "slow compute never started")
+    // while "slow" computes, a hit on "fast" must not block
+    val hit = new CountDownLatch(1)
+    val reader = new Thread(() => { cache.getOrElseUpdate("fast")(99); hit.countDown() })
+    reader.start()
+    assert(hit.await(5, TimeUnit.SECONDS),
+      "cache hit on a different key blocked behind an in-flight compute")
+    release.countDown()
+    slow.join(5000); reader.join(5000)
+    assert(cache.getOrElseUpdate("slow")(3) == 2) // the shared computation won
+    assert(evicted.get() == 0)
+  }
+
+  test("memo eviction mid-compute still releases the value exactly once") {
+    // pathological LRU case: an entry ages out BEFORE its computation
+    // finishes — the computing thread must run the evict hook on
+    // completion (exactly once), and the caller still gets its value.
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val evictedVals = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val cache = new Traversal.MemoCache[String, Int](2, v => evictedVals.add(v))
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    var got = -1
+    val slow = new Thread(() =>
+      got = cache.getOrElseUpdate("victim") { entered.countDown(); release.await(); 7 })
+    slow.start()
+    assert(entered.await(5, TimeUnit.SECONDS))
+    // push "victim" out of the 2-entry LRU while it is still computing
+    cache.getOrElseUpdate("a")(1); cache.getOrElseUpdate("b")(2)
+    cache.getOrElseUpdate("c")(3) // evicts "victim" (oldest)
+    release.countDown()
+    slow.join(5000)
+    assert(got == 7, "caller of the evicted-mid-compute entry lost its value")
+    assert(evictedVals.contains(7), "evict hook never ran for the in-flight value")
+  }
+
   test("reachFix throws instead of silently truncating") {
     val e = edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
     assertThrows[IllegalStateException] {
