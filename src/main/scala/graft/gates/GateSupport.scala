@@ -37,6 +37,19 @@ private[graft] object GateSupport {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Scope one runtime conf to `body`, restoring (or unsetting) after —
+    * the withShufflePartitions pattern generalized for gates that need a
+    * non-default knob (e.g. the RocksDB state-store provider that
+    * transformWithState requires). */
+  private[graft] def withConf[A](s: SparkSession, key: String, value: String)(body: => A): A = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Exact money arithmetic. Every money column in the testdata is
     * 2dp-exact (measured: max |x·100 − round(x·100)| ≤ 4e-9 across all
     * tables — and ENFORCED per run by Verify's cents-precondition audit,

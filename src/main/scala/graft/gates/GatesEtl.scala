@@ -99,6 +99,26 @@ private[graft] object GatesEtl extends GateFamily {
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"))
     }),
 
+    // J3 — VARIANT shredding (Spark 4's semi-structured type): props
+    // parses ONCE into the binary variant encoding, then typed paths
+    // extract WITHOUT re-parsing the JSON text per access — the
+    // store-semi-structured-columns-at-scale answer (b07 is the
+    // string-function twin that re-parses per extraction). variant_get
+    // throws on a type mismatch; try_variant_get on an absent path yields
+    // NULL (pinned by n_miss = count(non-null) = 0 per group).
+    "j3_variant_shred" -> ((s, dir) => {
+      val v = parse_json(col("props"))
+      events(s, dir)
+        .select(col("event_type"),
+          variant_get(v, "$.k", "long").as("k"),
+          try_variant_get(v, "$.missing", "string").as("miss"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(when(pmod(col("k"), lit(2)) === 0, 1L).otherwise(0L)).as("n_even"),
+          count(col("miss")).as("n_miss"))
+    }),
+
     // B8 — three-scope catalog union (org/project/global role scans,
     // main.go:630-646) with an array-typed permissions column.
     "b08_scope_union" -> ((s, dir) => {
@@ -341,6 +361,17 @@ private[graft] object GatesEtl extends GateFamily {
       """SELECT event_type,
         |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |count(*) AS cnt FROM events GROUP BY event_type""".stripMargin,
+
+    "j3_variant_shred" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.missing') AS miss FROM events)
+        |SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+        |  count(miss) AS n_miss
+        |FROM e GROUP BY event_type""".stripMargin,
 
     "b08_scope_union" ->
       """SELECT CASE WHEN p_size <= 10 THEN 'global'

@@ -444,6 +444,57 @@ object EventPipeline {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  // ---------------------------------------------------------------------
+  // transformWithState — the Spark 4 arbitrary-state API (state v2)
+  // ---------------------------------------------------------------------
+
+  /** One keyed event for [[runningTotals]]: the money value pre-converted
+    * to exact integer cents so state arithmetic is order-invariant. */
+  case class TwsEvent(user_id: Long, cents: Long)
+  /** Cumulative per-user totals as of the latest micro-batch the user
+    * appeared in. */
+  case class TwsTotal(user_id: Long, cnt: Long, sum_cents: Long)
+
+  /** Per-user running totals on Spark 4's `transformWithState` — the
+    * state-v2 successor of [[sessionize]]'s flatMapGroupsWithState: state
+    * is NAMED and TYPED (one ValueState row per user here; ListState/
+    * MapState/timers/TTL compose in the same handle) and lives in the
+    * RocksDB state-store provider, the only backend the API supports.
+    * Each micro-batch folds the user's new rows into the persisted total
+    * and emits the updated cumulative row (Update mode), so the latest
+    * emit per user equals the batch groupBy — `cnt` strictly increases
+    * per emit, making "latest" selectable as max(cnt) with no timestamp.
+    * State is O(users), never O(stream). */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TwsEvent, TwsTotal] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[TwsTotal] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[TwsTotal](
+        "totals", org.apache.spark.sql.Encoders.product[TwsTotal], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                                 tv: TimerValues): Iterator[TwsTotal] = {
+      var cnt = 0L
+      var cents = 0L
+      rows.foreach { r => cnt += 1; cents += r.cents }
+      val prev = if (totals.exists()) totals.get() else TwsTotal(key, 0L, 0L)
+      val next = TwsTotal(key, prev.cnt + cnt, prev.sum_cents + cents)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** (user_id, cents) stream → per-user cumulative totals, one emit per
+    * user per micro-batch it appears in. Run under the RocksDB state
+    * store provider (`spark.sql.streaming.stateStore.providerClass`). */
+  def runningTotals(events: Dataset[TwsEvent]): Dataset[TwsTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** Mutable holder for a graph maintained across micro-batches. Thread-safe
     * enough for a single streaming query (foreachBatch runs serially). */
   final class GraphState(initial: PropertyGraph) {

@@ -242,4 +242,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(partials.nonEmpty,
       s"no map-side partial aggregate in:\n${df.queryExecution.executedPlan}")
   }
+
+  /** Scope runtime confs to `body`, restoring originals after. */
+  private def withConfs[A](kvs: (String, String)*)(body: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(p)) => spark.conf.set(k, p)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("runtime bloom filter: a selective dim side injects might_contain into the fact scan") {
+    // The 100 TB semi-join reduction: when the dim side of a shuffle join
+    // carries a selective predicate, Catalyst's InjectRuntimeFilter builds
+    // a bloom filter of the dim keys and pushes bloom_filter_might_contain
+    // onto the FACT side, dropping non-joining fact rows BEFORE the
+    // exchange — the fact table never shuffles rows the join will discard.
+    // Thresholds are sized for the fixture (the knobs a real deployment
+    // tunes); autoBroadcast is off so the join is the shuffle shape the
+    // optimization targets. Result parity with the filter disabled is
+    // asserted alongside the plan shape.
+    val dir = java.nio.file.Files.createTempDirectory("plan-bloom").toString
+    spark.range(0, 10000).selectExpr("id AS k", "id % 97 AS v")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    spark.range(0, 1000).selectExpr("id AS k", "id % 10 AS flag")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    def joined = {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter($"flag" === 3)
+      fact.join(dim, "k").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.sum($"v").as("sum_v"))
+    }
+    val expected = joined.collect().toSeq
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = joined
+      val hasBloom = df.queryExecution.optimizedPlan.exists(_.expressions.exists(
+        _.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])))
+      assert(hasBloom,
+        s"no BloomFilterMightContain in:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().toSeq == expected)
+    }
+  }
 }

@@ -49,6 +49,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(2L) == EventPipeline.UserStat(2L, 1L, 1.0))
   }
 
+  test("runningTotals (transformWithState): ValueState survives across micro-batches under RocksDB") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[EventPipeline.TwsEvent]
+      val q = EventPipeline.runningTotals(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName("tws")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("tws-ck").toString)
+        .outputMode(OutputMode.Update()).start()
+      mem.addData(EventPipeline.TwsEvent(1L, 100L), EventPipeline.TwsEvent(1L, 50L),
+        EventPipeline.TwsEvent(2L, 10L))
+      q.processAllAvailable()
+      mem.addData(EventPipeline.TwsEvent(1L, 25L), EventPipeline.TwsEvent(3L, 7L))
+      q.processAllAvailable()
+      val rows = spark.table("tws").as[EventPipeline.TwsTotal].collect()
+      q.stop()
+      // one emit per user per micro-batch it appears in
+      assert(rows.count(_.user_id == 1L) == 2)
+      // batch-1 emit for user 1 is the prefix total (state, not a re-agg)
+      assert(rows.find(r => r.user_id == 1L && r.cnt == 2L)
+        .exists(_.sum_cents == 150L))
+      // latest emit per user (max cnt) equals the full batch aggregate
+      val last = rows.groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.cnt) }
+      assert(last(1L) == EventPipeline.TwsTotal(1L, 3L, 175L))
+      assert(last(2L) == EventPipeline.TwsTotal(2L, 1L, 10L))
+      assert(last(3L) == EventPipeline.TwsTotal(3L, 1L, 7L))
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("sessionize splits on gaps and closes the tail session via watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventPipeline.SessionEvent]
