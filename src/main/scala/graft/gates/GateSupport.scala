@@ -37,16 +37,17 @@ private[graft] object GateSupport {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** Scope one runtime conf to `body`, restoring (or unsetting) after —
-    * the withShufflePartitions pattern generalized for gates that need a
-    * non-default knob (e.g. the RocksDB state-store provider that
-    * transformWithState requires). */
-  private[graft] def withConf[A](s: SparkSession, key: String, value: String)(body: => A): A = {
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, value)
-    try body finally prev match {
-      case Some(p) => s.conf.set(key, p)
-      case None    => s.conf.unset(key)
+  /** Scope runtime confs to `body`, restoring (or unsetting) each after —
+    * the withShufflePartitions pattern generalized for gates, plan dumps,
+    * and specs that need non-default knobs (RocksDB state-store provider,
+    * runtime bloom-filter thresholds, ...). The single definition serves
+    * every call site; don't re-implement the save/restore inline. */
+  private[graft] def withConfs[A](s: SparkSession, kvs: (String, String)*)(body: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.reverse.foreach {
+      case (k, Some(p)) => s.conf.set(k, p)
+      case (k, None)    => s.conf.unset(k)
     }
   }
 

@@ -56,7 +56,8 @@ private[graft] object GatesStream extends GateFamily {
       val inDir = java.nio.file.Paths.get(tmp, "in")
       java.nio.file.Files.createDirectories(inDir)
       val feed = base.select(col("user_id"), col("cents"))
-      (0 until 3).foreach { i =>
+      base.persist() // three filtered writes below — scan events once
+      try (0 until 3).foreach { i =>
         base.filter(pmod(col("event_id"), lit(3)) === i)
           .select(col("user_id"), col("cents"))
           .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b$i")
@@ -67,17 +68,17 @@ private[graft] object GatesStream extends GateFamily {
         // FileStreamSource orders by mtime — pin the replay order
         java.nio.file.Files.setLastModifiedTime(staged,
           java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-      }
+      } finally base.unpersist()
       val name = s"sw23_out_${sinkSeq.incrementAndGet()}"
-      withConf(s, "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
-        // Changelog checkpointing: commit the per-batch delta instead of
-        // uploading a full RocksDB snapshot every micro-batch (measured
-        // 6.5 -> 4.8 s min at sf0.1 here; also the recommended production
-        // setting — snapshot cost scales with STATE size, changelog with
-        // BATCH size, exactly the difference that matters at 100 TB).
-        withConf(s,
-          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      // Changelog checkpointing: commit the per-batch delta instead of a
+      // full RocksDB snapshot every micro-batch (measured 6.5 -> 4.8 s min
+      // at sf0.1 here; also the recommended production setting — snapshot
+      // cost scales with STATE size, changelog with BATCH size, exactly
+      // the difference that matters at 100 TB).
+      withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
           "true") {
         withShufflePartitions(s, 8) {
           val stream = s.readStream.schema(feed.schema)
@@ -88,7 +89,6 @@ private[graft] object GatesStream extends GateFamily {
             .option("checkpointLocation", s"$tmp/ck")
             .outputMode("update").trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
-        }
         }
       }
       s.table(name)

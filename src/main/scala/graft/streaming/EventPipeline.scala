@@ -475,11 +475,17 @@ object EventPipeline {
         "totals", org.apache.spark.sql.Encoders.product[TwsTotal], TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
                                  tv: TimerValues): Iterator[TwsTotal] = {
+      // addExact, not +: this is the one money-cents sum that runs in a
+      // per-key Long instead of the gates' DECIMAL(38,0)-widened sum
+      // aggregate. A single user overflowing Long cents (9.2e16 dollars)
+      // is unreachable, but if the pattern is ever reused on a hotter
+      // key it must fail loudly, never wrap silently.
       var cnt = 0L
       var cents = 0L
-      rows.foreach { r => cnt += 1; cents += r.cents }
+      rows.foreach { r => cnt += 1; cents = Math.addExact(cents, r.cents) }
       val prev = if (totals.exists()) totals.get() else TwsTotal(key, 0L, 0L)
-      val next = TwsTotal(key, prev.cnt + cnt, prev.sum_cents + cents)
+      val next = TwsTotal(key, Math.addExact(prev.cnt, cnt),
+        Math.addExact(prev.sum_cents, cents))
       totals.update(next)
       Iterator.single(next)
     }

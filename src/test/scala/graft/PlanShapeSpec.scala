@@ -243,16 +243,6 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no map-side partial aggregate in:\n${df.queryExecution.executedPlan}")
   }
 
-  /** Scope runtime confs to `body`, restoring originals after. */
-  private def withConfs[A](kvs: (String, String)*)(body: => A): A = {
-    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prev.foreach {
-      case (k, Some(p)) => spark.conf.set(k, p)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("runtime bloom filter: a selective dim side injects might_contain into the fact scan") {
     // The 100 TB semi-join reduction: when the dim side of a shuffle join
     // carries a selective predicate, Catalyst's InjectRuntimeFilter builds
@@ -277,7 +267,7 @@ class PlanShapeSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.sum($"v").as("sum_v"))
     }
     val expected = joined.collect().toSeq
-    withConfs(
+    GateSupport.withConfs(spark,
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",

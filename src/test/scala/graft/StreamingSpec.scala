@@ -51,24 +51,26 @@ class StreamingSpec extends AnyFunSuite {
 
   test("runningTotals (transformWithState): ValueState survives across micro-batches under RocksDB") {
     implicit val sqlCtx = spark.sqlContext
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    GateSupport.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
       val mem = MemoryStream[EventPipeline.TwsEvent]
       val q = EventPipeline.runningTotals(mem.toDS()).toDF()
         .writeStream.format("memory").queryName("tws")
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("tws-ck").toString)
         .outputMode(OutputMode.Update()).start()
-      mem.addData(EventPipeline.TwsEvent(1L, 100L), EventPipeline.TwsEvent(1L, 50L),
-        EventPipeline.TwsEvent(2L, 10L))
-      q.processAllAvailable()
-      mem.addData(EventPipeline.TwsEvent(1L, 25L), EventPipeline.TwsEvent(3L, 7L))
-      q.processAllAvailable()
-      val rows = spark.table("tws").as[EventPipeline.TwsTotal].collect()
-      q.stop()
+      // stop in finally: a failure mid-test must not leave a live RocksDB
+      // stateful query (native resources + the sink name) on the shared
+      // session for the rest of the suite
+      val rows = try {
+        mem.addData(EventPipeline.TwsEvent(1L, 100L), EventPipeline.TwsEvent(1L, 50L),
+          EventPipeline.TwsEvent(2L, 10L))
+        q.processAllAvailable()
+        mem.addData(EventPipeline.TwsEvent(1L, 25L), EventPipeline.TwsEvent(3L, 7L))
+        q.processAllAvailable()
+        spark.table("tws").as[EventPipeline.TwsTotal].collect()
+      } finally q.stop()
       // one emit per user per micro-batch it appears in
       assert(rows.count(_.user_id == 1L) == 2)
       // batch-1 emit for user 1 is the prefix total (state, not a re-agg)
@@ -79,9 +81,6 @@ class StreamingSpec extends AnyFunSuite {
       assert(last(1L) == EventPipeline.TwsTotal(1L, 3L, 175L))
       assert(last(2L) == EventPipeline.TwsTotal(2L, 1L, 10L))
       assert(last(3L) == EventPipeline.TwsTotal(3L, 1L, 7L))
-    } finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None    => spark.conf.unset(key)
     }
   }
 
