@@ -124,6 +124,20 @@ private[graft] object GatesMultimodal extends GateFamily {
       operators.Dedup.hammingNearDup(fps, "id", "afp", bits = 64, maxHamming = 3)
     }),
 
+    // M13 — REAL video frame decode: documents → a genuine RIFF/AVI
+    // container with uncompressed bottom-up DIB frames (the one video
+    // tier that needs zero codecs), then the real chunk walk extracts
+    // every SECOND frame (the frame-sampling stage of a video curation
+    // pipeline) and reduces it to exact per-channel sums. Every pixel is
+    // a pure function of the text, so the oracle recomputes the sampled
+    // frame statistics from the text alone — the m7 formula with a
+    // 192-byte frame offset.
+    "m13_avi_frames" -> ((s, dir) => {
+      val media = operators.Multimodal.encodeAvi(s, t(s, dir, "documents"),
+        "doc_id", "text", width = 16, frameH = 4)
+      operators.Multimodal.decodeAviFrames(s, media, sampleEvery = 2).toDF()
+    }),
+
     // Tiled image statistics over REAL decoded BMP pixels: 8×8 blocks,
     // exact per-channel sums — patch-level pre-compute; tiles, not
     // pixels, leave the decode task.
@@ -160,6 +174,29 @@ private[graft] object GatesMultimodal extends GateFamily {
          |  CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
          |FROM ah x JOIN ah y ON x.id < y.id
          |WHERE bit_count(xor(x.ahash, y.ahash)) <= 3""".stripMargin,
+
+    // frame f byte k (k in 0..191, channel k%3: 0=B,1=G,2=R) is payload
+    // byte 192f+k, zero past the text; frames = max(1, ceil(len/192)),
+    // sampled every 2nd; the decoder's bottom-up un-flip restores exactly
+    // this order, so the sums recompute straight from the text.
+    "m13_avi_frames" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |f AS (SELECT doc_id, text, len,
+        |  unnest(generate_series(0, greatest(1, CAST(ceil(len / 192.0) AS BIGINT)) - 1)) AS fno
+        |  FROM t),
+        |s AS (SELECT * FROM f WHERE fno % 2 = 0),
+        |k AS (SELECT doc_id, fno, text, len, unnest(generate_series(0, 191)) AS k FROM s),
+        |c AS (SELECT doc_id, fno, k,
+        |  CASE WHEN 192 * fno + k + 1 <= len
+        |       THEN unicode(substr(text, CAST(192 * fno + k + 1 AS INTEGER), 1))
+        |       ELSE 0 END AS v FROM k)
+        |SELECT doc_id AS id, CAST(fno AS BIGINT) AS frame_no,
+        |  CAST(16 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |  CAST(64 AS BIGINT) AS n_px,
+        |  CAST(sum(CASE WHEN k % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        |  CAST(sum(CASE WHEN k % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN k % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r
+        |FROM c GROUP BY doc_id, fno""".stripMargin,
 
     // pixel i of doc = payload bytes 3i..3i+2 (b,g,r), laid out 16-wide
     // top-down; the decoder's bottom-up un-flip restores exactly this

@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   * JDK's own `javax.imageio` codecs — [[decodeImage]] is a REAL decoder
   * too, and [[encodeImage]] writes genuinely compressed blobs so the PNG
   * round trip is oracle-verified like the BMP one (PNG is lossless, so
-  * the per-channel sums are exact). VIDEO containers (MP4/ISO BMFF) have
-  * no JDK codec for frame data, but the container METADATA is pure byte
-  * grammar — [[encodeMp4]] writes a valid ftyp/moov/mdat box tree and
-  * [[decodeMp4]] is a real version-aware box walk (largesize and v1
-  * headers included); only frame/sample decode stays out of scope, loudly
-  * absent rather than faked. Shared production shape everywhere:
+  * the per-channel sums are exact). VIDEO comes in two tiers itself:
+  * AVI with uncompressed DIB frames is pure byte arithmetic, so
+  * [[encodeAvi]]/[[decodeAviFrames]] are a REAL container walk + REAL
+  * frame extraction/sampling (the video member of the honest-decode set);
+  * MP4/ISO BMFF frame data would need a codec no JDK ships, so
+  * [[encodeMp4]]/[[decodeMp4]] cover the container METADATA (a real
+  * version-aware box walk — largesize and v1 headers included) and
+  * compressed-frame decode stays out of scope, loudly absent rather than
+  * faked. Shared production shape everywhere:
   *   - schema: (id, blob BINARY, meta STRUCT<n_bytes BIGINT, mime STRING>)
   *   - cheap metadata ops (size, digest) stay codegen'd column exprs;
   *   - the decode stage runs as a typed `mapPartitions` over an iterator —
@@ -176,6 +179,161 @@ object Multimodal {
         require(brand.nonEmpty, s"id=${r.id}: no ftyp box — not an ISO BMFF file")
         require(sawMoov, s"id=${r.id}: no moov box")
         Mp4Decoded(r.id, brand, timescale, duration, width, height, nMdat)
+      }
+    }
+  }
+
+  case class AviFrame(id: Long, frame_no: Long, width: Long, height: Long,
+                      n_px: Long, sum_b: Long, sum_g: Long, sum_r: Long)
+
+  /** REAL minimal AVI (RIFF) writer with UNCOMPRESSED bottom-up 24-bit DIB
+    * frames — the video container whose frame data needs NO codec, so the
+    * video tier finally gets an honest frame-decode path next to
+    * [[decodeMp4]]'s metadata-only walk. Structure per the RIFF/AVI spec
+    * (all little-endian): RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh
+    * strf)) LIST('movi' '00db'×N)). Each frame carries the next
+    * width·3·frameH payload bytes (zero-padded tail; empty text → one
+    * all-zero frame), rows stored bottom-up exactly like [[encodeBmp]] —
+    * every pixel is a pure function of the text, so the DuckDB oracle
+    * recomputes the decoded frame statistics from the text alone. */
+  def encodeAvi(spark: SparkSession, docs: DataFrame, idCol: String,
+                textCol: String, width: Int = 16, frameH: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(width > 0 && (width * 3) % 4 == 0,
+      s"width*3 must be 4-byte aligned for a pad-free stride, got $width")
+    require(frameH > 0, s"frameH must be positive, got $frameH")
+    val stride = width * 3
+    val frameBytes = stride * frameH // even (stride is 4-aligned) — no RIFF pad
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val payload = Option(text).getOrElse("").getBytes("UTF-8")
+          val nFrames = math.max(1, (payload.length + frameBytes - 1) / frameBytes)
+          val moviData = 4 + nFrames * (8 + frameBytes)
+          val buf = java.nio.ByteBuffer.allocate(12 + 200 + 8 + moviData)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def cc(s: String) = buf.put(s.getBytes("US-ASCII"))
+          cc("RIFF"); buf.putInt(4 + 200 + 8 + moviData); cc("AVI ")
+          cc("LIST"); buf.putInt(192); cc("hdrl")
+          cc("avih"); buf.putInt(56)                   // main AVI header
+          buf.putInt(100000).putInt(0).putInt(0)       // µs/frame (10 fps), bps, pad
+            .putInt(0).putInt(nFrames).putInt(0)       // flags, total frames, initial
+            .putInt(1).putInt(frameBytes)              // streams, suggested buffer
+            .putInt(width).putInt(frameH)              // dwWidth, dwHeight
+            .putInt(0).putInt(0).putInt(0).putInt(0)   // reserved
+          cc("LIST"); buf.putInt(116); cc("strl")
+          cc("strh"); buf.putInt(56)                   // stream header
+          cc("vids"); cc("DIB ")                       // type, handler: raw DIB
+          buf.putInt(0).putInt(0).putInt(0)            // flags, prio/lang, initial
+            .putInt(1).putInt(10)                      // scale 1, rate 10 → 10 fps
+            .putInt(0).putInt(nFrames)                 // start, length (frames)
+            .putInt(frameBytes).putInt(-1).putInt(0)   // bufsize, quality, sampleSize
+            .putShort(0).putShort(0)                   // rcFrame left, top
+            .putShort(width.toShort).putShort(frameH.toShort)
+          cc("strf"); buf.putInt(40)                   // BITMAPINFOHEADER
+          buf.putInt(40).putInt(width).putInt(frameH)  // biSize, w, +h = bottom-up
+            .putShort(1).putShort(24).putInt(0)        // planes, bpp, BI_RGB
+            .putInt(frameBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+          cc("LIST"); buf.putInt(moviData); cc("movi")
+          for (f <- 0 until nFrames) {
+            cc("00db"); buf.putInt(frameBytes)         // uncompressed DIB frame
+            // bottom-up: image row r (0 = top) lands at file row frameH-1-r
+            for (r <- frameH - 1 to 0 by -1; k <- 0 until stride) {
+              val p = f * frameBytes + r * stride + k
+              buf.put(if (p < payload.length) payload(p) else 0: Byte)
+            }
+          }
+          MediaRow(id, buf.array(), "video/x-msvideo")
+        }
+      }
+  }
+
+  /** REAL AVI frame decode (pure JVM, zero codecs): walks the actual RIFF
+    * chunk grammar — fourcc + 32-bit size, word-aligned pad byte after
+    * odd-sized chunks, nested LIST forms — validates the container
+    * (avih dimensions, strf must say uncompressed 24-bit DIB), collects
+    * the movi `##db`/`##dc` frame chunks IN STREAM ORDER, un-flips each
+    * bottom-up frame, and reduces every `sampleEvery`-th frame to exact
+    * per-channel BIGINT sums. This is the frame-sampling stage of a video
+    * curation pipeline run against real container bytes — only COMPRESSED
+    * video (H.264 etc.) remains out of scope, loudly, for want of a JVM
+    * codec. Frame count is cross-checked against the avih header so a
+    * truncated movi list fails loudly instead of under-reporting. */
+  def decodeAviFrames(spark: SparkSession, media: Dataset[MediaRow],
+                      sampleEvery: Int = 1): Dataset[AviFrame] = {
+    import spark.implicits._
+    require(sampleEvery >= 1, s"sampleEvery must be >= 1, got $sampleEvery")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b = java.nio.ByteBuffer.wrap(r.blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def cc(at: Int) = new String(r.blob, at, 4, "US-ASCII")
+        def u32(at: Int): Long = b.getInt(at) & 0xffffffffL
+        require(r.blob.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ",
+          s"id=${r.id}: not a RIFF/AVI file")
+        var w = -1L; var h = -1L; var totalFrames = -1L
+        var bppOk = false
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Int] // data offsets
+        // Walk chunks in [from, to): f(fourcc, dataStart, dataEnd).
+        def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+          var pos = from
+          while (pos + 8 <= to) {
+            val id = cc(pos); val sz = u32(pos + 4)
+            val end = pos + 8 + sz
+            require(end <= to, s"id=${r.id}: chunk $id overruns its enclosure")
+            f(id, pos + 8, end.toInt)
+            pos = (end + (sz & 1L)).toInt // word-aligned: pad after odd sizes
+          }
+        }
+        def walkList(s: Int, e: Int)(f: (String, Int, Int) => Unit): Unit =
+          walk(s + 4, e)(f) // skip the 4-byte list type
+        walk(12, r.blob.length) { (id, s, e) =>
+          if (id == "LIST") cc(s) match {
+            case "hdrl" => walkList(s, e) { (hid, hs, he) =>
+              hid match {
+                case "avih" =>
+                  totalFrames = u32(hs + 16); w = u32(hs + 32); h = u32(hs + 36)
+                case "LIST" if cc(hs) == "strl" => walkList(hs, he) { (sid, ss, _) =>
+                  if (sid == "strf") {
+                    require((b.getShort(ss + 14) & 0xffff) == 24 && u32(ss + 16) == 0L,
+                      s"id=${r.id}: only uncompressed 24-bit DIB frames decode " +
+                        s"without a codec (bpp=${b.getShort(ss + 14)}, " +
+                        s"compression=${u32(ss + 16)})")
+                    bppOk = true
+                  }
+                }
+                case _ =>
+              }
+            }
+            case "movi" => walkList(s, e) { (fid, fs, fe) =>
+              require(!fid.endsWith("dc"),
+                s"id=${r.id}: compressed frame chunk $fid — no codec for that")
+              if (fid.endsWith("db")) {
+                require(w > 0 && fe - fs == (w * 3 * h).toInt,
+                  s"id=${r.id}: frame chunk $fid is ${fe - fs} bytes, " +
+                    s"expected ${w * 3 * h} (or avih not seen before movi)")
+                frames += fs
+              }
+            }
+            case _ =>
+          }
+        }
+        require(w > 0 && h > 0 && totalFrames >= 0, s"id=${r.id}: no avih header")
+        require(bppOk, s"id=${r.id}: no strf format chunk")
+        require(frames.size == totalFrames,
+          s"id=${r.id}: movi has ${frames.size} frames, avih says $totalFrames")
+        val stride = (w * 3).toInt
+        frames.iterator.zipWithIndex
+          .filter { case (_, fno) => fno % sampleEvery == 0 }
+          .map { case (off, fno) =>
+            var (sb, sg, sr) = (0L, 0L, 0L)
+            for (row <- 0 until h.toInt; x <- 0 until w.toInt) {
+              val base = off + (h.toInt - 1 - row) * stride + x * 3 // un-flip
+              sb += r.blob(base) & 0xff
+              sg += r.blob(base + 1) & 0xff
+              sr += r.blob(base + 2) & 0xff
+            }
+            AviFrame(r.id, fno, w, h, w * h, sb, sg, sr)
+          }
       }
     }
   }

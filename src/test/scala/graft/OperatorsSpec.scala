@@ -459,6 +459,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.width == 640L && out.height == 480L && out.n_mdat == 10L)
   }
 
+  test("encodeAvi/decodeAviFrames: real frame decode, sampling, empty-text frame") {
+    // 200 chars → ceil(200/192) = 2 frames; sampleEvery=2 keeps frame 0 only.
+    val text = ('a' to 'z').mkString * 8 // 208 chars → 2 frames
+    val d = docs((7L, text), (8L, ""))
+    val all = Multimodal.decodeAviFrames(spark,
+      Multimodal.encodeAvi(spark, d, "doc_id", "text")).collect()
+      .groupBy(_.id)
+    assert(all(7L).map(_.frame_no).sorted.toSeq == Seq(0L, 1L))
+    assert(all(8L).map(_.frame_no).toSeq == Seq(0L)) // empty text: one zero frame
+    val f0 = all(7L).find(_.frame_no == 0L).get
+    val f1 = all(7L).find(_.frame_no == 1L).get
+    assert(f0.width == 16L && f0.height == 4L && f0.n_px == 64L)
+    // frame f byte k = payload byte 192f+k (zero past end), channel k%3
+    val payload = text.getBytes("UTF-8")
+    def expect(f: Int, ch: Int) = (0 until 192).collect {
+      case k if k % 3 == ch =>
+        val p = 192 * f + k
+        if (p < payload.length) (payload(p) & 0xff).toLong else 0L
+    }.sum
+    assert((f0.sum_b, f0.sum_g, f0.sum_r) == (expect(0, 0), expect(0, 1), expect(0, 2)))
+    assert((f1.sum_b, f1.sum_g, f1.sum_r) == (expect(1, 0), expect(1, 1), expect(1, 2)))
+    assert(all(8L).head.sum_b == 0L && all(8L).head.sum_r == 0L)
+    val sampled = Multimodal.decodeAviFrames(spark,
+      Multimodal.encodeAvi(spark, d, "doc_id", "text"), sampleEvery = 2).collect()
+    assert(sampled.filter(_.id == 7L).map(_.frame_no).toSeq == Seq(0L))
+  }
+
+  test("decodeAviFrames is a real RIFF parser: odd-size pad chunks walk; compressed frames throw") {
+    import spark.implicits._
+    val base = Multimodal.encodeAvi(spark, docs((1L, "x" * 200)), "doc_id", "text")
+      .collect()(0).blob
+    // Splice a JUNK chunk with an ODD 5-byte payload (forcing the RIFF
+    // word-alignment pad) between the hdrl and movi lists — a shape the
+    // writer never emits; the walk must skip it and still find every frame.
+    val at = 12 + 200 // end of LIST(hdrl)
+    val junk = java.nio.ByteBuffer.allocate(14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put("JUNK".getBytes("US-ASCII")).putInt(5)
+      .put(Array[Byte](1, 2, 3, 4, 5)).put(0.toByte) // pad to even
+    val spliced = base.take(at) ++ junk.array() ++ base.drop(at)
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, java.nio.ByteBuffer.wrap(base)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(4) + 14)
+    val out = Multimodal.decodeAviFrames(spark,
+      Seq(Multimodal.MediaRow(1L, spliced, "video/x-msvideo")).toDS()).collect()
+    assert(out.map(_.frame_no).sorted.toSeq == Seq(0L, 1L))
+    // Relabel frame 0's chunk as compressed '00dc' → loud refusal, no fake.
+    val dc = base.clone()
+    val moviData = 12 + 200 + 8 + 4 // RIFF hdr + hdrl + movi hdr + 'movi'
+    assert(new String(dc, moviData, 4, "US-ASCII") == "00db")
+    dc(moviData + 3) = 'c'.toByte
+    val e = intercept[Exception] {
+      Multimodal.decodeAviFrames(spark,
+        Seq(Multimodal.MediaRow(1L, dc, "video/x-msvideo")).toDS()).collect()
+    }
+    assert(e.getMessage.contains("no codec") ||
+      Option(e.getCause).exists(_.getMessage.contains("no codec")))
+  }
+
   test("hammingOverflow flags hot fingerprint bands (degenerate all-equal fingerprints)") {
     // the m8b failure mode: every uniform image aHashes to 0, so all four
     // bands collapse into one (band, 0) bucket each
