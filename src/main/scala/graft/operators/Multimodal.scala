@@ -271,7 +271,8 @@ object Multimodal {
         require(r.blob.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ",
           s"id=${r.id}: not a RIFF/AVI file")
         var w = -1L; var h = -1L; var totalFrames = -1L
-        var bppOk = false
+        var strlIdx = -1   // stream index = strl position in hdrl (spec order)
+        var vidsStream = -1 // index of the DIB video stream we decode
         val frames = scala.collection.mutable.ArrayBuffer.empty[Int] // data offsets
         // Walk chunks in [from, to): f(fourcc, dataStart, dataEnd).
         def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
@@ -291,48 +292,67 @@ object Multimodal {
             case "hdrl" => walkList(s, e) { (hid, hs, he) =>
               hid match {
                 case "avih" =>
+                  require(he - hs >= 40,
+                    s"id=${r.id}: avih chunk is ${he - hs} bytes, header needs 40")
                   totalFrames = u32(hs + 16); w = u32(hs + 32); h = u32(hs + 36)
-                case "LIST" if cc(hs) == "strl" => walkList(hs, he) { (sid, ss, _) =>
-                  if (sid == "strf") {
-                    require((b.getShort(ss + 14) & 0xffff) == 24 && u32(ss + 16) == 0L,
-                      s"id=${r.id}: only uncompressed 24-bit DIB frames decode " +
-                        s"without a codec (bpp=${b.getShort(ss + 14)}, " +
-                        s"compression=${u32(ss + 16)})")
-                    bppOk = true
+                case "LIST" if cc(hs) == "strl" =>
+                  strlIdx += 1
+                  var isVids = false // strh precedes strf within its strl (spec)
+                  walkList(hs, he) { (sid, ss, se) =>
+                    sid match {
+                      case "strh" =>
+                        require(se - ss >= 8, s"id=${r.id}: truncated strh chunk")
+                        isVids = cc(ss) == "vids"
+                      case "strf" if isVids =>
+                        // a vids strf is a BITMAPINFOHEADER; other streams'
+                        // strf (e.g. an auds WAVEFORMATEX) is none of our
+                        // business — their frame data is skipped below
+                        require(se - ss >= 20, s"id=${r.id}: truncated strf chunk")
+                        require((b.getShort(ss + 14) & 0xffff) == 24 && u32(ss + 16) == 0L,
+                          s"id=${r.id}: only uncompressed 24-bit DIB frames decode " +
+                            s"without a codec (bpp=${b.getShort(ss + 14)}, " +
+                            s"compression=${u32(ss + 16)})")
+                        require(vidsStream < 0,
+                          s"id=${r.id}: multiple DIB video streams — pick one " +
+                            "upstream, this decoder reads a single stream")
+                        vidsStream = strlIdx
+                      case _ =>
+                    }
                   }
-                }
                 case _ =>
               }
             }
-            case "movi" => walkList(s, e) { (fid, fs, fe) =>
-              require(!fid.endsWith("dc"),
-                s"id=${r.id}: compressed frame chunk $fid — no codec for that")
-              if (fid.endsWith("db")) {
-                require(w > 0 && fe - fs == (w * 3 * h).toInt,
-                  s"id=${r.id}: frame chunk $fid is ${fe - fs} bytes, " +
-                    s"expected ${w * 3 * h} (or avih not seen before movi)")
-                frames += fs
+            case "movi" =>
+              require(vidsStream >= 0,
+                s"id=${r.id}: movi before any DIB video strl header")
+              val pfx = f"$vidsStream%02d"
+              walkList(s, e) { (fid, fs, fe) =>
+                require(!fid.startsWith(pfx) || !fid.endsWith("dc"),
+                  s"id=${r.id}: compressed frame chunk $fid — no codec for that")
+                if (fid.startsWith(pfx) && fid.endsWith("db")) {
+                  require(w > 0 && (fe - fs).toLong == w * 3L * h,
+                    s"id=${r.id}: frame chunk $fid is ${fe - fs} bytes, " +
+                      s"expected ${w * 3L * h} (or avih not seen before movi)")
+                  frames += fs
+                } // other streams' chunks (01wb audio etc.) skip silently
               }
-            }
             case _ =>
           }
         }
         require(w > 0 && h > 0 && totalFrames >= 0, s"id=${r.id}: no avih header")
-        require(bppOk, s"id=${r.id}: no strf format chunk")
+        require(vidsStream >= 0, s"id=${r.id}: no DIB video stream")
         require(frames.size == totalFrames,
-          s"id=${r.id}: movi has ${frames.size} frames, avih says $totalFrames")
-        val stride = (w * 3).toInt
+          s"id=${r.id}: movi has ${frames.size} video frames, avih says $totalFrames")
+        val frameBytes = (w * 3L * h).toInt // == chunk size, so it fit an Int
         frames.iterator.zipWithIndex
           .filter { case (_, fno) => fno % sampleEvery == 0 }
           .map { case (off, fno) =>
-            var (sb, sg, sr) = (0L, 0L, 0L)
-            for (row <- 0 until h.toInt; x <- 0 until w.toInt) {
-              val base = off + (h.toInt - 1 - row) * stride + x * 3 // un-flip
-              sb += r.blob(base) & 0xff
-              sg += r.blob(base + 1) & 0xff
-              sr += r.blob(base + 2) & 0xff
-            }
-            AviFrame(r.id, fno, w, h, w * h, sb, sg, sr)
+            // channel sums are order-independent, so no bottom-up un-flip is
+            // needed (unlike tiles/ahash): byte i of the frame is channel i%3
+            val sums = Array(0L, 0L, 0L)
+            var i = 0
+            while (i < frameBytes) { sums(i % 3) += r.blob(off + i) & 0xff; i += 1 }
+            AviFrame(r.id, fno, w, h, w * h, sums(0), sums(1), sums(2))
           }
       }
     }

@@ -460,8 +460,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("encodeAvi/decodeAviFrames: real frame decode, sampling, empty-text frame") {
-    // 200 chars → ceil(200/192) = 2 frames; sampleEvery=2 keeps frame 0 only.
-    val text = ('a' to 'z').mkString * 8 // 208 chars → 2 frames
+    val text = ('a' to 'z').mkString * 8 // 208 chars → ceil(208/192) = 2 frames
     val d = docs((7L, text), (8L, ""))
     val all = Multimodal.decodeAviFrames(spark,
       Multimodal.encodeAvi(spark, d, "doc_id", "text")).collect()
@@ -507,15 +506,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.map(_.frame_no).sorted.toSeq == Seq(0L, 1L))
     // Relabel frame 0's chunk as compressed '00dc' → loud refusal, no fake.
     val dc = base.clone()
-    val moviData = 12 + 200 + 8 + 4 // RIFF hdr + hdrl + movi hdr + 'movi'
-    assert(new String(dc, moviData, 4, "US-ASCII") == "00db")
-    dc(moviData + 3) = 'c'.toByte
+    val firstFrameHdr = 12 + 200 + 8 + 4 // RIFF hdr + hdrl + movi hdr + 'movi'
+    assert(new String(dc, firstFrameHdr, 4, "US-ASCII") == "00db")
+    dc(firstFrameHdr + 3) = 'c'.toByte
     val e = intercept[Exception] {
       Multimodal.decodeAviFrames(spark,
         Seq(Multimodal.MediaRow(1L, dc, "video/x-msvideo")).toDS()).collect()
     }
     assert(e.getMessage.contains("no codec") ||
       Option(e.getCause).exists(_.getMessage.contains("no codec")))
+  }
+
+  test("decodeAviFrames with an audio stream: auds strf skipped, 0Xwb chunks ignored, vids prefix honored") {
+    import spark.implicits._
+    // Hand-built two-stream AVI the writer never emits: stream 00 = PCM
+    // audio (strf is a WAVEFORMATEX — wBitsPerSample sits where a DIB's
+    // biBitCount would, and must NOT be read as one), stream 01 = the DIB
+    // video. movi interleaves a '00wb' audio chunk before the '01db'
+    // frame; only the video frame may be decoded.
+    def le(n: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le(payload.length) ++ payload ++ pad
+    }
+    def list(ty: String, content: Array[Byte]): Array[Byte] =
+      chunk("LIST", ty.getBytes("US-ASCII") ++ content)
+    val (w, h) = (4, 2) // stride 12 (4-aligned), frameBytes 24
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(100000).putInt(0).putInt(0).putInt(0)
+        .putInt(1)          // dwTotalFrames = 1 video frame
+        .putInt(0).putInt(2) // initial, dwStreams = 2
+        .putInt(24).putInt(w).putInt(h)
+      b.array()
+    }
+    def strh(fcc: String) =
+      fcc.getBytes("US-ASCII") ++ Array.fill[Byte](52)(0)
+    val strfAuds = { // WAVEFORMATEX: wBitsPerSample=16 at offset 14
+      val b = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      b.array()
+    }
+    val strfVids = {
+      val b = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0)
+        .putInt(w * 3 * h)
+      b.array()
+    }
+    val frame = Array.tabulate[Byte](w * 3 * h)(i => (i + 1).toByte)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh("auds")) ++ chunk("strf", strfAuds)) ++
+      list("strl", chunk("strh", strh("vids")) ++ chunk("strf", strfVids)))
+    val movi = list("movi",
+      chunk("00wb", Array[Byte](9, 9, 9, 9)) ++ chunk("01db", frame))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val blob = "RIFF".getBytes("US-ASCII") ++ le(body.length) ++ body
+    val out = Multimodal.decodeAviFrames(spark,
+      Seq(Multimodal.MediaRow(5L, blob, "video/x-msvideo")).toDS()).collect()
+    assert(out.length == 1)
+    val f = out(0)
+    assert(f.width == w && f.height == h && f.n_px == w.toLong * h)
+    // linear channel sums over bytes 1..24: ch = (i-1)%3 over value i
+    def ch(c: Int) = (1 to 24).filter(i => (i - 1) % 3 == c).map(_.toLong).sum
+    assert((f.sum_b, f.sum_g, f.sum_r) == (ch(0), ch(1), ch(2)))
   }
 
   test("hammingOverflow flags hot fingerprint bands (degenerate all-equal fingerprints)") {
