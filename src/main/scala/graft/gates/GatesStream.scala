@@ -98,6 +98,62 @@ private[graft] object GatesStream extends GateFamily {
           money(col("r.sum_cents"), 100L).as("sum_value"))
     }),
 
+    // SW24 — sessionization on transformWithState: the state-v2 parity
+    // proof for the hardest old-API pattern (sw15's out-of-order open-
+    // session merge + event-time timeouts), rebuilt on named ValueState +
+    // event-time TIMERS under RocksDB. Same replayed file feed, same
+    // sentinel-driven watermark advance (the timers fire on watermark
+    // alone — no new rows for a user needed), same batch gaps-and-islands
+    // oracle as sw15, row for row.
+    "sw24_stream_tws_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val gapMs = 1800L * 1000
+      // ms truncation on the input: session state runs on epoch millis,
+      // and the oracle truncates identically
+      val ev = events(s, dir)
+        .withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sw24").toString
+      val maxTs = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head()
+      def sentinel(days: Int) = Seq((-1L,
+        new java.sql.Timestamp(maxTs.getTime + days * 86400000L))).toDF("user_id", "ts")
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      Seq(("b0", ev), ("b1", sentinel(10)), ("b2", sentinel(20)))
+        .zipWithIndex.foreach { case ((n, df), i) =>
+          df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$n")
+          val part = new java.io.File(s"$tmp/$n").listFiles()
+            .find(_.getName.endsWith(".parquet")).get.toPath
+          val staged = inDir.resolve(f"$i%02d.parquet")
+          java.nio.file.Files.copy(part, staged)
+          // FileStreamSource orders by mtime — pin the replay order
+          java.nio.file.Files.setLastModifiedTime(staged,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+        }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val name = s"sw24_out_${sinkSeq.incrementAndGet()}"
+      withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true") {
+        withShufflePartitions(s, 8) {
+          val q = streaming.EventPipeline.sessionizeTws(
+              stream.as[streaming.EventPipeline.SessionEvent], gapMs)
+            .toDF()
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", s"$tmp/ck")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+      s.table(name).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start").as("session_start"),
+          col("end").as("session_end"), col("n_events"))
+    }),
+
     // Streaming-shaped batch: tumbling 1h windows over the events table.
     "sw1_tumbling_window" -> ((s, dir) => {
       events(s, dir)
@@ -531,6 +587,25 @@ private[graft] object GatesStream extends GateFamily {
     }),
   )
 
+  /** The batch gaps-and-islands twin both streaming sessionize gates
+    * (sw15 flatMapGroupsWithState, sw24 transformWithState) must equal. */
+  private val sessionizeOracleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, date_trunc('milliseconds', ts) AS ts FROM events),
+      |o AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM ev),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM o)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "sw8_active_users" ->
@@ -763,22 +838,10 @@ private[graft] object GatesStream extends GateFamily {
 
     // The batch gaps-and-islands twin over ms-truncated timestamps —
     // the sentinel batches guarantee the stream emitted EVERY session.
-    "sw15_stream_sessionize" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, date_trunc('milliseconds', ts) AS ts FROM events),
-        |o AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-        |  FROM ev),
-        |s AS (
-        |  SELECT user_id, ts,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM o)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events
-        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "sw15_stream_sessionize" -> sessionizeOracleSql,
+
+    // identical semantics on the state-v2 API: same batch twin
+    "sw24_stream_tws_sessionize" -> sessionizeOracleSql,
 
     "sw3_session_window" ->
       """WITH o AS (

@@ -501,6 +501,86 @@ object EventPipeline {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** The open-session list as a single named state row (Seq of the same
+    * SessionState the flatMapGroupsWithState path keeps). */
+  case class TwsSessions(open: Seq[SessionState])
+
+  /** [[sessionize]] rebuilt on transformWithState — the state-v2 parity
+    * proof for the HARDEST pattern the old API carries here: out-of-order
+    * merging open-session state plus event-time TIMERS standing in for
+    * EventTimeTimeout. Identical semantics row-for-row: the same
+    * sorted-coalesce merge (late events may open earlier sessions, bridge
+    * two, or extend either end), the same strict `end + gap < watermark`
+    * close rule, and one registered timer per user at the earliest
+    * possible close (clamped strictly past the current watermark) so an
+    * idle user's sessions still flush when the watermark alone advances.
+    * State is the open-session list — bounded by the watermark horizon,
+    * never O(stream). */
+  class SessionizeProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessionEvent, UserSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var sessions: ValueState[TwsSessions] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sessions = getHandle.getValueState[TwsSessions](
+        "sessions", org.apache.spark.sql.Encoders.product[TwsSessions], TTLConfig.NONE)
+
+    private def mergeAll(prior: Seq[SessionState],
+                         add: Iterator[SessionEvent]): List[SessionState] =
+      (prior ++ add.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
+        .sortBy(s => (s.start, s.end))
+        .foldLeft(List.empty[SessionState]) { (acc, s) =>
+          acc match {
+            case h :: tail if s.start - h.end <= gapMs =>
+              SessionState(h.start, math.max(h.end, s.end), h.n + s.n) :: tail
+            case _ => s :: acc
+          }
+        }.reverse
+
+    /** Close and emit what the watermark proves final, keep the rest, and
+      * re-arm the single per-user timer. `expiring` is the timestamp of
+      * the timer currently firing, if any — Spark removes that one itself,
+      * so deleting it again would only log a spurious WARN per key. */
+    private def settle(uid: Long, merged: List[SessionState], wm: Long,
+                       expiring: Long = Long.MinValue): Iterator[UserSession] = {
+      val (closed, open) = merged.partition(s => s.end + gapMs < wm)
+      // one live timer per user: drop stale ones before re-arming (the
+      // merge may have moved the earliest close)
+      getHandle.listTimers().filter(_ != expiring).foreach(getHandle.deleteTimer)
+      if (open.nonEmpty) {
+        sessions.update(TwsSessions(open))
+        getHandle.registerTimer(math.max(open.map(_.end).min + gapMs, wm + 1))
+      } else sessions.clear()
+      closed.iterator.map(s => UserSession(uid,
+        new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n))
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
+                                 tv: TimerValues): Iterator[UserSession] = {
+      val prior = if (sessions.exists()) sessions.get().open else Seq.empty
+      settle(key, mergeAll(prior, rows), tv.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[UserSession] = {
+      val prior = if (sessions.exists()) sessions.get().open else Seq.empty
+      settle(key, prior.toList, tv.getCurrentWatermarkInMs(),
+        expiring = info.getExpiryTimeInMs())
+    }
+  }
+
+  /** Event-time sessionization on the state-v2 API: same contract as
+    * [[sessionize]] (strict-close rule, out-of-order merge, watermark-
+    * bounded state), RocksDB-backed, timer-driven flush. */
+  def sessionizeTws(events: Dataset[SessionEvent], gapMs: Long,
+                    watermark: String = "1 hour"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Mutable holder for a graph maintained across micro-batches. Thread-safe
     * enough for a single streaming query (foreachBatch runs serially). */
   final class GraphState(initial: PropertyGraph) {

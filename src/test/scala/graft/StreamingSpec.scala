@@ -84,6 +84,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeTws (transformWithState): gap split, timer flush on watermark alone, late-merge parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    GateSupport.withConfs(spark,
+      key -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val mem = MemoryStream[EventPipeline.SessionEvent]
+      val q = EventPipeline.sessionizeTws(mem.toDS(),
+          gapMs = 10 * 60 * 1000, watermark = "0 seconds").toDF()
+        .writeStream.format("memory").queryName("tws_sess")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("tws-sess-ck").toString)
+        .outputMode(OutputMode.Append()).start()
+      val sessions = try {
+        mem.addData(
+          EventPipeline.SessionEvent(1L, ts("10:00")),
+          EventPipeline.SessionEvent(1L, ts("10:05")),
+          EventPipeline.SessionEvent(1L, ts("10:35")))
+        q.processAllAvailable()
+        // watermark advances on OTHER users' data only — user 1's tail
+        // session must flush via its registered TIMER, no new rows for it
+        mem.addData(EventPipeline.SessionEvent(2L, ts("13:00")))
+        q.processAllAvailable()
+        mem.addData(EventPipeline.SessionEvent(2L, ts("16:00")))
+        q.processAllAvailable()
+        spark.table("tws_sess")
+          .select(col("user_id"), col("start").cast("string"), col("n_events"))
+          .as[(Long, String, Long)].collect().toSet
+      } finally q.stop()
+      assert(sessions.contains((1L, "2024-01-01 10:00:00", 2L))) // closed by gap
+      assert(sessions.contains((1L, "2024-01-01 10:35:00", 1L))) // closed by timer
+      // same semantics as the flatMapGroupsWithState path on this input
+      assert(sessions.count(_._1 == 1L) == 2)
+    }
+  }
+
   test("sessionize splits on gaps and closes the tail session via watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventPipeline.SessionEvent]
