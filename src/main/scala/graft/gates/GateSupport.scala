@@ -51,6 +51,29 @@ private[graft] object GateSupport {
     }
   }
 
+  /** Stage each frame as ONE parquet file in `inDir` with strictly
+    * increasing mtimes, so a FileStreamSource with maxFilesPerTrigger=1
+    * replays them as deterministic micro-batches (FileStreamSource
+    * admission orders by mtime). The one staging idiom behind every
+    * replayed-feed streaming gate (sw15/sw23/sw24 and the sw18 sides) —
+    * keep the mechanics here, not re-inlined per gate. */
+  private[graft] def stageReplayFeed(inDir: java.nio.file.Path,
+                                     frames: Seq[DataFrame]): Unit = {
+    java.nio.file.Files.createDirectories(inDir)
+    frames.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"no parquet part file written under $tmp")).toPath
+      val staged = inDir.resolve(f"$i%02d.parquet")
+      java.nio.file.Files.copy(part, staged)
+      java.nio.file.Files.setLastModifiedTime(staged,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+    }
+  }
+
   /** Exact money arithmetic. Every money column in the testdata is
     * 2dp-exact (measured: max |x·100 − round(x·100)| ≤ 4e-9 across all
     * tables — and ENFORCED per run by Verify's cents-precondition audit,

@@ -54,21 +54,12 @@ private[graft] object GatesStream extends GateFamily {
         cents(col("value")).as("cents"))
       val tmp = java.nio.file.Files.createTempDirectory("graft-sw23").toString
       val inDir = java.nio.file.Paths.get(tmp, "in")
-      java.nio.file.Files.createDirectories(inDir)
       val feed = base.select(col("user_id"), col("cents"))
       base.persist() // three filtered writes below — scan events once
-      try (0 until 3).foreach { i =>
+      try stageReplayFeed(inDir, (0 until 3).map { i =>
         base.filter(pmod(col("event_id"), lit(3)) === i)
           .select(col("user_id"), col("cents"))
-          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b$i")
-        val part = new java.io.File(s"$tmp/b$i").listFiles()
-          .find(_.getName.endsWith(".parquet")).get.toPath
-        val staged = inDir.resolve(f"$i%02d.parquet")
-        java.nio.file.Files.copy(part, staged)
-        // FileStreamSource orders by mtime — pin the replay order
-        java.nio.file.Files.setLastModifiedTime(staged,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-      } finally base.unpersist()
+      }) finally base.unpersist()
       val name = s"sw23_out_${sinkSeq.incrementAndGet()}"
       // Changelog checkpointing: commit the per-batch delta instead of a
       // full RocksDB snapshot every micro-batch (measured 6.5 -> 4.8 s min
@@ -115,22 +106,14 @@ private[graft] object GatesStream extends GateFamily {
         .withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
       val tmp = java.nio.file.Files.createTempDirectory("graft-sw24").toString
-      val maxTs = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head()
-      def sentinel(days: Int) = Seq((-1L,
-        new java.sql.Timestamp(maxTs.getTime + days * 86400000L))).toDF("user_id", "ts")
+      ev.persist() // the maxTs aggregate AND the b0 stage both read it
       val inDir = java.nio.file.Paths.get(tmp, "in")
-      java.nio.file.Files.createDirectories(inDir)
-      Seq(("b0", ev), ("b1", sentinel(10)), ("b2", sentinel(20)))
-        .zipWithIndex.foreach { case ((n, df), i) =>
-          df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$n")
-          val part = new java.io.File(s"$tmp/$n").listFiles()
-            .find(_.getName.endsWith(".parquet")).get.toPath
-          val staged = inDir.resolve(f"$i%02d.parquet")
-          java.nio.file.Files.copy(part, staged)
-          // FileStreamSource orders by mtime — pin the replay order
-          java.nio.file.Files.setLastModifiedTime(staged,
-            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-        }
+      try {
+        val maxTs = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head()
+        def sentinel(days: Int) = Seq((-1L,
+          new java.sql.Timestamp(maxTs.getTime + days * 86400000L))).toDF("user_id", "ts")
+        stageReplayFeed(inDir, Seq(ev, sentinel(10), sentinel(20)))
+      } finally ev.unpersist()
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
       val name = s"sw24_out_${sinkSeq.incrementAndGet()}"
@@ -396,22 +379,14 @@ private[graft] object GatesStream extends GateFamily {
         .withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
       val tmp = java.nio.file.Files.createTempDirectory("graft-sw15").toString
-      val maxTs = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head()
-      def sentinel(days: Int) = Seq((-1L,
-        new java.sql.Timestamp(maxTs.getTime + days * 86400000L))).toDF("user_id", "ts")
+      ev.persist() // the maxTs aggregate AND the b0 stage both read it
       val inDir = java.nio.file.Paths.get(tmp, "in")
-      java.nio.file.Files.createDirectories(inDir)
-      Seq(("b0", ev), ("b1", sentinel(10)), ("b2", sentinel(20)))
-        .zipWithIndex.foreach { case ((n, df), i) =>
-          df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$n")
-          val part = new java.io.File(s"$tmp/$n").listFiles()
-            .find(_.getName.endsWith(".parquet")).get.toPath
-          val staged = inDir.resolve(f"$i%02d.parquet")
-          java.nio.file.Files.copy(part, staged)
-          // FileStreamSource orders by mtime — pin the replay order
-          java.nio.file.Files.setLastModifiedTime(staged,
-            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-        }
+      try {
+        val maxTs = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head()
+        def sentinel(days: Int) = Seq((-1L,
+          new java.sql.Timestamp(maxTs.getTime + days * 86400000L))).toDF("user_id", "ts")
+        stageReplayFeed(inDir, Seq(ev, sentinel(10), sentinel(20)))
+      } finally ev.unpersist()
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
       val name = s"sw15_out_${sinkSeq.incrementAndGet()}"

@@ -59,6 +59,39 @@ object EventPipeline {
   case class UserSession(user_id: Long, start: java.sql.Timestamp,
                          end: java.sql.Timestamp, n_events: Long)
 
+  /** THE sessionization semantics, shared verbatim by the
+    * flatMapGroupsWithState path ([[sessionize]]) and the
+    * transformWithState path ([[sessionizeTws]]) so the two APIs cannot
+    * drift apart (both run under the same sw15/sw24 oracle).
+    *
+    * Merge: fold new events in as singleton sessions, then coalesce
+    * everything within gap of each other — a late event may open an
+    * earlier session, bridge two previously-separate sessions, or extend
+    * either end of one.
+    *
+    * Close: STRICT `end + gap < wm`, the exact complement of the merge
+    * condition for in-principle-admissible events (ts == wm would merge
+    * at ts == end+gap). In practice Spark's late-row filter drops
+    * ts == wm before it reaches either API (pinned by StreamingSpec's
+    * boundary test), so `<=` would be equally CORRECT; the strict form
+    * stays robust if that filter ever becomes `ts < wm`, at the cost of
+    * emitting an exact-boundary session one watermark advance later
+    * (both APIs clamp their re-arm time strictly past wm, so a later
+    * advance always flushes it). */
+  private def mergeAndClose(prior: Seq[SessionState], batch: Iterator[SessionEvent],
+                            gapMs: Long, wm: Long): (List[SessionState], List[SessionState]) = {
+    val merged = (prior ++ batch.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
+      .sortBy(s => (s.start, s.end))
+      .foldLeft(List.empty[SessionState]) { (acc, s) =>
+        acc match {
+          case h :: tail if s.start - h.end <= gapMs =>
+            SessionState(h.start, math.max(h.end, s.end), h.n + s.n) :: tail
+          case _ => s :: acc
+        }
+      }.reverse
+    merged.partition(s => s.end + gapMs < wm)
+  }
+
   /** Event-time sessionization: split each user's stream into sessions
     * separated by > `gapMs` of silence. State is the user's OPEN sessions
     * (a sorted, disjoint list — out-of-order input within the watermark
@@ -68,7 +101,8 @@ object EventPipeline {
     * passes `end + gap` — from then on no admissible event can merge with
     * it, so emission is correct under any arrival order, unlike
     * emit-on-observed-gap which mis-groups late predecessors. State stays
-    * bounded by the watermark horizon via EventTimeTimeout. */
+    * bounded by the watermark horizon via EventTimeTimeout.
+    * Semantics live in [[mergeAndClose]], shared with [[sessionizeTws]]. */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
                  watermark: String = "1 hour"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
@@ -79,30 +113,9 @@ object EventPipeline {
         (uid: Long, batch: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
           def toSession(s: SessionState) = UserSession(uid,
             new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n)
-          val prior = state.getOption.getOrElse(Nil)
-          // Fold new events in as singleton sessions, then coalesce
-          // everything within gap of each other (this also bridges two
-          // previously-separate sessions when a late event lands between).
-          val merged = (prior ++ batch.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
-            .sortBy(s => (s.start, s.end))
-            .foldLeft(List.empty[SessionState]) { (acc, s) =>
-              acc match {
-                case h :: tail if s.start - h.end <= gapMs =>
-                  SessionState(h.start, math.max(h.end, s.end), h.n + s.n) :: tail
-                case _ => s :: acc
-              }
-            }.reverse
           val wm = state.getCurrentWatermarkMs()
-          // STRICT inequality, as the exact complement of the merge
-          // condition for in-principle-admissible events (ts == wm would
-          // merge at ts == end+gap). In practice Spark's late-row filter
-          // drops ts == wm before it reaches this function (pinned by
-          // StreamingSpec's boundary test), so `<=` would be equally
-          // CORRECT; the strict form stays robust if that filter ever
-          // becomes `ts < wm`, at the cost of emitting an exact-boundary
-          // session one watermark advance later (the timeout below is
-          // clamped past wm, so a later advance always flushes it).
-          val (closed, open) = merged.partition(s => s.end + gapMs < wm)
+          val (closed, open) =
+            mergeAndClose(state.getOption.getOrElse(Nil), batch, gapMs, wm)
           if (open.nonEmpty) {
             state.update(open)
             // earliest possible close time; an open end+gap may equal wm
@@ -525,25 +538,15 @@ object EventPipeline {
       sessions = getHandle.getValueState[TwsSessions](
         "sessions", org.apache.spark.sql.Encoders.product[TwsSessions], TTLConfig.NONE)
 
-    private def mergeAll(prior: Seq[SessionState],
-                         add: Iterator[SessionEvent]): List[SessionState] =
-      (prior ++ add.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)))
-        .sortBy(s => (s.start, s.end))
-        .foldLeft(List.empty[SessionState]) { (acc, s) =>
-          acc match {
-            case h :: tail if s.start - h.end <= gapMs =>
-              SessionState(h.start, math.max(h.end, s.end), h.n + s.n) :: tail
-            case _ => s :: acc
-          }
-        }.reverse
-
-    /** Close and emit what the watermark proves final, keep the rest, and
-      * re-arm the single per-user timer. `expiring` is the timestamp of
-      * the timer currently firing, if any — Spark removes that one itself,
-      * so deleting it again would only log a spurious WARN per key. */
-    private def settle(uid: Long, merged: List[SessionState], wm: Long,
+    /** Merge + close via the shared [[mergeAndClose]] semantics, emit the
+      * closed sessions, keep the rest, and re-arm the single per-user
+      * timer. `expiring` is the timestamp of the timer currently firing,
+      * if any — Spark removes that one itself, so deleting it again would
+      * only log a spurious WARN per key. */
+    private def settle(uid: Long, rows: Iterator[SessionEvent], wm: Long,
                        expiring: Long = Long.MinValue): Iterator[UserSession] = {
-      val (closed, open) = merged.partition(s => s.end + gapMs < wm)
+      val prior = if (sessions.exists()) sessions.get().open else Seq.empty
+      val (closed, open) = mergeAndClose(prior, rows, gapMs, wm)
       // one live timer per user: drop stale ones before re-arming (the
       // merge may have moved the earliest close)
       getHandle.listTimers().filter(_ != expiring).foreach(getHandle.deleteTimer)
@@ -556,17 +559,13 @@ object EventPipeline {
     }
 
     override def handleInputRows(key: Long, rows: Iterator[SessionEvent],
-                                 tv: TimerValues): Iterator[UserSession] = {
-      val prior = if (sessions.exists()) sessions.get().open else Seq.empty
-      settle(key, mergeAll(prior, rows), tv.getCurrentWatermarkInMs())
-    }
+                                 tv: TimerValues): Iterator[UserSession] =
+      settle(key, rows, tv.getCurrentWatermarkInMs())
 
     override def handleExpiredTimer(key: Long, tv: TimerValues,
-                                    info: ExpiredTimerInfo): Iterator[UserSession] = {
-      val prior = if (sessions.exists()) sessions.get().open else Seq.empty
-      settle(key, prior.toList, tv.getCurrentWatermarkInMs(),
+                                    info: ExpiredTimerInfo): Iterator[UserSession] =
+      settle(key, Iterator.empty, tv.getCurrentWatermarkInMs(),
         expiring = info.getExpiryTimeInMs())
-    }
   }
 
   /** Event-time sessionization on the state-v2 API: same contract as

@@ -119,6 +119,81 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeTws out-of-order: a late in-gap event BRIDGES two open sessions and moves the timer") {
+    implicit val sqlCtx = spark.sqlContext
+    GateSupport.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val mem = MemoryStream[EventPipeline.SessionEvent]
+      val q = EventPipeline.sessionizeTws(mem.toDS(),
+          gapMs = 20 * 60 * 1000, watermark = "2 hours").toDF()
+        .writeStream.format("memory").queryName("tws_ooo")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("tws-ooo-ck").toString)
+        .outputMode(OutputMode.Append()).start()
+      val sessions = try {
+        // two open sessions 35min apart (gap is 20min)
+        mem.addData(
+          EventPipeline.SessionEvent(1L, ts("10:00")),
+          EventPipeline.SessionEvent(1L, ts("10:05")),
+          EventPipeline.SessionEvent(1L, ts("10:40")),
+          EventPipeline.SessionEvent(1L, ts("10:45")))
+        q.processAllAvailable()
+        // 10:22 arrives LATE (admissible under the 2h watermark): it is
+        // within gap of BOTH open sessions -> they bridge into one, and
+        // the user's earliest possible close moves, so the stale timer
+        // must be deleted and re-armed (the settle re-arm path)
+        mem.addData(EventPipeline.SessionEvent(1L, ts("10:22")))
+        q.processAllAvailable()
+        // flush via watermark advance on another user only
+        mem.addData(EventPipeline.SessionEvent(2L, ts("20:00")))
+        q.processAllAvailable()
+        mem.addData(EventPipeline.SessionEvent(2L, ts("23:00")))
+        q.processAllAvailable()
+        spark.table("tws_ooo")
+          .select(col("user_id"), col("start").cast("string"),
+            col("end").cast("string"), col("n_events"))
+          .as[(Long, String, String, Long)].collect().toSet
+      } finally q.stop()
+      // one bridged session — NOT two, and NOT a mis-merged late orphan
+      assert(sessions.filter(_._1 == 1L) ==
+        Set((1L, "2024-01-01 10:00:00", "2024-01-01 10:45:00", 5L)))
+    }
+  }
+
+  test("sessionizeTws keeps a late out-of-gap predecessor as its own session (old-API twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    GateSupport.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val mem = MemoryStream[EventPipeline.SessionEvent]
+      val q = EventPipeline.sessionizeTws(mem.toDS(),
+          gapMs = 30 * 60 * 1000, watermark = "2 hours").toDF()
+        .writeStream.format("memory").queryName("tws_oog")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("tws-oog-ck").toString)
+        .outputMode(OutputMode.Append()).start()
+      val u1 = try {
+        mem.addData(EventPipeline.SessionEvent(1L, ts("11:00")))
+        q.processAllAvailable()
+        // 09:30 arrives late but 90min of silence separates it from
+        // 11:00 — it must open its OWN (earlier) session, not merge
+        mem.addData(EventPipeline.SessionEvent(1L, ts("09:30")))
+        q.processAllAvailable()
+        mem.addData(EventPipeline.SessionEvent(2L, ts("20:00")))
+        q.processAllAvailable()
+        mem.addData(EventPipeline.SessionEvent(2L, ts("23:00")))
+        q.processAllAvailable()
+        spark.table("tws_oog")
+          .select(col("user_id"), col("start").cast("string"), col("n_events"))
+          .as[(Long, String, Long)].collect().toSet.filter(_._1 == 1L)
+      } finally q.stop()
+      assert(u1 == Set(
+        (1L, "2024-01-01 09:30:00", 1L),
+        (1L, "2024-01-01 11:00:00", 1L)))
+    }
+  }
+
   test("sessionize splits on gaps and closes the tail session via watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventPipeline.SessionEvent]
