@@ -137,6 +137,48 @@ private[graft] object GatesStream extends GateFamily {
           col("end").as("session_end"), col("n_events"))
     }),
 
+    // SW25 — exact streaming distinct on the state-v2 MapState: the
+    // membership set lives as one RocksDB row PER (type, user) pair
+    // (point containsKey probes — no whole-set (de)serialization per
+    // input row), a ValueState counter carries the cardinality so emits
+    // never scan the map. Three mtime-ordered batches split by event_id
+    // mod 3, so users recur ACROSS batches and only the membership probe
+    // keeps the count exact. Latest emit per type (max — the count is
+    // non-decreasing) equals batch count(DISTINCT), the oracle.
+    "sw25_stream_tws_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val base = events(s, dir).select(col("event_id"), col("event_type"), col("user_id"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sw25").toString
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      val feed = base.select(col("event_type"), col("user_id"))
+      base.persist() // three filtered writes below — scan events once
+      try stageReplayFeed(inDir, (0 until 3).map { i =>
+        base.filter(pmod(col("event_id"), lit(3)) === i)
+          .select(col("event_type"), col("user_id"))
+      }) finally base.unpersist()
+      val name = s"sw25_out_${sinkSeq.incrementAndGet()}"
+      withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true") {
+        withShufflePartitions(s, 8) {
+          val stream = s.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+            .as[streaming.EventPipeline.TypedEvent]
+          val q = streaming.EventPipeline.distinctUsers(stream).toDF()
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", s"$tmp/ck")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+      s.table(name)
+        .groupBy(col("event_type"))
+        .agg(max(col("n_users")).as("n_users"))
+    }),
+
     // Streaming-shaped batch: tumbling 1h windows over the events table.
     "sw1_tumbling_window" -> ((s, dir) => {
       events(s, dir)
@@ -639,6 +681,12 @@ private[graft] object GatesStream extends GateFamily {
 
     // the streamed ingest must land exactly the batch rows — same formula
     "sw22_stream_paged_ingest" -> pagedFixtureOracleSql,
+
+    // the stream's final per-type membership count must equal the exact
+    // batch distinct
+    "sw25_stream_tws_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // the stream's final per-user state must equal the batch aggregate
     "sw23_stream_tws_totals" ->

@@ -514,6 +514,57 @@ object EventPipeline {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  case class TypedEvent(event_type: String, user_id: Long)
+  case class TypeDistinct(event_type: String, n_users: Long)
+
+  /** Exact streaming distinct-count per key on the state-v2 MapState —
+    * the third primitive of the API demonstrated (ValueState in
+    * [[runningTotals]], timers in [[sessionizeTws]]): MapState holds the
+    * membership set (one state ROW per (event_type, user) pair in
+    * RocksDB — point `containsKey` probes, no serialize-the-whole-set
+    * round trip like a ValueState[Set] would pay), while a ValueState
+    * counter carries the cardinality so emitting never scans the map.
+    * Exactly the layout a 100 TB distinct needs: O(1) state access per
+    * input row, state linear in DISTINCT keys, count reads O(1). Emits
+    * the running count per key per micro-batch (Update mode) — strictly
+    * non-decreasing, so the latest value per key is max(n_users) and
+    * equals the batch count(DISTINCT). */
+  class DistinctUsersProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, TypedEvent, TypeDistinct] {
+    import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var seen: MapState[Long, Boolean] = _
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getMapState[Long, Boolean](
+        "seen", Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+      count = getHandle.getValueState[Long](
+        "count", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[TypedEvent],
+                                 tv: TimerValues): Iterator[TypeDistinct] = {
+      var n = if (count.exists()) count.get() else 0L
+      rows.foreach { r =>
+        if (!seen.containsKey(r.user_id)) {
+          seen.updateValue(r.user_id, true)
+          n += 1
+        }
+      }
+      count.update(n)
+      Iterator.single(TypeDistinct(key, n))
+    }
+  }
+
+  /** (event_type, user_id) stream → exact running distinct users per
+    * type. RocksDB state store required (state v2). */
+  def distinctUsers(events: Dataset[TypedEvent]): Dataset[TypeDistinct] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new DistinctUsersProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** The open-session list as a single named state row (Seq of the same
     * SessionState the flatMapGroupsWithState path keeps). */
   case class TwsSessions(open: Seq[SessionState])

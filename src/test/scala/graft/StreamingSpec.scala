@@ -119,6 +119,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("distinctUsers (MapState): recurring users across batches never re-count; new ones do") {
+    implicit val sqlCtx = spark.sqlContext
+    GateSupport.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val mem = MemoryStream[EventPipeline.TypedEvent]
+      val q = EventPipeline.distinctUsers(mem.toDS()).toDF()
+        .writeStream.format("memory").queryName("tws_dist")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("tws-dist-ck").toString)
+        .outputMode(OutputMode.Update()).start()
+      val rows = try {
+        mem.addData(EventPipeline.TypedEvent("click", 1L),
+          EventPipeline.TypedEvent("click", 1L), // in-batch dup
+          EventPipeline.TypedEvent("click", 2L),
+          EventPipeline.TypedEvent("view", 1L))
+        q.processAllAvailable()
+        // user 1 recurs across the batch boundary (the MapState probe is
+        // what keeps it from re-counting); user 3 is genuinely new
+        mem.addData(EventPipeline.TypedEvent("click", 1L),
+          EventPipeline.TypedEvent("click", 3L))
+        q.processAllAvailable()
+        spark.table("tws_dist").as[EventPipeline.TypeDistinct].collect()
+      } finally q.stop()
+      val last = rows.groupBy(_.event_type)
+        .map { case (k, v) => k -> v.map(_.n_users).max }
+      assert(last == Map("click" -> 3L, "view" -> 1L))
+      // batch-1 emit for click was the prefix distinct (2), not 3
+      assert(rows.exists(r => r.event_type == "click" && r.n_users == 2L))
+    }
+  }
+
   test("sessionizeTws out-of-order: a late in-gap event BRIDGES two open sessions and moves the timer") {
     implicit val sqlCtx = spark.sqlContext
     GateSupport.withConfs(spark,
