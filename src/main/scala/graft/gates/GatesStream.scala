@@ -48,42 +48,20 @@ private[graft] object GatesStream extends GateFamily {
     // per user (max cnt — strictly increasing) equals the batch groupBy,
     // which is the oracle. State is O(users) however long the stream runs.
     "sw23_stream_tws_totals" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val base = events(s, dir).select(col("event_id"), col("user_id"),
         cents(col("value")).as("cents"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sw23").toString
-      val inDir = java.nio.file.Paths.get(tmp, "in")
       val feed = base.select(col("user_id"), col("cents"))
-      base.persist() // three filtered writes below — scan events once
-      try stageReplayFeed(inDir, (0 until 3).map { i =>
-        base.filter(pmod(col("event_id"), lit(3)) === i)
-          .select(col("user_id"), col("cents"))
-      }) finally base.unpersist()
-      val name = s"sw23_out_${sinkSeq.incrementAndGet()}"
-      // Changelog checkpointing: commit the per-batch delta instead of a
-      // full RocksDB snapshot every micro-batch (measured 6.5 -> 4.8 s min
-      // at sf0.1 here; also the recommended production setting — snapshot
-      // cost scales with STATE size, changelog with BATCH size, exactly
-      // the difference that matters at 100 TB).
-      withConfs(s,
-        "spark.sql.streaming.stateStore.providerClass" ->
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-          "true") {
-        withShufflePartitions(s, 8) {
-          val stream = s.readStream.schema(feed.schema)
-            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-            .as[streaming.EventPipeline.TwsEvent]
-          val q = streaming.EventPipeline.runningTotals(stream).toDF()
-            .writeStream.format("memory").queryName(name)
-            .option("checkpointLocation", s"$tmp/ck")
-            .outputMode("update").trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-        }
-      }
-      s.table(name)
-        .groupBy(col("user_id"))
+      base.persist() // three filtered stage writes — scan events once
+      val out = try runTwsReplayGate(s, "sw23",
+        (0 until 3).map { i =>
+          base.filter(pmod(col("event_id"), lit(3)) === i)
+            .select(col("user_id"), col("cents"))
+        }, feed.schema, "update") { stream =>
+        streaming.EventPipeline.runningTotals(
+          stream.as[streaming.EventPipeline.TwsEvent]).toDF()
+      } finally base.unpersist()
+      out.groupBy(col("user_id"))
         .agg(max(struct(col("cnt"), col("sum_cents"))).as("r"))
         .select(col("user_id"), col("r.cnt").as("cnt"),
           money(col("r.sum_cents"), 100L).as("sum_value"))
@@ -97,7 +75,6 @@ private[graft] object GatesStream extends GateFamily {
     // alone — no new rows for a user needed), same batch gaps-and-islands
     // oracle as sw15, row for row.
     "sw24_stream_tws_sessionize" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val gapMs = 1800L * 1000
       // ms truncation on the input: session state runs on epoch millis,
@@ -105,34 +82,18 @@ private[graft] object GatesStream extends GateFamily {
       val ev = events(s, dir)
         .withColumn("ts", expr("timestamp_millis(unix_millis(ts))"))
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sw24").toString
       ev.persist() // the maxTs aggregate AND the b0 stage both read it
-      val inDir = java.nio.file.Paths.get(tmp, "in")
-      try {
+      val out = try {
         val maxTs = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head()
         def sentinel(days: Int) = Seq((-1L,
           new java.sql.Timestamp(maxTs.getTime + days * 86400000L))).toDF("user_id", "ts")
-        stageReplayFeed(inDir, Seq(ev, sentinel(10), sentinel(20)))
-      } finally ev.unpersist()
-      val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-      val name = s"sw24_out_${sinkSeq.incrementAndGet()}"
-      withConfs(s,
-        "spark.sql.streaming.stateStore.providerClass" ->
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-          "true") {
-        withShufflePartitions(s, 8) {
-          val q = streaming.EventPipeline.sessionizeTws(
-              stream.as[streaming.EventPipeline.SessionEvent], gapMs)
-            .toDF()
-            .writeStream.format("memory").queryName(name)
-            .option("checkpointLocation", s"$tmp/ck")
-            .outputMode("append").trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
+        runTwsReplayGate(s, "sw24",
+          Seq(ev, sentinel(10), sentinel(20)), ev.schema, "append") { stream =>
+          streaming.EventPipeline.sessionizeTws(
+            stream.as[streaming.EventPipeline.SessionEvent], gapMs).toDF()
         }
-      }
-      s.table(name).filter(col("user_id") >= 0)
+      } finally ev.unpersist()
+      out.filter(col("user_id") >= 0)
         .select(col("user_id"), col("start").as("session_start"),
           col("end").as("session_end"), col("n_events"))
     }),
@@ -146,36 +107,19 @@ private[graft] object GatesStream extends GateFamily {
     // keeps the count exact. Latest emit per type (max — the count is
     // non-decreasing) equals batch count(DISTINCT), the oracle.
     "sw25_stream_tws_distinct" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
       val base = events(s, dir).select(col("event_id"), col("event_type"), col("user_id"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sw25").toString
-      val inDir = java.nio.file.Paths.get(tmp, "in")
       val feed = base.select(col("event_type"), col("user_id"))
-      base.persist() // three filtered writes below — scan events once
-      try stageReplayFeed(inDir, (0 until 3).map { i =>
-        base.filter(pmod(col("event_id"), lit(3)) === i)
-          .select(col("event_type"), col("user_id"))
-      }) finally base.unpersist()
-      val name = s"sw25_out_${sinkSeq.incrementAndGet()}"
-      withConfs(s,
-        "spark.sql.streaming.stateStore.providerClass" ->
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-          "true") {
-        withShufflePartitions(s, 8) {
-          val stream = s.readStream.schema(feed.schema)
-            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-            .as[streaming.EventPipeline.TypedEvent]
-          val q = streaming.EventPipeline.distinctUsers(stream).toDF()
-            .writeStream.format("memory").queryName(name)
-            .option("checkpointLocation", s"$tmp/ck")
-            .outputMode("update").trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination()
-        }
-      }
-      s.table(name)
-        .groupBy(col("event_type"))
+      base.persist() // three filtered stage writes — scan events once
+      val out = try runTwsReplayGate(s, "sw25",
+        (0 until 3).map { i =>
+          base.filter(pmod(col("event_id"), lit(3)) === i)
+            .select(col("event_type"), col("user_id"))
+        }, feed.schema, "update") { stream =>
+        streaming.EventPipeline.distinctUsers(
+          stream.as[streaming.EventPipeline.TypedEvent]).toDF()
+      } finally base.unpersist()
+      out.groupBy(col("event_type"))
         .agg(max(col("n_users")).as("n_users"))
     }),
 

@@ -544,15 +544,23 @@ object EventPipeline {
     }
     override def handleInputRows(key: String, rows: Iterator[TypedEvent],
                                  tv: TimerValues): Iterator[TypeDistinct] = {
-      var n = if (count.exists()) count.get() else 0L
+      val before = if (count.exists()) count.get() else 0L
+      var n = before
       rows.foreach { r =>
         if (!seen.containsKey(r.user_id)) {
           seen.updateValue(r.user_id, true)
           n += 1
         }
       }
-      count.update(n)
-      Iterator.single(TypeDistinct(key, n))
+      // an all-duplicates batch (the common case for a long-running
+      // distinct) writes no counter state and emits nothing — Update mode
+      // permits silence, the count stays readable as the last emit, and
+      // the mostly-duplicate steady state costs zero writes per key
+      if (n == before) Iterator.empty
+      else {
+        count.update(n)
+        Iterator.single(TypeDistinct(key, n))
+      }
     }
   }
 
