@@ -41,8 +41,18 @@ private[graft] object GateSupport {
     * the withShufflePartitions pattern generalized for gates, plan dumps,
     * and specs that need non-default knobs (RocksDB state-store provider,
     * runtime bloom-filter thresholds, ...). The single definition serves
-    * every call site; don't re-implement the save/restore inline. */
+    * every call site; don't re-implement the save/restore inline.
+    *
+    * Scope caveat: this mutates SESSION-GLOBAL runtime confs for the
+    * duration of `body` — safe only because gates/queries run serially on
+    * the shared SparkSession (Verify and Bench both iterate the query map
+    * single-threaded). A concurrent runner would need per-thread sessions
+    * (`SparkSession.newSession`) instead. Duplicate keys are rejected:
+    * with a duplicate, the second save would record the FIRST set value as
+    * the "previous" to restore, leaking the override past the scope. */
   private[graft] def withConfs[A](s: SparkSession, kvs: (String, String)*)(body: => A): A = {
+    require(kvs.map(_._1).distinct.length == kvs.length,
+      s"withConfs: duplicate conf keys in ${kvs.map(_._1).mkString(", ")}")
     val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
     kvs.foreach { case (k, v) => s.conf.set(k, v) }
     try body finally prev.reverse.foreach {
@@ -51,26 +61,42 @@ private[graft] object GateSupport {
     }
   }
 
+  /** Recursively delete a temp tree (the replay-harness cleanup — NOT for
+    * anything a later reader still needs). Deliberately quiet on races:
+    * a file already gone is the desired end state. */
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   /** Stage each frame as ONE parquet file in `inDir` with strictly
     * increasing mtimes, so a FileStreamSource with maxFilesPerTrigger=1
     * replays them as deterministic micro-batches (FileStreamSource
     * admission orders by mtime). The one staging idiom behind every
     * replayed-feed streaming gate (sw15/sw23/sw24 and the sw18 sides) —
-    * keep the mechanics here, not re-inlined per gate. */
+    * keep the mechanics here, not re-inlined per gate. Each frame's
+    * scratch write dir is deleted after its part file is MOVED into
+    * place (a 308-gate board used to leak one parquet copy per staged
+    * batch per run — r14 review finding). */
   private[graft] def stageReplayFeed(inDir: java.nio.file.Path,
                                      frames: Seq[DataFrame]): Unit = {
     java.nio.file.Files.createDirectories(inDir)
     frames.zipWithIndex.foreach { case (df, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stage").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(
-          s"no parquet part file written under $tmp")).toPath
-      val staged = inDir.resolve(f"$i%02d.parquet")
-      java.nio.file.Files.copy(part, staged)
-      java.nio.file.Files.setLastModifiedTime(staged,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stage")
+      try {
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"no parquet part file written under $tmp")).toPath
+        val staged = inDir.resolve(f"$i%02d.parquet")
+        java.nio.file.Files.move(part, staged)
+        java.nio.file.Files.setLastModifiedTime(staged,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+      } finally deleteRecursively(tmp)
     }
   }
 
@@ -89,26 +115,31 @@ private[graft] object GateSupport {
       batches: Seq[DataFrame], schema: org.apache.spark.sql.types.StructType,
       outputMode: String)(pipeline: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$prefix").toString
-    val inDir = java.nio.file.Paths.get(tmp, "in")
-    stageReplayFeed(inDir, batches)
-    val name = s"${prefix}_out_${sinkSeq.incrementAndGet()}"
-    withConfs(s,
-      "spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-        "true") {
-      withShufflePartitions(s, 8) {
-        val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-        val q = pipeline(stream)
-          .writeStream.format("memory").queryName(name)
-          .option("checkpointLocation", s"$tmp/ck")
-          .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$prefix")
+    try {
+      val inDir = tmp.resolve("in")
+      stageReplayFeed(inDir, batches)
+      val name = s"${prefix}_out_${sinkSeq.incrementAndGet()}"
+      withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true") {
+        withShufflePartitions(s, 8) {
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+          val q = pipeline(stream)
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", s"$tmp/ck")
+            .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
       }
-    }
-    s.table(name)
+      s.table(name)
+    // the memory sink holds the result rows; the replay feed and the
+    // checkpoint are dead weight once the query terminates (r14 review
+    // finding: per-gate dirs accumulated across 308-gate boards)
+    } finally deleteRecursively(tmp)
   }
 
   /** Exact money arithmetic. Every money column in the testdata is

@@ -171,6 +171,11 @@ private[graft] object JsonLite {
       if (i < s.length && s.charAt(i) == '.') {
         integral = false
         i += 1
+        // JSON requires a digit after the point; Java's parseDouble does
+        // not ("1." / "1.e5" parse), so without this guard a malformed
+        // page would be silently accepted (r14 review finding)
+        if (i >= s.length || s.charAt(i) < '0' || s.charAt(i) > '9')
+          fail("digit required after decimal point")
         while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
       }
       if (i < s.length && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {

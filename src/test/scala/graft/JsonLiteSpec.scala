@@ -68,6 +68,17 @@ class JsonLiteSpec extends AnyFunSuite {
     }
   }
 
+  test("bare decimal point is rejected (JSON requires a digit after '.')") {
+    // Java's parseDouble accepts "1." and "1.e5"; JSON forbids both —
+    // the parser must reject them itself, not inherit Java's leniency
+    Seq("1.", "[1.]", """{"a":1.e5}""", "-2.").foreach { b =>
+      intercept[java.io.IOException](JsonLite.parse(b))
+    }
+    // the guard must not over-reject legal fractions
+    assert(JsonLite.parse("1.5") == 1.5d)
+    assert(JsonLite.parse("-0.25e1") == -2.5d)
+  }
+
   test("hostile nesting fails as IOException, not StackOverflowError") {
     val deep = "[" * 100000 // a server streaming brackets must not kill the task
     intercept[java.io.IOException](JsonLite.parse(deep))
