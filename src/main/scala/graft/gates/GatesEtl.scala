@@ -59,6 +59,29 @@ private[graft] object GatesEtl extends GateFamily {
         .load()
     }),
 
+    // B1 MINTED CREDENTIAL — the full reference credential walk under the
+    // oracle: the connector MINTS its own access token via the OAuth2
+    // JWT-bearer grant (RS256 assertion signed with the fixture
+    // service-account key, exchanged at the fixture's verifying /token
+    // endpoint — main.go:745-776's JWTConfigFromJSON + Subject shape),
+    // reads the token-guarded corpus, and REFRESHES mid-walk: uses=4
+    // kills the first token after page 4 of 6, so the 401→re-mint→retry
+    // path is exercised inside the gated run, not just the spec. Serial
+    // token-walk mode keeps the request (and so mint) order
+    // deterministic. Oracle = the same corpus formula as b01.
+    "b03_paged_oauth_ingest" -> ((s, dir) => {
+      s.read.format("graft.sources.PagedApiSource")
+        .option("url", s"${sources.PagedApiFixture.oauthUsersUrl}?pages=6&uses=4")
+        .option("mode", "token")
+        .option("pages", 6).option("pageSize", 50).option("minIntervalMs", 0)
+        .option("tokenUrl", sources.PagedApiFixture.tokenUrl)
+        .option("oauthIssuer", "fixture-sa@example.test")
+        .option("oauthScope", "directory.readonly")
+        .option("oauthSubject", "admin@example.test")
+        .option("oauthKey", sources.PagedApiFixture.privateKeyPem)
+        .load()
+    }),
+
     // B11 — active filter: lifecycle filter analogue (main.go:722).
     "b11_filter_active" -> ((s, dir) => {
       t(s, dir, "orders").filter(col("o_orderstatus") === "O")
@@ -303,6 +326,11 @@ private[graft] object GatesEtl extends GateFamily {
 
     // the fixture's row formula, recomputed without HTTP: 6 pages × 50
     "b01_paged_http_ingest" -> pagedFixtureOracleSql,
+
+    // the SAME corpus served behind the minted-token guard: the grant,
+    // the mid-walk refresh, and the guarded reads must be invisible in
+    // the rows — b01's formula is the oracle verbatim
+    "b03_paged_oauth_ingest" -> pagedFixtureOracleSql,
 
     // the groups fixture's row formula (4 pages × 25), recomputed without
     // HTTP — the mapped-shape twin of b01

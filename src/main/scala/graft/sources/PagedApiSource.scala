@@ -58,6 +58,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *     missing variable fails loudly at first fetch.
   *   - `bearerToken=<value>` inlines the token (tests/dev only — it IS
   *     visible in the plan; production uses `bearerTokenEnv`).
+  *   - `tokenUrl=<endpoint>` switches to the OAuth2 JWT-bearer grant
+  *     ([[JwtGrant]]): the transport MINTS its own access token — RS256-
+  *     sign an assertion with the service-account key, exchange it at the
+  *     endpoint, cache until expiry, refresh on 401 — exactly the
+  *     reference's JWTConfigFromJSON + domain-wide `Subject` walk
+  *     (main.go:745-776). Companion options: `oauthIssuer` (required),
+  *     `oauthScope`, `oauthAudience` (default = tokenUrl), `oauthSubject`
+  *     (the impersonated admin), `oauthKey` (inline PKCS#8 PEM, dev) /
+  *     `oauthKeyEnv` (env var holding the PEM, production — resolved
+  *     executor-side), `oauthLifetimeSec`. Mutually exclusive with the
+  *     pre-minted bearer options; one mint per executor JVM, not per task.
   *
   * Rate limiting and retry live in the transport (per-reader minimum
   * request interval + exponential backoff on 429/5xx/IO errors), which is
@@ -102,6 +113,21 @@ class PagedApiSource extends TableProvider {
       .filter(_.getKey.startsWith("header."))
       .map(e => e.getKey.stripPrefix("header.") -> e.getValue)
       .sortBy(_._1)
+    // tokenUrl switches the transport from static bearer to the OAuth2
+    // JWT-bearer grant: mint + cache + refresh-on-401 (the reference's
+    // JWTConfigFromJSON + Subject impersonation, main.go:745-776).
+    val oauth = Option(opts.get("tokenurl")).map { tu =>
+      JwtGrant.Config(
+        tokenUrl = tu,
+        issuer = Option(opts.get("oauthissuer")).getOrElse(
+          throw new IllegalArgumentException("tokenUrl needs oauthIssuer")),
+        scope = opts.getOrDefault("oauthscope", ""),
+        audience = opts.getOrDefault("oauthaudience", tu),
+        subject = Option(opts.get("oauthsubject")),
+        keyPem = Option(opts.get("oauthkey")),
+        keyEnv = Option(opts.get("oauthkeyenv")),
+        lifetimeSec = opts.getLong("oauthlifetimesec", 3600L))
+    }
     new PagedApiTable(PagedApiOptions(
       pages = opts.getInt("pages", 4),
       pagesExplicit = opts.containsKey("pages"),
@@ -115,7 +141,8 @@ class PagedApiSource extends TableProvider {
       fieldsOpt = Option(opts.get("fields")).map(PageField.parseList),
       headers = headers,
       bearerToken = Option(opts.get("bearertoken")),
-      bearerTokenEnv = Option(opts.get("bearertokenenv"))))
+      bearerTokenEnv = Option(opts.get("bearertokenenv")),
+      oauth = oauth))
   }
 }
 
@@ -188,9 +215,17 @@ private case class PagedApiOptions(pages: Int, pageSize: Int,
                                    fieldsOpt: Option[Seq[PageField]] = None,
                                    headers: Seq[(String, String)] = Nil,
                                    bearerToken: Option[String] = None,
-                                   bearerTokenEnv: Option[String] = None) {
+                                   bearerTokenEnv: Option[String] = None,
+                                   oauth: Option[JwtGrant.Config] = None) {
   require(mode == "indexed" || mode == "token",
     s"mode must be 'indexed' or 'token', got '$mode'")
+  // one credential story per read: a minted token and a static bearer
+  // sending different Authorization headers would be a silent config bug
+  require(oauth.isEmpty || (bearerToken.isEmpty && bearerTokenEnv.isEmpty),
+    "tokenUrl (OAuth2 JWT grant) and bearerToken/bearerTokenEnv are " +
+      "mutually exclusive — the grant mints its own bearer")
+  require(oauth.isEmpty || url.isDefined,
+    "tokenUrl needs a url: the zero-egress synthetic reader sends no requests")
   require(pagesPerTrigger >= 1,
     s"pagesPerTrigger must be >= 1, got $pagesPerTrigger")
   // the synthetic (no-url) reader is page-addressed; a token walk over it
@@ -250,13 +285,21 @@ class HttpPageTransport(url: String, pageSize: Int,
                         fields: Seq[PageField] = PageField.legacy,
                         headers: Seq[(String, String)] = Nil,
                         bearerToken: Option[String] = None,
-                        bearerTokenEnv: Option[String] = None) extends PageTransport {
+                        bearerTokenEnv: Option[String] = None,
+                        oauth: Option[JwtGrant.Config] = None) extends PageTransport {
   private var lastRequestAt = 0L
 
-  /** Headers actually sent: explicit pairs + the resolved bearer token.
-    * Lazy so the env lookup happens in the executor task that first
-    * fetches, and a missing variable names itself in the task failure. */
-  private lazy val resolvedHeaders: Seq[(String, String)] = {
+  /** The JVM-shared token provider for this grant config (one mint per
+    * executor JVM, refresh serialized) — lazy so key resolution happens
+    * in the executor task that first fetches. */
+  private lazy val tokenProvider: Option[JwtGrant.Provider] =
+    oauth.map(JwtGrant.provider)
+
+  /** Static header pairs sent on every request: explicit `header.*`
+    * options + a PRE-MINTED bearer if one was configured. Lazy so the env
+    * lookup happens in the executor task that first fetches, and a
+    * missing variable names itself in the task failure. */
+  private lazy val staticHeaders: Seq[(String, String)] = {
     val bearer = bearerTokenEnv match {
       case Some(v) => Some(sys.env.getOrElse(v, throw new IllegalStateException(
         s"bearerTokenEnv '$v' is not set in this executor's environment — " +
@@ -267,6 +310,14 @@ class HttpPageTransport(url: String, pageSize: Int,
     headers ++ bearer.map(t => "Authorization" -> s"Bearer $t")
   }
 
+  /** Headers for ONE request — re-evaluated per attempt because a minted
+    * token can expire (and be refreshed) mid-walk, unlike the static
+    * pairs. The provider re-mints here when its cache is empty/expired. */
+  private def requestHeaders(): Seq[(String, String)] = tokenProvider match {
+    case Some(p) => staticHeaders :+ ("Authorization" -> s"Bearer ${p.token()}")
+    case None => staticHeaders
+  }
+
   private def pace(): Unit = synchronized {
     val wait = lastRequestAt + minIntervalMs - System.currentTimeMillis()
     if (wait > 0) Thread.sleep(wait)
@@ -275,6 +326,11 @@ class HttpPageTransport(url: String, pageSize: Int,
 
   override def fetch(pageToken: String): PageResponse = {
     var attempt = 0
+    // one refresh per fetch: a minted token that expired mid-walk gets
+    // exactly one re-mint-and-retry (the standard refresh-on-401); a
+    // SECOND 401 means the credential itself is rejected — retrying
+    // would loop a dead key against the API forever
+    var refreshed = false
     while (true) {
       pace()
       try {
@@ -284,7 +340,7 @@ class HttpPageTransport(url: String, pageSize: Int,
           .asInstanceOf[java.net.HttpURLConnection]
         conn.setConnectTimeout(5000)
         conn.setReadTimeout(10000)
-        resolvedHeaders.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        requestHeaders().foreach { case (k, v) => conn.setRequestProperty(k, v) }
         try {
           val code = conn.getResponseCode
           if (code == 200) {
@@ -294,15 +350,25 @@ class HttpPageTransport(url: String, pageSize: Int,
           // drain the error body so the keep-alive connection can be
           // reused instead of leaking a socket per failed attempt
           Option(conn.getErrorStream).foreach(s => { s.readAllBytes(); s.close() })
-          if (code == 401 || code == 403) // rejected credential: retry can't fix it
-            throw new IllegalArgumentException(
-              s"GET $full -> HTTP $code — credentials rejected (check " +
-                "header.*/bearerToken/bearerTokenEnv options)")
+          if (code == 401 || code == 403) tokenProvider match {
+            case Some(p) if !refreshed =>
+              // minted token presumed expired: drop it, re-mint, retry —
+              // doesn't consume the transient-retry budget (it's not a
+              // transient fault, it's the token lifecycle)
+              p.invalidate()
+              refreshed = true
+              throw new HttpPageTransport.RefreshRetry
+            case _ => throw new IllegalArgumentException(
+              s"GET $full -> HTTP $code — credentials rejected" +
+                (if (refreshed) " even after a fresh token mint" else "") +
+                " (check header.*/bearerToken/bearerTokenEnv/tokenUrl options)")
+          }
           if (code != 429 && code < 500) // 4xx (bar 429) = caller bug, no retry
             throw new IllegalArgumentException(s"GET $full -> HTTP $code")
           throw new HttpPageTransport.Retryable(s"HTTP $code")
         } finally conn.disconnect() // also covers IOException mid-body
       } catch {
+        case _: HttpPageTransport.RefreshRetry => // loop again with a fresh mint
         case e @ (_: HttpPageTransport.Retryable | _: java.io.IOException) =>
           attempt += 1
           if (attempt > maxRetries)
@@ -319,6 +385,8 @@ class HttpPageTransport(url: String, pageSize: Int,
 
 object HttpPageTransport {
   private class Retryable(msg: String) extends RuntimeException(msg)
+  /** Control-flow marker for the refresh-on-401 immediate retry. */
+  private class RefreshRetry extends RuntimeException("refresh")
 
   /** Legacy entry point — the default Directory-users shape. */
   private[graft] def parse(body: String): PageResponse =
@@ -388,7 +456,8 @@ private object PagedApiSourceInternals {
           val transport = new HttpPageTransport(u, p.opts.pageSize,
             p.opts.minIntervalMs, p.opts.maxRetries,
             p.opts.itemsKey, p.opts.fields,
-            p.opts.headers, p.opts.bearerToken, p.opts.bearerTokenEnv)
+            p.opts.headers, p.opts.bearerToken, p.opts.bearerTokenEnv,
+            p.opts.oauth)
           // in token mode an EXPLICIT `pages` is the safety ceiling on
           // the walk (exceeding it throws loudly); with no explicit
           // option only the cycle guard bounds it — see tokenWalkCeiling
