@@ -268,6 +268,49 @@ private[graft] object GatesEtl extends GateFamily {
         .filter(col("o_orderkey").isin(1L, 7L, 4099L, 65541L, 999999999L))
     }),
 
+    // RUNTIME bloom-filter join (InjectRuntimeFilter) under the oracle:
+    // the selective priority filter on orders builds a bloom of the
+    // surviving order keys, and lineitem scans through
+    // bloom_filter_might_contain BEFORE its exchange — fact rows the join
+    // would discard never shuffle, the 100 TB semi-join reduction.
+    // Thresholds are the knobs a deployment tunes (creation side under
+    // 100MB; application-side floor 0 for the fixture sf); broadcast is
+    // off because the optimization targets the SHUFFLE join regime (at
+    // 100 TB the dim side is past broadcast size but its filtered keys
+    // still fit a bloom). The query MATERIALIZES inside the conf scope
+    // (localCheckpoint — batch gates otherwise execute after the gate fn
+    // returns and restores the confs) and ASSERTS the injected
+    // BloomFilterMightContain in its own optimized plan, so a Spark
+    // upgrade that silently stops injecting turns the gate red rather
+    // than quietly reverting to a full fact shuffle. Plan recorded in
+    // PLANS.md; PlanShapeSpec pins the same shape plus parity with the
+    // filter disabled.
+    "o5_runtime_bloom_join" -> ((s, dir) => {
+      withConfs(s,
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+        val li = t(s, dir, "lineitem")
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        val df = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity")).as("sum_qty"), // q1's typing: DOUBLE both sides
+            money(sumExact(c4(col("l_extendedprice"), col("l_discount"))), 10000L)
+              .as("revenue"))
+        val hasBloom = df.queryExecution.optimizedPlan.exists(_.expressions.exists(
+          _.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])))
+        require(hasBloom, "o5: InjectRuntimeFilter did not inject a bloom " +
+          "filter onto the lineitem side — check the runtime.bloomFilter " +
+          "confs / join shape before trusting this gate's plan claim")
+        df.localCheckpoint() // execute NOW, inside the conf scope
+      }
+    }),
+
     "o1_orc_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val path = java.nio.file.Files.createTempDirectory("graft-orc").toString
@@ -345,6 +388,16 @@ private[graft] object GatesEtl extends GateFamily {
     "b11_filter_active" ->
       """SELECT o_orderpriority AS priority, count(*) AS cnt FROM orders
         |WHERE o_orderstatus = 'O' GROUP BY o_orderpriority""".stripMargin,
+
+    // the bloom-filtered join must be invisible in the rows: plain
+    // urgent-orders revenue rollup, exact-cents discipline
+    "o5_runtime_bloom_join" ->
+      s"""SELECT l_returnflag, count(*) AS cnt,
+         |  sum(l_quantity) AS sum_qty,
+         |  CAST(sum(${c4Sql("l_extendedprice", "l_discount")}) AS DOUBLE) / 10000.0 AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY l_returnflag""".stripMargin,
 
     // The fingerprint recomputed straight from the parquet table — the
     // ORC write∘read on the Spark side must be an exact identity.
