@@ -134,6 +134,39 @@ private[graft] object GatesGraphMetrics extends GateFamily {
         .agg(count(lit(1)).as("n_members"))
     }),
 
+    // DEEP-DAG layering: the depth-escape path of topoLayers driven under
+    // the oracle. The corpus is a chain-with-width DAG derived from the
+    // dense documents ids — w disjoint chains (edge n → n+w), width
+    // w = max(2, N/128), so the critical path is ~128+ levels at EVERY sf
+    // (depth pinned, width grows with data — the scale axis a dependency
+    // DAG actually has). 128 ≫ switchDepth=32, so the frontier loop
+    // ABANDONS level sets and restarts as topoLayersDoubling (max-plus
+    // relation squaring, ⌈log₂ depth⌉+1 ≈ 8 composition rounds instead
+    // of ~64 serial frontier jobs); the gate REQUIRES that switch via the
+    // topoDoublingSwitches counter — a silent fall-back to the
+    // depth-serialized path is a red gate, not a quiet 8× job-count
+    // regression. Disjoint chains keep the materialized closure at
+    // O(N·depth) rows (N²/2w), the bound that makes doubling affordable
+    // here. Oracle: layer(n) = n div w in closed form — the generated
+    // corpus is exactly what makes the fixpoint independently checkable.
+    "x32_deep_layers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // one metadata-cheap job to size the width knob
+      val w = math.max(2L, n / 128L)
+      val edges = docs.select(col("doc_id").as("src"),
+          (col("doc_id") + lit(w)).as("dst"))
+        .filter(col("dst") < n)
+      val before = graph.Traversal.topoDoublingSwitches.get()
+      // topoLayers materializes eagerly (its convergence probes run the
+      // jobs), so the switch has fired — or not — by the time it returns
+      val layered = graph.Traversal.topoLayers(edges)
+      require(graph.Traversal.topoDoublingSwitches.get() > before,
+        s"x32: depth ${(n - 1) / w} did not trigger the doubling switch — " +
+          "the gate exists to pin the log-depth path; check switchDepth")
+      layered.groupBy(col("layer"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("id_sum"))
+    }),
+
     // Longest-path (topological) layering of the containment DAG — the
     // lineage-scheduler read-out: layer = what can run in parallel, max
     // layer = critical-path depth. The FK graph is a DAG by construction
@@ -830,6 +863,16 @@ private[graft] object GatesGraphMetrics extends GateFamily {
         |  count(*) AS n_members
         |FROM comp c JOIN lay l ON l.component = c.component
         |GROUP BY 1, 2""".stripMargin,
+
+    // the chain-with-width corpus in closed form: node n lives on chain
+    // n mod w at position n div w, so its longest-path layer IS n div w —
+    // no recursion needed, which is the point of generating the corpus
+    // (an oracle the deep fixpoint cannot influence)
+    "x32_deep_layers" ->
+      """WITH p AS (SELECT greatest(2, count(*) // 128) AS w FROM documents)
+        |SELECT doc_id // w AS layer, count(*) AS n_nodes,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents, p GROUP BY 1""".stripMargin,
 
     // a14's edge CTE, longest-path DP: enumerate (vertex, depth) pairs
     // from the in-degree-0 sources (UNION dedups, the DAG bounds depth),

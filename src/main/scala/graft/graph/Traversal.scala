@@ -311,6 +311,14 @@ object Traversal {
     out
   }
 
+  /** Observable count of [[topoLayers]] depth-escape restarts: incremented
+    * each time the frontier loop abandons level sets for
+    * [[topoLayersDoubling]]. Lets a caller (the x32 gate, TraversalSpec)
+    * ASSERT the log-depth path actually ran, instead of trusting that the
+    * input was deep enough. */
+  private[graft] val topoDoublingSwitches =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Longest-path layering of a DAG: layer(v) = the longest directed path
     * length from any source (in-degree-0 vertex) to v — the topological
     * level assignment a scheduler/lineage system computes to know what can
@@ -368,6 +376,7 @@ object Traversal {
       if (k >= switchDepth) {
         // deep DAG: stop paying a scheduler round-trip per two levels —
         // restart as log-depth doubling (its own cycle guard applies)
+        topoDoublingSwitches.incrementAndGet()
         live.foreach(_.unpersist(false))
         val out = topoLayersDoubling(e, prepEdges = false)
         if (prepEdges) e.unpersist(false)
@@ -376,10 +385,18 @@ object Traversal {
       // TWO levels per convergence probe (the bfsDepth trick): counting
       // S_{k+2} runs through S_{k+1}'s distinct shuffle, so one job
       // fills both caches and answers "done?" for both.
-      val n1 = stepIds(cur, e).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val n2 = stepIds(n1, e).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint(eager=false), not persist: each level frame's
+      // LOGICAL plan is truncated to a LogicalRDD the moment it
+      // materializes (still inside the same probe job), so round k's
+      // analysis cost is O(1) instead of re-walking a k-deep join chain.
+      // persist alone short-circuits execution but not analysis, and the
+      // re-analysis cost compounds — measured on the x32 chain corpus:
+      // probes went 0.6 s → 37 s by level 14 with persist, flat ~0.5 s
+      // with the cut (the same pathology the doubling loop's per-round
+      // cut() fixed in round 14). Lazy, not eager, so the probe keeps
+      // its one-job shape.
+      val n1 = stepIds(cur, e).distinct().localCheckpoint(false)
+      val n2 = stepIds(n1, e).distinct().localCheckpoint(false)
       if (timed(s"topo levels ${k + 1}-${k + 2}")(n2.isEmpty)) {
         n2.unpersist(false)
         if (n1.isEmpty) n1.unpersist(false)
