@@ -123,6 +123,35 @@ private[graft] object GatesStream extends GateFamily {
         .agg(max(col("n_users")).as("n_users"))
     }),
 
+    // SW26 — last-k recency window on the state-v2 ListState: the fourth
+    // (and final) primitive of the transformWithState API under a gate
+    // (ValueState sw23, timers sw24, MapState sw25). Each user's window
+    // is one RocksDB list row: appendList merges the batch in, the trim
+    // reads back only ≤ k + batch entries, state is O(k) per user. Three
+    // mtime-ordered batches split by event_id mod 3, so events arrive
+    // OUT of time order across batches and only the by-event-time trim
+    // (which is out-of-order-safe, see RecentKProcessor) keeps the
+    // window exact. Latest emit per user (max cnt — strictly increasing)
+    // must equal the batch window: top-5 by (µs, event_id) descending.
+    "sw26_stream_tws_lastk" -> ((s, dir) => {
+      import s.implicits._
+      val base = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      val feed = base.select(col("user_id"), col("us"), col("event_id"), col("event_type"))
+      base.persist() // three filtered stage writes — scan events once
+      val out = try runTwsReplayGate(s, "sw26",
+        (0 until 3).map { i =>
+          base.filter(pmod(col("event_id"), lit(3)) === i)
+            .select(col("user_id"), col("us"), col("event_id"), col("event_type"))
+        }, feed.schema, "update") { stream =>
+        streaming.EventPipeline.recentK(
+          stream.as[streaming.EventPipeline.SeqEvent], k = 5).toDF()
+      } finally base.unpersist()
+      out.groupBy(col("user_id"))
+        .agg(max(struct(col("cnt"), col("recent"))).as("r"))
+        .select(col("user_id"), col("r.cnt").as("cnt"), col("r.recent").as("recent"))
+    }),
+
     // Streaming-shaped batch: tumbling 1h windows over the events table.
     "sw1_tumbling_window" -> ((s, dir) => {
       events(s, dir)
@@ -631,6 +660,18 @@ private[graft] object GatesStream extends GateFamily {
     "sw25_stream_tws_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the stream's final recency window must equal the batch top-5 by
+    // (µs-truncated event time, event_id) descending — the same µs
+    // ordering the Spark side's unix_micros feed uses
+    "sw26_stream_tws_lastk" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events),
+        |k AS (SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS recent
+        |  FROM r WHERE rn <= 5 GROUP BY user_id),
+        |c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+        |SELECT c.user_id, c.cnt, k.recent FROM c JOIN k USING (user_id)""".stripMargin,
 
     // the stream's final per-user state must equal the batch aggregate
     "sw23_stream_tws_totals" ->

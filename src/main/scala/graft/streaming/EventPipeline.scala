@@ -573,6 +573,73 @@ object EventPipeline {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** One sequenced event for [[recentK]]: event time pre-converted to
+    * epoch micros so state ordering is engine-exact (the oracle orders by
+    * the same µs truncation), event_id as the unique tiebreak. */
+  case class SeqEvent(user_id: Long, us: Long, event_id: Long, event_type: String)
+  /** Cumulative event count + the k most recent event types
+    * (newest-first, comma-joined) as of the latest micro-batch. */
+  case class UserRecent(user_id: Long, cnt: Long, recent: String)
+
+  /** Last-k events per user on the state-v2 ListState — the FOURTH and
+    * final primitive of the API demonstrated (ValueState in
+    * [[runningTotals]], timers in [[sessionizeTws]], MapState in
+    * [[distinctUsers]]): the recency window lives as one RocksDB list row
+    * per user — `appendList` is an O(batch) merge write (RocksDB
+    * merge-op, no read-modify-write of a serialized blob the way a
+    * ValueState[Seq] would pay), and the trim reads back only the ≤ k +
+    * batch entries the list holds, never the stream. Arrival order is
+    * irrelevant: "the k most recent by event time" is trim-safe out of
+    * order — an event that belongs in the FINAL top-k can never be
+    * trimmed early, because trimming it would require k strictly newer
+    * events already present, which would still be present at the end.
+    * State is O(k) per user however long the stream runs — the bounded
+    * feature-window shape (last-k actions feeding a recommender /
+    * funnel read) that survives 100 TB. A ValueState counter carries the
+    * cumulative event count; it strictly increases per emit, making the
+    * latest emit per user selectable as max(cnt) with no timestamp. */
+  class RecentKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SeqEvent, UserRecent] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var recent: ListState[SeqEvent] = _
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[SeqEvent](
+        "recent", Encoders.product[SeqEvent], TTLConfig.NONE)
+      count = getHandle.getValueState[Long](
+        "cnt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[SeqEvent],
+                                 tv: TimerValues): Iterator[UserRecent] = {
+      val batch = rows.toArray
+      if (batch.isEmpty) Iterator.empty
+      else {
+        recent.appendList(batch) // one merge write, no prior read needed
+        // trim to the k newest by (event time, id): reads ≤ k + |batch|
+        // entries — the list was trimmed to k on the previous batch
+        val keep = recent.get().toArray
+          .sortBy(e => (-e.us, -e.event_id)).take(k)
+        recent.clear()
+        recent.appendList(keep)
+        val n = (if (count.exists()) count.get() else 0L) + batch.length
+        count.update(n)
+        Iterator.single(UserRecent(key, n, keep.map(_.event_type).mkString(",")))
+      }
+    }
+  }
+
+  /** (user_id, us, event_id, event_type) stream → per-user cumulative
+    * count + last-k event-type window. RocksDB state store required
+    * (state v2). */
+  def recentK(events: Dataset[SeqEvent], k: Int): Dataset[UserRecent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** The open-session list as a single named state row (Seq of the same
     * SessionState the flatMapGroupsWithState path keeps). */
   case class TwsSessions(open: Seq[SessionState])

@@ -151,6 +151,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("recentK (ListState): out-of-order arrivals trim safely; state holds k, count keeps counting") {
+    implicit val sqlCtx = spark.sqlContext
+    GateSupport.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val mem = MemoryStream[EventPipeline.SeqEvent]
+      val q = EventPipeline.recentK(mem.toDS(), k = 3).toDF()
+        .writeStream.format("memory").queryName("tws_lastk")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("tws-lastk-ck").toString)
+        .outputMode(OutputMode.Update()).start()
+      def ev(us: Long, id: Long, t: String) = EventPipeline.SeqEvent(1L, us, id, t)
+      val rows = try {
+        // batch 1: times 10,40,50,60 — trim drops the 10
+        mem.addData(ev(40, 4, "b"), ev(10, 1, "a"), ev(60, 6, "d"), ev(50, 5, "c"))
+        q.processAllAvailable()
+        // batch 2: a LATE event at t=45 (older than the in-state 50,60 but
+        // newer than the trimmed 40) plus a new head at t=70 — the final
+        // window must be 70,60,50 regardless of arrival order, and the
+        // late 45 must not resurrect anything
+        mem.addData(ev(45, 7, "late"), ev(70, 8, "e"))
+        q.processAllAvailable()
+        spark.table("tws_lastk").as[EventPipeline.UserRecent].collect()
+      } finally q.stop()
+      assert(rows.map(_.cnt).toSet == Set(4L, 6L)) // one emit per batch, counts cumulative
+      assert(rows.maxBy(_.cnt).recent == "e,d,c")  // newest-first top-3 by event time
+      assert(rows.minBy(_.cnt).recent == "d,c,b")  // batch-1 window was exact too
+    }
+  }
+
   test("sessionizeTws out-of-order: a late in-gap event BRIDGES two open sessions and moves the timer") {
     implicit val sqlCtx = spark.sqlContext
     GateSupport.withConfs(spark,
