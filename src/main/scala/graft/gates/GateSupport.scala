@@ -142,6 +142,26 @@ private[graft] object GateSupport {
     } finally deleteRecursively(tmp)
   }
 
+  /** The documents table with the multimodal gates' chars==bytes
+    * precondition ENFORCED: the BMP/WAV/AVI oracles measure text in
+    * CHARACTERS (length/unicode/substr) while the codecs frame UTF-8
+    * BYTES — identical only while the corpus is pure ASCII. A future
+    * regen with one multi-byte character would desync frame counts and
+    * channel sums as a bare hash mismatch; this audit names the real
+    * cause instead (r14 advice). One count job over the (small, dim-
+    * sized) documents table per gated run. */
+  private[graft] def asciiDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nonAscii = docs
+      .filter(length(col("text")) =!= octet_length(col("text"))).count()
+    require(nonAscii == 0,
+      s"$nonAscii documents.text value(s) are not pure ASCII — the " +
+        "multimodal oracles measure characters while the codecs frame " +
+        "UTF-8 bytes; rewrite those oracles byte-wise (octet_length/" +
+        "byte extraction) before trusting the m-gates on this corpus")
+    docs
+  }
+
   /** Exact money arithmetic. Every money column in the testdata is
     * 2dp-exact (measured: max |x·100 − round(x·100)| ≤ 4e-9 across all
     * tables — and ENFORCED per run by Verify's cents-precondition audit,

@@ -131,18 +131,20 @@ private[graft] object GatesMultimodal extends GateFamily {
     // pipeline) and reduces it to exact per-channel sums. Every pixel is
     // a pure function of the text, so the oracle recomputes the sampled
     // frame statistics from the text alone — the m7 formula with a
-    // 192-byte frame offset.
+    // 192-byte frame offset. asciiDocs: the oracle counts CHARACTERS
+    // while encodeAvi frames UTF-8 BYTES — audited, not assumed.
     "m13_avi_frames" -> ((s, dir) => {
-      val media = operators.Multimodal.encodeAvi(s, t(s, dir, "documents"),
+      val media = operators.Multimodal.encodeAvi(s, asciiDocs(s, dir),
         "doc_id", "text", width = 16, frameH = 4)
       operators.Multimodal.decodeAviFrames(s, media, sampleEvery = 2).toDF()
     }),
 
     // Tiled image statistics over REAL decoded BMP pixels: 8×8 blocks,
     // exact per-channel sums — patch-level pre-compute; tiles, not
-    // pixels, leave the decode task.
+    // pixels, leave the decode task. asciiDocs: same chars==bytes audit
+    // as m13 (this oracle indexes text by character position).
     "m7_image_tiles" -> ((s, dir) => {
-      val media = operators.Multimodal.encodeBmp(s, t(s, dir, "documents"), "doc_id", "text")
+      val media = operators.Multimodal.encodeBmp(s, asciiDocs(s, dir), "doc_id", "text")
       operators.Multimodal.decodeBmpTiles(s, media, tile = 8).toDF()
     }),
 

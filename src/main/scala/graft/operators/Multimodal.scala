@@ -287,15 +287,24 @@ object Multimodal {
         }
         def walkList(s: Int, e: Int)(f: (String, Int, Int) => Unit): Unit =
           walk(s + 4, e)(f) // skip the 4-byte list type
+        // every LIST read goes through this: a truncated/adversarial LIST
+        // whose data can't even hold the 4-byte list type must fail with
+        // the id-tagged message, not a bare IndexOutOfBoundsException
+        // escaping from cc() (r14 review finding)
+        def listType(s: Int, e: Int): String = {
+          require(e - s >= 4,
+            s"id=${r.id}: LIST chunk data is ${e - s} bytes, list type needs 4")
+          cc(s)
+        }
         walk(12, r.blob.length) { (id, s, e) =>
-          if (id == "LIST") cc(s) match {
+          if (id == "LIST") listType(s, e) match {
             case "hdrl" => walkList(s, e) { (hid, hs, he) =>
               hid match {
                 case "avih" =>
                   require(he - hs >= 40,
                     s"id=${r.id}: avih chunk is ${he - hs} bytes, header needs 40")
                   totalFrames = u32(hs + 16); w = u32(hs + 32); h = u32(hs + 36)
-                case "LIST" if cc(hs) == "strl" =>
+                case "LIST" if listType(hs, he) == "strl" =>
                   strlIdx += 1
                   var isVids = false // strh precedes strf within its strl (spec)
                   walkList(hs, he) { (sid, ss, se) =>

@@ -517,6 +517,34 @@ class OperatorsSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("no codec")))
   }
 
+  test("decodeAviFrames: truncated LIST fails with the id-tagged message, not a bare index error") {
+    import spark.implicits._
+    def decode(blob: Array[Byte]) = Multimodal.decodeAviFrames(spark,
+      Seq(Multimodal.MediaRow(7L, blob, "video/x-msvideo")).toDS()).collect()
+    def idTagged(body: Array[Byte] => Unit, blob: Array[Byte]): Unit = {
+      val e = intercept[Exception](body(blob))
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).toSeq
+      assert(msgs.exists(_.contains("id=7")),
+        s"expected the id-tagged require message, got: ${msgs.take(3)}")
+    }
+    // a LIST whose declared data (2 bytes) can't even hold the list type:
+    // the fourcc read must be guarded, not left to StringIndexOutOfBounds
+    val shortList = java.nio.ByteBuffer.allocate(22)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    shortList.put("RIFF".getBytes("US-ASCII")).putInt(14)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(2).putShort(0)
+    idTagged(b => decode(b), shortList.array())
+    // a chunk whose size overruns the file
+    val overrun = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    overrun.put("RIFF".getBytes("US-ASCII")).putInt(12)
+      .put("AVI ".getBytes("US-ASCII"))
+      .put("LIST".getBytes("US-ASCII")).putInt(500)
+    idTagged(b => decode(b), overrun.array())
+  }
+
   test("decodeAviFrames with an audio stream: auds strf skipped, 0Xwb chunks ignored, vids prefix honored") {
     import spark.implicits._
     // Hand-built two-stream AVI the writer never emits: stream 00 = PCM
