@@ -150,11 +150,20 @@ private[graft] object GatesGraphMetrics extends GateFamily {
     // here. Oracle: layer(n) = n div w in closed form — the generated
     // corpus is exactly what makes the fixpoint independently checkable.
     "x32_deep_layers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val n = docs.count() // one metadata-cheap job to size the width knob
       val w = math.max(2L, n / 128L)
-      val edges = docs.select(col("doc_id").as("src"),
-          (col("doc_id") + lit(w)).as("dst"))
+      // node id = doc_id RANK, not doc_id: the id space must be dense for
+      // the closed-form oracle, and the 10× ScaleUp replica strides its
+      // keys (raw ids would leave replicas 2..10 edge-less and the DAG
+      // shallow). The single-partition window is corpus GENERATION for
+      // the gate, not the operator under test — at real scale the dense
+      // id would come from the data itself.
+      val nodes = docs.select((row_number().over(Window.orderBy(col("doc_id")))
+        - 1).cast("long").as("nid"))
+      val edges = nodes.select(col("nid").as("src"),
+          (col("nid") + lit(w)).as("dst"))
         .filter(col("dst") < n)
       val before = graph.Traversal.topoDoublingSwitches.get()
       // topoLayers materializes eagerly (its convergence probes run the
@@ -869,10 +878,11 @@ private[graft] object GatesGraphMetrics extends GateFamily {
     // no recursion needed, which is the point of generating the corpus
     // (an oracle the deep fixpoint cannot influence)
     "x32_deep_layers" ->
-      """WITH p AS (SELECT greatest(2, count(*) // 128) AS w FROM documents)
-        |SELECT doc_id // w AS layer, count(*) AS n_nodes,
-        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-        |FROM documents, p GROUP BY 1""".stripMargin,
+      """WITH p AS (SELECT greatest(2, count(*) // 128) AS w FROM documents),
+        |r AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS nid FROM documents)
+        |SELECT nid // w AS layer, count(*) AS n_nodes,
+        |  CAST(sum(nid) AS BIGINT) AS id_sum
+        |FROM r, p GROUP BY 1""".stripMargin,
 
     // a14's edge CTE, longest-path DP: enumerate (vertex, depth) pairs
     // from the in-degree-0 sources (UNION dedups, the DAG bounds depth),
