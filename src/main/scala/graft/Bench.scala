@@ -42,7 +42,10 @@ object Bench {
     // the binary-quantized ANN scale path and the robust outlier screen
     "e22_binary_rerank", "dq9_mad_outliers",
     // DAG layering and the first-claim novelty scorer
-    "x30_topo_layers", "d_novelty")
+    "x30_topo_layers", "d_novelty",
+    // round 15: the deep-DAG doubling gate and the ListState window —
+    // the two new gates with non-trivial cost (b03/o5 are sub-second)
+    "x32_deep_layers", "sw26_stream_tws_lastk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
