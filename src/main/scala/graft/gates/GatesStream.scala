@@ -39,6 +39,40 @@ private[graft] object GatesStream extends GateFamily {
       s.table(name)
     }),
 
+    // SW27 — STREAMING ingest on MINTED credentials: the b03 grant walk
+    // as a Structured Streaming query, which is where token lifecycle
+    // actually bites — a long-running ingest OUTLIVES its bearer. uses=2
+    // kills each token after two guarded requests while the stream pulls
+    // 2 pages per trigger across 3 micro-batches, so the 401→re-mint→
+    // retry path fires BETWEEN triggers (inside executor tasks of later
+    // micro-batches), not just once inside a batch read. The JVM-shared
+    // provider cache means the refreshed token carries across triggers.
+    // Oracle = the same corpus formula; the credential churn must be
+    // invisible in the rows.
+    "sw27_stream_oauth_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val url = s"${sources.PagedApiFixture.oauthUsersUrl}?pages=6&uses=2"
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sw27")
+      try {
+        val name = s"sw27_out_${sinkSeq.incrementAndGet()}"
+        val q = s.readStream.format("graft.sources.PagedApiSource")
+          .option("url", url).option("pages", 6)
+          .option("pageSize", 50).option("minIntervalMs", 0)
+          .option("pagesPerTrigger", 2)
+          .option("tokenUrl", sources.PagedApiFixture.tokenUrl)
+          .option("oauthIssuer", "fixture-sa@example.test")
+          .option("oauthScope", "directory.readonly.stream")
+          .option("oauthSubject", "admin@example.test")
+          .option("oauthKey", sources.PagedApiFixture.privateKeyPem)
+          .load()
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ck")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+      } finally deleteRecursively(tmp)
+    }),
+
     // SW23 — transformWithState, Spark 4's arbitrary-state API (state
     // v2): per-user running totals kept in a typed named ValueState under
     // the RocksDB provider (the only backend the API supports), fed three
@@ -654,6 +688,10 @@ private[graft] object GatesStream extends GateFamily {
 
     // the streamed ingest must land exactly the batch rows — same formula
     "sw22_stream_paged_ingest" -> pagedFixtureOracleSql,
+
+    // minted-credential streaming: token mint/expiry/refresh across
+    // micro-batches must be invisible in the rows — b01's formula again
+    "sw27_stream_oauth_ingest" -> pagedFixtureOracleSql,
 
     // the stream's final per-type membership count must equal the exact
     // batch distinct

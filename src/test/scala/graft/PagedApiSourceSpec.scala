@@ -512,6 +512,23 @@ class PagedApiSourceSpec extends AnyFunSuite {
     assert(anyCauseContains(e, "rejected the JWT grant"))
   }
 
+  test("oauth: a missing oauthKeyEnv variable fails loudly, naming the variable") {
+    // the production key channel mirrors bearerTokenEnv: the PEM rides an
+    // executor env var, resolved at first fetch — a missing var must name
+    // itself in the task failure, not surface as a bare NPE
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.PagedApiSource")
+        .option("url", s"${PagedApiFixture.oauthUsersUrl}?pages=2")
+        .option("pages", 2).option("pageSize", 3).option("minIntervalMs", 0)
+        .option("tokenUrl", PagedApiFixture.tokenUrl)
+        .option("oauthIssuer", "fixture-sa@example.test")
+        .option("oauthScope", "spec-keyenv")
+        .option("oauthKeyEnv", "GRAFT_TEST_OAUTH_KEY_UNSET")
+        .load().collect()
+    }
+    assert(anyCauseContains(e, "GRAFT_TEST_OAUTH_KEY_UNSET"))
+  }
+
   test("oauth: config validation — issuer required, bearer options exclusive") {
     val e1 = intercept[Exception] {
       spark.read.format("graft.sources.PagedApiSource")
