@@ -167,8 +167,15 @@ private[graft] object GatesGraphMetrics extends GateFamily {
         .filter(col("dst") < n)
       val before = graph.Traversal.topoDoublingSwitches.get()
       // topoLayers materializes eagerly (its convergence probes run the
-      // jobs), so the switch has fired — or not — by the time it returns
-      val layered = graph.Traversal.topoLayers(edges)
+      // jobs), so the switch has fired — or not — by the time it returns.
+      // 8 shuffle partitions, scoped: ~17 serial round-trip jobs (16
+      // frontier probes + 8 doubling rounds) over a ≤320k-row closure are
+      // LATENCY-bound, not data-bound — the deployment knob is the same
+      // conf sized to the relation, exactly like the streaming gates'
+      // state-store scoping.
+      val layered = withShufflePartitions(s, 8) {
+        graph.Traversal.topoLayers(edges)
+      }
       require(graph.Traversal.topoDoublingSwitches.get() > before,
         s"x32: depth ${(n - 1) / w} did not trigger the doubling switch — " +
           "the gate exists to pin the log-depth path; check switchDepth")
