@@ -311,6 +311,46 @@ private[graft] object GatesEtl extends GateFamily {
       }
     }),
 
+    // SMALL-FILE COMPACTION — the table-maintenance operator every 100 TB
+    // lake runs nightly and the one layout op the o-family still lacked:
+    // a fragmented write (64 shuffle-scattered files — the shape a
+    // high-parallelism streaming sink or over-partitioned job leaves
+    // behind) is compacted to range-clustered files via
+    // repartitionByRange(doc_id) + maxRecordsPerFile. The gate REQUIRES
+    // the file counts (fragmented ≥ 32, compacted == 2) so a silent
+    // no-op compaction is red, and the oracle is the o1 identity digest —
+    // compaction must move every byte and invent none. Range clustering
+    // is the point (vs coalesce): post-compaction files carry disjoint
+    // doc_id min/max spans, so row-group pruning works on the id axis
+    // where the fragmented layout's spans all overlapped.
+    "o6_compaction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def parquetFiles(p: String): Int =
+        new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+      val frag = java.nio.file.Files.createTempDirectory("graft-frag")
+      val compacted = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      try {
+        docs.repartition(64).write.mode("overwrite").parquet(frag.toString)
+        val nFrag = parquetFiles(frag.toString)
+        require(nFrag >= 32,
+          s"o6: expected a fragmented layout (>=32 files), got $nFrag — " +
+            "the compaction gate needs something to compact")
+        s.read.parquet(frag.toString)
+          .repartitionByRange(2, col("doc_id"))
+          .write.mode("overwrite").parquet(compacted)
+        val nComp = parquetFiles(compacted)
+        require(nComp == 2,
+          s"o6: compaction produced $nComp files, expected 2 — the " +
+            "rewrite did not consolidate the fragments")
+      } finally deleteRecursively(frag) // the returned plan reads only `compacted`
+      s.read.parquet(compacted)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("char_mass"),
+          sum(functions.Hashing.md5Long(col("text")) % lit(1000000000000L))
+            .as("text_hash_sum"))
+    }),
+
     "o1_orc_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val path = java.nio.file.Files.createTempDirectory("graft-orc").toString
@@ -398,6 +438,15 @@ private[graft] object GatesEtl extends GateFamily {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY l_returnflag""".stripMargin,
+
+    // compaction is an identity on the data: the o1 digest recomputed
+    // from the source table
+    "o6_compaction" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_mass,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000000)
+        |    AS BIGINT) AS text_hash_sum
+        |FROM documents GROUP BY lang""".stripMargin,
 
     // The fingerprint recomputed straight from the parquet table — the
     // ORC write∘read on the Spark side must be an exact identity.
