@@ -790,6 +790,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2(("A", "C")) == (1L, 333333L))
   }
 
+  test("property: recentK equals the naive top-k reference under random batch splits") {
+    // 5 seeded trials: random event logs, randomly PARTITIONED into 2-4
+    // micro-batches (arrival order decoupled from event time — the
+    // adversarial case for a trimmed window), final emit per user must
+    // equal the naive sort-desc-take-k reference.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(1515)
+    GateSupport.withConfs(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      (1 to 5).foreach { trial =>
+        val k = 1 + rnd.nextInt(4)
+        val n = 20 + rnd.nextInt(80)
+        val evs = (1L to n.toLong).map { i =>
+          EventPipeline.SeqEvent(rnd.nextInt(6).toLong,
+            rnd.nextInt(40).toLong, i, s"t${rnd.nextInt(5)}")
+        }
+        val nBatches = 2 + rnd.nextInt(3)
+        val batches = rnd.shuffle(evs).grouped(
+          math.max(1, (n + nBatches - 1) / nBatches)).toSeq
+        val mem = MemoryStream[EventPipeline.SeqEvent]
+        val name = s"tws_lastk_prop_$trial"
+        val q = EventPipeline.recentK(mem.toDS(), k).toDF()
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("tws-lastk-prop-ck").toString)
+          .outputMode(OutputMode.Update()).start()
+        val rows = try {
+          batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+          spark.table(name).as[EventPipeline.UserRecent].collect()
+        } finally q.stop()
+        val got = rows.groupBy(_.user_id)
+          .map { case (u, rs) => u -> rs.maxBy(_.cnt) }
+        val expected = evs.groupBy(_.user_id).map { case (u, es) =>
+          u -> (es.size.toLong,
+            es.sortBy(e => (-e.us, -e.event_id)).take(k)
+              .map(_.event_type).mkString(","))
+        }
+        assert(got.keySet == expected.keySet, s"trial $trial: user sets differ")
+        expected.foreach { case (u, (cnt, recent)) =>
+          assert(got(u).cnt == cnt && got(u).recent == recent,
+            s"trial $trial user $u (k=$k): got (${got(u).cnt}, ${got(u).recent}), " +
+              s"expected ($cnt, $recent)")
+        }
+      }
+    }
+  }
+
   test("property: funnel/retention/transitions equal naive references on seeded random logs") {
     val rnd = new scala.util.Random(4242)
     val types = Vector("view", "click", "purchase", "error")
