@@ -67,8 +67,10 @@ private[graft] object GateSupport {
   private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(root) // must close: the stream holds directory handles
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 
