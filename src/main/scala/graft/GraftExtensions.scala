@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.{CosineSimilarity, NfcNormalize}
+import graft.functions.{CosineSimilarity, L2SqDistance, NfcNormalize}
 
 /** Session extensions registering graft's native expressions.
   *
@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // expression itself demands exact types.
         val coerced = children.map(c => Cast(c, ArrayType(DoubleType)))
         CosineSimilarity(coerced.head, coerced(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2SqDistance].getName, "l2_sq"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"l2_sq expects 2 arguments, got ${children.length}")
+        val coerced = children.map(c => Cast(c, ArrayType(DoubleType)))
+        L2SqDistance(coerced.head, coerced(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),

@@ -22,8 +22,12 @@ import graft.functions.Hashing.md5Long
   */
 object Clustering {
 
+  /** Native fused squared-L2 ([[graft.functions.L2SqDistance]], registered
+    * by GraftExtensions): one codegen'd loop, no per-pair difference array
+    * — bit-identical to the sequential fold it replaced (the hot
+    * vector×centroid inner product of every Lloyd/assign pass). */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    call_function("l2_sq", a, b)
 
   private def assign(v: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vid")).orderBy(col("__d"), col("cid"))

@@ -230,8 +230,7 @@ object Similarity {
       transform(col(vecCol), x => x.cast("double")).as("qv"))
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("__d"), col("cid"))
     val probes = qv.crossJoin(broadcast(centroids))
-      .withColumn("__d", aggregate(zip_with(col("qv"), col("cvec"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("__d", call_function("l2_sq", col("qv"), col("cvec")))
       .withColumn("__r", row_number().over(probeW)).filter(col("__r") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid"))
     val rescored = probes.join(
@@ -498,8 +497,10 @@ object Similarity {
       struct(lit(s).as("sub"), slice(vec, sl * lit(s) + 1, sl).as("svec"))): _*)
   }
 
+  /** Native fused squared-L2 (see [[graft.functions.L2SqDistance]]) —
+    * bit-identical to the sequential fold it replaced. */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    call_function("l2_sq", a, b)
 
   /** Matryoshka truncation: keep the first `dims` dimensions and
     * L2-renormalize — the MRL serving trick (use a prefix of the
