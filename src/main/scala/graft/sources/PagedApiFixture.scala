@@ -182,8 +182,14 @@ object PagedApiFixture {
             case Some(Right(())) =>
               val tok = s"fixtok-${tokensMinted.incrementAndGet()}"
               issuedTokens.add(tok)
+              // ttl carried in the token URL's query (default 3600) — lets
+              // a spec issue already-stale tokens (ttl < the provider's
+              // 30 s skew) to prove TIME-based re-mint, with no 401 at all
+              val ttl = Option(ex.getRequestURI.getQuery).getOrElse("")
+                .split("&").filter(_.startsWith("ttl="))
+                .headOption.map(_.stripPrefix("ttl=").toLong).getOrElse(3600L)
               respond(200,
-                s"""{"access_token":"$tok","expires_in":3600,"token_type":"Bearer"}""")
+                s"""{"access_token":"$tok","expires_in":$ttl,"token_type":"Bearer"}""")
             case Some(Left(err)) =>
               respond(400, s"""{"error":"${err.replace("\"", "'")}"}""")
             case None => respond(400, """{"error":"invalid_request: no assertion"}""")

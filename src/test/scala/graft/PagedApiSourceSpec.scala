@@ -512,6 +512,29 @@ class PagedApiSourceSpec extends AnyFunSuite {
     assert(anyCauseContains(e, "rejected the JWT grant"))
   }
 
+  test("oauth: a token inside the expiry skew re-mints on TIME alone — no 401 involved") {
+    // ttl=1s sits inside the provider's 30 s refresh skew, so every
+    // request sees a stale cache and re-mints BEFORE sending — the
+    // clock-driven half of the lifecycle (the 401 path is reactive; a
+    // walk that outlives its token should normally renew proactively)
+    val beforeMints = PagedApiFixture.tokensMinted.get()
+    val beforeRejects = PagedApiFixture.authRejects.get()
+    val rows = spark.read.format("graft.sources.PagedApiSource")
+      .option("url", s"${PagedApiFixture.oauthUsersUrl}?pages=3")
+      .option("mode", "token")
+      .option("pages", 3).option("pageSize", 4).option("minIntervalMs", 0)
+      .option("tokenUrl", s"${PagedApiFixture.tokenUrl}?ttl=1")
+      .option("oauthIssuer", "fixture-sa@example.test")
+      .option("oauthScope", "spec-skew")
+      .option("oauthKey", PagedApiFixture.privateKeyPem)
+      .load().collect()
+    assert(rows.length == 12)
+    assert(PagedApiFixture.tokensMinted.get() - beforeMints == 3,
+      "expected one proactive mint per page request with an in-skew ttl")
+    assert(PagedApiFixture.authRejects.get() - beforeRejects == 0,
+      "proactive renewal must never let a stale token reach the API")
+  }
+
   test("oauth: a missing oauthKeyEnv variable fails loudly, naming the variable") {
     // the production key channel mirrors bearerTokenEnv: the PEM rides an
     // executor env var, resolved at first fetch — a missing var must name
