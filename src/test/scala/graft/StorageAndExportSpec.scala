@@ -88,6 +88,58 @@ class StorageAndExportSpec extends AnyFunSuite {
     assert(xml.startsWith("""<?xml version="1.0""""))
   }
 
+  test("graphml parses with the JDK's own XML parser — third-party well-formedness") {
+    // the containment/round-trip tests above have OUR code on both ends;
+    // a real XML parser certifies the document itself, hostile values and
+    // all (ampersands, angle brackets, both quote kinds, newlines, non-
+    // ASCII — everything XML 1.0 can legally carry)
+    import spark.implicits._
+    val hostile = """a<b&c>"d"'e' f
+g — ünïcode]]>"""
+    val g = graft.graph.PropertyGraph(
+      Seq((1L, "user", hostile, Map("note" -> hostile)),
+        (2L, "group", "plain", Map.empty[String, String]))
+        .toDF("id", "label", "key", "props"),
+      Seq((1L, 2L, "in", 1)).toDF("src", "dst", "label", "weight"))
+    val xml = GraphExport.graphml(g)
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    val doc = dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+    val nodes = doc.getElementsByTagNameNS("*", "node")
+    val edges = doc.getElementsByTagNameNS("*", "edge")
+    assert(nodes.getLength == 2 && edges.getLength == 1)
+    // the hostile key survives the escape→parse loop byte-for-byte
+    val datas = doc.getElementsByTagNameNS("*", "data")
+    val texts = (0 until datas.getLength).map(datas.item(_).getTextContent)
+    assert(texts.contains(hostile),
+      s"hostile key did not survive escape->parse: ${texts.take(4)}")
+  }
+
+  test("graphson lines parse with Jackson — third-party JSON well-formedness") {
+    import spark.implicits._
+    val hostile = "quote\" backslash\\ newline\n tab\t — ünïcode"
+    val g = graft.graph.PropertyGraph(
+      Seq((1L, "user", hostile, Map("p" -> hostile)))
+        .toDF("id", "label", "key", "props"),
+      Seq((1L, 1L, "self", 1)).toDF("src", "dst", "label", "weight"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = GraphExport.graphsonVertices(g).as[String].collect() ++
+      GraphExport.graphsonEdges(g).as[String].collect() ++
+      GraphExport.graphsonTypedVertices(g).as[String].collect() ++
+      GraphExport.graphsonTypedEdges(g).as[String].collect()
+    assert(lines.length == 4)
+    lines.foreach { l =>
+      val node = mapper.readTree(l) // throws on malformed JSON
+      assert(node.isObject, s"graphson line is not a JSON object: $l")
+    }
+    // the hostile value survives the emit→Jackson loop exactly
+    val v = mapper.readTree(lines.head)
+    assert(v.findValuesAsText("key").contains(hostile) ||
+      v.toString.contains(mapper.writeValueAsString(hostile).stripPrefix("\"").stripSuffix("\"")),
+      s"hostile key not recoverable from: ${lines.head}")
+  }
+
   test("graphml round-trips: write → readGraphML restores the graph exactly") {
     val g = PropertyGraph(
       Seq((1L, "user", "a<b&c", Map("k1" -> "v&w", "k2" -> "x=y")),
