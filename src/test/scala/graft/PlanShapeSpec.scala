@@ -243,6 +243,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no map-side partial aggregate in:\n${df.queryExecution.executedPlan}")
   }
 
+  test("AQE skew join: a hot key splits into skew-read partitions at runtime, same rows") {
+    // The RUNTIME half of the skew story (Skew.scala's deterministic
+    // salting is the plan-time half, for the cases AQE can't reach —
+    // aggregations, iterated joins): a shuffle join whose probe side
+    // piles 60% of its rows on one key must come out of AQE with the
+    // skewed partition SPLIT (the executed plan's AQEShuffleRead reports
+    // 'skewed'), and splitting must be invisible in the rows. Thresholds
+    // are scoped low so the fixture-sized partition qualifies — the same
+    // knobs a deployment tunes against real partition sizes.
+    import org.apache.spark.sql.functions.{col, count, lit, sum => fsum}
+    val dir = java.nio.file.Files.createTempDirectory("plan-skew").toString
+    spark.range(0, 200000)
+      .selectExpr("CASE WHEN id % 10 < 6 THEN 0L ELSE id % 1000 END AS k",
+        "id AS v", "repeat('x', 24) AS pad")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    spark.range(0, 1000).selectExpr("id AS k", "id % 7 AS w")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    def joined = spark.read.parquet(s"$dir/fact")
+      .join(spark.read.parquet(s"$dir/dim"), "k")
+      .agg(count(lit(1)).as("cnt"), fsum(col("v") * col("w")).as("dot"))
+    val expected = joined.collect().toSeq // default confs: no split needed for parity
+    GateSupport.withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      // coalescing can merge the skew splits right back below the test's
+      // visibility; parallelismFirst keeps the split granularity
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true") {
+      val df = joined
+      assert(df.collect().toSeq == expected, "skew split changed the result")
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skewed"),
+        s"no skew-split AQEShuffleRead in the final adaptive plan:\n$finalPlan")
+    }
+  }
+
   test("runtime bloom filter: a selective dim side injects might_contain into the fact scan") {
     // The 100 TB semi-join reduction: when the dim side of a shuffle join
     // carries a selective predicate, Catalyst's InjectRuntimeFilter builds
