@@ -512,6 +512,26 @@ class PagedApiSourceSpec extends AnyFunSuite {
     assert(anyCauseContains(e, "rejected the JWT grant"))
   }
 
+  test("oauth: parallel indexed readers share ONE mint per JVM, not one per task") {
+    // 6 partition readers race on a cold provider; the synchronized mint
+    // means exactly one token request leaves the JVM and the other five
+    // wait for the cache — the 1000-executors-mint-1000-tokens (not 1M)
+    // scale claim, pinned at the JVM level
+    val before = PagedApiFixture.tokensMinted.get()
+    val rows = spark.read.format("graft.sources.PagedApiSource")
+      .option("url", s"${PagedApiFixture.oauthUsersUrl}?pages=6")
+      .option("mode", "indexed") // parallel: one partition per page
+      .option("pages", 6).option("pageSize", 10).option("minIntervalMs", 0)
+      .option("tokenUrl", PagedApiFixture.tokenUrl)
+      .option("oauthIssuer", "fixture-sa@example.test")
+      .option("oauthScope", "spec-parallel")
+      .option("oauthKey", PagedApiFixture.privateKeyPem)
+      .load().collect()
+    assert(rows.length == 60)
+    assert(PagedApiFixture.tokensMinted.get() - before == 1,
+      "six parallel readers must share one minted token via the JVM cache")
+  }
+
   test("oauth: a token inside the expiry skew re-mints on TIME alone — no 401 involved") {
     // ttl=1s sits inside the provider's 30 s refresh skew, so every
     // request sees a stale cache and re-mints BEFORE sending — the
