@@ -22,8 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * at 0.0 — bit-identical to the sequential-fold form and to external
   * engines that fold lists sequentially (the DuckDB oracle validates this).
   *
-  * NULL if either side is NULL, lengths differ, either norm is zero, or
-  * the arrays are empty. Array elements must be non-null.
+  * NULL if either side is NULL, lengths differ, either norm is zero, the
+  * arrays are empty, or ANY element is null (ArrayData.getDouble on a
+  * null slot would silently read 0.0 — the composable form null-poisons
+  * the fold instead, and this expression matches it).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -54,6 +56,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
@@ -79,15 +82,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xi = $a.getDouble($i);
          |    double $yi = $b.getDouble($i);
          |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |  }
-         |  double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-         |  if ($denom == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = $dot / $denom;
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |    if ($denom == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / $denom;
+         |    }
          |  }
          |}
        """.stripMargin

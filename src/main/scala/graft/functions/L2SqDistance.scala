@@ -21,9 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * this equivalence board-wide).
   *
   * Semantics mirror the composable form exactly so the swap is invisible:
-  * NULL if either side is NULL or lengths differ (zip_with pads the
-  * shorter side with nulls, poisoning the fold); two EMPTY arrays fold to
-  * the seed 0.0, not NULL. Array elements must be non-null.
+  * NULL if either side is NULL, lengths differ (zip_with pads the
+  * shorter side with nulls, poisoning the fold), or ANY element is null
+  * (the fold's `(x-y)*(x-y)` is null-poisoned per element); two EMPTY
+  * arrays fold to the seed 0.0, not NULL.
   */
 case class L2SqDistance(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -50,6 +51,10 @@ case class L2SqDistance(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // A null slot must poison the whole fold — ArrayData.getDouble on a
+      // null slot silently reads 0.0, which the composable form would
+      // never do (r15 ADVICE).
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getDouble(i) - y.getDouble(i)
       acc += d * d
       i += 1
@@ -70,10 +75,11 @@ case class L2SqDistance(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $d = $a.getDouble($i) - $b.getDouble($i);
          |    $acc += $d * $d;
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -61,6 +61,23 @@ private[graft] object GateSupport {
     }
   }
 
+  /** Execute a SMALL result NOW and detach it from its inputs: collect to
+    * driver rows, rebuild via createDataFrame. For gates whose plan must
+    * run inside a scope that is gone by the time Verify consumes the
+    * returned DataFrame (conf overrides via [[withConfs]], temp dirs the
+    * finally deletes). Unlike `localCheckpoint()` — the r15 shape — the
+    * rebuilt frame pins nothing in the block manager, so a gated run
+    * leaves no cached blocks behind (r15 ADVICE on o5). Only for
+    * aggregate-sized results: the collect is driver-memory-bound. */
+  private[graft] def pinLocal(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    require(rows.length <= 100000,
+      s"pinLocal is for small aggregates, got ${rows.length} rows")
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
+      df.schema)
+  }
+
   /** Recursively delete a temp tree (the replay-harness cleanup — NOT for
     * anything a later reader still needs). Deliberately quiet on races:
     * a file already gone is the desired end state. */

@@ -307,7 +307,10 @@ private[graft] object GatesEtl extends GateFamily {
         require(hasBloom, "o5: InjectRuntimeFilter did not inject a bloom " +
           "filter onto the lineitem side — check the runtime.bloomFilter " +
           "confs / join shape before trusting this gate's plan claim")
-        df.localCheckpoint() // execute NOW, inside the conf scope
+        // execute NOW, inside the conf scope; pinLocal (not localCheckpoint)
+        // so the gated run leaves no cached blocks pinned in the block
+        // manager (r15 ADVICE) — the result is a 3-row aggregate.
+        pinLocal(df)
       }
     }),
 
@@ -328,7 +331,7 @@ private[graft] object GatesEtl extends GateFamily {
       def parquetFiles(p: String): Int =
         new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
       val frag = java.nio.file.Files.createTempDirectory("graft-frag")
-      val compacted = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      val compacted = java.nio.file.Files.createTempDirectory("graft-compact")
       try {
         docs.repartition(64).write.mode("overwrite").parquet(frag.toString)
         val nFrag = parquetFiles(frag.toString)
@@ -337,18 +340,23 @@ private[graft] object GatesEtl extends GateFamily {
             "the compaction gate needs something to compact")
         s.read.parquet(frag.toString)
           .repartitionByRange(2, col("doc_id"))
-          .write.mode("overwrite").parquet(compacted)
-        val nComp = parquetFiles(compacted)
+          .write.mode("overwrite").parquet(compacted.toString)
+        val nComp = parquetFiles(compacted.toString)
         require(nComp == 2,
           s"o6: compaction produced $nComp files, expected 2 — the " +
             "rewrite did not consolidate the fragments")
-      } finally deleteRecursively(frag) // the returned plan reads only `compacted`
-      s.read.parquet(compacted)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("char_mass"),
-          sum(functions.Hashing.md5Long(col("text")) % lit(1000000000000L))
-            .as("text_hash_sum"))
+        // Digest executes NOW (pinLocal) so BOTH temp trees can be deleted
+        // in the finally — the r15 board leaked one full parquet copy of
+        // documents per gated run because the lazily-returned plan still
+        // read `compacted` (r15 ADVICE; same leak class as the r14
+        // stageReplayFeed fix).
+        pinLocal(s.read.parquet(compacted.toString)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("char_mass"),
+            sum(functions.Hashing.md5Long(col("text")) % lit(1000000000000L))
+              .as("text_hash_sum")))
+      } finally { deleteRecursively(frag); deleteRecursively(compacted) }
     }),
 
     "o1_orc_roundtrip" -> ((s, dir) => {

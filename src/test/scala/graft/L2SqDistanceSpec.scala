@@ -58,6 +58,31 @@ class L2SqDistanceSpec extends AnyFunSuite {
     assert(rows.find(_.getLong(0) == 2L).get.getDouble(2) == 0.0)
   }
 
+  test("null ELEMENTS poison the result to NULL, matching the fold (r15 ADVICE)") {
+    // ArrayData.getDouble on a null slot silently reads 0.0 — before the
+    // fix, l2_sq returned a wrong non-null distance here while the fold
+    // it claims to mirror propagated NULL. Cover both the codegen'd
+    // column path and cosine_sim (same latent bug class).
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](null, 2.0)),
+      (3L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0))
+    ).toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      fold(col("a"), col("b")).as("fold"),
+      call_function("l2_sq", col("a"), col("b")).as("l2"),
+      call_function("cosine_sim", col("a"), col("b")).as("cos"))
+      .collect().sortBy(_.getLong(0))
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2),
+        s"id=${r.getLong(0)}: l2_sq null-ness diverged from fold")
+    }
+    assert(rows(0).isNullAt(2) && rows(0).isNullAt(3), "null slot on left must poison")
+    assert(rows(1).isNullAt(2) && rows(1).isNullAt(3), "null slot on right must poison")
+    assert(rows(2).getDouble(2) == 8.0 && !rows(2).isNullAt(3),
+      "clean row must still compute")
+  }
+
   test("float arrays coerce up through the SQL registration") {
     val d = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
       .select(call_function("l2_sq", col("a"), col("b")).as("d"))
