@@ -180,6 +180,41 @@ private[graft] object GatesGraph extends GateFamily {
       g.closure()
     }),
 
+    // A25 — the SAME flagship reachability (reference README.md:20-33:
+    // "who can reach what") expressed purely through the SQL surface:
+    // Spark 4's `WITH RECURSIVE` (UnionLoopExec), no graft library calls
+    // past the edge view. Proves a SQL-only user of this engine can ask
+    // the reference's flagship question. Spark 4.1 rejects UNION
+    // (distinct) inside the recursion ([UNION_NOT_SUPPORTED_IN_
+    // RECURSIVE_CTE]), so this is the UNION ALL path-enumeration form
+    // with a final DISTINCT: sound on this DAG (paths are finite,
+    // diameter ~4; the only multiplicity is the lineitem→nation diamond
+    // via orders vs supplier, a constant factor — NOT the semi-naive
+    // frontier dedup the library's closureDoubling does, which is why
+    // the library form stays the scale path and this gate is the SQL
+    // surface proof). Plan: UnionLoop → driver-coordinated iteration,
+    // one shuffle join per level (see PLANS.md). Oracle = the identical
+    // DuckDB WITH RECURSIVE reach block (a14's, UNION-distinct —
+    // identical SET either way).
+    "a25_sql_recursive" -> ((s, dir) => {
+      // Path enumeration accumulates ~8 rows per lineitem before the
+      // DISTINCT; the default cteRecursionRowLimit (1M) would trip at
+      // sf0.1+. A limit guard, not a semantics knob — raised for the
+      // session (execution happens after the gate returns, so a scoped
+      // restore would un-raise it before the loop runs).
+      s.conf.set("spark.sql.cteRecursionRowLimit", "200000000")
+      val g = GraphStore.get(s, dir)
+      g.E.filter(col("label") === "in").select(col("src"), col("dst"))
+        .createOrReplaceTempView("a25_edges")
+      s.sql(
+        """WITH RECURSIVE reach(origin, node) AS (
+          |  SELECT src, dst FROM a25_edges
+          |  UNION ALL
+          |  SELECT r.origin, e.dst FROM reach r JOIN a25_edges e ON r.node = e.src
+          |)
+          |SELECT DISTINCT origin, node FROM reach""".stripMargin)
+    }),
+
     // A6 — vertex upsert idempotence: re-upserting existing customers is a
     // no-op; upserting shifted-key orders inserts. Census proves both.
     "a06_upsert_vertices" -> ((s, dir) => {
@@ -525,6 +560,24 @@ private[graft] object GatesGraph extends GateFamily {
         |FROM lineitem""".stripMargin,
 
     "a14_reach_fixpoint" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 3*72057594037927936 + c_custkey AS src, 2*72057594037927936 + c_nationkey AS dst FROM customer
+        |  UNION ALL SELECT 4*72057594037927936 + s_suppkey, 2*72057594037927936 + s_nationkey FROM supplier
+        |  UNION ALL SELECT 2*72057594037927936 + n_nationkey, 1*72057594037927936 + n_regionkey FROM nation
+        |  UNION ALL SELECT 6*72057594037927936 + o_orderkey, 3*72057594037927936 + o_custkey FROM orders
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 6*72057594037927936 + l_orderkey FROM lineitem
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 5*72057594037927936 + l_partkey FROM lineitem
+        |  UNION ALL SELECT 7*72057594037927936 + l_orderkey*10 + l_linenumber, 4*72057594037927936 + l_suppkey FROM lineitem
+        |), reach(origin, node) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.origin, e2.dst FROM reach r JOIN e e2 ON r.node = e2.src
+        |)
+        |SELECT origin, node FROM reach""".stripMargin,
+
+    // Same reachable-pairs relation as a14 — the gate differs only in the
+    // Spark-side surface (SQL WITH RECURSIVE vs library closureDoubling).
+    "a25_sql_recursive" ->
       """WITH RECURSIVE e AS (
         |  SELECT 3*72057594037927936 + c_custkey AS src, 2*72057594037927936 + c_nationkey AS dst FROM customer
         |  UNION ALL SELECT 4*72057594037927936 + s_suppkey, 2*72057594037927936 + s_nationkey FROM supplier
