@@ -326,6 +326,61 @@ private[graft] object GatesEtl extends GateFamily {
     // is the point (vs coalesce): post-compaction files carry disjoint
     // doc_id min/max spans, so row-group pruning works on the id axis
     // where the fragmented layout's spans all overlapped.
+    // AQE SKEW-JOIN SPLIT as a driver gate — the RUNTIME half of the
+    // skew story promoted from PlanShapeSpec (commit b5e05f1) to the
+    // oracle board, the o5 pattern: a shuffle join whose probe side
+    // piles 60% of lineitem on ONE key (the reference's allUsers /
+    // roles/owner hot memberships, main.go:463-489, are exactly this
+    // shape) runs inside scoped thresholds, REQUIRES the skew-split
+    // AQEShuffleRead in its own executed adaptive plan, and the DuckDB
+    // oracle asserts the split was invisible in the rows. The final
+    // groupBy is on `w` (NOT the join key), so the join output carries
+    // no required distribution and OptimizeSkewedJoin is free to split
+    // without forceApply. The pad column exists to push the hot
+    // partition past the scoped threshold at sf0.001; it must APPEAR in
+    // the aggregate (pad_len) or column pruning drops it below the join
+    // and the 16-byte (k,v) rows never cross the threshold.
+    "o7_aqe_skew" -> ((s, dir) => {
+      withConfs(s,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+        // coalescing would merge the splits right back below visibility
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true") {
+        val vExpr = col("l_orderkey").cast("long") * 10 + col("l_linenumber")
+        // repartition(16): AQE splits a skewed reduce partition at
+        // MAP-OUTPUT granularity, and the single-file sf fixture scans
+        // as ONE map task — an unsplittable hot partition no matter its
+        // size. A production fact scan has hundreds of map tasks; this
+        // restores that granularity for the fixture.
+        val fact = t(s, dir, "lineitem").repartition(16).select(
+          when(col("l_orderkey") % 10 < 6, lit(0L))
+            .otherwise(col("l_orderkey") % 1000).cast("long").as("k"),
+          vExpr.as("v"),
+          // incompressible pad: skew detection reads COMPRESSED shuffle
+          // sizes, so a constant pad vanishes under LZ4 and the hot
+          // partition never crosses the threshold at sf0.001
+          concat(md5(vExpr.cast("string")),
+            md5((vExpr + 1).cast("string"))).as("pad"))
+        val dim = t(s, dir, "part").select(
+          (col("p_partkey") % 1000).cast("long").as("k"),
+          ((col("p_partkey") % 1000) % 7).cast("long").as("w")).distinct()
+        val df = fact.join(dim, "k")
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("cnt"), sum(col("v") * col("w")).as("dot"),
+            max(length(col("pad"))).as("pad_len"))
+        val out = pinLocal(df) // execute NOW, inside the conf scope
+        val finalPlan = df.queryExecution.executedPlan.toString
+        require(finalPlan.contains("skewed"),
+          "o7: no skew-split AQEShuffleRead in the executed adaptive " +
+            "plan — the 60%-hot-key join did not trigger " +
+            "OptimizeSkewedJoin under the scoped thresholds:\n" + finalPlan)
+        out
+      }
+    }),
+
     "o6_compaction" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       def parquetFiles(p: String): Int =
@@ -446,6 +501,22 @@ private[graft] object GatesEtl extends GateFamily {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_orderpriority = '1-URGENT'
          |GROUP BY l_returnflag""".stripMargin,
+
+    // the skew split must be invisible in the rows: plain hot-key join
+    // rollup, grouped off the join key
+    "o7_aqe_skew" ->
+      """SELECT w, count(*) AS cnt, CAST(sum(v * w) AS BIGINT) AS dot,
+        |  CAST(max(length(pad)) AS INTEGER) AS pad_len
+        |FROM (SELECT CASE WHEN l_orderkey % 10 < 6 THEN 0
+        |               ELSE l_orderkey % 1000 END AS k,
+        |             l_orderkey * 10 + l_linenumber AS v,
+        |             md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR))
+        |               || md5(CAST(l_orderkey * 10 + l_linenumber + 1 AS VARCHAR)) AS pad
+        |      FROM lineitem) f
+        |JOIN (SELECT DISTINCT CAST(p_partkey % 1000 AS BIGINT) AS k,
+        |             CAST((p_partkey % 1000) % 7 AS BIGINT) AS w
+        |      FROM part) d USING (k)
+        |GROUP BY w""".stripMargin,
 
     // compaction is an identity on the data: the o1 digest recomputed
     // from the source table
