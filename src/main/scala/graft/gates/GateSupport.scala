@@ -101,9 +101,11 @@ private[graft] object GateSupport {
     * place (a 308-gate board used to leak one parquet copy per staged
     * batch per run — r14 review finding). */
   private[graft] def stageReplayFeed(inDir: java.nio.file.Path,
-                                     frames: Seq[DataFrame]): Unit = {
+                                     frames: Seq[DataFrame],
+                                     startIndex: Int = 0): Unit = {
     java.nio.file.Files.createDirectories(inDir)
-    frames.zipWithIndex.foreach { case (df, i) =>
+    frames.zipWithIndex.foreach { case (df, i0) =>
+      val i = startIndex + i0 // two-phase replays stage a later tranche
       val tmp = java.nio.file.Files.createTempDirectory("graft-stage")
       try {
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -158,6 +160,88 @@ private[graft] object GateSupport {
     // the memory sink holds the result rows; the replay feed and the
     // checkpoint are dead weight once the query terminates (r14 review
     // finding: per-gate dirs accumulated across 308-gate boards)
+    } finally deleteRecursively(tmp)
+  }
+
+  /** Two-phase variant of [[runTwsReplayGate]] for PROCESSING-time
+    * semantics (state TTL): phase-1 batches drain in one query run, the
+    * harness sleeps `sleepMs` of real wall clock, then phase-2 batches
+    * are staged with later mtimes and a SECOND query resumes from the
+    * same checkpoint — the only deterministic way to put a controlled
+    * processing-time gap between two micro-batches (Trigger.AvailableNow
+    * drains back-to-back, and Spark exposes no virtual clock outside its
+    * own test harness). Both phases' memory-sink tables are returned so
+    * a gate can pin each phase's emits separately. Same provider
+    * discipline as the one-shot scaffold (RocksDB + changelog).
+    *
+    * Three termination traps shaped this harness (all hit while building
+    * it): (1) under TimeMode.ProcessingTime, TransformWithStateExec's
+    * shouldRunAnotherBatch stays true — an AvailableNow query never
+    * reaches awaitTermination and processAllAvailable never sees
+    * noNewData; both hang while empty micro-batches spin (observed:
+    * epoch 765 in 7 min). So each phase runs the default trigger and
+    * POLLS for the phase's expected emit count. (2) the memory sink
+    * refuses checkpoint RECOVERY, which phase 2 is — emits are captured
+    * via foreachBatch (the production restart-safe sink) into a driver
+    * buffer instead. (3) stop() between the foreachBatch call and the
+    * batch COMMIT would make phase 2 replay the data batch against
+    * rolled-back state (at-least-once), so after the rows land the poll
+    * also waits for a LATER batch to finish (the ProcessingTime empty-
+    * batch spin guarantees one) before stopping. */
+  private[graft] def runTwsTwoPhaseReplay(s: SparkSession, prefix: String,
+      phase1: (Seq[DataFrame], Long), phase2: (Seq[DataFrame], Long),
+      schema: org.apache.spark.sql.types.StructType, sleepMs: Long)(
+      pipeline: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$prefix")
+    try {
+      val inDir = tmp.resolve("in")
+      withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true") {
+        withShufflePartitions(s, 8) {
+          def run(frames: Seq[DataFrame], startIndex: Int,
+                  expectedRows: Long): DataFrame = {
+            stageReplayFeed(inDir, frames, startIndex)
+            val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+            val out = pipeline(s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(inDir.toString))
+            val outSchema = out.schema
+            val dataBatchDone = new java.util.concurrent.atomic.AtomicLong(-1L)
+            val q = out.writeStream
+              .foreachBatch { (df: DataFrame, id: Long) =>
+                val rows = df.collect()
+                rows.foreach(buf.add)
+                if (rows.nonEmpty) dataBatchDone.set(id)
+                ()
+              }
+              .option("checkpointLocation", s"$tmp/ck")
+              .outputMode("update").start()
+            try {
+              val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+              def overdue(what: String): Unit = require(
+                System.nanoTime() < deadline,
+                s"$prefix: $what after 120 s (${buf.size}/$expectedRows emits)")
+              while (buf.size < expectedRows) {
+                overdue("emits still short"); Thread.sleep(50)
+              }
+              // wait for a batch PAST the data batch: its construction
+              // implies the data batch committed, so stop() cannot force
+              // an at-least-once replay into the next phase
+              while (Option(q.lastProgress).forall(_.batchId <= dataBatchDone.get())) {
+                overdue("no post-data batch observed"); Thread.sleep(50)
+              }
+            } finally q.stop()
+            s.createDataFrame(s.sparkContext.parallelize(
+              buf.toArray(Array.empty[org.apache.spark.sql.Row]).toSeq, 1), outSchema)
+          }
+          val out1 = run(phase1._1, 0, phase1._2)
+          Thread.sleep(sleepMs)
+          val out2 = run(phase2._1, phase1._1.length, phase2._2)
+          (out1, out2)
+        }
+      }
     } finally deleteRecursively(tmp)
   }
 

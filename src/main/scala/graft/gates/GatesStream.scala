@@ -186,6 +186,41 @@ private[graft] object GatesStream extends GateFamily {
         .select(col("user_id"), col("r.cnt").as("cnt"), col("r.recent").as("recent"))
     }),
 
+    // SW28 — state TTL, the FIFTH and last transformWithState feature
+    // under a gate (ValueState sw23, timers sw24, MapState sw25,
+    // ListState sw26): a per-user ValueState counter declared with
+    // TTLConfig(1.2 s) must be treated as ABSENT by a batch processed
+    // after the TTL horizon. TTL is processing-time by definition, so
+    // the harness drives it deterministically with TWO query runs over
+    // one checkpoint: phase 1 (even event_ids) drains, the gate sleeps
+    // 2.5 s of wall clock — comfortably past the TTL however fast
+    // phase 1 ran — then phase 2 (odd event_ids) resumes from the same
+    // checkpoint; its counts must RESTART from zero, not accumulate.
+    // The oracle pins both phases' emits: phase-2 cnt == the odd-half
+    // batch count alone — if TTL failed to expire, every user seen in
+    // both halves would emit evenCnt+oddCnt and hash-mismatch. The
+    // differential control (same harness, same sleep, TTL disabled →
+    // counts DO accumulate) runs in StreamingSpec, proving the sleep
+    // itself isn't what resets the counts.
+    "sw28_stream_tws_ttl" -> ((s, dir) => {
+      import s.implicits._
+      val base = events(s, dir).select(col("event_id"), col("user_id"))
+      val feed = base.select(col("user_id"))
+      base.persist() // two filtered stage writes + two counts — scan events once
+      def half(i: Int) =
+        base.filter(pmod(col("event_id"), lit(2)) === i).select(col("user_id"))
+      val (out1, out2) = try runTwsTwoPhaseReplay(s, "sw28",
+        (Seq(half(0)), half(0).distinct().count()),
+        (Seq(half(1)), half(1).distinct().count()),
+        feed.schema, sleepMs = 2500L) { stream =>
+        streaming.EventPipeline.ttlCounts(
+          stream.as[streaming.EventPipeline.KeyOnlyEvent], ttlMs = 1200L).toDF()
+      } finally base.unpersist()
+      out1.withColumn("phase", lit(1))
+        .unionByName(out2.withColumn("phase", lit(2)))
+        .select(col("user_id"), col("phase"), col("cnt"))
+    }),
+
     // Streaming-shaped batch: tumbling 1h windows over the events table.
     "sw1_tumbling_window" -> ((s, dir) => {
       events(s, dir)
@@ -710,6 +745,17 @@ private[graft] object GatesStream extends GateFamily {
         |  FROM r WHERE rn <= 5 GROUP BY user_id),
         |c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
         |SELECT c.user_id, c.cnt, k.recent FROM c JOIN k USING (user_id)""".stripMargin,
+
+    // phase-1 emits count the even half; phase-2 emits must count the
+    // odd half ALONE — accumulated state expired across the sleep. A
+    // TTL that failed to expire would emit even+odd for every dual-half
+    // user and hash-mismatch here.
+    "sw28_stream_tws_ttl" ->
+      """SELECT user_id, 1 AS phase, count(*) AS cnt FROM events
+        |WHERE event_id % 2 = 0 GROUP BY user_id
+        |UNION ALL
+        |SELECT user_id, 2 AS phase, count(*) AS cnt FROM events
+        |WHERE event_id % 2 = 1 GROUP BY user_id""".stripMargin,
 
     // the stream's final per-user state must equal the batch aggregate
     "sw23_stream_tws_totals" ->

@@ -640,6 +640,59 @@ object EventPipeline {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  /** One keyed row for [[ttlCounts]] — user id is the grouping key and
+    * the payload (counting is the whole computation). */
+  case class KeyOnlyEvent(user_id: Long)
+  /** Per-user count as of the latest micro-batch, COUNTING ONLY SINCE
+    * the state's TTL horizon — expired state restarts from zero. */
+  case class TtlCount(user_id: Long, cnt: Long)
+
+  /** State-v2 TTL — the FIFTH and last feature of the transformWithState
+    * handle under test (ValueState [[runningTotals]], timers
+    * [[sessionizeTws]], MapState [[distinctUsers]], ListState
+    * [[recentK]]): the per-user counter is a ValueState declared with a
+    * `TTLConfig(ttl)`, so an entry written at processing time T is
+    * treated as ABSENT by every batch whose processing timestamp exceeds
+    * T + ttl — `exists()` goes false and the count restarts from zero,
+    * with no timer or tombstone code in the processor. This is the
+    * bounded-retention shape (rate-limit windows, fraud velocity
+    * counters, GDPR-style max-age state) that keeps state O(active
+    * users) rather than O(ever-seen users) on an unbounded stream. TTL
+    * is PROCESSING-time-based by definition, so the gate/spec drive it
+    * deterministically with two separate query runs over one checkpoint,
+    * sleeping past the TTL between them; `ttlMs <= 0` disables TTL
+    * (TTLConfig.NONE) as the differential control — same harness, same
+    * sleep, counts must then accumulate. */
+  class TtlCountProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, KeyOnlyEvent, TtlCount] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("cnt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[KeyOnlyEvent],
+                                 tv: TimerValues): Iterator[TtlCount] = {
+      val prev = if (count.exists()) count.get() else 0L // TTL-filtered read
+      val next = prev + rows.size
+      count.update(next) // re-arms the TTL clock at this batch's timestamp
+      Iterator.single(TtlCount(key, next))
+    }
+  }
+
+  /** (user_id) stream → per-user counts that forget state older than
+    * `ttlMs` of processing time (TTL requires TimeMode.ProcessingTime;
+    * RocksDB provider required, as for all state-v2). */
+  def ttlCounts(events: Dataset[KeyOnlyEvent], ttlMs: Long): Dataset[TtlCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlCountProcessor(ttlMs),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update())
+  }
+
   /** The open-session list as a single named state row (Seq of the same
     * SessionState the flatMapGroupsWithState path keeps). */
   case class TwsSessions(open: Seq[SessionState])

@@ -956,4 +956,34 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("z_micro")).as[Option[Long]].collect()
     assert(z.toSeq == Seq(None), s"degenerate pool must yield NULL z, got ${z.toSeq}")
   }
+
+  test("state TTL expires across the two-phase sleep; TTL.NONE accumulates (differential)") {
+    // The sw28 mechanism isolated: phase 1 counts users {1,1,2}, the
+    // harness sleeps past the 1.2 s TTL, phase 2 feeds {1,2,2,3}. With
+    // TTL the phase-2 counts must RESTART (1→1, 2→2, 3→1); with
+    // ttlMs=0 (TTLConfig.NONE) the identical harness and sleep must
+    // ACCUMULATE (1→3, 2→3, 3→1) — proving expiry comes from the TTL,
+    // not from the restart/sleep itself.
+    def phases(ttlMs: Long): Map[(Long, Int), Long] = {
+      val p1 = Seq(1L, 1L, 2L).toDF("user_id")
+      val p2 = Seq(1L, 2L, 2L, 3L).toDF("user_id")
+      val (out1, out2) = GateSupport.runTwsTwoPhaseReplay(spark, "ttlspec",
+        (Seq(p1), 2L), (Seq(p2), 3L), p1.schema, sleepMs = 2500L) { stream =>
+        EventPipeline.ttlCounts(
+          stream.as[EventPipeline.KeyOnlyEvent], ttlMs = ttlMs).toDF()
+      }
+      (out1.withColumn("phase", lit(1)).unionByName(out2.withColumn("phase", lit(2))))
+        .select(col("user_id"), col("phase"), col("cnt"))
+        .as[(Long, Int, Long)].collect()
+        .map { case (u, p, c) => (u, p) -> c }.toMap
+    }
+    val ttl = phases(1200L)
+    assert(ttl == Map((1L, 1) -> 2L, (2L, 1) -> 1L,
+      (1L, 2) -> 1L, (2L, 2) -> 2L, (3L, 2) -> 1L),
+      s"TTL run: expected phase-2 restart, got $ttl")
+    val none = phases(0L)
+    assert(none == Map((1L, 1) -> 2L, (2L, 1) -> 1L,
+      (1L, 2) -> 3L, (2L, 2) -> 3L, (3L, 2) -> 1L),
+      s"TTL.NONE control: expected phase-2 accumulation, got $none")
+  }
 }
