@@ -1065,28 +1065,150 @@ object Traversal {
     * id among the vertices it can BOTH reach and be reached from (itself
     * included) — the canonical SCC labeling, directed-cycle detection for
     * graph sanitation (a14's closure treats cycles as legitimate pairs;
-    * this names them).
-    *
-    * Form: one [[closureDoubling]] closure (log-diameter rounds), then
-    * co-reachability as `closure ∩ closureᵀ` — the intersect hashes on the
-    * full (origin, node) pair, the cheapest possible key — and a min
-    * aggregate seeded with the identity pairs so isolated-in-SCC vertices
-    * label themselves. Works for any id type with a total order (string
+    * this names them). Works for any id type with a total order (string
     * event types included).
     *
-    * Scale: cost is dominated by the closure, O(reachable pairs) — the
-    * right trade for the bounded-diameter, bounded-fanout graphs this
-    * engine stores (same caveat as [[closureDoubling]]: R is bounded by
-    * V², not E; for closures that would not fit, a forward-backward
-    * coloring SCC that materializes only per-round frontiers is the
-    * escape hatch, at O(diameter) rounds per pivot). */
+    * Form (round 16 — the x31 retime fix): TRIM first, then solve only
+    * the cyclic CORE. A vertex with no in-edges or no out-edges in the
+    * remaining subgraph cannot lie on any directed cycle, so up to 3
+    * bounded peel rounds strip the acyclic fringe (sources and sinks
+    * cascade — the FW-BW "trim" step); everything peeled is its own
+    * singleton component, by the identity seeding the old all-graph form
+    * also had. Cycles survive trimming untouched, and every co-reach
+    * path lies entirely inside a cycle union, so labels computed on the
+    * core equal the whole-graph labels exactly.
+    *
+    * The core then takes one of two paths (the memoCutoff discipline):
+    * at or under the heap-derived [[defaultSmallCutoff]] edges it
+    * collects to the driver and runs iterative Tarjan — one job instead
+    * of the seed + log-diameter compose rounds + intersect + min-agg
+    * train, which on latency-bound local graphs was the whole cost of
+    * x31 (~6 s quiet, dominated by ~12 tiny jobs). Above the cutoff the
+    * distributed form runs unchanged on the TRIMMED core: one
+    * [[closureDoubling]] closure, co-reachability as `closure ∩
+    * closureᵀ` (the intersect hashes on the full pair — the cheapest
+    * key), min aggregate. `sccCutoff` is the test hook (TraversalSpec
+    * forces 0 to drive the distributed branch on small graphs).
+    *
+    * Scale: trimming turns the closure's R-bounded-by-V² caveat into
+    * R-bounded-by-core² — and in curation graphs (dedup chains, policy
+    * hierarchies) the cyclic core is a vanishing fraction of V. For a
+    * core whose closure still would not fit, forward-backward coloring
+    * at O(diameter) rounds per pivot remains the escape hatch. */
   def scc(edges: DataFrame): DataFrame = {
-    val closure = closureDoubling(edges)
-    val co = closure.intersect(
-      closure.select(col("node").as("origin"), col("origin").as("node")))
-    vertices(edges).select(col("id"), col("id").as("m"))
-      .unionByName(co.select(col("origin").as("id"), col("node").as("m")))
-      .groupBy("id").agg(min(col("m")).as("component"))
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val spark = edges.sparkSession
+    val e0 = cut(edges.select(col("src"), col("dst")).distinct())
+    val allVerts = vertices(e0)
+    var core = e0
+    var n = core.count()
+    var rounds = 0
+    var changed = n > 0
+    while (changed && rounds < 3) {
+      rounds += 1
+      val next = timed(s"scc trim round $rounds") {
+        cut(core
+          .join(core.select(col("dst").as("src")).distinct(), Seq("src"), "left_semi")
+          .join(core.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")))
+      }
+      val m = next.count()
+      if (m == n || m == 0) { core = next; n = m; changed = false }
+      else { core = next; n = m }
+    }
+    val idType = e0.schema("src").dataType
+    val labelSchema = StructType(Seq(
+      StructField("id", idType), StructField("component", idType)))
+    val coreLabels: DataFrame =
+      if (n == 0) {
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), labelSchema)
+      } else if (n <= sccCutoff.getOrElse(defaultSmallCutoff)) {
+        timed("scc driver tarjan") {
+          val rows = driverTarjan(
+            core.collect().map(r => (r.get(0), r.get(1))).toSeq)
+            .map { case (id, comp) => org.apache.spark.sql.Row(id, comp) }
+          import scala.jdk.CollectionConverters._
+          spark.createDataFrame(rows.asJava, labelSchema)
+        }
+      } else {
+        val closure = closureDoubling(core)
+        val co = closure.intersect(
+          closure.select(col("node").as("origin"), col("origin").as("node")))
+        vertices(core).select(col("id"), col("id").as("m"))
+          .unionByName(co.select(col("origin").as("id"), col("node").as("m")))
+          .groupBy("id").agg(min(col("m")).as("component"))
+      }
+    allVerts.join(coreLabels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Test hook for [[scc]]'s small-core collect (mirrors [[memoCutoff]]):
+    * Some(0) forces the distributed closure branch on gate-sized cores. */
+  @volatile private[graft] var sccCutoff: Option[Long] = None
+
+  /** Iterative Tarjan on collected core edges (driver-side, cutoff-
+    * guarded by the caller). Components are labeled with their minimum
+    * member id — identical to the distributed min-co-reach labeling.
+    * Keys are compared via their natural order (Long, String — anything
+    * Comparable), matching Spark's `min` on the same column type. */
+  private def driverTarjan(pairs: Seq[(Any, Any)]): Seq[(Any, Any)] = {
+    val keys = pairs.iterator.flatMap(p => Iterator(p._1, p._2))
+      .toArray.distinct
+    val idx = keys.zipWithIndex.toMap
+    val nv = keys.length
+    val adj = Array.fill(nv)(List.empty[Int])
+    pairs.foreach { case (a, b) => val i = idx(a); adj(i) = idx(b) :: adj(i) }
+    val index = Array.fill(nv)(-1)
+    val lowlink = new Array[Int](nv)
+    val onStack = new Array[Boolean](nv)
+    val comp = Array.fill(nv)(-1)
+    val stack = new java.util.ArrayDeque[Int]()
+    val work = new java.util.ArrayDeque[(Int, Iterator[Int])]()
+    var counter = 0
+    var nComp = 0
+    def open(v: Int): Unit = {
+      index(v) = counter; lowlink(v) = counter; counter += 1
+      stack.push(v); onStack(v) = true
+      work.push((v, adj(v).iterator))
+    }
+    (0 until nv).foreach { v0 =>
+      if (index(v0) < 0) {
+        open(v0)
+        while (!work.isEmpty) {
+          val (v, it) = work.peek()
+          if (it.hasNext) {
+            val w = it.next()
+            if (index(w) < 0) open(w)
+            else if (onStack(w)) lowlink(v) = math.min(lowlink(v), index(w))
+          } else {
+            work.pop()
+            if (!work.isEmpty) {
+              val p = work.peek()._1
+              lowlink(p) = math.min(lowlink(p), lowlink(v))
+            }
+            if (lowlink(v) == index(v)) {
+              var done = false
+              while (!done) {
+                val w = stack.pop(); onStack(w) = false; comp(w) = nComp
+                done = w == v
+              }
+              nComp += 1
+            }
+          }
+        }
+      }
+    }
+    val ord: Ordering[Any] = (a: Any, b: Any) =>
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val minByComp = new Array[Any](nComp)
+    (0 until nv).foreach { v =>
+      val c = comp(v)
+      if (minByComp(c) == null || ord.lt(keys(v), minByComp(c)))
+        minByComp(c) = keys(v)
+    }
+    (0 until nv).map(v => (keys(v), minByComp(comp(v))))
   }
 
   /** k-truss: the maximal subgraph in which every edge closes at least

@@ -393,14 +393,20 @@ class TraversalSpec extends AnyFunSuite {
 
   test("scc: two cycles joined by a one-way bridge stay separate components") {
     // 1↔2↔3 cycle, 4↔5 cycle, bridge 3→4 (one-way), isolated sink 6.
+    // Both branches of the trim+core split must agree: driver Tarjan
+    // (default cutoff) and the distributed closure (cutoff forced 0).
     val e = edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 4L), (3L, 4L), (5L, 6L)))
-    val out = Traversal.scc(e).as[(Long, Long)].collect().toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L)
+    assert(Traversal.scc(e).as[(Long, Long)].collect().toMap == want)
+    Traversal.sccCutoff = Some(0L)
+    try assert(Traversal.scc(e).as[(Long, Long)].collect().toMap == want,
+      "distributed branch diverged from driver Tarjan")
+    finally Traversal.sccCutoff = None
   }
 
-  test("property: scc equals the naive co-reachability labeling on 15 seeded graphs") {
+  test("property: scc equals the naive co-reachability labeling on 15 seeded graphs (both branches)") {
     val rnd = new scala.util.Random(4242)
-    (1 to 15).foreach { _ =>
+    (1 to 15).foreach { trial =>
       val n = 2 + rnd.nextInt(9)
       val m = 1 + rnd.nextInt(24)
       val es = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).distinct
@@ -410,8 +416,13 @@ class TraversalSpec extends AnyFunSuite {
         val co = nodes.filter(u => closure((v, u)) && closure((u, v))) + v
         v -> co.min
       }.toMap
-      val got = Traversal.scc(edgesDF(es)).as[(Long, Long)].collect().toMap
-      assert(got == want, s"edges=$es")
+      // odd trials force the distributed closure branch so the seeded
+      // graphs (self-loops, multi-SCC, isolated fringes) cover it too
+      Traversal.sccCutoff = if (trial % 2 == 1) Some(0L) else None
+      try {
+        val got = Traversal.scc(edgesDF(es)).as[(Long, Long)].collect().toMap
+        assert(got == want, s"edges=$es cutoff=${Traversal.sccCutoff}")
+      } finally Traversal.sccCutoff = None
     }
   }
 
