@@ -134,14 +134,23 @@ private[graft] object GatesSql extends GateFamily {
         .except(t(s, dir, "orders").select(col("o_custkey").as("custkey")))
     }),
 
-    // Rollup over (returnflag, linestatus).
+    // Rollup over (returnflag, linestatus). NOT redundant with r5 (the
+    // r15 verdict's dedup question, answered here): r1 exercises the
+    // DOUBLE-typed sum + count path with no grouping_id — the plain
+    // rollup shape most BI tools emit — while r5 pins the exact-integer
+    // + grouping_id form; the two hit different aggregate typings in
+    // both Spark and the DuckDB oracle (double vs HUGEINT-cast).
     "r1_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
     }),
 
-    // Cube over (orderstatus, orderpriority).
+    // Cube over (orderstatus, orderpriority). Kept alongside r6 (r15
+    // verdict dedup question): different table (orders vs lineitem),
+    // count-only aggregate, and no grouping_id — the NULL-group
+    // disambiguation burden falls on the hash compare instead, which is
+    // exactly the subtle case a cube implementation can get wrong.
     "r2_cube" -> ((s, dir) => {
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -213,7 +222,11 @@ private[graft] object GatesSql extends GateFamily {
         .select(col("segment"), col("cnt"))
     }),
 
-    // Pivot: customer counts, nation rows x fixed segment columns.
+    // Pivot: customer counts, nation rows x fixed segment columns. Kept
+    // alongside p3 (r15 verdict dedup question): p1 is the count-pivot +
+    // na.fill(0) missing-cell shape on a dimension table, p3 the
+    // sum-pivot with renamed pinned columns on the fact table — the two
+    // NULL-handling disciplines a pivot user actually chooses between.
     "p1_pivot" -> ((s, dir) => {
       t(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
         .pivot("c_mktsegment",
