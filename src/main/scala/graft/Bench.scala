@@ -45,7 +45,10 @@ object Bench {
     "x30_topo_layers", "d_novelty",
     // round 15: the deep-DAG doubling gate and the ListState window —
     // the two new gates with non-trivial cost (b03/o5 are sub-second)
-    "x32_deep_layers", "sw26_stream_tws_lastk")
+    "x32_deep_layers", "sw26_stream_tws_lastk",
+    // round 16: the SQL-surface recursion and the TTL two-phase replay
+    // (o7's skew join is ~1.3 s and rides the headline joins already)
+    "a25_sql_recursive", "sw28_stream_tws_ttl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
