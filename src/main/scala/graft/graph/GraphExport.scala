@@ -160,49 +160,72 @@ object GraphExport {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;").replace("'", "&apos;")
 
-  /** GraphML document for a SMALL graph (throws above `maxRows` — use
-    * [[writeGraphson]] for anything big; collecting a 100 TB graph to the
-    * driver is exactly the reference's server-heap failure mode). */
-  def graphml(g: PropertyGraph, maxRows: Long = 100000): String = {
+  private val graphmlHeader: String = Seq(
+    """<?xml version="1.0" encoding="UTF-8"?>""",
+    """<graphml xmlns="http://graphml.graphdrawing.org/xmlns">""",
+    """  <key id="label" for="node" attr.name="label" attr.type="string"/>""",
+    """  <key id="key" for="node" attr.name="key" attr.type="string"/>""",
+    """  <key id="prop" for="node" attr.name="prop" attr.type="string"/>""",
+    """  <key id="elabel" for="edge" attr.name="label" attr.type="string"/>""",
+    """  <key id="weight" for="edge" attr.name="weight" attr.type="int"/>""",
+    """  <graph id="G" edgedefault="directed">""").mkString("", "\n", "\n")
+
+  private def nodeXml(r: org.apache.spark.sql.Row): String = {
+    val sb = new StringBuilder
+    sb ++= s"""    <node id="${r.getLong(0)}">"""
+    sb ++= s"""<data key="label">${esc(r.getString(1))}</data>"""
+    sb ++= s"""<data key="key">${esc(r.getString(2))}</data>"""
+    val props = r.getMap[String, String](3)
+    props.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      // the prop entry encodes as k=v split at the FIRST '=' on read —
+      // a '=' in the KEY would silently shift the boundary
+      require(!k.contains("="), s"prop key '$k' contains '=' — not GraphML-encodable")
+      sb ++= s"""<data key="prop">${esc(k)}=${esc(String.valueOf(v))}</data>"""
+    }
+    sb ++= "</node>\n"
+    sb.result()
+  }
+
+  private def edgeXml(r: org.apache.spark.sql.Row): String =
+    s"""    <edge source="${r.getLong(0)}" target="${r.getLong(1)}">""" +
+      s"""<data key="elabel">${esc(r.getString(2))}</data>""" +
+      s"""<data key="weight">${r.getInt(3)}</data></edge>\n"""
+
+  /** Render the GraphML document through `emit`, guarded at `maxRows`
+    * total elements. Rows stream through `toLocalIterator`, so the
+    * driver holds one PARTITION of rows at a time, never the whole
+    * graph — the document itself is still single-XML-file by format
+    * (big graphs go through [[writeGraphson]]). */
+  private def renderGraphml(g: PropertyGraph, maxRows: Long)(emit: String => Unit): Unit = {
     val nV = g.vertices.count()
     val nE = g.edges.count()
     require(nV + nE <= maxRows,
       s"graph too large for driver-side GraphML ($nV vertices + $nE edges > $maxRows); use writeGraphson")
+    emit(graphmlHeader)
+    g.vertices.select("id", "label", "key", "props").orderBy("id")
+      .toLocalIterator().forEachRemaining(r => emit(nodeXml(r)))
+    g.edges.select("src", "dst", "label", "weight").orderBy("src", "dst")
+      .toLocalIterator().forEachRemaining(r => emit(edgeXml(r)))
+    emit("  </graph>\n</graphml>\n")
+  }
+
+  /** GraphML document for a SMALL graph (throws above `maxRows` — use
+    * [[writeGraphson]] for anything big; collecting a 100 TB graph to the
+    * driver is exactly the reference's server-heap failure mode). */
+  def graphml(g: PropertyGraph, maxRows: Long = 100000): String = {
     val sb = new StringBuilder
-    sb ++= """<?xml version="1.0" encoding="UTF-8"?>""" += '\n'
-    sb ++= """<graphml xmlns="http://graphml.graphdrawing.org/xmlns">""" += '\n'
-    sb ++= """  <key id="label" for="node" attr.name="label" attr.type="string"/>""" += '\n'
-    sb ++= """  <key id="key" for="node" attr.name="key" attr.type="string"/>""" += '\n'
-    sb ++= """  <key id="prop" for="node" attr.name="prop" attr.type="string"/>""" += '\n'
-    sb ++= """  <key id="elabel" for="edge" attr.name="label" attr.type="string"/>""" += '\n'
-    sb ++= """  <key id="weight" for="edge" attr.name="weight" attr.type="int"/>""" += '\n'
-    sb ++= """  <graph id="G" edgedefault="directed">""" += '\n'
-    g.vertices.select("id", "label", "key", "props").orderBy("id").collect().foreach { r =>
-      sb ++= s"""    <node id="${r.getLong(0)}">"""
-      sb ++= s"""<data key="label">${esc(r.getString(1))}</data>"""
-      sb ++= s"""<data key="key">${esc(r.getString(2))}</data>"""
-      val props = r.getMap[String, String](3)
-      props.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        // the prop entry encodes as k=v split at the FIRST '=' on read —
-        // a '=' in the KEY would silently shift the boundary
-        require(!k.contains("="), s"prop key '$k' contains '=' — not GraphML-encodable")
-        sb ++= s"""<data key="prop">${esc(k)}=${esc(String.valueOf(v))}</data>"""
-      }
-      sb ++= "</node>\n"
-    }
-    g.edges.select("src", "dst", "label", "weight").orderBy("src", "dst").collect().foreach { r =>
-      sb ++= s"""    <edge source="${r.getLong(0)}" target="${r.getLong(1)}">"""
-      sb ++= s"""<data key="elabel">${esc(r.getString(2))}</data>"""
-      sb ++= s"""<data key="weight">${r.getInt(3)}</data></edge>\n"""
-    }
-    sb ++= "  </graph>\n</graphml>\n"
+    renderGraphml(g, maxRows)(sb ++= _)
     sb.result()
   }
 
-  /** Write the driver-side GraphML document to a local path. */
+  /** Write the driver-side GraphML document to a local path, streaming
+    * partition by partition — the r15 verdict's export nicety: the
+    * driver never holds the full XML string, only the writer buffer
+    * plus one partition of rows, so the maxRows guard (format-bound)
+    * is the only limit, not driver heap. */
   def writeGraphML(g: PropertyGraph, path: String, maxRows: Long = 100000): Unit = {
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), graphml(g, maxRows))
-    ()
+    val w = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path))
+    try renderGraphml(g, maxRows)(w.write(_)) finally w.close()
   }
 
   /** Read a [[writeGraphML]] document back into a [[PropertyGraph]] —
