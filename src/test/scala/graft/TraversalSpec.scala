@@ -426,6 +426,61 @@ class TraversalSpec extends AnyFunSuite {
     }
   }
 
+  test("property: SQL WITH RECURSIVE equals closureDoubling on 10 seeded DAGs (a25 cross-surface)") {
+    // The a25 gate's claim certified off the gate corpus: the SQL
+    // surface's UnionLoop path enumeration (+ final DISTINCT) and the
+    // library's semi-naive doubling closure must produce the same SET on
+    // any DAG. Edges only go low→high so the seeded graphs are acyclic
+    // by construction (diamonds and multi-path fan-ins included — the
+    // path-multiplicity cases where the two algorithms differ most).
+    val rnd = new scala.util.Random(2626)
+    (1 to 10).foreach { trial =>
+      val n = 3 + rnd.nextInt(8)
+      val m = 2 + rnd.nextInt(20)
+      val es = Seq.fill(m) {
+        val a = rnd.nextInt(n - 1); val b = a + 1 + rnd.nextInt(n - a - 1)
+        (a.toLong, b.toLong)
+      }.distinct
+      edgesDF(es).createOrReplaceTempView("rec_edges_prop")
+      val viaSql = spark.sql(
+        """WITH RECURSIVE reach(origin, node) AS (
+          |  SELECT src, dst FROM rec_edges_prop
+          |  UNION ALL
+          |  SELECT r.origin, e.dst FROM reach r JOIN rec_edges_prop e ON r.node = e.src
+          |)
+          |SELECT DISTINCT origin, node FROM reach""".stripMargin)
+        .as[(Long, Long)].collect().toSet
+      val viaLib = Traversal.closureDoubling(edgesDF(es))
+        .as[(Long, Long)].collect().toSet
+      assert(viaSql == viaLib, s"trial $trial edges=$es")
+    }
+  }
+
+  test("SQL WITH RECURSIVE on a CYCLE hits the level limit where closureDoubling converges") {
+    // The scale-path argument of PLANS.md §a25 as a executable fact:
+    // UnionLoop has no per-level dedup, so a 3-cycle enumerates paths
+    // forever and trips the scoped recursion level limit, while the
+    // library closure is cycle-safe in ⌈log₂ d⌉ rounds on the same input.
+    val cyc = edgesDF(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(Traversal.closureDoubling(cyc).as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (1L, 3L), (1L, 1L), (2L, 3L), (2L, 1L), (2L, 2L),
+        (3L, 1L), (3L, 2L), (3L, 3L)))
+    cyc.createOrReplaceTempView("rec_edges_cyc")
+    GateSupport.withConfs(spark, "spark.sql.cteRecursionLevelLimit" -> "20") {
+      val ex = intercept[Exception] {
+        spark.sql(
+          """WITH RECURSIVE reach(origin, node) AS (
+            |  SELECT src, dst FROM rec_edges_cyc
+            |  UNION ALL
+            |  SELECT r.origin, e.dst FROM reach r JOIN rec_edges_cyc e ON r.node = e.src
+            |)
+            |SELECT DISTINCT origin, node FROM reach""".stripMargin).collect()
+      }
+      assert(ex.getMessage.toLowerCase.contains("recursion"),
+        s"expected the recursion level limit to fire, got: ${ex.getMessage}")
+    }
+  }
+
   test("kTruss: bridge between two triangles peels; supports reflect the final subgraph") {
     // triangle 1-2-3, triangle 4-5-6, bridge 3-4 (in no triangle)
     val e = edgesDF(Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)))
