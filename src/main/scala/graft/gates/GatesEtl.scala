@@ -414,6 +414,47 @@ private[graft] object GatesEtl extends GateFamily {
       } finally { deleteRecursively(frag); deleteRecursively(compacted) }
     }),
 
+    // DYNAMIC PARTITION OVERWRITE — the incremental-backfill primitive
+    // every partitioned 100 TB lake leans on: restating ONE partition
+    // (here: a repair that drops the odd doc_ids of the min-lang
+    // partition) must rewrite ONLY that partition. Under the default
+    // STATIC mode the same overwrite TRUNCATES the whole table to the
+    // batch — the classic data-loss foot-gun this mode exists to fix.
+    // The gate REQUIRES the untouched partitions keep their exact files
+    // (name+size+mtime census — a rewrite mints new part-UUID names),
+    // and the oracle recomputes the post-restatement table from source.
+    "o8_dynamic_overwrite" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tgt = docs.agg(min(col("lang"))).head().getString(0)
+      val base = java.nio.file.Files.createTempDirectory("graft-dynover")
+      try {
+        withConfs(s, "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+          docs.write.partitionBy("lang").mode("overwrite").parquet(base.toString)
+          def census(): Map[String, Set[(String, Long, Long)]] =
+            new java.io.File(base.toString).listFiles()
+              .filter(f => f.isDirectory && f.getName.startsWith("lang=")
+                && f.getName != s"lang=$tgt")
+              .map(d => d.getName -> d.listFiles()
+                .filter(_.getName.endsWith(".parquet"))
+                .map(f => (f.getName, f.length, f.lastModified)).toSet)
+              .toMap
+          val before = census()
+          require(before.nonEmpty, "o8: need at least one untouched partition")
+          docs.filter(col("lang") === tgt && col("doc_id") % 2 === 0)
+            .write.partitionBy("lang").mode("overwrite").parquet(base.toString)
+          require(census() == before,
+            "o8: dynamic partition overwrite rewrote untouched partitions " +
+              "— the incremental restatement touched the whole table")
+          pinLocal(s.read.parquet(base.toString)
+            .groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("char_mass"),
+              sum(functions.Hashing.md5Long(col("text")) % lit(1000000000000L))
+                .as("text_hash_sum")))
+        }
+      } finally deleteRecursively(base)
+    }),
+
     "o1_orc_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val path = java.nio.file.Files.createTempDirectory("graft-orc").toString
@@ -526,6 +567,17 @@ private[graft] object GatesEtl extends GateFamily {
         |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000000)
         |    AS BIGINT) AS text_hash_sum
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // the restated table recomputed from source: the min-lang partition
+    // keeps only even doc_ids, every other partition is the identity
+    "o8_dynamic_overwrite" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS char_mass,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000000)
+        |    AS BIGINT) AS text_hash_sum
+        |FROM documents
+        |WHERE NOT (lang = (SELECT min(lang) FROM documents) AND doc_id % 2 = 1)
+        |GROUP BY lang""".stripMargin,
 
     // The fingerprint recomputed straight from the parquet table — the
     // ORC write∘read on the Spark side must be an exact identity.
