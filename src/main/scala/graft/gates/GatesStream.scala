@@ -529,49 +529,18 @@ private[graft] object GatesStream extends GateFamily {
     // the watermark, sentinel #2 triggers the batch that evicts with it)
     // drive the final watermark past every click's deadline, so the
     // result equals the batch LEFT JOIN exactly — which is the oracle.
-    "sw18_stream_left_attribution" -> ((s, dir) => {
-      import org.apache.spark.sql.streaming.Trigger
-      import s.implicits._
-      val ev = events(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sw18").toString
-      val maxTs = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head()
-      def stage(sub: String, data: DataFrame, sentinel: Int => DataFrame): String = {
-        val inDir = java.nio.file.Paths.get(tmp, sub)
-        java.nio.file.Files.createDirectories(inDir)
-        Seq(data, sentinel(10), sentinel(20)).zipWithIndex.foreach { case (df, i) =>
-          df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/${sub}_b$i")
-          val part = new java.io.File(s"$tmp/${sub}_b$i").listFiles()
-            .find(_.getName.endsWith(".parquet")).get.toPath
-          val staged = inDir.resolve(f"$i%02d.parquet")
-          java.nio.file.Files.copy(part, staged)
-          // FileStreamSource orders by mtime — pin the replay order
-          java.nio.file.Files.setLastModifiedTime(staged,
-            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-        }
-        inDir.toString
-      }
-      def sentTs(days: Int) = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
-      val clicks = ev.filter(col("event_type") === "click").select(col("user_id"), col("ts"))
-      val buys = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("value"))
-      val cDir = stage("clicks", clicks,
-        d => Seq((-1L, sentTs(d))).toDF("user_id", "ts"))
-      val bDir = stage("buys", buys,
-        d => Seq((-1L, sentTs(d), 0.0)).toDF("user_id", "ts", "value"))
-      val joined = streaming.EventPipeline.clickAttribution(
-        s.readStream.schema(clicks.schema).option("maxFilesPerTrigger", "1").parquet(cDir),
-        s.readStream.schema(buys.schema).option("maxFilesPerTrigger", "1").parquet(bDir),
-        watermark = "1 hour", joinWindow = "30 minutes", joinType = "left_outer")
-      val name = s"sw18_out_${sinkSeq.incrementAndGet()}"
-      withShufflePartitions(s, 8) {
-        val q = joined.writeStream.format("memory").queryName(name)
-          .option("checkpointLocation", s"$tmp/ck")
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      s.table(name).filter(col("user_id") >= 0)
-        .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
-    }),
+    "sw18_stream_left_attribution" -> ((s, dir) =>
+      attributionGate(s, dir, "sw18", "left_outer")),
+
+    // SW29 — the stream-stream FULL OUTER completes the watermark-join
+    // matrix (inner sw12, left_outer sw18): orphan PURCHASES — revenue
+    // rows with no in-window click, the reconciliation audit every
+    // attribution pipeline owes — emit with click columns NULL once the
+    // watermark proves no click can still arrive, under the same
+    // double-sentinel eviction as sw18. The oracle is the batch FULL
+    // JOIN, row for row; coalesce(l,r) keeps the orphan's user id.
+    "sw29_stream_full_attribution" -> ((s, dir) =>
+      attributionGate(s, dir, "sw29", "full_outer")),
 
     // SW13 — foreachBatch incremental graph merge, the reference's
     // IAM-graph ingest made streaming: events arrive in TWO micro-batches
@@ -664,6 +633,59 @@ private[graft] object GatesStream extends GateFamily {
       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
       |  count(*) AS n_events
       |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  /** The watermark-join attribution gate, shared by sw18 (left_outer)
+    * and sw29 (full_outer): clicks and purchases replay as separate
+    * mtime-ordered file streams, each followed by two far-future
+    * sentinel batches (the DOUBLE-sentinel watermark advance — outer
+    * rows only emit once the watermark proves the other side is done,
+    * and the watermark is the min over both inputs, so BOTH sides need
+    * the push; the second sentinel flushes rows the first one admitted).
+    * Sentinel rows carry user_id −1 and are filtered from the result. */
+  private def attributionGate(s: SparkSession, dir: String,
+                              prefix: String, joinType: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val ev = events(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$prefix").toString
+    val maxTs = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head()
+    def stage(sub: String, data: DataFrame, sentinel: Int => DataFrame): String = {
+      val inDir = java.nio.file.Paths.get(tmp, sub)
+      java.nio.file.Files.createDirectories(inDir)
+      Seq(data, sentinel(10), sentinel(20)).zipWithIndex.foreach { case (df, i) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/${sub}_b$i")
+        val part = new java.io.File(s"$tmp/${sub}_b$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get.toPath
+        val staged = inDir.resolve(f"$i%02d.parquet")
+        java.nio.file.Files.copy(part, staged)
+        // FileStreamSource orders by mtime — pin the replay order
+        java.nio.file.Files.setLastModifiedTime(staged,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+      }
+      inDir.toString
+    }
+    def sentTs(days: Int) = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
+    val clicks = ev.filter(col("event_type") === "click").select(col("user_id"), col("ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val cDir = stage("clicks", clicks,
+      d => Seq((-1L, sentTs(d))).toDF("user_id", "ts"))
+    val bDir = stage("buys", buys,
+      d => Seq((-1L, sentTs(d), 0.0)).toDF("user_id", "ts", "value"))
+    val joined = streaming.EventPipeline.clickAttribution(
+      s.readStream.schema(clicks.schema).option("maxFilesPerTrigger", "1").parquet(cDir),
+      s.readStream.schema(buys.schema).option("maxFilesPerTrigger", "1").parquet(bDir),
+      watermark = "1 hour", joinWindow = "30 minutes", joinType = joinType)
+    val name = s"${prefix}_out_${sinkSeq.incrementAndGet()}"
+    withShufflePartitions(s, 8) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$tmp/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(name).filter(col("user_id") >= 0)
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -834,6 +856,17 @@ private[graft] object GatesStream extends GateFamily {
         |p AS (SELECT user_id, ts AS purchase_ts, value FROM events WHERE event_type = 'purchase')
         |SELECT c.user_id, c.click_ts, p.purchase_ts, p.value
         |FROM c LEFT JOIN p ON p.user_id = c.user_id
+        |  AND p.purchase_ts >= c.click_ts
+        |  AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE""".stripMargin,
+
+    // the batch FULL JOIN: matched attributions, unconverted clicks
+    // (purchase NULL) AND orphan purchases (click NULL) — row for row
+    "sw29_stream_full_attribution" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS purchase_ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+        |  c.click_ts, p.purchase_ts, p.value
+        |FROM c FULL JOIN p ON p.user_id = c.user_id
         |  AND p.purchase_ts >= c.click_ts
         |  AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE""".stripMargin,
 

@@ -135,8 +135,8 @@ object EventPipeline {
                        watermark: String = "1 hour",
                        joinWindow: String = "30 minutes",
                        joinType: String = "inner"): DataFrame = {
-    require(Set("inner", "left_outer")(joinType),
-      s"joinType must be inner or left_outer, got $joinType")
+    require(Set("inner", "left_outer", "full_outer")(joinType),
+      s"joinType must be inner, left_outer or full_outer, got $joinType")
     val l = clicks.withWatermark("ts", watermark)
       .select(col("user_id").as("l_user"), col("ts").as("click_ts"))
     val r = purchases.withWatermark("ts", watermark)
@@ -144,13 +144,20 @@ object EventPipeline {
     // left_outer: unconverted clicks ALSO emit (purchase columns NULL) —
     // but only once the watermark proves no in-window purchase can still
     // arrive, so unmatched rows trail matched ones by up to
-    // watermark + joinWindow of event time. Same bounded state either way.
+    // watermark + joinWindow of event time. full_outer adds the mirror:
+    // ORPHAN purchases (no in-window click — the attribution-audit rows
+    // a revenue reconciliation needs) emit with click_ts NULL under the
+    // same watermark proof. Same bounded state in all three modes; the
+    // time-range condition bounds BOTH event-time columns, which is what
+    // lets Spark evict either side's state at the watermark.
     l.join(r, col("l_user") === col("r_user")
         && col("purchase_ts") >= col("click_ts")
         && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $joinWindow"),
         joinType)
-      .select(col("l_user").as("user_id"), col("click_ts"),
-        col("purchase_ts"), col("value"))
+      // coalesce: identical to l_user for inner/left rows, and the only
+      // way a full_outer orphan purchase keeps its user id
+      .select(coalesce(col("l_user"), col("r_user")).as("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
   }
 
   /** Earliest-entry conversion funnel over a batch event log: how many
