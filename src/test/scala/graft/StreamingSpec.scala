@@ -421,6 +421,37 @@ class StreamingSpec extends AnyFunSuite {
       s"unmatched click should emit with NULL purchase after the watermark: $rows")
   }
 
+  test("clickAttribution full_outer: orphan purchases ALSO emit, keeping their user id") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventPipeline.clickAttribution(
+        clicks.toDF().toDF("user_id", "ts"),
+        buys.toDF().toDF("user_id", "ts", "value"),
+        watermark = "1 hour", joinWindow = "30 minutes", joinType = "full_outer")
+      .writeStream.format("memory").queryName("attr_fo").outputMode(OutputMode.Append()).start()
+    clicks.addData((1L, ts("10:00")), (2L, ts("10:00")))
+    // user 1 converts; user 2 never does; user 3's purchase has NO click
+    buys.addData((1L, ts("10:10"), 9.5), (3L, ts("10:05"), 4.5))
+    q.processAllAvailable()
+    // double watermark advance on BOTH sides (eviction emits on the
+    // batch after the bump), same discipline as the left_outer test
+    Seq(ts("14:00"), ts("15:00")).zipWithIndex.foreach { case (t, i) =>
+      clicks.addData((9L + i, t)); buys.addData((9L + i, t, 0.0))
+      q.processAllAvailable()
+    }
+    val rows = spark.table("attr_fo")
+      .select(col("user_id"), col("click_ts").cast("string"),
+        col("purchase_ts").cast("string"), col("value"))
+      .as[(Long, String, String, Option[Double])].collect().toSet
+    q.stop()
+    assert(rows.contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", Some(9.5))))
+    assert(rows.contains((2L, "2024-01-01 10:00:00", null, None)),
+      s"unmatched click should emit with NULL purchase: $rows")
+    assert(rows.contains((3L, null, "2024-01-01 10:05:00", Some(4.5))),
+      s"orphan purchase should emit with NULL click and ITS user id: $rows")
+  }
+
   test("dedupStream drops replayed event ids with watermark-bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
