@@ -148,6 +148,34 @@ private[graft] object GatesGraph extends GateFamily {
     // against the same oracle prove the skew path correct end-to-end.
     "a13b_khop_salted" -> ((s, dir) => khop2Regions(s, dir, salted = true)),
 
+    // A26 — the console's BOUNDED traversal (a13's 2-hop: customer →
+    // nation → region, README.md's `repeat(out()).times(2)` shape) on
+    // the SQL surface: WITH RECURSIVE carrying an explicit depth column
+    // with the `WHERE hop < k` guard INSIDE the recursion — the bounded
+    // complement of a25's unbounded fixpoint, and the recursion feature
+    // (per-level state threading) a25 doesn't exercise. Paths here are
+    // unique (one nation per customer, one region per nation), so UNION
+    // ALL needs no dedup and the row count is exactly |customer|.
+    // Oracle = a13's join chain, row for row.
+    "a26_sql_khop" -> ((s, dir) => {
+      val g = GraphStore.get(s, dir)
+      g.E.filter(col("label") === "in").select(col("src"), col("dst"))
+        .createOrReplaceTempView("a26_edges")
+      t(s, dir, "region").createOrReplaceTempView("a26_region")
+      s.sql(
+        s"""WITH RECURSIVE hops(origin, node, hop) AS (
+           |  SELECT src, dst, 1 FROM a26_edges
+           |  WHERE src >= ${3L * B}L AND src < ${4L * B}L
+           |  UNION ALL
+           |  SELECT h.origin, e.dst, h.hop + 1
+           |  FROM hops h JOIN a26_edges e ON h.node = e.src
+           |  WHERE h.hop < 2
+           |)
+           |SELECT origin - ${3L * B}L AS custkey, r_name AS region_name, hop
+           |FROM hops JOIN a26_region ON node - ${1L * B}L = r_regionkey
+           |WHERE hop = 2""".stripMargin)
+    }),
+
     // A24 — the SALTED hop join itself under the driver oracle: a13b's
     // auto probe correctly measures 0 on the unskewed containment walk
     // (and takes the plain path), so this gate builds a genuinely skewed
@@ -550,6 +578,13 @@ private[graft] object GatesGraph extends GateFamily {
         |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
 
     "a13b_khop_salted" ->
+      """SELECT c_custkey AS custkey, r_name AS region_name, 2 AS hop
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    // same rows as a13 — the gate differs only in the Spark-side surface
+    // (bounded WITH RECURSIVE vs the library hop join)
+    "a26_sql_khop" ->
       """SELECT c_custkey AS custkey, r_name AS region_name, 2 AS hop
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
