@@ -414,6 +414,34 @@ private[graft] object GatesEtl extends GateFamily {
       } finally { deleteRecursively(frag); deleteRecursively(compacted) }
     }),
 
+    // BROADCAST JOIN under the oracle — "is this join broadcast-able,
+    // and did I broadcast it": the star-shape fact⋈dim⋈dim rollup must
+    // plan BOTH joins as BroadcastHashJoin with NO hint — Spark's own
+    // size estimation (parquet stats under autoBroadcastJoinThreshold)
+    // has to make the call, so a future stats regression that silently
+    // degrades the dimension joins to shuffles turns this gate red
+    // instead of quietly tripling the exchange count at 100 TB. The
+    // require also rejects any SortMergeJoin/ShuffledHashJoin in the
+    // executed plan: the ONLY exchange allowed is the final aggregate's.
+    "o9_broadcast_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val dim = t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("r_name"))
+      val df = cust.join(dim, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("r_name").as("region_name"))
+        .agg(count(lit(1)).as("n_customers"))
+      val out = pinLocal(df) // execute NOW so the adaptive plan is final
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastHashJoin"),
+        "o9: no BroadcastHashJoin in the executed plan — Spark's size " +
+          "estimation stopped broadcasting the dimension side:\n" + plan)
+      require(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        "o9: a shuffle join appeared in what must be an all-broadcast " +
+          "star plan:\n" + plan)
+      out
+    }),
+
     // DYNAMIC PARTITION OVERWRITE — the incremental-backfill primitive
     // every partitioned 100 TB lake leans on: restating ONE partition
     // (here: a repair that drops the odd doc_ids of the min-lang
@@ -567,6 +595,13 @@ private[graft] object GatesEtl extends GateFamily {
         |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000000000)
         |    AS BIGINT) AS text_hash_sum
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // the all-broadcast star rollup must be invisible in the rows
+    "o9_broadcast_join" ->
+      """SELECT r_name AS region_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
 
     // the restated table recomputed from source: the min-lang partition
     // keeps only even doc_ids, every other partition is the identity
