@@ -237,6 +237,104 @@ object Probe {
       s2.stop(); return
     }
 
+    // Dev-only breakdown of the x30 gate: topoLayers vs gate join/agg.
+    if (args.contains("x30")) {
+      sys.props("graft.verbose") = "1"
+      val dir = "/root/testdata/sf0.1"
+      val s2 = fresh32(spark)
+      def t[A](l: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[probe] $l%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+      }
+      val gs = t("GraphStore.get")(graph.GraphStore.get(s2, dir))
+      (1 to 3).foreach { i =>
+        val layered = t(s"topoLayers $i")(
+          Traversal.topoLayers(gs.edges, prepEdges = false))
+        t(s"gate join+agg+count $i")(
+          layered.join(gs.vertices.select(col("id"), col("label")), Seq("id"))
+            .groupBy(col("label"), col("layer"))
+            .agg(count(lit(1)).as("n")).count())
+      }
+      s2.stop(); return
+    }
+
+    // Dev-only breakdown of the x32 corpus + doubling loop.
+    if (args.contains("x32")) {
+      sys.props("graft.verbose") = "1"
+      val dir = "/root/testdata/sf0.1"
+      val s2 = fresh32(spark)
+      import org.apache.spark.sql.expressions.Window
+      def t[A](l: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[probe] $l%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+      }
+      val docs = s2.read.parquet(s"$dir/documents.parquet")
+      val n = t("docs.count")(docs.count())
+      val w = math.max(2L, n / 128L)
+      val nodes = docs.select((row_number().over(Window.orderBy(col("doc_id")))
+        - 1).cast("long").as("nid"))
+      val edges = t("corpus gen")(
+        { val e = nodes.select(col("nid").as("src"), (col("nid") + lit(w)).as("dst"))
+            .filter(col("dst") < n).localCheckpoint(); e.count(); e })
+      (1 to 3).foreach { i =>
+        val layered = t(s"topoLayersDoubling $i")(
+          GateSupport.withShufflePartitions(s2, 8) {
+            Traversal.topoLayersDoubling(edges)
+          })
+        t(s"gate agg+count $i")(
+          layered.groupBy(col("layer"))
+            .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("id_sum")).count())
+      }
+      s2.stop(); return
+    }
+
+    // Dev-only a14 peel-compose variants: shuffle_hash+ckpt (current) vs
+    // broadcast+ckpt vs broadcast+lazy.
+    if (args.contains("a14var")) {
+      sys.props("graft.verbose") = "1"
+      val dir = "/root/testdata/sf0.1"
+      val s2 = fresh32(spark)
+      import org.apache.spark.storage.StorageLevel
+      def t[A](l: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[probe] $l%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+      }
+      val gs = graph.GraphStore.get(s2, dir)
+      val e0 = gs.edges.select(col("src"), col("dst"))
+      for (pass <- 1 to 3) {
+        println(s"[probe] --- pass $pass ---")
+        val dstIds = e0.select(col("dst")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val srcE = e0.join(dstIds.select(col("dst").as("src")), Seq("src"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val coreE = e0.join(dstIds.select(col("dst").as("src")), Seq("src"), "left_semi")
+        val cCore = t("doublingBody(core)")(Traversal.doublingBody(coreE, 20))
+        def ckptOut(df: org.apache.spark.sql.DataFrame) =
+          org.apache.spark.sql.graft.CheckpointUtil.dropConstraints(df.localCheckpoint())
+        def compose(hinted: org.apache.spark.sql.DataFrame) =
+          srcE.select(col("src").as("origin"), col("dst").as("node"))
+            .unionByName(
+              srcE.join(hinted, srcE("dst") === hinted("origin"))
+                .select(srcE("src").as("origin"), hinted("node").as("node")))
+            .distinct()
+        val v = pass match {
+          case 1 =>
+            val out = t("compose shuffle_hash+ckpt")(ckptOut(compose(cCore.hint("shuffle_hash"))))
+            t("count (cached)")(out.count())
+          case 2 =>
+            val out = t("compose broadcast+ckpt")(ckptOut(compose(broadcast(cCore))))
+            t("count (cached)")(out.count())
+          case _ =>
+            val out = compose(broadcast(cCore))
+            t("compose broadcast LAZY count")(out.count())
+        }
+        println(s"[probe] rows=$v")
+        srcE.unpersist(false); dstIds.unpersist(false)
+        s2.catalog.clearCache()
+      }
+      s2.stop(); return
+    }
+
     // Dev-only breakdown of the a14 gate: store load vs closure vs count.
     if (args.contains("a14")) {
       sys.props("graft.verbose") = "1"

@@ -482,7 +482,7 @@ object Traversal {
             "the graph contains a cycle; longest-path layering is defined " +
             "on DAGs only")
       }
-    var (n0, s0, cyc0) = stats(r)
+    var (n0, s0, cyc0) = timed("doubling seed stats")(stats(r))
     assertAcyclic(cyc0)
     var round = 0
     var done = n0 == 0 // edge-less input layers nothing
@@ -500,14 +500,34 @@ object Traversal {
       // measured: the 63-level chain spec went minutes → seconds). The
       // checkpoint IS the round's materialization and cache — no extra
       // persist layer; superseded rounds drop via the context cleaner.
-      val squared = cut(
-        r.select(col("src"), col("dst").as("__m"), col("d").as("d1"))
+      //
+      // AT-CAP compose, not the full square (optimization round 16): the
+      // left side is only the pairs sitting AT the round's dyadic cap,
+      // d == 2^(round−1), not all of r. Exact by the canonical split:
+      // any path of length m ∈ (2^k, 2^(k+1)] passes a vertex w exactly
+      // 2^k hops in, its prefix is a length-2^k path, and r's invariant
+      // (r_k(u,v) = longest path of length ≤ 2^k, values capped at 2^k
+      // by construction) forces r_k(u,w) = 2^k exactly — so every pair
+      // the full square would improve is reachable from the at-cap
+      // slice, and every composed candidate is a genuine path length
+      // (path concatenation in the acyclic regime; on cyclic input the
+      // self-pair check below still fires — the first dyadic window
+      // (2^k, 2^(k+1)] with 2^k ≥ girth contains a multiple of the
+      // girth, at most one round later than the full square). Join
+      // triples drop from Σ|r_k|·avg-fanout (quadratic in depth on a
+      // deep chain — the x32 corpus) to Σ|at-cap_k|·avg-fanout (linear):
+      // measured on the x32 chain corpus at sf0.1, the loop went
+      // 4.95 s → (see OPTIMIZATION_r16.md) with identical output.
+      val capD = 1L << (round - 1)
+      val squared = timed(s"doubling round $round cut")(cut(
+        r.filter(col("d") === capD)
+          .select(col("src"), col("dst").as("__m"))
           .join(r.select(col("src").as("__m"), col("dst"), col("d").as("d2"))
             .hint("shuffle_hash"), "__m")
-          .select(col("src"), col("dst"), (col("d1") + col("d2")).as("d"))
+          .select(col("src"), col("dst"), (col("d2") + capD).as("d"))
           .unionByName(r)
-          .groupBy(col("src"), col("dst")).agg(max(col("d")).as("d")))
-      val (n1, s1, cyc1) = stats(squared)
+          .groupBy(col("src"), col("dst")).agg(max(col("d")).as("d"))))
+      val (n1, s1, cyc1) = timed(s"doubling round $round stats")(stats(squared))
       assertAcyclic(cyc1)
       live.foreach(_.unpersist(false))
       live = Nil
@@ -531,10 +551,10 @@ object Traversal {
         r.join(sources.select(col("id").as("src")), "src")
           .select(col("dst").as("id"), col("d").as("layer")))
       .groupBy(col("id")).agg(max(col("layer")).as("layer"))
-    val frozen = cut(out)
+    val frozen = timed("doubling layer readout")(cut(out))
     // belt-and-braces twin of the frontier form's guard (a cycle throws
     // above, so this can only fire on a logic regression)
-    val nVerts = sources.count() + dstIds.count()
+    val nVerts = timed("doubling vertex census")(sources.count() + dstIds.count())
     val nLayered = frozen.count()
     live.foreach(_.unpersist(false))
     if (prepEdges) e.unpersist(false)
@@ -680,7 +700,7 @@ object Traversal {
 
   /** The recursive-doubling loop proper, on a (src, dst) edge frame —
     * see [[closureDoubling]] for the semi-naive derivation. */
-  private def doublingBody(edges: DataFrame, maxIter: Int): DataFrame = {
+  private[graft] def doublingBody(edges: DataFrame, maxIter: Int): DataFrame = {
     // Seed with TWO levels (E ∪ E∘E) in one job: a doubling round costs a
     // full compose-distinct-anti cycle whatever its size, so folding the
     // first compose into the seed drops one round from every run. Using
