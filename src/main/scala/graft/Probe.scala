@@ -288,6 +288,49 @@ object Probe {
       s2.stop(); return
     }
 
+    // Dev-only sw micro-batch anatomy: per-batch durationMs from the
+    // streaming progress log, at varying state partition counts.
+    if (args.contains("swprof")) {
+      val dir = "/root/testdata/sf0.1"
+      val s2 = fresh32(spark)
+      import org.apache.spark.sql.streaming.Trigger
+      import s2.implicits._
+      val base = GateSupport.events(s2, dir)
+        .select(col("event_id"), col("event_type"), col("user_id")).persist()
+      println(s"[probe] events rows=${base.count()} users=${base.select(col("user_id")).distinct().count()}")
+      for (parts <- Seq(8, 8, 4, 2, 1)) {
+        val tmp = java.nio.file.Files.createTempDirectory("probe-swp")
+        val inDir = tmp.resolve("in")
+        GateSupport.stageReplayFeed(inDir, (0 until 3).map { i =>
+          base.filter(pmod(col("event_id"), lit(3)) === i)
+            .select(col("event_type"), col("user_id"))
+        })
+        val feedSchema = base.select(col("event_type"), col("user_id")).schema
+        val t0 = System.nanoTime()
+        GateSupport.withConfs(s2,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+          "spark.sql.shuffle.partitions" -> parts.toString) {
+          val q = streaming.EventPipeline.distinctUsers(
+              s2.readStream.schema(feedSchema)
+                .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+                .as[streaming.EventPipeline.TypedEvent]).toDF()
+            .writeStream.format("memory").queryName(s"swp_$parts${System.nanoTime()}")
+            .option("checkpointLocation", s"$tmp/ck")
+            .outputMode("update").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val qs = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+          qs.recentProgress.foreach { p =>
+            println(s"[probe] parts=$parts batch=${p.batchId} total=${p.durationMs}")
+          }
+        }
+        println(f"[probe] parts=$parts query wall ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        GateSupport.deleteRecursively(tmp)
+      }
+      s2.stop(); return
+    }
+
     // Dev-only a14 peel-compose variants: shuffle_hash+ckpt (current) vs
     // broadcast+ckpt vs broadcast+lazy.
     if (args.contains("a14var")) {

@@ -648,33 +648,28 @@ private[graft] object GatesStream extends GateFamily {
     import s.implicits._
     val ev = events(s, dir)
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-$prefix").toString
-    val maxTs = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head()
-    def stage(sub: String, data: DataFrame, sentinel: Int => DataFrame): String = {
-      val inDir = java.nio.file.Paths.get(tmp, sub)
-      java.nio.file.Files.createDirectories(inDir)
-      Seq(data, sentinel(10), sentinel(20)).zipWithIndex.foreach { case (df, i) =>
-        df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/${sub}_b$i")
-        val part = new java.io.File(s"$tmp/${sub}_b$i").listFiles()
-          .find(_.getName.endsWith(".parquet")).get.toPath
-        val staged = inDir.resolve(f"$i%02d.parquet")
-        java.nio.file.Files.copy(part, staged)
-        // FileStreamSource orders by mtime — pin the replay order
-        java.nio.file.Files.setLastModifiedTime(staged,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-      }
-      inDir.toString
-    }
-    def sentTs(days: Int) = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
     val clicks = ev.filter(col("event_type") === "click").select(col("user_id"), col("ts"))
     val buys = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("value"))
-    val cDir = stage("clicks", clicks,
-      d => Seq((-1L, sentTs(d))).toDF("user_id", "ts"))
-    val bDir = stage("buys", buys,
-      d => Seq((-1L, sentTs(d), 0.0)).toDF("user_id", "ts", "value"))
+    val cDir = java.nio.file.Paths.get(tmp, "clicks")
+    val bDir = java.nio.file.Paths.get(tmp, "buys")
+    // one events scan feeds the maxTs aggregate and both side stages
+    // (was 3 scans + 6 write jobs; each side now stages in ONE
+    // stageReplayFeed job, data + the two watermark sentinels)
+    ev.persist()
+    try {
+      val maxTs = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head()
+      def sentTs(days: Int) = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
+      stageReplayFeed(cDir, Seq(clicks,
+        Seq((-1L, sentTs(10))).toDF("user_id", "ts"),
+        Seq((-1L, sentTs(20))).toDF("user_id", "ts")))
+      stageReplayFeed(bDir, Seq(buys,
+        Seq((-1L, sentTs(10), 0.0)).toDF("user_id", "ts", "value"),
+        Seq((-1L, sentTs(20), 0.0)).toDF("user_id", "ts", "value")))
+    } finally ev.unpersist()
     val joined = streaming.EventPipeline.clickAttribution(
-      s.readStream.schema(clicks.schema).option("maxFilesPerTrigger", "1").parquet(cDir),
-      s.readStream.schema(buys.schema).option("maxFilesPerTrigger", "1").parquet(bDir),
+      s.readStream.schema(clicks.schema).option("maxFilesPerTrigger", "1").parquet(cDir.toString),
+      s.readStream.schema(buys.schema).option("maxFilesPerTrigger", "1").parquet(bDir.toString),
       watermark = "1 hour", joinWindow = "30 minutes", joinType = joinType)
     val name = s"${prefix}_out_${sinkSeq.incrementAndGet()}"
     withShufflePartitions(s, 8) {
