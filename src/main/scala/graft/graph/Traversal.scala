@@ -395,8 +395,10 @@ object Traversal {
       // with the cut (the same pathology the doubling loop's per-round
       // cut() fixed in round 14). Lazy, not eager, so the probe keeps
       // its one-job shape.
-      val n1 = stepIds(cur, e).distinct().localCheckpoint(false)
-      val n2 = stepIds(n1, e).distinct().localCheckpoint(false)
+      val n1 = timed(s"topo ckpt n1 k=$k")(
+        stepIds(cur, e).distinct().localCheckpoint(false))
+      val n2 = timed(s"topo ckpt n2 k=$k")(
+        stepIds(n1, e).distinct().localCheckpoint(false))
       if (timed(s"topo levels ${k + 1}-${k + 2}")(n2.isEmpty)) {
         n2.unpersist(false)
         if (n1.isEmpty) n1.unpersist(false)
@@ -410,8 +412,8 @@ object Traversal {
         k += 2
       }
     }
-    val out = levels.reduce(_ unionByName _)
-      .groupBy(col("id")).agg(max(col("layer")).as("layer"))
+    val out = timed("topo levels plan")(levels.reduce(_ unionByName _)
+      .groupBy(col("id")).agg(max(col("layer")).as("layer")))
     val frozen = timed("topo final max-agg")(cut(out))
     // Contract guard: every edge-touching vertex must be layered. A
     // source-less cycle is unreachable from S₀, so the loop above
