@@ -193,8 +193,10 @@ private[graft] object GatesStream extends GateFamily {
     // after the TTL horizon. TTL is processing-time by definition, so
     // the harness drives it deterministically with TWO query runs over
     // one checkpoint: phase 1 (even event_ids) drains, the gate sleeps
-    // 2.5 s of wall clock — comfortably past the TTL however fast
-    // phase 1 ran — then phase 2 (odd event_ids) resumes from the same
+    // 1.5 s of wall clock — past the 0.6 s TTL with a 0.9 s margin
+    // however fast phase 1 ran (the margin only GROWS if phase 2 starts
+    // late, so the gate cannot flake slow) — then phase 2 (odd
+    // event_ids) resumes from the same
     // checkpoint; its counts must RESTART from zero, not accumulate.
     // The oracle pins both phases' emits: phase-2 cnt == the odd-half
     // batch count alone — if TTL failed to expire, every user seen in
@@ -212,9 +214,9 @@ private[graft] object GatesStream extends GateFamily {
       val (out1, out2) = try runTwsTwoPhaseReplay(s, "sw28",
         (Seq(half(0)), half(0).distinct().count()),
         (Seq(half(1)), half(1).distinct().count()),
-        feed.schema, sleepMs = 2500L) { stream =>
+        feed.schema, sleepMs = 1500L) { stream =>
         streaming.EventPipeline.ttlCounts(
-          stream.as[streaming.EventPipeline.KeyOnlyEvent], ttlMs = 1200L).toDF()
+          stream.as[streaming.EventPipeline.KeyOnlyEvent], ttlMs = 600L).toDF()
       } finally base.unpersist()
       out1.withColumn("phase", lit(1))
         .unionByName(out2.withColumn("phase", lit(2)))
