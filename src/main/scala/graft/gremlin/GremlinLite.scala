@@ -373,19 +373,6 @@ object GremlinLite {
             }
             val step = if (body == "out") e0.select(col("src"), col("dst"))
                        else e0.select(col("dst").as("src"), col("src").as("dst"))
-            // SOURCE PEEL for the continuation walk (optimization round
-            // 16, the closureDoubling/a14 trick on the Gremlin surface):
-            // the BFS below always seeds from s1 ⊆ step.dst, so an edge
-            // leaving an in-degree-0 vertex can never be traversed past
-            // the explicit first hop — drop them all before the edge set
-            // is prepped. On the flagship fact-over-dimension walk this
-            // removes the lineitem fan-out (2.4M → 166k edges at sf0.1)
-            // from the per-level hop joins AND from bfsDepth's
-            // repartition+sort prep; the semi-join is keyed on src, the
-            // same key that prep shuffles on. Exact for any graph: a
-            // walk from s1 only ever stands on some edge's dst.
-            val stepCont = step.join(
-              step.select(col("dst").as("src")).distinct(), Seq("src"), "left_semi")
             val startIds = cur.select(col("id")).distinct()
             val endIds = untilPred match {
               case Some(p) =>
@@ -402,7 +389,7 @@ object GremlinLite {
                 val s1 = startIds.join(step, col("id") === col("src"))
                   .select(col("dst").as("id")).distinct().localCheckpoint()
                 val contStart = s1.join(stopIds, Seq("id"), "left_anti")
-                val ePrime = stepCont.join(
+                val ePrime = step.join(
                   stopIds.withColumnRenamed("id", "__stop"),
                   col("src") === col("__stop"), "left_anti")
                 // Only the reachable SET matters here (no per-origin
@@ -421,7 +408,7 @@ object GremlinLite {
                 // = reach≥1(start), cycles through the start included
                 val s1 = startIds.join(step, col("id") === col("src"))
                   .select(col("dst").as("id")).distinct()
-                Traversal.bfsDepth(stepCont, s1).select(col("id"))
+                Traversal.bfsDepth(step, s1).select(col("id"))
             }
             cur = endIds.select(col("id").as("__end"))
               .join(g.vertices.as("v"), col("__end") === col("v.id"))
