@@ -288,6 +288,28 @@ object Probe {
       s2.stop(); return
     }
 
+    // Dev-only: what does a bare spark.read.parquet (footer/schema read)
+    // cost per call? ~650 gate executions each call t() 1-4 times.
+    if (args.contains("readcost")) {
+      val dir = "/root/testdata/sf0.1"
+      val s2 = fresh32(spark)
+      for (pass <- 1 to 3) {
+        val t0 = System.nanoTime()
+        (1 to 20).foreach { _ =>
+          graph.GraphBuilder.table(s2, dir, "lineitem")
+          graph.GraphBuilder.table(s2, dir, "events")
+          graph.GraphBuilder.table(s2, dir, "documents")
+        }
+        println(f"[probe] 60 table() calls pass$pass ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        val t1 = System.nanoTime()
+        (1 to 20).foreach { _ =>
+          graph.GraphBuilder.table(s2, dir, "lineitem").count()
+        }
+        println(f"[probe] 20 lineitem counts pass$pass ${(System.nanoTime() - t1) / 1e9}%6.2f s")
+      }
+      s2.stop(); return
+    }
+
     // Dev-only sw micro-batch anatomy: per-batch durationMs from the
     // streaming progress log, at varying state partition counts.
     if (args.contains("swprof")) {

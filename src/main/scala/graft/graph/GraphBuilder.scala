@@ -33,8 +33,26 @@ object GraphBuilder {
   def vid(label: String, key: Column): Column =
     lit(LabelCodes(label) * B) + key.cast("long")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Parquet SCHEMA memo for the sf-dir tables (optimization round 16,
+    * guide §6's listing/metadata-cache principle): a bare
+    * `spark.read.parquet` runs footer schema inference on the DRIVER on
+    * every call — measured ~60-75 ms each, and the ~330 gate bodies call
+    * [[table]] 1-4 times per execution, twice per bench pass. Caching the
+    * STRUCTTYPE (never the DataFrame — a shared plan instance would give
+    * every caller the same attribute ids and trip AMBIGUOUS_SELF_JOIN on
+    * gates that join a table to itself) removes the inference while each
+    * call still builds a fresh plan that re-reads the files; results are
+    * untouched. The sf tables are immutable test inputs; anything written
+    * at runtime (temp stores, compaction dirs) goes through bare
+    * `read.parquet`, not this helper. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Packed composite key for lineitem rows. */
   def lineitemKey(orderkey: Column, linenumber: Column): Column =
