@@ -393,8 +393,17 @@ private[graft] object GateSupport {
       else {
         val prev = s.conf.get("graft.hop.salt", "0")
         s.conf.set("graft.hop.salt", "auto")
+        // prepEdges = false (optimization round 17): the store's edges are
+        // already src-hash-partitioned, sorted and persisted — exactly
+        // what prep() would rebuild — and the auto probe (now memoized per
+        // (plan, partitions)) measures 0 here, so the walk takes the same
+        // exchange-free hop joins as a13. On a future graph where auto
+        // measures > 0 the salted equi-join still runs (stepPairs keys on
+        // (src, __salt) regardless of layout); a24 pins the salted LAYOUT
+        // path (prepEdges = true on a fresh skewed edge set) under the
+        // oracle.
         try graph.Traversal.khop(g.E.filter(col("label") === "in"),
-          g.hasLabel("customer"), 2, prepEdges = true, dedupStart = false)
+          g.hasLabel("customer"), 2, prepEdges = false, dedupStart = false)
         finally s.conf.set("graft.hop.salt", prev)
       }
     val regions = g.hasLabel("region")

@@ -234,13 +234,24 @@ private[graft] object GatesGraph extends GateFamily {
       val g = GraphStore.get(s, dir)
       g.E.filter(col("label") === "in").select(col("src"), col("dst"))
         .createOrReplaceTempView("a25_edges")
-      s.sql(
-        """WITH RECURSIVE reach(origin, node) AS (
-          |  SELECT src, dst FROM a25_edges
-          |  UNION ALL
-          |  SELECT r.origin, e.dst FROM reach r JOIN a25_edges e ON r.node = e.src
-          |)
-          |SELECT DISTINCT origin, node FROM reach""".stripMargin)
+      // Materialize INSIDE a scoped shuffle-partition conf (optimization
+      // round 17, the x32 idiom): UnionLoop executes one shuffle join per
+      // recursion level, and a session-width partition count (32) is pure
+      // task-setup overhead on the per-level frontier volume — the eager
+      // cut() runs the whole recursion while the scope still holds, which
+      // is what the r16 note said a scoped conf could never do (it can,
+      // if the gate materializes rather than returning a lazy plan). The
+      // deployment knob is the same conf sized to level volume; rows are
+      // identical (cut() is a lineage checkpoint, not a computation).
+      withShufflePartitions(s, 8) {
+        graph.Traversal.cut(s.sql(
+          """WITH RECURSIVE reach(origin, node) AS (
+            |  SELECT src, dst FROM a25_edges
+            |  UNION ALL
+            |  SELECT r.origin, e.dst FROM reach r JOIN a25_edges e ON r.node = e.src
+            |)
+            |SELECT DISTINCT origin, node FROM reach""".stripMargin))
+      }
     }),
 
     // A6 — vertex upsert idempotence: re-upserting existing customers is a

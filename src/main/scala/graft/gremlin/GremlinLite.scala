@@ -66,6 +66,13 @@ object GremlinLite {
     * log₂ n cache writes vs n straight hop joins). */
   private val RepeatDoublingMin = 8
 
+  /** True when the graph's edges are a cached frame (the GraphStore
+    * layout: src-hash-partitioned + sorted + persisted) — traversals over
+    * them or over narrow derivations (filters, broadcast anti-joins) skip
+    * their own edge prep, the PropertyGraph.edgesCached discipline. */
+  private def cachedEdges(g: PropertyGraph): Boolean =
+    g.edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+
   /** Apply a typed mutation script — the reference's console statement
     * shapes (`g.addV('l').property(...)`, lookup-bind + `addE`,
     * main.go:205-211/310-322, README.md:331-340) plus
@@ -398,8 +405,16 @@ object GremlinLite {
                 // O(origins × nodes) pair closure. bfsDepth returns
                 // contStart (depth 0) ∪ reach≥1(contStart); unioned with
                 // s1 ⊇ contStart that is exactly the traverser set.
-                val onward = Traversal.bfsDepth(ePrime, contStart)
-                  .select(col("id"))
+                // prepEdges = false when the store's edges are cached
+                // (optimization round 17): ePrime is a broadcast anti-join
+                // OVER the src-partitioned cached edge frame — the layout
+                // prep() would rebuild with a full repartition+sort
+                // survives the anti-join, so prep was re-shuffling 2.4M
+                // already-placed rows per execution (measured ~0.8-1.0 s
+                // on the flagship walk); per-level re-evaluation of the
+                // anti is a cheap scan of cached blocks.
+                val onward = Traversal.bfsDepth(ePrime, contStart,
+                    prepEdges = !cachedEdges(g)).select(col("id"))
                 val visited = s1.unionByName(onward).distinct()
                 if (emitAll) visited
                 else visited.join(stopIds, Seq("id"), "left_semi")
@@ -408,7 +423,8 @@ object GremlinLite {
                 // = reach≥1(start), cycles through the start included
                 val s1 = startIds.join(step, col("id") === col("src"))
                   .select(col("dst").as("id")).distinct()
-                Traversal.bfsDepth(step, s1).select(col("id"))
+                Traversal.bfsDepth(step, s1,
+                  prepEdges = !cachedEdges(g)).select(col("id"))
             }
             cur = endIds.select(col("id").as("__end"))
               .join(g.vertices.as("v"), col("__end") === col("v.id"))
