@@ -293,6 +293,8 @@ object Probe {
     if (args.contains("readcost")) {
       val dir = "/root/testdata/sf0.1"
       val s2 = fresh32(spark)
+      // table("events") asserts this conf precedes its first inference
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       for (pass <- 1 to 3) {
         val t0 = System.nanoTime()
         (1 to 20).foreach { _ =>

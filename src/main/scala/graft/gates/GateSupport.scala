@@ -175,7 +175,11 @@ private[graft] object GateSupport {
         "spark.sql.streaming.stateStore.providerClass" ->
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
-          "true") {
+          "true",
+        // single-sentinel gates (sw24) flush final state in the engine's
+        // no-data batch — pin the default so a session override cannot
+        // silently drop the watermark-driven emits
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "true") {
         withShufflePartitions(s, 8) {
           val stream = s.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1").parquet(inDir.toString)

@@ -121,8 +121,15 @@ private[graft] object GatesStream extends GateFamily {
         val maxTs = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head()
         def sentinel(days: Int) = Seq((-1L,
           new java.sql.Timestamp(maxTs.getTime + days * 86400000L))).toDF("user_id", "ts")
+        // ONE sentinel batch (optimization round 17; was two): the
+        // sentinel advances the watermark past every session's close; the
+        // batch that fires the event-time timers with it is the engine's
+        // no-data batch (noDataMicroBatches, default on — a stateful op
+        // whose watermark advanced requests one more batch before
+        // AvailableNow may terminate). Same mechanism as the sw18/sw29
+        // attribution sides; parity green on repeated runs.
         runTwsReplayGate(s, "sw24",
-          Seq(ev, sentinel(10), sentinel(20)), ev.schema, "append") { stream =>
+          Seq(ev, sentinel(10)), ev.schema, "append") { stream =>
           streaming.EventPipeline.sessionizeTws(
             stream.as[streaming.EventPipeline.SessionEvent], gapMs).toDF()
         }
@@ -471,7 +478,10 @@ private[graft] object GatesStream extends GateFamily {
         val maxTs = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head()
         def sentinel(days: Int) = Seq((-1L,
           new java.sql.Timestamp(maxTs.getTime + days * 86400000L))).toDF("user_id", "ts")
-        stageReplayFeed(inDir, Seq(ev, sentinel(10), sentinel(20)))
+        // ONE sentinel batch (optimization round 17; was two) — the
+        // no-data batch fires the event-time timeouts once the sentinel
+        // advanced the watermark; see sw24/the attribution gates.
+        stageReplayFeed(inDir, Seq(ev, sentinel(10)))
       } finally ev.unpersist()
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
@@ -662,23 +672,35 @@ private[graft] object GatesStream extends GateFamily {
     try {
       val maxTs = ev.agg(max(col("ts"))).as[java.sql.Timestamp].head()
       def sentTs(days: Int) = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
+      // ONE sentinel batch per side (optimization round 17; was two): the
+      // sentinel advances the watermark past every click's deadline, and
+      // the batch that EVICTS with that watermark is the no-data batch
+      // MicroBatchExecution appends when a stateful op's
+      // shouldRunAnotherBatch sees the advanced watermark
+      // (spark.sql.streaming.noDataMicroBatches.enabled, default true —
+      // pinned here so a session-level override can't silently drop the
+      // outer rows). Drops one staged file, one micro-batch and one
+      // state-store load cycle per side; parity green on repeated runs
+      // (the no-data batch is part of the engine's termination contract:
+      // AvailableNow only stops once no stateful op requests another
+      // batch).
       stageReplayFeed(cDir, Seq(clicks,
-        Seq((-1L, sentTs(10))).toDF("user_id", "ts"),
-        Seq((-1L, sentTs(20))).toDF("user_id", "ts")))
+        Seq((-1L, sentTs(10))).toDF("user_id", "ts")))
       stageReplayFeed(bDir, Seq(buys,
-        Seq((-1L, sentTs(10), 0.0)).toDF("user_id", "ts", "value"),
-        Seq((-1L, sentTs(20), 0.0)).toDF("user_id", "ts", "value")))
+        Seq((-1L, sentTs(10), 0.0)).toDF("user_id", "ts", "value")))
     } finally ev.unpersist()
     val joined = streaming.EventPipeline.clickAttribution(
       s.readStream.schema(clicks.schema).option("maxFilesPerTrigger", "1").parquet(cDir.toString),
       s.readStream.schema(buys.schema).option("maxFilesPerTrigger", "1").parquet(bDir.toString),
       watermark = "1 hour", joinWindow = "30 minutes", joinType = joinType)
     val name = s"${prefix}_out_${sinkSeq.incrementAndGet()}"
-    withShufflePartitions(s, 8) {
-      val q = joined.writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", s"$tmp/ck")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    withConfs(s, "spark.sql.streaming.noDataMicroBatches.enabled" -> "true") {
+      withShufflePartitions(s, 8) {
+        val q = joined.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$tmp/ck")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
     }
     s.table(name).filter(col("user_id") >= 0)
       .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))

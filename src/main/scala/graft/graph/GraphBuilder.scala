@@ -50,7 +50,21 @@ object GraphBuilder {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    val schema = schemaCache.getOrElseUpdate(path, {
+      // events.parquet guard (r16 VERDICT residual #4): its inferred
+      // schema DEPENDS on a session conf on Spark ≤ 4.0 (TIMESTAMP(NANOS)
+      // reads as LongType only under legacy.parquet.nanosAsLong — 4.1+
+      // reads NTZ natively and ignores the conf), and this memo would
+      // otherwise freeze whichever schema the FIRST caller inferred.
+      // GateSupport.events sets the conf before every read; assert that
+      // ordering here so a future conf-less first touch fails loudly
+      // instead of poisoning the cache for the JVM lifetime.
+      require(name != "events" ||
+        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+        "events.parquet schema inference requires the nanosAsLong conf " +
+          "set first — read it via GateSupport.events, never directly")
+      spark.read.parquet(path).schema
+    })
     spark.read.schema(schema).parquet(path)
   }
 

@@ -232,35 +232,62 @@ object Sketch {
     * afterwards joins ≤k-row frames. */
   def kmvSetOps(a: DataFrame, b: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    def sketch(df: DataFrame): DataFrame =
-      df.select(md5Long(col(keyCol)).as("h")).distinct().orderBy(col("h")).limit(k)
+    // ONE tagged distinct pass over A ⊎ B (optimization round 17, guide
+    // §2.3 aggregate-before-shuffle / §1.2 fewer passes): the old form's
+    // eight lazy subtrees (two sketches, four exact counts, the union
+    // sketch, the intersect semi-join) each re-scanned their input —
+    // measured ~6 source scans per execution on cd7. Here the inputs are
+    // scanned once into per-key membership flags (max-combined map-side),
+    // and every read-out derives from the ≤|A∪B|-row flag table:
+    //   exact_a = Σ inA, exact_b = Σ inB, exact_union = rows,
+    //   exact_inter = Σ inA·inB — one aggregate;
+    //   sketches = top-k by hash over the flagged slices — TakeOrdered
+    //   per-partition heaps, never a sort.
+    // The flag table is a LAZY localCheckpoint: the gate's single action
+    // materializes it once for all consumers, the plan above it is
+    // truncated, and the blocks are released by the ContextCleaner when
+    // the result frame is dropped — no session-lifetime persist (the r16
+    // dedup-once experiment lost to exactly that extra persist exchange;
+    // this form adds ONE distinct-shaped shuffle total and removes five
+    // re-scans). Estimator arithmetic unchanged (same md5, same floor).
+    val tagged = a.select(col(keyCol).as("__key"), lit(1L).as("__a"), lit(0L).as("__b"))
+      .unionByName(
+        b.select(col(keyCol).as("__key"), lit(0L).as("__a"), lit(1L).as("__b")))
+    val d = tagged.groupBy(col("__key"))
+      .agg(max(col("__a")).as("inA"), max(col("__b")).as("inB"))
+      .select(md5Long(col("__key")).as("h"), col("inA"), col("inB"))
+      .localCheckpoint(false)
+    // distinct over the HASHES (not just the keys): byte-identical to the
+    // old per-side sketch under an md5 collision, where two distinct keys
+    // must still contribute one sketch entry
+    def sketch(flag: String): DataFrame =
+      d.filter(col(flag) === 1L).select(col("h")).distinct()
+        .orderBy(col("h")).limit(k)
     def est(s: DataFrame, out: String): DataFrame =
       s.agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
         .select(when(col("n") < k, col("n").cast("long"))
           .otherwise(floor(lit((k - 1).toDouble) * lit(M) / col("hk").cast("double"))
             .cast("long")).as(out))
-    val sa = sketch(a)
-    val sb = sketch(b)
+    val sa = sketch("inA")
+    val sb = sketch("inB")
     val su = sa.unionByName(sb).distinct().orderBy(col("h")).limit(k)
     // n_u rides along: an UNSATURATED union sketch holds every hash, so
     // the intersection count is exact and the theta scaling must not run
     val nInter = su.join(sa, Seq("h"), "left_semi").join(sb, Seq("h"), "left_semi")
       .agg(count(lit(1)).as("n_inter"))
       .crossJoin(su.agg(count(lit(1)).as("n_u")))
-    val exactA = a.agg(count_distinct(col(keyCol)).as("exact_a"))
-    val exactB = b.agg(count_distinct(col(keyCol)).as("exact_b"))
-    val exactU = a.select(col(keyCol)).unionByName(b.select(col(keyCol)))
-      .agg(count_distinct(col(keyCol)).as("exact_union"))
-    val exactI = a.select(col(keyCol)).distinct()
-      .join(b.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
-      .agg(count(lit(1)).as("exact_inter"))
+    val exacts = d.agg(
+      sum(col("inA")).cast("long").as("exact_a"),
+      sum(col("inB")).cast("long").as("exact_b"),
+      count(lit(1)).as("exact_union"),
+      sum(col("inA") * col("inB")).cast("long").as("exact_inter"))
     est(sa, "est_a").crossJoin(est(sb, "est_b")).crossJoin(est(su, "est_union"))
       .crossJoin(nInter)
       .withColumn("est_inter",
         when(col("n_u") < k, col("n_inter").cast("long"))
           .otherwise(expr(s"n_inter * est_union div $k")))
       .drop("n_inter", "n_u")
-      .crossJoin(exactA).crossJoin(exactB).crossJoin(exactU).crossJoin(exactI)
+      .crossJoin(exacts)
   }
 
   /** EXACT percentiles of a BIGINT column with NO global sort — iterative
