@@ -402,6 +402,31 @@ object Probe {
       s2.stop(); return
     }
 
+    // Dev-only a25 UnionLoop task-count audit (optimization round 17):
+    // counts tasks per stage while the gate's recursion executes, proving
+    // the scoped shuffle-partition conf reaches the UnionLoop stages (the
+    // r16 claim was that it can't; it can when the gate materializes
+    // inside the scope). Prints a task-count histogram over all stages.
+    if (args.contains("a25tasks")) {
+      val dir = "/root/testdata/sf0.1"
+      val s2 = fresh32(spark)
+      val counts = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+      s2.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          counts.merge(sc.stageInfo.numTasks, 1, Integer.sum)
+      })
+      graph.GraphStore.get(s2, dir) // store load outside the audit
+      counts.clear()
+      val n = SparkEntry.queries("a25_sql_recursive")(s2, dir).count()
+      Thread.sleep(500) // let the last stage-completed events drain
+      println(s"[probe] a25 rows=$n; stage task-count histogram (tasks -> stages):")
+      import scala.jdk.CollectionConverters._
+      counts.asScala.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        println(s"[probe]   $k tasks x $v stages") }
+      s2.stop(); return
+    }
+
     // Dev-only breakdown of the a14 gate: store load vs closure vs count.
     if (args.contains("a14")) {
       sys.props("graft.verbose") = "1"

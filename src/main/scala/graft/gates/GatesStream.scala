@@ -648,12 +648,13 @@ private[graft] object GatesStream extends GateFamily {
 
   /** The watermark-join attribution gate, shared by sw18 (left_outer)
     * and sw29 (full_outer): clicks and purchases replay as separate
-    * mtime-ordered file streams, each followed by two far-future
-    * sentinel batches (the DOUBLE-sentinel watermark advance — outer
-    * rows only emit once the watermark proves the other side is done,
-    * and the watermark is the min over both inputs, so BOTH sides need
-    * the push; the second sentinel flushes rows the first one admitted).
-    * Sentinel rows carry user_id −1 and are filtered from the result. */
+    * mtime-ordered file streams, each followed by ONE far-future
+    * sentinel batch (outer rows only emit once the watermark proves the
+    * other side is done, and the watermark is the min over both inputs,
+    * so BOTH sides need the push; the batch that EVICTS with the
+    * advanced watermark is the engine's no-data batch — see the inline
+    * comment at the staging site). Sentinel rows carry user_id −1 and
+    * are filtered from the result. */
   private def attributionGate(s: SparkSession, dir: String,
                               prefix: String, joinType: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -684,10 +685,12 @@ private[graft] object GatesStream extends GateFamily {
       // (the no-data batch is part of the engine's termination contract:
       // AvailableNow only stops once no stateful op requests another
       // batch).
-      stageReplayFeed(cDir, Seq(clicks,
-        Seq((-1L, sentTs(10))).toDF("user_id", "ts")))
-      stageReplayFeed(bDir, Seq(buys,
-        Seq((-1L, sentTs(10), 0.0)).toDF("user_id", "ts", "value")))
+      timedSw(s"$prefix stage feeds") {
+        stageReplayFeed(cDir, Seq(clicks,
+          Seq((-1L, sentTs(10))).toDF("user_id", "ts")))
+        stageReplayFeed(bDir, Seq(buys,
+          Seq((-1L, sentTs(10), 0.0)).toDF("user_id", "ts", "value")))
+      }
     } finally ev.unpersist()
     val joined = streaming.EventPipeline.clickAttribution(
       s.readStream.schema(clicks.schema).option("maxFilesPerTrigger", "1").parquet(cDir.toString),
@@ -703,10 +706,17 @@ private[graft] object GatesStream extends GateFamily {
     // state size, not with this code.
     withConfs(s, "spark.sql.streaming.noDataMicroBatches.enabled" -> "true") {
       withShufflePartitions(s, 8) {
-        val q = joined.writeStream.format("memory").queryName(name)
-          .option("checkpointLocation", s"$tmp/ck")
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        val q = timedSw(s"$prefix query start")(
+          joined.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", s"$tmp/ck")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start())
+        timedSw(s"$prefix awaitTermination")(q.awaitTermination())
+        // dev-only micro-batch anatomy (the VERDICT item-2 phase table):
+        // durationMs names where each batch went — addBatch vs the
+        // offset/commit-log bookkeeping
+        if (sys.props.contains("graft.verbose"))
+          q.recentProgress.foreach(p =>
+            println(s"[sw] $prefix batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
       }
     }
     s.table(name).filter(col("user_id") >= 0)
