@@ -563,7 +563,15 @@ object Traversal {
       if (sys.props.contains("graft.verbose"))
         println(f"[bfs] doubling round $round%2d at-cap(d=$capD%6d) rows " +
           s"${r.filter(col("d") === capD).count()} of |r|=${r.count()}")
-      val squared = timed(s"doubling round $round cut")(cut(
+      // lazyCut, not cut (optimization round 17): the stats aggregate on
+      // the next line is the round's ONLY other action, so a lazy
+      // checkpoint materialized BY the stats scan fuses the round's two
+      // barrier jobs (checkpoint, then agg over it) into one — the
+      // sigmaSweep discipline. The logical plan is truncated either way
+      // (LogicalRDD immediately), which is all the 2^rounds-analyzer
+      // argument above needs; the blocks land in the cache during the
+      // stats job exactly as the eager form's checkpoint job placed them.
+      val squared = timed(s"doubling round $round cut")(lazyCut(
         r.filter(col("d") === capD)
           .select(col("src"), col("dst").as("__m"))
           .join(r.select(col("src").as("__m"), col("dst"), col("d").as("d2"))
@@ -595,11 +603,13 @@ object Traversal {
         r.join(sources.select(col("id").as("src")), "src")
           .select(col("dst").as("id"), col("d").as("layer")))
       .groupBy(col("id")).agg(max(col("layer")).as("layer"))
-    val frozen = timed("doubling layer readout")(cut(out))
+    // lazyCut: the guard's own count below is the materializing action
+    // (one readout job instead of checkpoint + count)
+    val frozen = timed("doubling layer readout")(lazyCut(out))
     // belt-and-braces twin of the frontier form's guard (a cycle throws
     // above, so this can only fire on a logic regression)
     val nVerts = timed("doubling vertex census")(sources.count() + dstIds.count())
-    val nLayered = frozen.count()
+    val nLayered = timed("doubling layer count")(frozen.count())
     live.foreach(_.unpersist(false))
     if (prepEdges) e.unpersist(false)
     require(nLayered == nVerts,
